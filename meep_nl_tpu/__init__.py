@@ -1,0 +1,19 @@
+"""meep_nl_tpu: a TPU-native FDTD electromagnetics framework.
+
+Brand-new JAX/XLA implementation of the capabilities of the meep_nl fork of
+Meep (reference layer map in SURVEY.md): full-vector Maxwell time-stepping on
+the staggered Yee grid, uPML, dispersive and nonlinear (chi2 Pockels via
+Newton inversion, chi3 Kerr) media, in-loop DTFT monitors, and native
+jax.grad adjoints, sharded over TPU meshes with shard_map halo exchange.
+"""
+
+from .core import grid
+from .core.grid import GridVolume
+from .stepper import plan as stepplan
+from .stepper.plan import (MaterialSpec, PolSpec, PMLSpec, SrcVolSpec,
+                           DftSpec, compile_plan)
+from .stepper.step import init_state, make_step, build_xs, run
+from .models.source import (GaussianSource, ContinuousSource, CustomSource,
+                            Source, SourceTime)
+
+__version__ = "0.1.0"

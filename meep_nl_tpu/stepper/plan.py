@@ -1,0 +1,511 @@
+"""Step-plan compiler: materials + grid + boundaries -> coefficient pytree.
+
+The TPU-native analog of the reference's setup pass (structure.cpp:37 ctor,
+structure_chunk::use_pml structure.cpp:630, fields.cpp:441
+figure_out_step_plan, boundaries.cpp:171 connect_chunks).  Everything that the
+reference derives lazily per chunk (PML sigma profiles, conductivity
+inverses, which auxiliary field arrays exist, curl feeding relations) is
+computed here once, in NumPy, and baked into a static `Plan`:
+
+  * `specs`  - static Python structure controlling which branches of the
+               update are traced (the analog of step_generic.cpp's 8-way
+               special-casing, resolved at trace time instead of runtime).
+  * `coefs`  - a dict pytree of device arrays (PML vectors, inverse-epsilon
+               rows, masks, source indices, ...), closed over by the jitted
+               step function.
+
+No data-dependent control flow survives into the step: the step function is
+a pure `state -> state` map suitable for `lax.scan` and `jax.grad`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core import grid as G
+
+# ---------------------------------------------------------------------------
+# Specs provided by the scene layer (models/)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class PolSpec:
+    """One dispersive susceptibility (lorentzian/drude family).
+
+    Mirrors susceptibility.cpp:188 `lorentzian_susceptibility::update_P`:
+        P_next = g1inv * (P*(2 - w0^2 dt^2 [unless drude]) - g1*P_prev
+                  + w0^2 dt^2 * (sigma.W))
+    with g1inv = 1/(1 + pi*gamma*dt), g1 = 1 - pi*gamma*dt.
+    """
+    field_type: str                      # 'e' or 'h'
+    omega0: float
+    gamma: float
+    # sigma rows: {(comp, direction): array at comp sites}; only entries
+    # that exist are stored. Diagonal entry (c, dir(c)) drives the update.
+    sigma: Dict[Tuple[str, str], np.ndarray]
+    drude: bool = False                  # no_omega_0_denominator
+    # gyrotropic / noisy extensions (round 2+):
+    kind: str = "lorentzian"
+    noise_amp: float = 0.0
+    bias: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+
+@dataclasses.dataclass
+class MaterialSpec:
+    """Static material coefficient fields sampled at Yee sites."""
+    # inverse-eps (E comps) / inverse-mu (H comps) rows:
+    # chi1inv[c][d] -> array at c sites (None => kronecker delta row)
+    chi1inv: Dict[str, Dict[str, Optional[np.ndarray]]]
+    cond: Dict[str, Optional[np.ndarray]] = dataclasses.field(default_factory=dict)
+    chi2: Dict[str, Optional[np.ndarray]] = dataclasses.field(default_factory=dict)
+    chi3: Dict[str, Optional[np.ndarray]] = dataclasses.field(default_factory=dict)
+    # full-tensor chi2 solved by vectorized Newton (the fork's NR path,
+    # newton_raphson.cpp + step_generic.cpp:732):
+    nr_chi2: Dict[str, Optional[np.ndarray]] = dataclasses.field(default_factory=dict)
+    pols: List[PolSpec] = dataclasses.field(default_factory=list)
+
+    def get_chi1inv(self, c: str, d: str) -> Optional[np.ndarray]:
+        return self.chi1inv.get(c, {}).get(d)
+
+
+@dataclasses.dataclass
+class PMLSpec:
+    """A uPML layer (analog of boundary_region / pml(), meep.hpp:651)."""
+    direction: str            # axis direction name
+    thickness: float
+    side: int = 0             # -1 low, +1 high, 0 both
+    r_asymptotic: float = 1e-15
+    mean_stretch: float = 1.0
+    pml_profile_power: float = 2.0
+
+
+@dataclasses.dataclass
+class SrcVolSpec:
+    """Discretized source region: (component, indices, complex amplitudes).
+
+    The analog of src_vol (meep_internals.hpp:49): `indices` are (npts, ndim)
+    integer site indices of `component`, `amps` the interpolation-weighted
+    complex amplitudes.  The time profile is factored out into per-step
+    waveform tables by `build_xs`.
+    """
+    component: str            # e or h component ('ez', ...)
+    indices: np.ndarray       # (npts, ndim) int32
+    amps: np.ndarray          # (npts,) complex
+    src_time: Any             # models.source.SourceTime
+    is_integrated: bool = False
+
+
+@dataclasses.dataclass
+class DftSpec:
+    """One DTFT accumulator region (analog of dft_chunk, dft.cpp:265).
+
+    Accumulates sum_t exp(i w t_c) * scale * w * f_centered over a box of
+    centered-grid points, where t_c is the E-time (t+1)*dt or H-time
+    (t+0.5)*dt and scale = dt/sqrt(2 pi) * decimation.
+    """
+    name: str
+    component: str
+    # slices into the *centered* index lattice, one (start, stop) per axis
+    region: Tuple[Tuple[int, int], ...]
+    weights: np.ndarray       # integration weights, shape = region extents
+    freqs: np.ndarray         # (nfreq,)
+    scale: complex = 1.0
+    decimation: int = 1
+    # if True, weights already include dV and interpolation weights
+
+
+# ---------------------------------------------------------------------------
+# Compiled per-component update specs (static)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class CurlSpec:
+    """step_db for one D/B component (step_db.cpp:44)."""
+    c: str                    # 'dz' / 'bx' ...
+    ec: str                   # paired E/H component
+    g_plus: Optional[str]
+    plus_axis: Optional[int]
+    g_minus: Optional[str]
+    minus_axis: Optional[int]
+    is_d: bool                # D: backward diffs & +curl; B: forward & -curl
+    dsig_axis: Optional[int]  # PML direction cycle(d_c,1) if sigma there
+    dsigu_axis: Optional[int]
+    has_cond: bool
+
+
+@dataclasses.dataclass
+class EhSpec:
+    """update_eh / step_update_EDHB for one E/H component
+    (update_eh.cpp:67, step_generic.cpp:576)."""
+    ec: str
+    dc: str
+    d_ec: str
+    # off-diagonal chi1inv partners (dc_1/dc_2 with cycle directions):
+    d1: str
+    d2: str
+    dc1: Optional[str]        # None if that component doesn't exist
+    dc2: Optional[str]
+    ax_own: Optional[int]     # array axis of d_ec (None if not an axis)
+    ax_1: Optional[int]
+    ax_2: Optional[int]
+    has_u: bool
+    has_u1: bool
+    has_u2: bool
+    has_chi3: bool            # Pade Kerr branch (calc_nonlinear_u)
+    has_nr: bool              # fork's full-tensor chi2 Newton branch
+    dsigw_axis: Optional[int]
+    trivial: bool             # E aliases D (no transform needed)
+
+
+@dataclasses.dataclass
+class Plan:
+    gv: G.GridVolume
+    courant: float
+    dtype: Any
+    complex_fields: bool
+    periodic: Tuple[bool, ...]
+    bloch_phase: Tuple[complex, ...]     # exp(+i k.L) per axis
+    curl_specs_b: List[CurlSpec]
+    curl_specs_d: List[CurlSpec]
+    eh_specs_h: List[EhSpec]
+    eh_specs_e: List[EhSpec]
+    pol_specs_e: List[PolSpec]
+    pol_specs_h: List[PolSpec]
+    sources: List[SrcVolSpec]
+    dfts: List[DftSpec]
+    have_fmp_e: bool
+    have_fmp_h: bool
+    coefs: Dict[str, Any]                # jnp arrays (filled by compile_plan)
+
+    @property
+    def dt(self) -> float:
+        return self.courant * self.gv.dx
+
+
+# ---------------------------------------------------------------------------
+# PML profile construction (structure.cpp:625-688)
+# ---------------------------------------------------------------------------
+
+
+def _pml_x(i: int, dx: float, bloc: float, a: float) -> float:
+    """Quantized depth into the PML at half-pixel index i
+    (structure.cpp:625 `pml_x`)."""
+    here = i * 0.5 / a
+    return 0.5 / a * (int(dx * 2 * a + 0.5) - int(abs(bloc - here) * 2 * a + 0.5))
+
+
+def build_pml_arrays(gv: G.GridVolume, pmls: Sequence[PMLSpec], dt: float
+                     ) -> Dict[str, Dict[str, np.ndarray]]:
+    """Half-index sig/kap/siginv profiles per direction.
+
+    Returns {direction: {'sig': (2N+2,), 'kap': ..., 'siginv': ...}} for
+    directions that have PML; mirrors structure_chunk::use_pml
+    (structure.cpp:630-688): sig = 0.5*dt*prefac*profile(u),
+    kap = 1 + kappa_prefac*profile(u)*u, siginv = 1/(kap+sig),
+    prefac = -ln(R)/(4*dx_pml*int profile), kappa smoother by one power.
+    """
+    out: Dict[str, Dict[str, np.ndarray]] = {}
+    a = gv.resolution
+    for spec in pmls:
+        d = spec.direction
+        if d not in gv.axes:
+            raise ValueError(f"PML direction {d} not in grid axes {gv.axes}")
+        ax = gv.axis_of(d)
+        n = gv.num[ax]
+        if d not in out:
+            spml = 2 * n + 2
+            out[d] = {
+                "sig": np.zeros(spml),
+                "kap": np.ones(spml),
+                "siginv": np.ones(spml),
+            }
+        pw = spec.pml_profile_power
+        profile_integral = 1.0 / (pw + 1.0)
+        profile_integral_u = 1.0 / (pw + 2.0)
+        prefac = (-math.log(spec.r_asymptotic)) / (4 * spec.thickness * profile_integral)
+        kappa_prefac = (spec.mean_stretch - 1) / profile_integral_u
+        sides = [-1, +1] if spec.side == 0 else [spec.side]
+        lo = 0.0                       # grid-local coordinate of low edge
+        hi = n * gv.dx
+        for side in sides:
+            bloc = lo if side < 0 else hi
+            for i in range(0, 2 * n + 2):
+                x = _pml_x(i, spec.thickness, bloc, a)
+                if x > 0:
+                    u = x / spec.thickness
+                    s = u ** pw
+                    out[d]["sig"][i] = 0.5 * dt * prefac * s
+                    out[d]["kap"][i] = 1 + kappa_prefac * s * u
+                    out[d]["siginv"][i] = 1.0 / (out[d]["kap"][i] + out[d]["sig"][i])
+    return out
+
+
+def _sample_pml_vec(full: np.ndarray, n: int, sh: int) -> np.ndarray:
+    """Sample a half-index PML profile at component sites: k = 2*i + sh."""
+    idx = 2 * np.arange(n + 1) + sh
+    idx = np.clip(idx, 0, len(full) - 1)
+    return full[idx]
+
+
+def _bcast(vec: np.ndarray, axis: int, ndim: int) -> np.ndarray:
+    """Reshape a per-axis vector for broadcasting against full-shape arrays."""
+    shape = [1] * ndim
+    shape[axis] = -1
+    return vec.reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# Plan compilation
+# ---------------------------------------------------------------------------
+
+
+def compile_plan(
+    gv: G.GridVolume,
+    mat: MaterialSpec,
+    pmls: Sequence[PMLSpec] = (),
+    periodic: Optional[Sequence[bool]] = None,
+    bloch_k: Optional[Sequence[float]] = None,   # k in units of 2pi/a (meep k_point)
+    sources: Sequence[SrcVolSpec] = (),
+    dfts: Sequence[DftSpec] = (),
+    courant: float = 0.5,
+    dtype=np.float32,
+    complex_fields: Optional[bool] = None,
+    live_e: Optional[Sequence[str]] = None,
+    live_h: Optional[Sequence[str]] = None,
+) -> Plan:
+    import jax.numpy as jnp
+
+    ndim = gv.ndim
+    periodic = tuple(periodic) if periodic is not None else (False,) * ndim
+    if bloch_k is None:
+        bloch_k = (0.0,) * ndim
+    bloch_phase = tuple(
+        complex(np.exp(1j * 2 * np.pi * k * gv.size[ax])) if periodic[ax] else 1.0 + 0j
+        for ax, k in enumerate(bloch_k)
+    )
+    if complex_fields is None:
+        complex_fields = any(abs(ph - 1.0) > 1e-12 for ph in bloch_phase)
+
+    dt = courant * gv.dx
+    dtdx = courant
+
+    # ------- which components are live ------------------------------------
+    if live_e is None:
+        live_e = _infer_live(gv, mat, sources, dfts, "e")
+    if live_h is None:
+        live_h = _infer_live(gv, mat, sources, dfts, "h")
+    live_e, live_h = list(live_e), list(live_h)
+
+    pml_full = build_pml_arrays(gv, pmls, dt)
+
+    def sigsize_gt1(d: str) -> bool:
+        return d in pml_full
+
+    coefs: Dict[str, Any] = {}
+
+    def put(key: str, arr, as_dtype=None) -> str:
+        coefs[key] = jnp.asarray(arr, dtype=as_dtype or dtype)
+        return key
+
+    # ------- masks ---------------------------------------------------------
+    for c in list(live_e) + list(live_h) + ["d" + c[1] for c in live_e] + \
+            ["b" + c[1] for c in live_h]:
+        m = gv.metal_mask(c, periodic)
+        # periodic axes: ghost plane N is dead
+        for ax in range(ndim):
+            if periodic[ax]:
+                idx = [slice(None)] * ndim
+                idx[ax] = gv.num[ax]
+                m[tuple(idx)] = 0.0
+        put(f"mask:{c}", m)
+
+    # ------- curl (step_db) specs ------------------------------------------
+    def make_curl_specs(ft: str) -> List[CurlSpec]:
+        specs = []
+        live = live_e if ft == "d" else live_h
+        for fc in live:
+            c = ft + fc[1]
+            plan = gv.step_plan(c)
+            d_c = G.component_direction(c)
+            dsig_d = G.cycle_direction(gv.dim, d_c, 1)
+            dsigu_d = G.cycle_direction(gv.dim, d_c, 2)
+            dsig_axis = gv.axis_of(dsig_d) if (gv.has_direction(dsig_d) and sigsize_gt1(dsig_d)) else None
+            dsigu_axis = gv.axis_of(dsigu_d) if (gv.has_direction(dsigu_d) and sigsize_gt1(dsigu_d)) else None
+            cnd = mat.cond.get(c)
+            has_cond = cnd is not None
+            ys = G.yee_shift(c, gv.dim)
+            if dsig_axis is not None:
+                d = gv.axes[dsig_axis]
+                sh = ys[d]
+                nax = gv.num[dsig_axis]
+                put(f"{c}:sig", _bcast(_sample_pml_vec(pml_full[d]["sig"], nax, sh), dsig_axis, ndim))
+                put(f"{c}:kap", _bcast(_sample_pml_vec(pml_full[d]["kap"], nax, sh), dsig_axis, ndim))
+                put(f"{c}:siginv", _bcast(_sample_pml_vec(pml_full[d]["siginv"], nax, sh), dsig_axis, ndim))
+            if dsigu_axis is not None:
+                d = gv.axes[dsigu_axis]
+                sh = ys[d]
+                nax = gv.num[dsigu_axis]
+                put(f"{c}:sigu", _bcast(_sample_pml_vec(pml_full[d]["sig"], nax, sh), dsigu_axis, ndim))
+                put(f"{c}:kapu", _bcast(_sample_pml_vec(pml_full[d]["kap"], nax, sh), dsigu_axis, ndim))
+                put(f"{c}:siginvu", _bcast(_sample_pml_vec(pml_full[d]["siginv"], nax, sh), dsigu_axis, ndim))
+            if has_cond:
+                put(f"{c}:cnd", cnd)
+                put(f"{c}:cndinv", 1.0 / (1.0 + 0.5 * dt * cnd))
+            specs.append(CurlSpec(
+                c=c, ec=fc,
+                g_plus=plan.plus,
+                plus_axis=gv.axis_of(plan.plus_dir) if plan.plus else None,
+                g_minus=plan.minus,
+                minus_axis=gv.axis_of(plan.minus_dir) if plan.minus else None,
+                is_d=(ft == "d"),
+                dsig_axis=dsig_axis, dsigu_axis=dsigu_axis, has_cond=has_cond))
+        return specs
+
+    curl_d = make_curl_specs("d")
+    curl_b = make_curl_specs("b")
+
+    # ------- update_eh specs -------------------------------------------------
+    def make_eh_specs(ft: str) -> List[EhSpec]:
+        specs = []
+        live = live_e if ft == "e" else live_h
+        ft2 = "d" if ft == "e" else "b"
+        for ec in live:
+            d_ec = G.component_direction(ec)
+            d1 = G.cycle_direction(gv.dim, d_ec, 1)
+            d2 = G.cycle_direction(gv.dim, d_ec, 2)
+            dc = ft2 + d_ec
+            ec1 = ec[0] + d1
+            ec2 = ec[0] + d2
+            dc1 = ft2 + d1 if ec1 in live else None
+            dc2 = ft2 + d2 if ec2 in live else None
+            u = mat.get_chi1inv(ec, d_ec)
+            u1 = mat.get_chi1inv(ec, d1) if dc1 else None
+            u2 = mat.get_chi1inv(ec, d2) if dc2 else None
+            chi3 = mat.chi3.get(ec)
+            chi2 = mat.chi2.get(ec)
+            nr = mat.nr_chi2.get(ec)
+            dsigw_axis = (gv.axis_of(d_ec)
+                          if (gv.has_direction(d_ec) and sigsize_gt1(d_ec)) else None)
+            ys = G.yee_shift(ec, gv.dim)
+            if dsigw_axis is not None:
+                d = gv.axes[dsigw_axis]
+                sh = ys[d]
+                nax = gv.num[dsigw_axis]
+                put(f"{ec}:sigw", _bcast(_sample_pml_vec(pml_full[d]["sig"], nax, sh), dsigw_axis, ndim))
+                put(f"{ec}:kapw", _bcast(_sample_pml_vec(pml_full[d]["kap"], nax, sh), dsigw_axis, ndim))
+            if u is not None:
+                put(f"{ec}:u", u)
+            if u1 is not None:
+                put(f"{ec}:u1", u1)
+            if u2 is not None:
+                put(f"{ec}:u2", u2)
+            if chi3 is not None:
+                put(f"{ec}:chi3", chi3)
+                put(f"{ec}:chi2", chi2 if chi2 is not None else np.zeros(gv.shape))
+            if nr is not None:
+                put(f"{ec}:nrchi2", nr)
+                # epsilon rows for the NR solve (inverse of diag chi1inv)
+                eps = 1.0 / u if u is not None else np.ones(gv.shape)
+                put(f"{ec}:nreps", eps)
+            trivial = (u is None and u1 is None and u2 is None and chi3 is None
+                       and nr is None and dsigw_axis is None)
+            specs.append(EhSpec(
+                ec=ec, dc=dc, d_ec=d_ec, d1=d1, d2=d2, dc1=dc1, dc2=dc2,
+                ax_own=gv.axis_of(d_ec) if gv.has_direction(d_ec) else None,
+                ax_1=gv.axis_of(d1) if gv.has_direction(d1) else None,
+                ax_2=gv.axis_of(d2) if gv.has_direction(d2) else None,
+                has_u=u is not None, has_u1=u1 is not None, has_u2=u2 is not None,
+                has_chi3=chi3 is not None, has_nr=nr is not None,
+                dsigw_axis=dsigw_axis, trivial=trivial))
+        return specs
+
+    eh_e = make_eh_specs("e")
+    eh_h = make_eh_specs("h")
+
+    # ------- susceptibilities ------------------------------------------------
+    pol_e = [p for p in mat.pols if p.field_type == "e"]
+    pol_h = [p for p in mat.pols if p.field_type == "h"]
+    for pi, p in enumerate(mat.pols):
+        for (c, d), arr in p.sigma.items():
+            put(f"pol{pi}:{c}:{d}", arr)
+
+    have_fmp_e = bool(pol_e) or any(s.is_integrated and s.component[0] == "e"
+                                    for s in sources)
+    have_fmp_h = bool(pol_h) or any(s.is_integrated and s.component[0] == "h"
+                                    for s in sources)
+
+    # ------- sources -----------------------------------------------------------
+    for si, s in enumerate(sources):
+        put(f"src{si}:idx", s.indices, np.int32)
+        amp = np.asarray(s.amps, np.complex128)
+        put(f"src{si}:amp_re", amp.real)
+        put(f"src{si}:amp_im", amp.imag)
+        # conductivity scaling at source points (step.cpp:300-309)
+        dbc = ("d" if s.component[0] == "e" else "b") + s.component[1]
+        cnd = mat.cond.get(dbc)
+        if cnd is not None:
+            vals = cnd[tuple(s.indices.T)]
+            put(f"src{si}:cndinv", 1.0 / (1.0 + 0.5 * dt * vals))
+
+    # ------- dft monitors --------------------------------------------------------
+    for mi, mspec in enumerate(dfts):
+        put(f"dft{mi}:w", mspec.weights)
+
+    return Plan(
+        gv=gv, courant=courant, dtype=dtype, complex_fields=complex_fields,
+        periodic=periodic, bloch_phase=bloch_phase,
+        curl_specs_b=curl_b, curl_specs_d=curl_d,
+        eh_specs_h=eh_h, eh_specs_e=eh_e,
+        pol_specs_e=pol_e, pol_specs_h=pol_h,
+        sources=list(sources), dfts=list(dfts),
+        have_fmp_e=have_fmp_e, have_fmp_h=have_fmp_h,
+        coefs=coefs)
+
+
+def _infer_live(gv: G.GridVolume, mat: MaterialSpec, sources, dfts, ft: str
+                ) -> List[str]:
+    """Which E (or H) components must be stepped.
+
+    The analog of fields::require_component + the step plan closure: a source
+    or monitor on any component pulls in, via the two curl equations, the
+    full mutually-coupled set.  We compute the closure over the curl graph.
+    """
+    all_e = list(gv.e_components)
+    all_h = list(gv.h_components)
+    need = set()
+    for s in sources:
+        need.add(s.component)
+    for m in dfts:
+        need.add(m.component)
+    # material anisotropy couples components within a field type only through
+    # the off-diagonal chi1inv rows:
+    for c, rows in mat.chi1inv.items():
+        for d, arr in rows.items():
+            if arr is not None and d != G.component_direction(c):
+                need.add(c)
+                need.add(c[0] + d)
+    for c in list(mat.chi2) + list(mat.chi3) + list(mat.nr_chi2):
+        need.add(c)
+    if not need:
+        need = set(all_e + all_h)
+    # closure over curl relations
+    changed = True
+    live = set(c for c in need if c in all_e + all_h)
+    while changed:
+        changed = False
+        for c in list(live):
+            dbc = ("d" if c[0] == "e" else "b") + c[1]
+            plan = gv.step_plan(dbc)
+            for g in (plan.plus, plan.minus):
+                if g is not None and g not in live:
+                    live.add(g)
+                    changed = True
+    if ft == "e":
+        return [c for c in all_e if c in live]
+    return [c for c in all_h if c in live]

@@ -1,0 +1,528 @@
+"""The fused FDTD timestep as a pure `state -> state` function.
+
+TPU-native re-design of the reference's stepping core:
+  * fields::step ordering          -> `make_step` (step.cpp:35-140)
+  * step_curl + PML/cond chain     -> `_curl_update` (step_generic.cpp:69-253)
+  * step_update_EDHB               -> `_eh_update` (step_generic.cpp:576-906)
+  * Pade Kerr factor               -> `_nonlinear_u` (step_generic.cpp:546)
+  * fork's chi2 Newton-Raphson     -> `_nr_solve` (newton_raphson.cpp:93,
+                                      step_generic.cpp:732-815), recast as a
+                                      fixed-iteration vectorized Newton with a
+                                      closed-form 3x3 solve, masked on chi2!=0
+  * lorentzian_susceptibility::update_P -> `_pol_update`
+                                      (susceptibility.cpp:188-260)
+  * dft_chunk::update_dft          -> `_dft_update` (dft.cpp:265-306)
+  * step_source                    -> `_apply_sources` (step.cpp:296-319)
+
+All branching is resolved at trace time from the static Plan; the resulting
+function is scan- and grad-compatible.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import grid as G
+from ..ops.stencil import shift, diff_fwd, diff_bwd
+from .plan import Plan, CurlSpec, EhSpec, PolSpec, SrcVolSpec, DftSpec
+
+NR_ITERS = 8  # quadratic convergence: 8 Newton steps reach fp32 roundoff
+              # for perturbative chi2 (reference iterates to 1e-8, tol at
+              # newton_raphson.cpp:30)
+
+
+# ---------------------------------------------------------------------------
+# State construction
+# ---------------------------------------------------------------------------
+
+
+def init_state(plan: Plan) -> Dict[str, Any]:
+    gv = plan.gv
+    fdtype = jnp.complex64 if plan.complex_fields else plan.dtype
+    if plan.dtype == np.float64:
+        fdtype = jnp.complex128 if plan.complex_fields else jnp.float64
+
+    def zeros():
+        return jnp.zeros(gv.shape, dtype=fdtype)
+
+    f: Dict[str, Any] = {}
+    for spec in plan.curl_specs_d + plan.curl_specs_b:
+        f[spec.c] = zeros()
+    for spec in plan.eh_specs_e + plan.eh_specs_h:
+        f[spec.ec] = zeros()
+
+    f_u = {s.c: zeros() for s in plan.curl_specs_d + plan.curl_specs_b
+           if s.dsigu_axis is not None}
+    f_cond = {s.c: zeros() for s in plan.curl_specs_d + plan.curl_specs_b
+              if (s.dsig_axis is not None and s.has_cond)}
+    f_w = {s.ec: zeros() for s in plan.eh_specs_e + plan.eh_specs_h
+           if s.dsigw_axis is not None}
+
+    pol = []
+    for pi, p in enumerate(plan.pol_specs_e + plan.pol_specs_h):
+        comps = sorted({c for (c, d) in p.sigma if d == G.component_direction(c)})
+        pol.append({
+            "p": {c: zeros() for c in comps},
+            "pp": {c: zeros() for c in comps},
+        })
+
+    dft = {}
+    for m in plan.dfts:
+        ext = tuple(b - a for a, b in m.region)
+        dft[m.name] = jnp.zeros(ext + (len(m.freqs),), dtype=jnp.complex64
+                                if plan.dtype != np.float64 else jnp.complex128)
+
+    return {"f": f, "f_u": f_u, "f_cond": f_cond, "f_w": f_w,
+            "pol": pol, "dft": dft, "t": jnp.zeros((), jnp.int32)}
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+
+def _curl(plan: Plan, spec: CurlSpec, f: Dict[str, Any]) -> jnp.ndarray:
+    """dfl such that the no-PML update is f += dfl (step_generic.cpp:39-67).
+
+    D components: +Courant * (bwd-diff g_plus - bwd-diff g_minus)
+    B components: -Courant * (fwd-diff g_plus - fwd-diff g_minus)
+    """
+    dtdx = plan.courant
+    per = plan.periodic
+    ph = plan.bloch_phase
+    diff = diff_bwd if spec.is_d else diff_fwd
+    sgn = 1.0 if spec.is_d else -1.0
+    total = None
+    if spec.g_plus is not None:
+        a = spec.plus_axis
+        total = diff(f[spec.g_plus], a, per[a], ph[a])
+    if spec.g_minus is not None:
+        a = spec.minus_axis
+        t2 = diff(f[spec.g_minus], a, per[a], ph[a])
+        total = -t2 if total is None else total - t2
+    return sgn * dtdx * total
+
+
+def _curl_update(plan: Plan, spec: CurlSpec, state: Dict[str, Any]
+                 ) -> Dict[str, Any]:
+    """The full PML/conductivity chain around a curl delta
+    (step_generic.cpp:89-253).
+
+    chain: dfl -> [cond: fcnd aux] -> [dsig: f or fu] -> [dsigu: f]."""
+    C = plan.coefs
+    c = spec.c
+    f = state["f"][c]
+    dfl = _curl(plan, spec, state["f"])
+    dt = plan.dt
+    new_state = state
+
+    has_sig = spec.dsig_axis is not None
+    has_sigu = spec.dsigu_axis is not None
+    has_cond = spec.has_cond
+
+    if has_sig and has_cond:
+        fcnd = state["f_cond"][c]
+        fcnd_new = ((1 - 0.5 * dt * C[f"{c}:cnd"]) * fcnd + dfl) * C[f"{c}:cndinv"]
+        delta = fcnd_new - fcnd
+        new_state = {**new_state, "f_cond": {**state["f_cond"], c: fcnd_new}}
+    elif has_cond:
+        # conductivity applied directly to the innermost field below
+        delta = dfl
+    else:
+        delta = dfl
+
+    def inner_update(g):
+        """Update of the innermost field (f or fu) with delta."""
+        if has_sig:
+            return ((C[f"{c}:kap"] - C[f"{c}:sig"]) * g + delta) * C[f"{c}:siginv"]
+        if has_cond:
+            return ((1 - 0.5 * dt * C[f"{c}:cnd"]) * g + delta) * C[f"{c}:cndinv"]
+        return g + delta
+
+    if has_sigu:
+        fu = state["f_u"][c]
+        fu_new = inner_update(fu)
+        f_new = C[f"{c}:siginvu"] * ((C[f"{c}:kapu"] - C[f"{c}:sigu"]) * f
+                                     + fu_new - fu)
+        new_state = {**new_state, "f_u": {**new_state["f_u"], c: fu_new}}
+    else:
+        f_new = inner_update(f)
+
+    f_new = f_new * C[f"mask:{c}"]
+    new_state = {**new_state, "f": {**new_state["f"], c: f_new}}
+    return new_state
+
+
+def _nonlinear_u(Dsqr, Di, u, chi2, chi3):
+    """Pade approximant for the Kerr/chi2 scalar inversion
+    (step_generic.cpp:546 calc_nonlinear_u)."""
+    c2 = Di * chi2 * (u * u)
+    c3 = Dsqr * chi3 * (u * u * u)
+    return (1 + c2 + 2 * c3) / (1 + 2 * c2 + 3 * c3)
+
+
+def _offdiag(u1, g1, ax1, ax_own, sgn, per, ph):
+    """OFFDIAG(u,g,sx) of step_generic.cpp:597: stable Yee average of an
+    off-diagonal chi1inv row against the partner D component."""
+    t = (g1 + shift(g1, ax1, -sgn, per[ax1], ph[ax1])) * u1
+    return 0.25 * (t + shift(t, ax_own, sgn, per[ax_own], ph[ax_own]))
+
+
+def _avg4(g, ax_own, ax_off, sgn, per, ph):
+    """gs_2-style neighbor average (step_generic.cpp:740)."""
+    g_s = shift(g, ax_own, sgn, per[ax_own], ph[ax_own])
+    g_x = shift(g, ax_off, -sgn, per[ax_off], ph[ax_off])
+    g_sx = shift(g_s, ax_off, -sgn, per[ax_off], ph[ax_off])
+    return 0.25 * (g + g_s + g_x + g_sx)
+
+
+def _sum4(g, ax_own, ax_off, sgn, per, ph):
+    g_s = shift(g, ax_own, sgn, per[ax_own], ph[ax_own])
+    g_x = shift(g, ax_off, -sgn, per[ax_off], ph[ax_off])
+    g_sx = shift(g_s, ax_off, -sgn, per[ax_off], ph[ax_off])
+    return g + g_s + g_x + g_sx
+
+
+def _nr_solve(A_own, A_1, A_2, eps, chi2, seed_own, seed_1, seed_2):
+    """Vectorized Newton for the zinc-blende chi2 system
+    (newton_raphson.cpp:144 `equations`):
+
+        A_own = eps*x + chi2*y*z
+        A_1   = eps*y + chi2*x*z
+        A_2   = eps*z + chi2*x*y
+
+    Fixed NR_ITERS Newton iterations with an analytic 3x3 solve; replaces the
+    reference's data-dependent loop (<=500 iters, tol 1e-8) with a
+    TPU-friendly branchless form.  Where chi2 == 0, returns the linear seed.
+    """
+    x, y, z = seed_own, seed_1, seed_2
+
+    def body(i, xyz):
+        x, y, z = xyz
+        F1 = A_own - (eps * x + chi2 * y * z)
+        F2 = A_1 - (eps * y + chi2 * x * z)
+        F3 = A_2 - (eps * z + chi2 * x * y)
+        # J = -[[eps, c*z, c*y], [c*z, eps, c*x], [c*y, c*x, eps]]
+        a, b_, c_, d_ = eps, chi2 * z, chi2 * y, chi2 * x
+        # solve J * delta = F with J = -M, M symmetric:
+        # M = [[a, b, c], [b, a, d], [c, d, a]]
+        det = a * (a * a - d_ * d_) - b_ * (b_ * a - d_ * c_) + c_ * (b_ * d_ - a * c_)
+        det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+        i00 = a * a - d_ * d_
+        i01 = c_ * d_ - b_ * a
+        i02 = b_ * d_ - c_ * a
+        i11 = a * a - c_ * c_
+        i12 = c_ * b_ - a * d_
+        i22 = a * a - b_ * b_
+        dx = (i00 * F1 + i01 * F2 + i02 * F3) / det
+        dy = (i01 * F1 + i11 * F2 + i12 * F3) / det
+        dz = (i02 * F1 + i12 * F2 + i22 * F3) / det
+        # delta solves M delta = -F ; J = -M  =>  x -= J^-1 F  == x += M^-1 F
+        return (x + dx, y + dy, z + dz)
+
+    x, y, z = jax.lax.fori_loop(0, NR_ITERS, body, (x, y, z))
+    live = chi2 != 0
+    return (jnp.where(live, x, seed_own),
+            jnp.where(live, y, seed_1),
+            jnp.where(live, z, seed_2))
+
+
+def _eh_update(plan: Plan, spec: EhSpec, state: Dict[str, Any],
+               dmp: Dict[str, Any]) -> Dict[str, Any]:
+    """E = chi1inv*(D - P) with off-diagonal averaging, Kerr Pade, the NR chi2
+    branch, and the PML W chain (step_generic.cpp:576-906)."""
+    C = plan.coefs
+    ec = spec.ec
+    per, ph = plan.periodic, plan.bloch_phase
+    sgn = 1 if ec[0] == "e" else -1  # H strides negated (update_eh.cpp:192)
+
+    gs = dmp[spec.dc]
+    us = C[f"{ec}:u"] if spec.has_u else None
+
+    lin = gs * us if us is not None else gs
+    if spec.has_u1:
+        g1 = dmp[spec.dc1]
+        lin = lin + _offdiag(C[f"{ec}:u1"], g1, spec.ax_1, spec.ax_own, sgn, per, ph)
+    if spec.has_u2:
+        g2 = dmp[spec.dc2]
+        lin = lin + _offdiag(C[f"{ec}:u2"], g2, spec.ax_2, spec.ax_own, sgn, per, ph)
+
+    if spec.has_chi3:
+        u_for_nl = us if us is not None else 1.0
+        Dsqr = gs * gs
+        if spec.dc1 is not None and spec.ax_1 is not None:
+            g1s = _sum4(dmp[spec.dc1], spec.ax_own, spec.ax_1, sgn, per, ph)
+            Dsqr = Dsqr + 0.0625 * (g1s * g1s)
+        if spec.dc2 is not None and spec.ax_2 is not None:
+            g2s = _sum4(dmp[spec.dc2], spec.ax_own, spec.ax_2, sgn, per, ph)
+            Dsqr = Dsqr + 0.0625 * (g2s * g2s)
+        lin = lin * _nonlinear_u(Dsqr, gs, u_for_nl, C[f"{ec}:chi2"], C[f"{ec}:chi3"])
+
+    if spec.has_nr:
+        # neighbor-averaged partner (D-P) values at ec sites
+        # (step_generic.cpp:740-743)
+        g_1 = _avg4(dmp[spec.dc1], spec.ax_own, spec.ax_1, sgn, per, ph) \
+            if spec.dc1 is not None else jnp.zeros_like(gs)
+        g_2 = _avg4(dmp[spec.dc2], spec.ax_own, spec.ax_2, sgn, per, ph) \
+            if spec.dc2 is not None else jnp.zeros_like(gs)
+        eps = C[f"{ec}:nreps"]
+        chi2 = C[f"{ec}:nrchi2"]
+        u_lin = us if us is not None else 1.0
+        seed_own = state["f"][ec]
+        own, _, _ = _nr_solve(gs, g_1, g_2, eps, chi2,
+                              seed_own, g_1 * u_lin, g_2 * u_lin)
+        lin = jnp.where(chi2 != 0, own, lin)
+
+    new_state = state
+    if spec.dsigw_axis is not None:
+        fw = state["f_w"][ec]
+        fw_new = lin
+        kapw, sigw = C[f"{ec}:kapw"], C[f"{ec}:sigw"]
+        f_new = state["f"][ec] + (kapw + sigw) * fw_new - (kapw - sigw) * fw
+        new_state = {**new_state, "f_w": {**state["f_w"], ec: fw_new}}
+    else:
+        f_new = lin
+
+    f_new = f_new * C[f"mask:{ec}"]
+    new_state = {**new_state, "f": {**new_state["f"], ec: f_new}}
+    return new_state
+
+
+def _pol_update(plan: Plan, pi: int, p: PolSpec, state: Dict[str, Any]
+                ) -> Dict[str, Any]:
+    """Lorentzian/Drude ADE leapfrog (susceptibility.cpp:188-260)."""
+    C = plan.coefs
+    dt = plan.dt
+    w2pi = 2 * math.pi * p.omega0
+    g2pi = 2 * math.pi * p.gamma
+    omega0dtsqr = (w2pi * dt) ** 2
+    gamma1inv = 1.0 / (1 + 0.5 * g2pi * dt)
+    gamma1 = 1 - 0.5 * g2pi * dt
+    denom = 0.0 if p.drude else omega0dtsqr
+    per, ph = plan.periodic, plan.bloch_phase
+
+    pol_st = state["pol"][pi]
+    new_p = dict(pol_st["p"])
+    new_pp = dict(pol_st["pp"])
+    gv = plan.gv
+
+    def W(c):
+        return state["f_w"].get(c, state["f"].get(c))
+
+    for c in pol_st["p"]:
+        d = G.component_direction(c)
+        sgn = 1 if c[0] == "e" else -1
+        s = C[f"pol{pi}:{c}:{d}"]
+        drive = s * W(c)
+        ax_own = gv.axis_of(d) if gv.has_direction(d) else None
+        d1 = G.cycle_direction(gv.dim, d, 1)
+        d2 = G.cycle_direction(gv.dim, d, 2)
+        aniso = False
+        for doff in (d1, d2):
+            key = f"pol{pi}:{c}:{doff}"
+            c_off = c[0] + doff
+            if key in C and W(c_off) is not None and gv.has_direction(doff) \
+                    and ax_own is not None:
+                aniso = True
+                drive = drive + _offdiag(C[key], W(c_off), gv.axis_of(doff),
+                                         ax_own, sgn, per, ph)
+        pcur = pol_st["p"][c]
+        pprev = pol_st["pp"][c]
+        pnew = gamma1inv * (pcur * (2 - denom) - gamma1 * pprev
+                            + omega0dtsqr * drive)
+        if aniso:
+            # s==0 guard against material-boundary instabilities (PR #666,
+            # susceptibility.cpp:231)
+            pnew = jnp.where(s != 0, pnew, pcur)
+        new_p[c] = pnew
+        new_pp[c] = pcur
+
+    pols = list(state["pol"])
+    pols[pi] = {"p": new_p, "pp": new_pp}
+    return {**state, "pol": pols}
+
+
+def _compute_fmp(plan: Plan, ft: str, state: Dict[str, Any],
+                 xs: Dict[str, Any]) -> Dict[str, Any]:
+    """f_minus_p = D - sum P - integrated source dipoles
+    (update_eh.cpp:119-146)."""
+    ft2 = "d" if ft == "e" else "b"
+    specs = plan.eh_specs_e if ft == "e" else plan.eh_specs_h
+    pol_specs = plan.pol_specs_e if ft == "e" else plan.pol_specs_h
+    pol_off = 0 if ft == "e" else len(plan.pol_specs_e)
+    fmp = {}
+    for spec in specs:
+        fmp[spec.dc] = state["f"][spec.dc]
+    for k, p in enumerate(pol_specs):
+        pi = pol_off + k
+        for c, parr in state["pol"][pi]["p"].items():
+            dc = ft2 + c[1]
+            if dc in fmp:
+                fmp[dc] = fmp[dc] - parr
+    # integrated sources (polarization-like)
+    for si, s in enumerate(plan.sources):
+        if s.is_integrated and s.component[0] == ft:
+            dc = ft2 + s.component[1]
+            if dc not in fmp:
+                continue
+            key = f"src{si}:dip"
+            if key not in xs:
+                continue
+            amp = plan.coefs[f"src{si}:amp_re"]
+            if plan.complex_fields:
+                amp = amp + 1j * plan.coefs[f"src{si}:amp_im"]
+                contrib = xs[key] * amp
+            else:
+                contrib = (xs[key] * (plan.coefs[f"src{si}:amp_re"]
+                                      + 1j * plan.coefs[f"src{si}:amp_im"])).real
+            idx = plan.coefs[f"src{si}:idx"]
+            fmp[dc] = fmp[dc].at[tuple(idx.T)].add(-contrib)
+    return fmp
+
+
+def _apply_sources(plan: Plan, ft2: str, state: Dict[str, Any],
+                   xs: Dict[str, Any]) -> Dict[str, Any]:
+    """Current sources into D/B: f -= current * dt [* cndinv]
+    (step.cpp:296-319)."""
+    f = dict(state["f"])
+    dt = plan.dt
+    for si, s in enumerate(plan.sources):
+        ftc = "d" if s.component[0] == "e" else "b"
+        if ftc != ft2 or s.is_integrated:
+            continue
+        key = f"src{si}:cur"
+        if key not in xs:
+            continue
+        dc = ft2 + s.component[1]
+        if dc not in f:
+            continue
+        amp = plan.coefs[f"src{si}:amp_re"] + 1j * plan.coefs[f"src{si}:amp_im"]
+        A = xs[key] * amp * dt
+        if f"src{si}:cndinv" in plan.coefs:
+            A = A * plan.coefs[f"src{si}:cndinv"]
+        contrib = A if plan.complex_fields else A.real
+        idx = plan.coefs[f"src{si}:idx"]
+        f[dc] = f[dc].at[tuple(idx.T)].add(-contrib)
+    return {**state, "f": f}
+
+
+def _centered_avg(plan: Plan, c: str, arr: jnp.ndarray) -> jnp.ndarray:
+    """Average a component to the centered grid (dft.cpp:277 avg1/avg2)."""
+    gv = plan.gv
+    ys = G.yee_shift(c, gv.dim)
+    out = arr
+    for ax, d in enumerate(gv.axes):
+        if ys[d] == 0:
+            out = 0.5 * (out + shift(out, ax, +1, plan.periodic[ax],
+                                     plan.bloch_phase[ax]))
+    return out
+
+
+def _dft_update(plan: Plan, state: Dict[str, Any], xs: Dict[str, Any]
+                ) -> Dict[str, Any]:
+    dft = dict(state["dft"])
+    for mi, m in enumerate(plan.dfts):
+        key = f"dft{mi}:ph"
+        if key not in xs:
+            continue
+        favg = _centered_avg(plan, m.component, state["f"][m.component])
+        sl = tuple(slice(a, b) for a, b in m.region)
+        fv = favg[sl]
+        w = plan.coefs[f"dft{mi}:w"]
+        ph = xs[key]  # (nfreq,) complex, already includes scale/decimation
+        dft[m.name] = dft[m.name] + (w * fv)[..., None] * ph
+    return {**state, "dft": dft}
+
+
+# ---------------------------------------------------------------------------
+# The full step + scan driver
+# ---------------------------------------------------------------------------
+
+
+def make_step(plan: Plan):
+    """Returns step(state, xs_t) -> state implementing fields::step
+    (step.cpp:35-140) for one timestep."""
+
+    def step(state: Dict[str, Any], xs: Dict[str, Any]) -> Dict[str, Any]:
+        # --- B half ---------------------------------------------------------
+        for spec in plan.curl_specs_b:
+            state = _curl_update(plan, spec, state)
+        state = _apply_sources(plan, "b", state, xs)
+        dmp_h = _compute_fmp(plan, "h", state, xs) if plan.have_fmp_h else \
+            {s.dc: state["f"][s.dc] for s in plan.eh_specs_h}
+        for spec in plan.eh_specs_h:
+            state = _eh_update(plan, spec, state, dmp_h)
+        for k in range(len(plan.pol_specs_h)):
+            state = _pol_update(plan, len(plan.pol_specs_e) + k,
+                                plan.pol_specs_h[k], state)
+        # --- D half ---------------------------------------------------------
+        for spec in plan.curl_specs_d:
+            state = _curl_update(plan, spec, state)
+        state = _apply_sources(plan, "d", state, xs)
+        dmp_e = _compute_fmp(plan, "e", state, xs) if plan.have_fmp_e else \
+            {s.dc: state["f"][s.dc] for s in plan.eh_specs_e}
+        for spec in plan.eh_specs_e:
+            state = _eh_update(plan, spec, state, dmp_e)
+        for k in range(len(plan.pol_specs_e)):
+            state = _pol_update(plan, k, plan.pol_specs_e[k], state)
+        # --- monitors ---------------------------------------------------------
+        state = {**state, "t": state["t"] + 1}
+        state = _dft_update(plan, state, xs)
+        return state
+
+    return step
+
+
+def build_xs(plan: Plan, nsteps: int, t0: int = 0) -> Dict[str, Any]:
+    """Per-step host-precomputed tables: source waveforms and DTFT phases.
+
+    Source sampling times follow step.cpp:64-106: B currents at t*dt, D
+    currents at (t+0.5)*dt, integrated H dipoles at (t+0.5)*dt, integrated E
+    dipoles at (t+1)*dt.  DTFT phases use the *post-increment* step counter
+    (dft.cpp:252-257): E components at (t+1)*dt, H at (t+0.5)*dt.
+    """
+    dt = plan.dt
+    steps = np.arange(t0, t0 + nsteps)
+    xs: Dict[str, Any] = {}
+    cdtype = np.complex64 if plan.dtype != np.float64 else np.complex128
+    for si, s in enumerate(plan.sources):
+        st = s.src_time
+        is_h_family = s.component[0] == "h"
+        if s.is_integrated:
+            tt = (steps + (0.5 if is_h_family else 1.0)) * dt
+            xs[f"src{si}:dip"] = np.asarray(
+                [st.dipole(t) for t in tt], dtype=cdtype)
+        else:
+            tt = (steps + (0.0 if is_h_family else 0.5)) * dt
+            xs[f"src{si}:cur"] = np.asarray(
+                [st.current(t, dt) for t in tt], dtype=cdtype)
+    for mi, m in enumerate(plan.dfts):
+        is_h = m.component[0] in ("h", "b")
+        tE = (steps + 1) * dt
+        tt = tE - 0.5 * dt if is_h else tE
+        omegas = 2 * np.pi * np.asarray(m.freqs)
+        ph = np.exp(1j * omegas[None, :] * tt[:, None]) \
+            * (m.scale * dt / math.sqrt(2 * math.pi) * m.decimation)
+        live = ((steps + 1) % m.decimation) == 0
+        ph = ph * live[:, None]
+        xs[f"dft{mi}:ph"] = ph.astype(cdtype)
+    return {k: jnp.asarray(v) for k, v in xs.items()}
+
+
+def run(plan: Plan, state: Dict[str, Any], nsteps: int):
+    """Scan the step over nsteps (the inner loop of Simulation.run,
+    simulation.py:2795)."""
+    step = make_step(plan)
+    t0 = int(state["t"])
+    xs = build_xs(plan, nsteps, t0)
+
+    def body(carry, x):
+        return step(carry, x), None
+
+    state, _ = jax.lax.scan(body, state, xs, length=nsteps)
+    return state
