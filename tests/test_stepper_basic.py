@@ -13,22 +13,7 @@ from meep_nl_tpu.stepper.plan import MaterialSpec, SrcVolSpec, compile_plan
 from meep_nl_tpu.stepper.step import init_state, run
 
 
-def vacuum_mat():
-    return MaterialSpec(chi1inv={})
-
-
-def make_point_source(gv, comp, pt, src, amplitude=1.0, is_integrated=False):
-    pts = gv.interp_weights(comp, pt)
-    idx = np.array([p for p, w in pts], dtype=np.int32)
-    # restriction weights scale as 1/dV per axis (point source delta):
-    amps = np.array([w * amplitude for p, w in pts], dtype=np.complex128)
-    amps *= gv.resolution ** gv.ndim
-    return SrcVolSpec(comp, idx, amps, src, is_integrated=is_integrated)
-
-
-def total_field_energy(state, live):
-    # crude sum of squares (enough for conservation ratios in vacuum)
-    return sum(float(np.sum(np.asarray(state["f"][c]) ** 2)) for c in live)
+from helpers import make_point_source, vacuum_mat, total_field_energy
 
 
 def test_1d_pulse_propagates():
