@@ -15,5 +15,14 @@ from .stepper.plan import (MaterialSpec, PolSpec, PMLSpec, SrcVolSpec,
 from .stepper.step import init_state, make_step, build_xs, run
 from .models.source import (GaussianSource, ContinuousSource, CustomSource,
                             Source, SourceTime)
+from .models.geom import (Vector3, Medium, Sphere, Block, Cylinder, Cone,
+                          Wedge, Ellipsoid, Prism, LorentzianSusceptibility,
+                          DrudeSusceptibility, vacuum, air)
+from .models.simulation import (Simulation, PML, Absorber, FluxRegion,
+                                Ex, Ey, Ez, Hx, Hy, Hz, Dx, Dy, Dz,
+                                Bx, By, Bz, Er, Ep, Hr, Hp, Dielectric,
+                                X, Y, Z, ALL)
+
+inf = float("inf")
 
 __version__ = "0.1.0"

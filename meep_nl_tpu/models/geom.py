@@ -1,0 +1,326 @@
+"""Geometry and material scene objects (analog of python/geom.py).
+
+`Vector3`, `Medium` (eps/mu tensors, conductivities, susceptibilities,
+chi2/chi3), and geometric primitives (Sphere/Block/Cylinder/Ellipsoid/Cone/
+Wedge/Prism).  Objects are pure descriptions; rasterization onto Yee sites
+happens in models.scene (the analog of meepgeom.cpp
+set_materials_from_geometry).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+class Vector3:
+    """Minimal Vector3 compatible with the reference's python/geom.py:Vector3."""
+
+    __slots__ = ("x", "y", "z")
+
+    def __init__(self, x=0.0, y=0.0, z=0.0):
+        self.x, self.y, self.z = float(x), float(y), float(z)
+
+    def __iter__(self):
+        return iter((self.x, self.y, self.z))
+
+    def __getitem__(self, i):
+        return (self.x, self.y, self.z)[i]
+
+    def __add__(self, o):
+        return Vector3(self.x + o.x, self.y + o.y, self.z + o.z)
+
+    def __sub__(self, o):
+        return Vector3(self.x - o.x, self.y - o.y, self.z - o.z)
+
+    def __mul__(self, s):
+        if isinstance(s, Vector3):
+            return self.x * s.x + self.y * s.y + self.z * s.z
+        return Vector3(self.x * s, self.y * s, self.z * s)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, s):
+        return Vector3(self.x / s, self.y / s, self.z / s)
+
+    def __neg__(self):
+        return Vector3(-self.x, -self.y, -self.z)
+
+    def __eq__(self, o):
+        return (isinstance(o, Vector3) and self.x == o.x and self.y == o.y
+                and self.z == o.z)
+
+    def __repr__(self):
+        return f"Vector3({self.x}, {self.y}, {self.z})"
+
+    def norm(self):
+        return math.sqrt(self.x ** 2 + self.y ** 2 + self.z ** 2)
+
+    def dot(self, o):
+        return self.x * o.x + self.y * o.y + self.z * o.z
+
+    def cross(self, o):
+        return Vector3(self.y * o.z - self.z * o.y,
+                       self.z * o.x - self.x * o.z,
+                       self.x * o.y - self.y * o.x)
+
+    def unit(self):
+        return self / self.norm()
+
+
+def _v3(v) -> Vector3:
+    if isinstance(v, Vector3):
+        return v
+    if np.isscalar(v):
+        return Vector3(v, v, v)
+    t = tuple(v) + (0.0, 0.0, 0.0)
+    return Vector3(*t[:3])
+
+
+# ---------------------------------------------------------------------------
+# Susceptibilities (python/geom.py Susceptibility hierarchy)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class LorentzianSusceptibility:
+    """sigma * frequency^2 / (frequency^2 - f^2 - i f gamma)
+    (susceptibility.cpp:188)."""
+    frequency: float = 0.0
+    gamma: float = 0.0
+    sigma: float = 1.0
+    sigma_diag: Optional[Vector3] = None
+
+    drude: bool = False
+
+    def sigma_vec(self) -> Vector3:
+        if self.sigma_diag is not None:
+            return _v3(self.sigma_diag)
+        return Vector3(self.sigma, self.sigma, self.sigma)
+
+
+@dataclasses.dataclass
+class DrudeSusceptibility(LorentzianSusceptibility):
+    """sigma * frequency^2 / (-f^2 - i f gamma): free carriers
+    (no_omega_0_denominator, susceptibility.cpp:196)."""
+    drude: bool = True
+
+
+@dataclasses.dataclass
+class NoisyLorentzianSusceptibility(LorentzianSusceptibility):
+    noise_amp: float = 0.0
+
+
+@dataclasses.dataclass
+class GyrotropicLorentzianSusceptibility(LorentzianSusceptibility):
+    bias: Vector3 = dataclasses.field(default_factory=Vector3)
+
+
+# ---------------------------------------------------------------------------
+# Medium
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Medium:
+    """Material description (python/geom.py:Medium).
+
+    epsilon/mu may be scalars or diagonal Vector3; off-diagonal entries via
+    epsilon_offdiag.  chi2/chi3 are the scalar nonlinear susceptibilities;
+    chi2_full_tensor selects the fork's Newton-Raphson coupled solve
+    (zinc-blende chi2, newton_raphson.cpp)."""
+    epsilon: float = 1.0
+    epsilon_diag: Optional[Vector3] = None
+    epsilon_offdiag: Optional[Vector3] = None    # (xy, xz, yz) entries
+    mu: float = 1.0
+    mu_diag: Optional[Vector3] = None
+    D_conductivity: float = 0.0
+    D_conductivity_diag: Optional[Vector3] = None
+    B_conductivity: float = 0.0
+    chi2: float = 0.0
+    chi3: float = 0.0
+    chi2_full_tensor: bool = False
+    E_susceptibilities: List[LorentzianSusceptibility] = dataclasses.field(
+        default_factory=list)
+    H_susceptibilities: List[LorentzianSusceptibility] = dataclasses.field(
+        default_factory=list)
+    index: dataclasses.InitVar[Optional[float]] = None
+
+    def __post_init__(self, index):
+        if index is not None:
+            self.epsilon = index ** 2
+
+    def eps_diag_vec(self) -> Vector3:
+        if self.epsilon_diag is not None:
+            return _v3(self.epsilon_diag)
+        return Vector3(self.epsilon, self.epsilon, self.epsilon)
+
+    def mu_diag_vec(self) -> Vector3:
+        if self.mu_diag is not None:
+            return _v3(self.mu_diag)
+        return Vector3(self.mu, self.mu, self.mu)
+
+    def cond_diag_vec(self) -> Vector3:
+        if self.D_conductivity_diag is not None:
+            return _v3(self.D_conductivity_diag)
+        return Vector3(self.D_conductivity, self.D_conductivity,
+                       self.D_conductivity)
+
+
+vacuum = Medium()
+air = Medium()
+metal = Medium(epsilon=-1e20)   # placeholder for PEC-ish
+
+
+# ---------------------------------------------------------------------------
+# Geometric objects (python/geom.py GeometricObject hierarchy)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class GeometricObject:
+    material: Medium = dataclasses.field(default_factory=Medium)
+    center: Vector3 = dataclasses.field(default_factory=Vector3)
+
+    def inside(self, pts: np.ndarray) -> np.ndarray:
+        """pts: (..., 3) absolute coordinates -> boolean mask."""
+        raise NotImplementedError
+
+
+@dataclasses.dataclass
+class Sphere(GeometricObject):
+    radius: float = 0.0
+
+    def inside(self, pts):
+        c = np.array(tuple(_v3(self.center)))
+        d = pts - c
+        return (d ** 2).sum(-1) <= self.radius ** 2
+
+
+@dataclasses.dataclass
+class Block(GeometricObject):
+    size: Vector3 = dataclasses.field(default_factory=Vector3)
+    e1: Vector3 = dataclasses.field(default_factory=lambda: Vector3(1, 0, 0))
+    e2: Vector3 = dataclasses.field(default_factory=lambda: Vector3(0, 1, 0))
+    e3: Vector3 = dataclasses.field(default_factory=lambda: Vector3(0, 0, 1))
+
+    def inside(self, pts):
+        c = np.array(tuple(_v3(self.center)))
+        d = pts - c
+        size = np.array(tuple(_v3(self.size)))
+        ok = np.ones(pts.shape[:-1], dtype=bool)
+        for ei, s in zip((self.e1, self.e2, self.e3), size):
+            e = np.array(tuple(_v3(ei)), dtype=np.float64)
+            e = e / np.linalg.norm(e)
+            proj = (d * e).sum(-1)
+            half = s / 2 if s != float("inf") else np.inf
+            ok &= np.abs(proj) <= half + 1e-12
+        return ok
+
+
+@dataclasses.dataclass
+class Ellipsoid(Block):
+    def inside(self, pts):
+        c = np.array(tuple(_v3(self.center)))
+        d = pts - c
+        size = np.array(tuple(_v3(self.size)))
+        r = np.zeros(pts.shape[:-1])
+        for ei, s in zip((self.e1, self.e2, self.e3), size):
+            e = np.array(tuple(_v3(ei)), dtype=np.float64)
+            e = e / np.linalg.norm(e)
+            proj = (d * e).sum(-1)
+            if s == 0:
+                continue
+            r += (2 * proj / s) ** 2
+        return r <= 1.0
+
+
+@dataclasses.dataclass
+class Cylinder(GeometricObject):
+    radius: float = 0.0
+    height: float = float("inf")
+    axis: Vector3 = dataclasses.field(default_factory=lambda: Vector3(0, 0, 1))
+
+    def inside(self, pts):
+        c = np.array(tuple(_v3(self.center)))
+        a = np.array(tuple(_v3(self.axis)), dtype=np.float64)
+        a = a / np.linalg.norm(a)
+        d = pts - c
+        z = (d * a).sum(-1)
+        perp = d - z[..., None] * a
+        r2 = (perp ** 2).sum(-1)
+        ok = r2 <= self.radius ** 2
+        if self.height != float("inf"):
+            ok &= np.abs(z) <= self.height / 2
+        return ok
+
+
+@dataclasses.dataclass
+class Cone(Cylinder):
+    radius2: float = 0.0
+
+    def inside(self, pts):
+        c = np.array(tuple(_v3(self.center)))
+        a = np.array(tuple(_v3(self.axis)), dtype=np.float64)
+        a = a / np.linalg.norm(a)
+        d = pts - c
+        z = (d * a).sum(-1)
+        perp = d - z[..., None] * a
+        r2 = (perp ** 2).sum(-1)
+        h = self.height if self.height != float("inf") else 1e20
+        frac = np.clip(z / h + 0.5, 0.0, 1.0)
+        rad = self.radius + (self.radius2 - self.radius) * frac
+        return (r2 <= rad ** 2) & (np.abs(z) <= h / 2)
+
+
+@dataclasses.dataclass
+class Wedge(Cylinder):
+    wedge_angle: float = 2 * math.pi
+    wedge_start: Vector3 = dataclasses.field(
+        default_factory=lambda: Vector3(1, 0, 0))
+
+    def inside(self, pts):
+        ok = super().inside(pts)
+        if self.wedge_angle >= 2 * math.pi:
+            return ok
+        a = np.array(tuple(_v3(self.axis)), dtype=np.float64)
+        a = a / np.linalg.norm(a)
+        s = np.array(tuple(_v3(self.wedge_start)), dtype=np.float64)
+        s = s - (s @ a) * a
+        s = s / np.linalg.norm(s)
+        t = np.cross(a, s)
+        c = np.array(tuple(_v3(self.center)))
+        d = pts - c
+        ang = np.arctan2((d * t).sum(-1), (d * s).sum(-1)) % (2 * math.pi)
+        return ok & (ang <= self.wedge_angle)
+
+
+@dataclasses.dataclass
+class Prism(GeometricObject):
+    """Polygonal prism (GDSII import target; src/GDSIIgeom.cpp)."""
+    vertices: List[Vector3] = dataclasses.field(default_factory=list)
+    height: float = float("inf")
+    axis: Vector3 = dataclasses.field(default_factory=lambda: Vector3(0, 0, 1))
+    sidewall_angle: float = 0.0
+
+    def inside(self, pts):
+        # 2D point-in-polygon in the plane normal to axis (z assumed)
+        vx = np.array([v.x for v in self.vertices])
+        vy = np.array([v.y for v in self.vertices])
+        x, y = pts[..., 0], pts[..., 1]
+        n = len(vx)
+        ok = np.zeros(pts.shape[:-1], dtype=bool)
+        j = n - 1
+        for i in range(n):
+            cond = ((vy[i] > y) != (vy[j] > y)) & (
+                x < (vx[j] - vx[i]) * (y - vy[i]) / (vy[j] - vy[i] + 1e-300)
+                + vx[i])
+            ok ^= cond
+            j = i
+        if self.height != float("inf"):
+            z0 = _v3(self.center).z
+            ok &= np.abs(pts[..., 2] - z0) <= self.height / 2
+        return ok

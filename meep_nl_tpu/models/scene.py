@@ -1,0 +1,215 @@
+"""Scene rasterization: GeometricObject list -> MaterialSpec on Yee sites.
+
+The analog of meepgeom.cpp `set_materials_from_geometry` (meepgeom.cpp:233) +
+the subpixel smoothing of anisotropic_averaging.cpp.  Setup runs once in
+NumPy (SURVEY.md section 7: the setup pass stays host-side); only the stepper
+runs on TPU.
+
+Subpixel scheme (round-1 "Kottke-lite"): each component site's voxel is
+supersampled; for interface voxels we estimate the interface normal from the
+fill-fraction gradient and combine
+    einv_eff = <1/eps> * n_d^2 + (1/<eps>) * (1 - n_d^2)
+i.e. harmonic averaging along the normal and arithmetic tangentially --- the
+diagonal part of the reference's Kottke tensor average
+(anisotropic_averaging.cpp:90 eff_chi1inv_row).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core import grid as G
+from ..stepper.plan import MaterialSpec, PolSpec
+from .geom import GeometricObject, Medium, Vector3, _v3
+
+
+def _material_at(pts: np.ndarray, geometry: Sequence[GeometricObject],
+                 default: Medium) -> List[np.ndarray]:
+    """Index of the material governing each point (last object wins on
+    overlap per the reference's convention of earlier objects taking
+    precedence — meep: objects LATER in the list take precedence? The
+    reference uses FIRST object containing the point, meepgeom.cpp
+    geom_epsilon). Returns an int index array; -1 = default."""
+    idx = np.full(pts.shape[:-1], -1, dtype=np.int32)
+    # first object containing the point wins (libctlgeom convention)
+    for i in reversed(range(len(geometry))):
+        mask = geometry[i].inside(pts)
+        idx = np.where(mask, i, idx)
+    return idx
+
+
+def _eps_of(idx: np.ndarray, geometry, default: Medium, dind: int) -> np.ndarray:
+    """Diagonal epsilon entry `dind` (0/1/2 for x/y/z) per point."""
+    out = np.full(idx.shape, tuple(default.eps_diag_vec())[dind])
+    for i, obj in enumerate(geometry):
+        v = tuple(obj.material.eps_diag_vec())[dind]
+        out = np.where(idx == i, v, out)
+    return out
+
+
+def _scalar_of(idx: np.ndarray, geometry, default: Medium, getter) -> np.ndarray:
+    out = np.full(idx.shape, getter(default), dtype=np.float64)
+    for i, obj in enumerate(geometry):
+        out = np.where(idx == i, getter(obj.material), out)
+    return out
+
+
+def _site_points(gv: G.GridVolume, c: str) -> np.ndarray:
+    """(shape..., 3) absolute coordinates of component c's sample sites."""
+    coords = [gv.comp_coords(c, ax) for ax in range(gv.ndim)]
+    mesh = np.meshgrid(*coords, indexing="ij")
+    pts = np.zeros(gv.shape + (3,))
+    # map grid axes onto (x, y, z) slots
+    for ax, d in enumerate(gv.axes):
+        slot = {"x": 0, "y": 1, "z": 2, "r": 0, "p": 1}[d]
+        pts[..., slot] = mesh[ax]
+    if gv.dim == "1d":
+        pts[..., 2] = mesh[0]
+        pts[..., 0] = 0.0
+    return pts
+
+
+def _subsample_offsets(gv: G.GridVolume, n: int) -> np.ndarray:
+    """(n^ndim, 3) offsets spanning one voxel around a site."""
+    one = (np.arange(n) + 0.5) / n - 0.5
+    grids = np.meshgrid(*([one] * gv.ndim), indexing="ij")
+    offs = np.zeros((n ** gv.ndim, 3))
+    for ax, d in enumerate(gv.axes):
+        slot = {"x": 0, "y": 1, "z": 2, "r": 0, "p": 1}[d]
+        offs[:, slot] = grids[ax].ravel() * gv.dx
+    if gv.dim == "1d":
+        offs[:, 2] = grids[0].ravel() * gv.dx
+        offs[:, 0] = 0.0
+    return offs
+
+
+def rasterize(gv: G.GridVolume, geometry: Sequence[GeometricObject],
+              default_material: Medium = Medium(),
+              eps_averaging: bool = True,
+              subpixel_n: int = 3,
+              live_e: Optional[Sequence[str]] = None,
+              live_h: Optional[Sequence[str]] = None) -> MaterialSpec:
+    geometry = list(geometry)
+    live_e = list(live_e) if live_e is not None else list(gv.e_components)
+    live_h = list(live_h) if live_h is not None else list(gv.h_components)
+
+    chi1inv: Dict[str, Dict[str, Optional[np.ndarray]]] = {}
+    cond: Dict[str, Optional[np.ndarray]] = {}
+    chi2: Dict[str, Optional[np.ndarray]] = {}
+    chi3: Dict[str, Optional[np.ndarray]] = {}
+    nr_chi2: Dict[str, Optional[np.ndarray]] = {}
+
+    all_media = [g.material for g in geometry] + [default_material]
+
+    def nontrivial(getter):
+        return any(abs(getter(m)) > 0 for m in all_media)
+
+    dind_of = {"x": 0, "y": 1, "z": 2, "r": 0, "p": 1}
+
+    # ---- epsilon rows on E sites -----------------------------------------
+    for c in live_e:
+        d_c = G.component_direction(c)
+        dind = dind_of[d_c]
+        pts = _site_points(gv, c)
+        if eps_averaging and geometry:
+            offs = _subsample_offsets(gv, subpixel_n)
+            eps_sum = np.zeros(gv.shape)
+            inv_sum = np.zeros(gv.shape)
+            for off in offs:
+                idx = _material_at(pts + off, geometry, default_material)
+                e = _eps_of(idx, geometry, default_material, dind)
+                eps_sum += e
+                inv_sum += 1.0 / e
+            mean_eps = eps_sum / len(offs)
+            mean_inv = inv_sum / len(offs)
+            # normal estimate from the gradient of mean eps
+            grad2 = np.zeros(gv.shape)
+            gd2 = np.zeros(gv.shape)
+            own_ax = gv.axis_of(d_c) if gv.has_direction(d_c) else None
+            for ax in range(gv.ndim):
+                g = np.gradient(mean_eps, axis=ax)
+                grad2 += g * g
+                if own_ax is not None and ax == own_ax:
+                    gd2 = g * g
+            nd2 = np.where(grad2 > 1e-30, gd2 / np.maximum(grad2, 1e-30), 0.0)
+            einv = mean_inv * nd2 + (1.0 / mean_eps) * (1.0 - nd2)
+        else:
+            idx = _material_at(pts, geometry, default_material)
+            einv = 1.0 / _eps_of(idx, geometry, default_material, dind)
+        if not np.allclose(einv, 1.0):
+            chi1inv.setdefault(c, {})[d_c] = einv
+
+        # pointwise scalars at this site
+        idx0 = _material_at(pts, geometry, default_material)
+        if nontrivial(lambda m: m.D_conductivity):
+            cond["d" + c[1]] = _scalar_of(idx0, geometry, default_material,
+                                          lambda m: m.D_conductivity)
+        if nontrivial(lambda m: m.chi3):
+            chi3[c] = _scalar_of(idx0, geometry, default_material,
+                                 lambda m: m.chi3)
+            chi2[c] = _scalar_of(idx0, geometry, default_material,
+                                 lambda m: 0.0 if m.chi2_full_tensor else m.chi2)
+        if nontrivial(lambda m: m.chi2 if m.chi2_full_tensor else 0.0):
+            nr_chi2[c] = _scalar_of(idx0, geometry, default_material,
+                                    lambda m: m.chi2 if m.chi2_full_tensor else 0.0)
+
+    # ---- mu rows on H sites ------------------------------------------------
+    for c in live_h:
+        d_c = G.component_direction(c)
+        dind = dind_of[d_c]
+        if nontrivial(lambda m: m.mu - 1.0):
+            pts = _site_points(gv, c)
+            idx = _material_at(pts, geometry, default_material)
+            mu = np.full(idx.shape, tuple(default_material.mu_diag_vec())[dind])
+            for i, obj in enumerate(geometry):
+                v = tuple(obj.material.mu_diag_vec())[dind]
+                mu = np.where(idx == i, v, mu)
+            chi1inv.setdefault(c, {})[d_c] = 1.0 / mu
+        if nontrivial(lambda m: m.B_conductivity):
+            pts = _site_points(gv, c)
+            idx = _material_at(pts, geometry, default_material)
+            cond["b" + c[1]] = _scalar_of(idx, geometry, default_material,
+                                          lambda m: m.B_conductivity)
+
+    # ---- susceptibilities ----------------------------------------------------
+    pols: List[PolSpec] = []
+    sus_keys = {}
+    for m in all_media:
+        for s in m.E_susceptibilities:
+            key = (s.frequency, s.gamma, s.drude, "e")
+            sus_keys.setdefault(key, []).append((m, s))
+        for s in m.H_susceptibilities:
+            key = (s.frequency, s.gamma, s.drude, "h")
+            sus_keys.setdefault(key, []).append((m, s))
+    for (f0, gam, drude, ft), pairs in sus_keys.items():
+        sigma: Dict[Tuple[str, str], np.ndarray] = {}
+        live = live_e if ft == "e" else live_h
+        for c in live:
+            d_c = G.component_direction(c)
+            dind = dind_of[d_c]
+            pts = _site_points(gv, c)
+            idx = _material_at(pts, geometry, default_material)
+            arr = np.zeros(gv.shape)
+            any_nonzero = False
+            for i, obj in enumerate(list(geometry) + [None]):
+                med = obj.material if obj is not None else default_material
+                sus = (med.E_susceptibilities if ft == "e"
+                       else med.H_susceptibilities)
+                sv = 0.0
+                for s in sus:
+                    if (s.frequency, s.gamma, s.drude) == (f0, gam, drude):
+                        sv += tuple(s.sigma_vec())[dind]
+                if sv != 0.0:
+                    any_nonzero = True
+                    sel = (idx == i) if obj is not None else (idx == -1)
+                    arr = np.where(sel, sv, arr)
+            if any_nonzero:
+                sigma[(c, d_c)] = arr
+        if sigma:
+            pols.append(PolSpec(field_type=ft, omega0=f0, gamma=gam,
+                                sigma=sigma, drude=drude))
+
+    return MaterialSpec(chi1inv=chi1inv, cond=cond, chi2=chi2, chi3=chi3,
+                        nr_chi2=nr_chi2, pols=pols)

@@ -1,0 +1,425 @@
+"""User-facing Simulation API (analog of python/simulation.py:1216).
+
+Mirrors the reference's constructor surface and run-control while compiling
+everything down to the TPU step plan:
+
+    sim = Simulation(cell_size=Vector3(16, 8), resolution=10,
+                     geometry=[Block(...)], sources=[Source(...)],
+                     boundary_layers=[PML(1.0)])
+    flux = sim.add_flux(fcen, df, nfreq, FluxRegion(center=..., size=...))
+    sim.run(until=200)
+    powers = sim.get_fluxes(flux)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core import grid as G
+from ..stepper import monitors as M
+from ..stepper.plan import (DftSpec, MaterialSpec, PMLSpec, SrcVolSpec,
+                            compile_plan)
+from ..stepper import step as S
+from . import scene
+from .geom import Medium, Vector3, _v3
+from .source import Source, SourceTime
+
+# component constants (python API surface parity)
+Ex, Ey, Ez = "ex", "ey", "ez"
+Hx, Hy, Hz = "hx", "hy", "hz"
+Dx, Dy, Dz = "dx", "dy", "dz"
+Bx, By, Bz = "bx", "by", "bz"
+Er, Ep, Hr, Hp = "er", "ep", "hr", "hp"
+Dielectric = "eps"
+
+X, Y, Z = "x", "y", "z"
+ALL = "all"
+
+
+@dataclasses.dataclass
+class PML:
+    """uPML boundary layer (python/simulation.py PML class)."""
+    thickness: float
+    direction: str = ALL
+    side: int = 0               # 0 = both, -1 low, +1 high
+    r_asymptotic: float = 1e-15
+    mean_stretch: float = 1.0
+    pml_profile_power: float = 2.0
+
+
+@dataclasses.dataclass
+class Absorber(PML):
+    """Scalar-conductivity absorber fallback (reference: absorber.cpp via
+    meepgeom); implemented as D/B conductivity ramp in round 2."""
+
+
+@dataclasses.dataclass
+class FluxRegion:
+    center: Any = None
+    size: Any = None
+    direction: Optional[str] = None
+    weight: float = 1.0
+
+
+@dataclasses.dataclass
+class _FluxHandle:
+    name: str
+    freqs: np.ndarray
+
+
+@dataclasses.dataclass
+class _DftFieldsHandle:
+    name: str
+    components: List[str]
+    freqs: np.ndarray
+
+
+def _vec_to_axes(gv: G.GridVolume, v) -> List[float]:
+    """Map a Vector3-like to grid-axis coordinates."""
+    v = _v3(v if v is not None else Vector3())
+    slot = {"x": 0, "y": 1, "z": 2, "r": 0, "p": 1}
+    out = []
+    for d in gv.axes:
+        out.append(tuple(v)[slot[d]])
+    if gv.dim == "1d":
+        out = [v.z]
+    return out
+
+
+class Simulation:
+    """The top-level scene + run controller (simulation.py:1216)."""
+
+    def __init__(self,
+                 cell_size,
+                 resolution: float,
+                 geometry: Sequence = (),
+                 sources: Sequence[Source] = (),
+                 boundary_layers: Sequence[PML] = (),
+                 default_material: Medium = None,
+                 dimensions: Optional[int] = None,
+                 k_point=None,
+                 Courant: float = 0.5,
+                 force_complex_fields: bool = False,
+                 eps_averaging: bool = True,
+                 subpixel_n: int = 3,
+                 force_all_components: bool = False,
+                 dtype=np.float32):
+        self.cell_size = _v3(cell_size)
+        self.resolution = float(resolution)
+        self.geometry = list(geometry)
+        self.sources = list(sources)
+        self.boundary_layers = list(boundary_layers)
+        self.default_material = default_material or Medium()
+        self.k_point = k_point
+        self.courant = Courant
+        self.force_complex_fields = force_complex_fields
+        self.eps_averaging = eps_averaging
+        self.subpixel_n = subpixel_n
+        self.force_all_components = force_all_components
+        self.dtype = dtype
+
+        # infer dimensionality (meep: z-only -> 1d; z==0 -> 2d)
+        cs = self.cell_size
+        if dimensions == 1 or (cs.x == 0 and cs.y == 0 and cs.z > 0):
+            self.dim = "1d"
+            size = [cs.z]
+        elif dimensions in (None, 2) and cs.z == 0 and cs.x > 0 and cs.y > 0:
+            self.dim = "2d"
+            size = [cs.x, cs.y]
+        elif dimensions == -2 or dimensions == "cyl":
+            self.dim = "cyl"
+            size = [cs.x, cs.z]
+        else:
+            self.dim = "3d"
+            size = [cs.x, cs.y, cs.z]
+        self.gv = G.GridVolume.create(self.dim, size, self.resolution)
+
+        self._dft_specs: List[DftSpec] = []
+        self._handles: List[Any] = []
+        self._plan = None
+        self._state = None
+        self._t = 0   # host-side step counter (axon d2h workaround)
+
+    # ------------------------------------------------------------------ setup
+    @property
+    def dt(self) -> float:
+        return self.courant / self.resolution
+
+    def _periodic(self) -> Tuple[bool, ...]:
+        if self.k_point is None:
+            return (False,) * self.gv.ndim
+        return (True,) * self.gv.ndim
+
+    def _live_components(self) -> Tuple[List[str], List[str]]:
+        """Component closure from sources+monitors (fields::require_component)."""
+        if self.force_all_components:
+            return list(self.gv.e_components), list(self.gv.h_components)
+        need = {s.component for s in self.sources}
+        need |= {m.component for m in self._dft_specs}
+        live = set(need)
+        changed = True
+        while changed:
+            changed = False
+            for c in list(live):
+                if c[0] not in "eh":
+                    continue
+                dbc = ("d" if c[0] == "e" else "b") + c[1]
+                plan = self.gv.step_plan(dbc)
+                for g in (plan.plus, plan.minus):
+                    if g is not None and g not in live:
+                        live.add(g)
+                        changed = True
+        live_e = [c for c in self.gv.e_components if c in live]
+        live_h = [c for c in self.gv.h_components if c in live]
+        if not live_e and not live_h:
+            live_e = list(self.gv.e_components)
+            live_h = list(self.gv.h_components)
+        return live_e, live_h
+
+    def _build_sources(self, live_e, live_h) -> List[SrcVolSpec]:
+        out = []
+        gv = self.gv
+        for s in self.sources:
+            comp = s.component
+            center = _vec_to_axes(gv, s.center)
+            size = _vec_to_axes(gv, s.size) if s.size is not None else \
+                [0.0] * gv.ndim
+            if all(sz == 0 for sz in size):
+                pts = gv.interp_weights(comp, center)
+                idx = np.array([p for p, w in pts], np.int32)
+                amps = np.array([w * s.amplitude for p, w in pts],
+                                np.complex128)
+                # restriction weight: delta-normalized current
+                amps *= self.resolution ** gv.ndim
+            else:
+                # volume source: all component sites inside, weighted by the
+                # same integration scheme as monitors; amplitude-function
+                # support via s.amp_func
+                idx_list, amp_list = [], []
+                slices, w_arr = _volume_sites(gv, comp, center, size)
+                it = np.ndindex(*w_arr.shape)
+                base = [sl.start for sl in slices]
+                for ind in it:
+                    w = w_arr[ind]
+                    if w == 0:
+                        continue
+                    gidx = tuple(b + i for b, i in zip(base, ind))
+                    amp = s.amplitude * w
+                    if s.amp_func is not None:
+                        pt = _site_coord(gv, comp, gidx)
+                        amp = amp * s.amp_func(pt)
+                    idx_list.append(gidx)
+                    amp_list.append(amp)
+                idx = np.array(idx_list, np.int32).reshape(-1, gv.ndim)
+                amps = np.array(amp_list, np.complex128)
+                # normalize per transverse delta dims
+                ndelta = sum(1 for sz in size if sz == 0)
+                amps *= self.resolution ** ndelta
+            out.append(SrcVolSpec(comp, idx, amps, s.src,
+                                  is_integrated=getattr(s.src, "is_integrated",
+                                                        False)))
+        return out
+
+    def init_sim(self):
+        if self._plan is not None:
+            return
+        live_e, live_h = self._live_components()
+        mat = scene.rasterize(self.gv, self.geometry, self.default_material,
+                              eps_averaging=self.eps_averaging,
+                              subpixel_n=self.subpixel_n,
+                              live_e=live_e, live_h=live_h)
+        pmls = []
+        for bl in self.boundary_layers:
+            dirs = list(self.gv.axes) if bl.direction == ALL else [bl.direction]
+            for d in dirs:
+                pmls.append(PMLSpec(d, bl.thickness, side=bl.side,
+                                    r_asymptotic=bl.r_asymptotic,
+                                    mean_stretch=bl.mean_stretch,
+                                    pml_profile_power=bl.pml_profile_power))
+        srcs = self._build_sources(live_e, live_h)
+        bloch_k = None
+        periodic = self._periodic()
+        if self.k_point is not None:
+            kv = _v3(self.k_point)
+            bloch_k = _vec_to_axes(self.gv, kv)
+        self._plan = compile_plan(
+            self.gv, mat, pmls=pmls, periodic=periodic, bloch_k=bloch_k,
+            sources=srcs, dfts=self._dft_specs, courant=self.courant,
+            dtype=self.dtype,
+            complex_fields=True if self.force_complex_fields else None,
+            live_e=live_e, live_h=live_h)
+        self._state = S.init_state(self._plan)
+
+    # -------------------------------------------------------------- monitors
+    def _freqs(self, fcen, df, nfreq):
+        if nfreq == 1:
+            return np.array([fcen])
+        return np.linspace(fcen - df / 2, fcen + df / 2, nfreq)
+
+    def add_flux(self, fcen, df, nfreq, *regions, decimation_factor=1):
+        if self._plan is not None:
+            raise RuntimeError("add monitors before the first run() "
+                               "(plan already compiled)")
+        freqs = self._freqs(fcen, df, nfreq)
+        live = None  # filter at init; use declared source closure
+        name = f"flux{len(self._handles)}"
+        specs = []
+        for ri, reg in enumerate(regions):
+            center = _vec_to_axes(self.gv, reg.center)
+            size = _vec_to_axes(self.gv, reg.size if reg.size is not None
+                                else Vector3())
+            normal = reg.direction
+            if normal is None:
+                zero_axes = [self.gv.axes[i] for i, sz in enumerate(size)
+                             if sz == 0]
+                # the normal is the zero-extent in-plane axis; in 2d a line
+                # monitor's normal is the axis with zero extent
+                normal = zero_axes[0] if zero_axes else self.gv.axes[0]
+            live_cs = self._live_components()
+            live = live_cs[0] + live_cs[1]
+            specs += M.flux_specs(self.gv, f"{name}:{ri}", normal, center,
+                                  size, freqs, weight=reg.weight, live=live,
+                                  decimation=decimation_factor)
+        self._dft_specs += specs
+        h = _FluxHandle(name, freqs)
+        h._nregions = len(regions)
+        self._handles.append(h)
+        return h
+
+    def add_dft_fields(self, components, fcen, df, nfreq, center=None,
+                       size=None, decimation_factor=1):
+        if self._plan is not None:
+            raise RuntimeError("add monitors before the first run()")
+        freqs = self._freqs(fcen, df, nfreq)
+        name = f"dftf{len(self._handles)}"
+        c_ax = _vec_to_axes(self.gv, center if center is not None else Vector3())
+        s_ax = _vec_to_axes(self.gv, size if size is not None else Vector3())
+        for c in components:
+            self._dft_specs += M.field_specs(self.gv, f"{name}:{c}", c, c_ax,
+                                             s_ax, freqs,
+                                             decimation=decimation_factor)
+        h = _DftFieldsHandle(name, list(components), freqs)
+        self._handles.append(h)
+        return h
+
+    def get_fluxes(self, handle: _FluxHandle) -> np.ndarray:
+        total = None
+        for ri in range(getattr(handle, "_nregions", 1)):
+            f = M.get_flux(self._plan, self._state, f"{handle.name}:{ri}")
+            total = f if total is None else total + f
+        return total
+
+    def get_dft_array(self, handle, component, num_freq=None):
+        arr = np.asarray(self._state["dft"][f"{handle.name}:{component}"])
+        if num_freq is not None:
+            return arr[..., num_freq]
+        return arr
+
+    # ------------------------------------------------------------------ run
+    def run(self, until=None, until_after_sources=None):
+        self.init_sim()
+        if until_after_sources is not None:
+            last = max((s.src.last_time() for s in self.sources), default=0.0)
+            t_end = last + until_after_sources
+        elif until is not None:
+            t_end = self._t * self.dt + until
+        else:
+            raise ValueError("run() needs until= or until_after_sources=")
+        nsteps = max(0, int(round(t_end / self.dt)) - self._t)
+        if nsteps:
+            self._state = S.run(self._plan, self._state, nsteps, t0=self._t)
+            self._t += nsteps
+
+    def step(self, nsteps: int = 1):
+        self.init_sim()
+        self._state = S.run(self._plan, self._state, nsteps, t0=self._t)
+        self._t += nsteps
+
+    # ------------------------------------------------------------- accessors
+    def meep_time(self) -> float:
+        return self._t * self.dt
+
+    def get_array(self, component=None, center=None, size=None) -> np.ndarray:
+        """Dense array of a field component over a volume (array_slice.cpp
+        analog; round 1: component grid snapped, no Yee->centered interp)."""
+        self.init_sim()
+        if component == Dielectric:
+            return self.get_epsilon()
+        arr = np.asarray(self._state["f"][component])
+        # crop padded storage to the live grid
+        arr = arr[tuple(slice(0, n + 1) for n in self.gv.num)]
+        if center is None and size is None:
+            return arr
+        c_ax = _vec_to_axes(self.gv, center if center is not None else Vector3())
+        s_ax = _vec_to_axes(self.gv, size if size is not None else Vector3())
+        sl = []
+        for ax in range(self.gv.ndim):
+            coords = self.gv.comp_coords(component, ax)
+            lo = c_ax[ax] - s_ax[ax] / 2
+            hi = c_ax[ax] + s_ax[ax] / 2
+            i0 = int(np.searchsorted(coords, lo - 1e-9))
+            i1 = int(np.searchsorted(coords, hi + 1e-9))
+            sl.append(slice(i0, max(i1, i0 + 1)))
+        return arr[tuple(sl)]
+
+    def get_epsilon(self) -> np.ndarray:
+        self.init_sim()
+        live_e = [s.ec for s in self._plan.eh_specs_e]
+        c = live_e[0] if live_e else "ez"
+        key = f"{c}:u"
+        if key in self._plan.coefs:
+            u = np.asarray(self._plan.coefs[key])
+            u = u[tuple(slice(0, n + 1) for n in self.gv.num)]
+            return 1.0 / np.maximum(u, 1e-300)
+        return np.ones(self.gv.shape)
+
+    def get_field_point(self, component, pt) -> complex:
+        self.init_sim()
+        pts = self.gv.interp_weights(component, _vec_to_axes(self.gv, pt))
+        arr = np.asarray(self._state["f"][component])
+        return sum(w * arr[idx] for idx, w in pts)
+
+    @property
+    def fields_state(self):
+        return self._state
+
+    @property
+    def plan(self):
+        return self._plan
+
+
+def _volume_sites(gv: G.GridVolume, comp: str, center, size):
+    """Component-site slices + integration weights over a volume (the source
+    counterpart of the monitor weight scheme, sources.cpp:243)."""
+    slices = []
+    ws = []
+    for ax in range(gv.ndim):
+        coords = gv.comp_coords(comp, ax)
+        lo = center[ax] - size[ax] / 2
+        hi = center[ax] + size[ax] / 2
+        # reuse the monitor weight engine on the component lattice
+        c0 = coords[0]
+        fa = (lo - c0) / gv.dx
+        fb = (hi - c0) / gv.dx
+        start, stop, w = M._axis_weights_lattice(fa, fb, len(coords))
+        slices.append(slice(start, stop))
+        ws.append(w)
+    w_full = ws[0]
+    for w in ws[1:]:
+        w_full = np.multiply.outer(w_full, w)
+    return slices, w_full
+
+
+def _site_coord(gv: G.GridVolume, comp: str, idx) -> Vector3:
+    vals = [gv.comp_coords(comp, ax)[idx[ax]] for ax in range(gv.ndim)]
+    slot = {"x": 0, "y": 1, "z": 2, "r": 0, "p": 1}
+    v = [0.0, 0.0, 0.0]
+    for ax, d in enumerate(gv.axes):
+        v[slot[d]] = vals[ax]
+    if gv.dim == "1d":
+        v = [0.0, 0.0, vals[0]]
+    return Vector3(*v)

@@ -30,6 +30,13 @@ def _axis_weights(gv: G.GridVolume, axis: int, lo: float, hi: float
     n = gv.num[axis]                     # centered lattice has n points
     fa = (lo - c0) / gv.dx
     fb = (hi - c0) / gv.dx
+    return _axis_weights_lattice(fa, fb, n)
+
+
+def _axis_weights_lattice(fa: float, fb: float, n: int
+                          ) -> Tuple[int, int, np.ndarray]:
+    """Weight engine on an abstract unit lattice of n points; fa/fb are the
+    volume endpoints in lattice coordinates."""
     eps = 1e-9
     if abs(fb - fa) < eps:
         # case 4: pure interpolation

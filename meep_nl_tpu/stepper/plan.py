@@ -171,6 +171,9 @@ class Plan:
     complex_fields: bool
     periodic: Tuple[bool, ...]
     bloch_phase: Tuple[complex, ...]     # exp(+i k.L) per axis
+    #: field storage shape: gv.shape padded per-axis (for shard divisibility
+    #: and TPU (8,128) tile alignment); padded region is dead (masked zero)
+    storage_shape: Tuple[int, ...]
     curl_specs_b: List[CurlSpec]
     curl_specs_d: List[CurlSpec]
     eh_specs_h: List[EhSpec]
@@ -278,10 +281,25 @@ def compile_plan(
     complex_fields: Optional[bool] = None,
     live_e: Optional[Sequence[str]] = None,
     live_h: Optional[Sequence[str]] = None,
+    pad_to_multiple: Any = 1,
 ) -> Plan:
     import jax.numpy as jnp
 
     ndim = gv.ndim
+    if isinstance(pad_to_multiple, int):
+        pad_to_multiple = (pad_to_multiple,) * ndim
+    storage_shape = tuple(
+        -(-s // m) * m for s, m in zip(gv.shape, pad_to_multiple))
+    pad_amount = tuple(ss - s for ss, s in zip(storage_shape, gv.shape))
+
+    def _pad_full(arr: np.ndarray, fill: str = "edge") -> np.ndarray:
+        """Pad a full-shape coefficient array into the dead storage margin."""
+        if not any(pad_amount):
+            return arr
+        pw = [(0, p) for p in pad_amount]
+        if fill == "zero":
+            return np.pad(arr, pw)
+        return np.pad(arr, pw, mode="edge")
     periodic = tuple(periodic) if periodic is not None else (False,) * ndim
     if bloch_k is None:
         bloch_k = (0.0,) * ndim
@@ -309,7 +327,16 @@ def compile_plan(
 
     coefs: Dict[str, Any] = {}
 
-    def put(key: str, arr, as_dtype=None) -> str:
+    def put(key: str, arr, as_dtype=None, fill: str = "edge") -> str:
+        arr = np.asarray(arr)
+        if arr.shape == gv.shape:
+            arr = _pad_full(arr, fill)
+        elif arr.ndim == ndim and any(
+                arr.shape[ax] == gv.shape[ax] and pad_amount[ax] for ax in range(ndim)):
+            # broadcastable per-axis vector: pad its long axis
+            pw = [(0, pad_amount[ax]) if arr.shape[ax] == gv.shape[ax] else (0, 0)
+                  for ax in range(ndim)]
+            arr = np.pad(arr, pw, mode="edge")
         coefs[key] = jnp.asarray(arr, dtype=as_dtype or dtype)
         return key
 
@@ -323,7 +350,7 @@ def compile_plan(
                 idx = [slice(None)] * ndim
                 idx[ax] = gv.num[ax]
                 m[tuple(idx)] = 0.0
-        put(f"mask:{c}", m)
+        put(f"mask:{c}", m, fill="zero")
 
     # ------- curl (step_db) specs ------------------------------------------
     def make_curl_specs(ft: str) -> List[CurlSpec]:
@@ -433,7 +460,7 @@ def compile_plan(
     pol_h = [p for p in mat.pols if p.field_type == "h"]
     for pi, p in enumerate(mat.pols):
         for (c, d), arr in p.sigma.items():
-            put(f"pol{pi}:{c}:{d}", arr)
+            put(f"pol{pi}:{c}:{d}", np.broadcast_to(arr, gv.shape), fill="zero")
 
     have_fmp_e = bool(pol_e) or any(s.is_integrated and s.component[0] == "e"
                                     for s in sources)
@@ -460,6 +487,7 @@ def compile_plan(
     return Plan(
         gv=gv, courant=courant, dtype=dtype, complex_fields=complex_fields,
         periodic=periodic, bloch_phase=bloch_phase,
+        storage_shape=storage_shape,
         curl_specs_b=curl_b, curl_specs_d=curl_d,
         eh_specs_h=eh_h, eh_specs_e=eh_e,
         pol_specs_e=pol_e, pol_specs_h=pol_h,

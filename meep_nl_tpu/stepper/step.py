@@ -28,8 +28,14 @@ import jax
 import jax.numpy as jnp
 
 from ..core import grid as G
-from ..ops.stencil import shift, diff_fwd, diff_bwd
+from ..ops.stencil import shift
 from .plan import Plan, CurlSpec, EhSpec, PolSpec, SrcVolSpec, DftSpec
+
+
+def _sh(plan: Plan, arr, axis: int, by: int):
+    """Plan-bound shift: PEC zero-fill or Bloch wrap with the live extent."""
+    return shift(arr, axis, by, plan.periodic[axis], plan.bloch_phase[axis],
+                 nlive=plan.gv.num[axis])
 
 NR_ITERS = 8  # quadratic convergence: 8 Newton steps reach fp32 roundoff
               # for perturbative chi2 (reference iterates to 1e-8, tol at
@@ -46,9 +52,10 @@ def init_state(plan: Plan) -> Dict[str, Any]:
     fdtype = jnp.complex64 if plan.complex_fields else plan.dtype
     if plan.dtype == np.float64:
         fdtype = jnp.complex128 if plan.complex_fields else jnp.float64
+    shape = plan.storage_shape or gv.shape
 
     def zeros():
-        return jnp.zeros(gv.shape, dtype=fdtype)
+        return jnp.zeros(shape, dtype=fdtype)
 
     f: Dict[str, Any] = {}
     for spec in plan.curl_specs_d + plan.curl_specs_b:
@@ -93,28 +100,28 @@ def _curl(plan: Plan, spec: CurlSpec, f: Dict[str, Any]) -> jnp.ndarray:
     B components: -Courant * (fwd-diff g_plus - fwd-diff g_minus)
     """
     dtdx = plan.courant
-    per = plan.periodic
-    ph = plan.bloch_phase
-    diff = diff_bwd if spec.is_d else diff_fwd
+
+    def diff(g, a):
+        if spec.is_d:   # backward difference
+            return g - _sh(plan, g, a, -1)
+        return _sh(plan, g, a, +1) - g  # forward difference
+
     sgn = 1.0 if spec.is_d else -1.0
     total = None
     if spec.g_plus is not None:
-        a = spec.plus_axis
-        total = diff(f[spec.g_plus], a, per[a], ph[a])
+        total = diff(f[spec.g_plus], spec.plus_axis)
     if spec.g_minus is not None:
-        a = spec.minus_axis
-        t2 = diff(f[spec.g_minus], a, per[a], ph[a])
+        t2 = diff(f[spec.g_minus], spec.minus_axis)
         total = -t2 if total is None else total - t2
     return sgn * dtdx * total
 
 
-def _curl_update(plan: Plan, spec: CurlSpec, state: Dict[str, Any]
-                 ) -> Dict[str, Any]:
+def _curl_update(plan: Plan, C: Dict[str, Any], spec: CurlSpec,
+                 state: Dict[str, Any]) -> Dict[str, Any]:
     """The full PML/conductivity chain around a curl delta
     (step_generic.cpp:89-253).
 
     chain: dfl -> [cond: fcnd aux] -> [dsig: f or fu] -> [dsigu: f]."""
-    C = plan.coefs
     c = spec.c
     f = state["f"][c]
     dfl = _curl(plan, spec, state["f"])
@@ -166,25 +173,25 @@ def _nonlinear_u(Dsqr, Di, u, chi2, chi3):
     return (1 + c2 + 2 * c3) / (1 + 2 * c2 + 3 * c3)
 
 
-def _offdiag(u1, g1, ax1, ax_own, sgn, per, ph):
+def _offdiag(plan, u1, g1, ax1, ax_own, sgn):
     """OFFDIAG(u,g,sx) of step_generic.cpp:597: stable Yee average of an
     off-diagonal chi1inv row against the partner D component."""
-    t = (g1 + shift(g1, ax1, -sgn, per[ax1], ph[ax1])) * u1
-    return 0.25 * (t + shift(t, ax_own, sgn, per[ax_own], ph[ax_own]))
+    t = (g1 + _sh(plan, g1, ax1, -sgn)) * u1
+    return 0.25 * (t + _sh(plan, t, ax_own, sgn))
 
 
-def _avg4(g, ax_own, ax_off, sgn, per, ph):
+def _avg4(plan, g, ax_own, ax_off, sgn):
     """gs_2-style neighbor average (step_generic.cpp:740)."""
-    g_s = shift(g, ax_own, sgn, per[ax_own], ph[ax_own])
-    g_x = shift(g, ax_off, -sgn, per[ax_off], ph[ax_off])
-    g_sx = shift(g_s, ax_off, -sgn, per[ax_off], ph[ax_off])
+    g_s = _sh(plan, g, ax_own, sgn)
+    g_x = _sh(plan, g, ax_off, -sgn)
+    g_sx = _sh(plan, g_s, ax_off, -sgn)
     return 0.25 * (g + g_s + g_x + g_sx)
 
 
-def _sum4(g, ax_own, ax_off, sgn, per, ph):
-    g_s = shift(g, ax_own, sgn, per[ax_own], ph[ax_own])
-    g_x = shift(g, ax_off, -sgn, per[ax_off], ph[ax_off])
-    g_sx = shift(g_s, ax_off, -sgn, per[ax_off], ph[ax_off])
+def _sum4(plan, g, ax_own, ax_off, sgn):
+    g_s = _sh(plan, g, ax_own, sgn)
+    g_x = _sh(plan, g, ax_off, -sgn)
+    g_sx = _sh(plan, g_s, ax_off, -sgn)
     return g + g_s + g_x + g_sx
 
 
@@ -232,13 +239,11 @@ def _nr_solve(A_own, A_1, A_2, eps, chi2, seed_own, seed_1, seed_2):
             jnp.where(live, z, seed_2))
 
 
-def _eh_update(plan: Plan, spec: EhSpec, state: Dict[str, Any],
-               dmp: Dict[str, Any]) -> Dict[str, Any]:
+def _eh_update(plan: Plan, C: Dict[str, Any], spec: EhSpec,
+               state: Dict[str, Any], dmp: Dict[str, Any]) -> Dict[str, Any]:
     """E = chi1inv*(D - P) with off-diagonal averaging, Kerr Pade, the NR chi2
     branch, and the PML W chain (step_generic.cpp:576-906)."""
-    C = plan.coefs
     ec = spec.ec
-    per, ph = plan.periodic, plan.bloch_phase
     sgn = 1 if ec[0] == "e" else -1  # H strides negated (update_eh.cpp:192)
 
     gs = dmp[spec.dc]
@@ -247,28 +252,28 @@ def _eh_update(plan: Plan, spec: EhSpec, state: Dict[str, Any],
     lin = gs * us if us is not None else gs
     if spec.has_u1:
         g1 = dmp[spec.dc1]
-        lin = lin + _offdiag(C[f"{ec}:u1"], g1, spec.ax_1, spec.ax_own, sgn, per, ph)
+        lin = lin + _offdiag(plan, C[f"{ec}:u1"], g1, spec.ax_1, spec.ax_own, sgn)
     if spec.has_u2:
         g2 = dmp[spec.dc2]
-        lin = lin + _offdiag(C[f"{ec}:u2"], g2, spec.ax_2, spec.ax_own, sgn, per, ph)
+        lin = lin + _offdiag(plan, C[f"{ec}:u2"], g2, spec.ax_2, spec.ax_own, sgn)
 
     if spec.has_chi3:
         u_for_nl = us if us is not None else 1.0
         Dsqr = gs * gs
         if spec.dc1 is not None and spec.ax_1 is not None:
-            g1s = _sum4(dmp[spec.dc1], spec.ax_own, spec.ax_1, sgn, per, ph)
+            g1s = _sum4(plan, dmp[spec.dc1], spec.ax_own, spec.ax_1, sgn)
             Dsqr = Dsqr + 0.0625 * (g1s * g1s)
         if spec.dc2 is not None and spec.ax_2 is not None:
-            g2s = _sum4(dmp[spec.dc2], spec.ax_own, spec.ax_2, sgn, per, ph)
+            g2s = _sum4(plan, dmp[spec.dc2], spec.ax_own, spec.ax_2, sgn)
             Dsqr = Dsqr + 0.0625 * (g2s * g2s)
         lin = lin * _nonlinear_u(Dsqr, gs, u_for_nl, C[f"{ec}:chi2"], C[f"{ec}:chi3"])
 
     if spec.has_nr:
         # neighbor-averaged partner (D-P) values at ec sites
         # (step_generic.cpp:740-743)
-        g_1 = _avg4(dmp[spec.dc1], spec.ax_own, spec.ax_1, sgn, per, ph) \
+        g_1 = _avg4(plan, dmp[spec.dc1], spec.ax_own, spec.ax_1, sgn) \
             if spec.dc1 is not None else jnp.zeros_like(gs)
-        g_2 = _avg4(dmp[spec.dc2], spec.ax_own, spec.ax_2, sgn, per, ph) \
+        g_2 = _avg4(plan, dmp[spec.dc2], spec.ax_own, spec.ax_2, sgn) \
             if spec.dc2 is not None else jnp.zeros_like(gs)
         eps = C[f"{ec}:nreps"]
         chi2 = C[f"{ec}:nrchi2"]
@@ -293,10 +298,9 @@ def _eh_update(plan: Plan, spec: EhSpec, state: Dict[str, Any],
     return new_state
 
 
-def _pol_update(plan: Plan, pi: int, p: PolSpec, state: Dict[str, Any]
-                ) -> Dict[str, Any]:
+def _pol_update(plan: Plan, C: Dict[str, Any], pi: int, p: PolSpec,
+                state: Dict[str, Any]) -> Dict[str, Any]:
     """Lorentzian/Drude ADE leapfrog (susceptibility.cpp:188-260)."""
-    C = plan.coefs
     dt = plan.dt
     w2pi = 2 * math.pi * p.omega0
     g2pi = 2 * math.pi * p.gamma
@@ -304,7 +308,6 @@ def _pol_update(plan: Plan, pi: int, p: PolSpec, state: Dict[str, Any]
     gamma1inv = 1.0 / (1 + 0.5 * g2pi * dt)
     gamma1 = 1 - 0.5 * g2pi * dt
     denom = 0.0 if p.drude else omega0dtsqr
-    per, ph = plan.periodic, plan.bloch_phase
 
     pol_st = state["pol"][pi]
     new_p = dict(pol_st["p"])
@@ -329,8 +332,8 @@ def _pol_update(plan: Plan, pi: int, p: PolSpec, state: Dict[str, Any]
             if key in C and W(c_off) is not None and gv.has_direction(doff) \
                     and ax_own is not None:
                 aniso = True
-                drive = drive + _offdiag(C[key], W(c_off), gv.axis_of(doff),
-                                         ax_own, sgn, per, ph)
+                drive = drive + _offdiag(plan, C[key], W(c_off),
+                                         gv.axis_of(doff), ax_own, sgn)
         pcur = pol_st["p"][c]
         pprev = pol_st["pp"][c]
         pnew = gamma1inv * (pcur * (2 - denom) - gamma1 * pprev
@@ -347,8 +350,8 @@ def _pol_update(plan: Plan, pi: int, p: PolSpec, state: Dict[str, Any]
     return {**state, "pol": pols}
 
 
-def _compute_fmp(plan: Plan, ft: str, state: Dict[str, Any],
-                 xs: Dict[str, Any]) -> Dict[str, Any]:
+def _compute_fmp(plan: Plan, C: Dict[str, Any], ft: str,
+                 state: Dict[str, Any], xs: Dict[str, Any]) -> Dict[str, Any]:
     """f_minus_p = D - sum P - integrated source dipoles
     (update_eh.cpp:119-146)."""
     ft2 = "d" if ft == "e" else "b"
@@ -373,20 +376,17 @@ def _compute_fmp(plan: Plan, ft: str, state: Dict[str, Any],
             key = f"src{si}:dip"
             if key not in xs:
                 continue
-            amp = plan.coefs[f"src{si}:amp_re"]
-            if plan.complex_fields:
-                amp = amp + 1j * plan.coefs[f"src{si}:amp_im"]
-                contrib = xs[key] * amp
-            else:
-                contrib = (xs[key] * (plan.coefs[f"src{si}:amp_re"]
-                                      + 1j * plan.coefs[f"src{si}:amp_im"])).real
-            idx = plan.coefs[f"src{si}:idx"]
+            amp = C[f"src{si}:amp_re"] + 1j * C[f"src{si}:amp_im"]
+            contrib = xs[key] * amp
+            if not plan.complex_fields:
+                contrib = contrib.real
+            idx = C[f"src{si}:idx"]
             fmp[dc] = fmp[dc].at[tuple(idx.T)].add(-contrib)
     return fmp
 
 
-def _apply_sources(plan: Plan, ft2: str, state: Dict[str, Any],
-                   xs: Dict[str, Any]) -> Dict[str, Any]:
+def _apply_sources(plan: Plan, C: Dict[str, Any], ft2: str,
+                   state: Dict[str, Any], xs: Dict[str, Any]) -> Dict[str, Any]:
     """Current sources into D/B: f -= current * dt [* cndinv]
     (step.cpp:296-319)."""
     f = dict(state["f"])
@@ -401,12 +401,12 @@ def _apply_sources(plan: Plan, ft2: str, state: Dict[str, Any],
         dc = ft2 + s.component[1]
         if dc not in f:
             continue
-        amp = plan.coefs[f"src{si}:amp_re"] + 1j * plan.coefs[f"src{si}:amp_im"]
+        amp = C[f"src{si}:amp_re"] + 1j * C[f"src{si}:amp_im"]
         A = xs[key] * amp * dt
-        if f"src{si}:cndinv" in plan.coefs:
-            A = A * plan.coefs[f"src{si}:cndinv"]
+        if f"src{si}:cndinv" in C:
+            A = A * C[f"src{si}:cndinv"]
         contrib = A if plan.complex_fields else A.real
-        idx = plan.coefs[f"src{si}:idx"]
+        idx = C[f"src{si}:idx"]
         f[dc] = f[dc].at[tuple(idx.T)].add(-contrib)
     return {**state, "f": f}
 
@@ -418,13 +418,12 @@ def _centered_avg(plan: Plan, c: str, arr: jnp.ndarray) -> jnp.ndarray:
     out = arr
     for ax, d in enumerate(gv.axes):
         if ys[d] == 0:
-            out = 0.5 * (out + shift(out, ax, +1, plan.periodic[ax],
-                                     plan.bloch_phase[ax]))
+            out = 0.5 * (out + _sh(plan, out, ax, +1))
     return out
 
 
-def _dft_update(plan: Plan, state: Dict[str, Any], xs: Dict[str, Any]
-                ) -> Dict[str, Any]:
+def _dft_update(plan: Plan, C: Dict[str, Any], state: Dict[str, Any],
+                xs: Dict[str, Any]) -> Dict[str, Any]:
     dft = dict(state["dft"])
     for mi, m in enumerate(plan.dfts):
         key = f"dft{mi}:ph"
@@ -433,7 +432,7 @@ def _dft_update(plan: Plan, state: Dict[str, Any], xs: Dict[str, Any]
         favg = _centered_avg(plan, m.component, state["f"][m.component])
         sl = tuple(slice(a, b) for a, b in m.region)
         fv = favg[sl]
-        w = plan.coefs[f"dft{mi}:w"]
+        w = C[f"dft{mi}:w"]
         ph = xs[key]  # (nfreq,) complex, already includes scale/decimation
         dft[m.name] = dft[m.name] + (w * fv)[..., None] * ph
     return {**state, "dft": dft}
@@ -445,34 +444,41 @@ def _dft_update(plan: Plan, state: Dict[str, Any], xs: Dict[str, Any]
 
 
 def make_step(plan: Plan):
-    """Returns step(state, xs_t) -> state implementing fields::step
-    (step.cpp:35-140) for one timestep."""
+    """Returns step(state, xs_t, coefs=None) -> state implementing
+    fields::step (step.cpp:35-140) for one timestep.
 
-    def step(state: Dict[str, Any], xs: Dict[str, Any]) -> Dict[str, Any]:
+    Coefficients are threaded as an argument (not closure constants) so that
+    jit receives them as device buffers rather than embedding multi-MB
+    constants into the HLO."""
+
+    def step(state: Dict[str, Any], xs: Dict[str, Any],
+             C: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+        if C is None:
+            C = plan.coefs
         # --- B half ---------------------------------------------------------
         for spec in plan.curl_specs_b:
-            state = _curl_update(plan, spec, state)
-        state = _apply_sources(plan, "b", state, xs)
-        dmp_h = _compute_fmp(plan, "h", state, xs) if plan.have_fmp_h else \
+            state = _curl_update(plan, C, spec, state)
+        state = _apply_sources(plan, C, "b", state, xs)
+        dmp_h = _compute_fmp(plan, C, "h", state, xs) if plan.have_fmp_h else \
             {s.dc: state["f"][s.dc] for s in plan.eh_specs_h}
         for spec in plan.eh_specs_h:
-            state = _eh_update(plan, spec, state, dmp_h)
+            state = _eh_update(plan, C, spec, state, dmp_h)
         for k in range(len(plan.pol_specs_h)):
-            state = _pol_update(plan, len(plan.pol_specs_e) + k,
+            state = _pol_update(plan, C, len(plan.pol_specs_e) + k,
                                 plan.pol_specs_h[k], state)
         # --- D half ---------------------------------------------------------
         for spec in plan.curl_specs_d:
-            state = _curl_update(plan, spec, state)
-        state = _apply_sources(plan, "d", state, xs)
-        dmp_e = _compute_fmp(plan, "e", state, xs) if plan.have_fmp_e else \
+            state = _curl_update(plan, C, spec, state)
+        state = _apply_sources(plan, C, "d", state, xs)
+        dmp_e = _compute_fmp(plan, C, "e", state, xs) if plan.have_fmp_e else \
             {s.dc: state["f"][s.dc] for s in plan.eh_specs_e}
         for spec in plan.eh_specs_e:
-            state = _eh_update(plan, spec, state, dmp_e)
+            state = _eh_update(plan, C, spec, state, dmp_e)
         for k in range(len(plan.pol_specs_e)):
-            state = _pol_update(plan, k, plan.pol_specs_e[k], state)
+            state = _pol_update(plan, C, k, plan.pol_specs_e[k], state)
         # --- monitors ---------------------------------------------------------
         state = {**state, "t": state["t"] + 1}
-        state = _dft_update(plan, state, xs)
+        state = _dft_update(plan, C, state, xs)
         return state
 
     return step
@@ -514,15 +520,25 @@ def build_xs(plan: Plan, nsteps: int, t0: int = 0) -> Dict[str, Any]:
     return {k: jnp.asarray(v) for k, v in xs.items()}
 
 
-def run(plan: Plan, state: Dict[str, Any], nsteps: int):
+def run(plan: Plan, state: Dict[str, Any], nsteps: int,
+        jit: bool = True, t0: Optional[int] = None):
     """Scan the step over nsteps (the inner loop of Simulation.run,
-    simulation.py:2795)."""
+    simulation.py:2795).
+
+    Pass `t0` explicitly on TPU paths: the axon tunnel backend fails any
+    compile issued after a device-to-host read, so reading state['t'] here
+    must be avoidable."""
     step = make_step(plan)
-    t0 = int(state["t"])
+    if t0 is None:
+        t0 = int(state["t"])
     xs = build_xs(plan, nsteps, t0)
 
-    def body(carry, x):
-        return step(carry, x), None
+    def runner(state, xs, C):
+        def body(carry, x):
+            return step(carry, x, C), None
+        state, _ = jax.lax.scan(body, state, xs, length=nsteps)
+        return state
 
-    state, _ = jax.lax.scan(body, state, xs, length=nsteps)
-    return state
+    if jit:
+        runner = jax.jit(runner)
+    return runner(state, xs, plan.coefs)
