@@ -19,9 +19,11 @@ from .models.geom import (Vector3, Medium, Sphere, Block, Cylinder, Cone,
                           Wedge, Ellipsoid, Prism, LorentzianSusceptibility,
                           DrudeSusceptibility, vacuum, air)
 from .models.simulation import (Simulation, PML, Absorber, FluxRegion,
+                                after_sources,
                                 Ex, Ey, Ez, Hx, Hy, Hz, Dx, Dy, Dz,
                                 Bx, By, Bz, Er, Ep, Hr, Hp, Dielectric,
                                 X, Y, Z, ALL)
+from .analysis.harminv import Harminv, harminv
 
 inf = float("inf")
 

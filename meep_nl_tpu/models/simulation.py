@@ -320,19 +320,65 @@ class Simulation:
         return arr
 
     # ------------------------------------------------------------------ run
-    def run(self, until=None, until_after_sources=None):
+    def run(self, *step_funcs, until=None, until_after_sources=None):
+        """Run the simulation (simulation.py:4502 / _run_until:2795).
+
+        Step functions supported: `after_sources(Harminv(...))` and bare
+        `Harminv` instances (collected via scan-emitted probe series, not a
+        per-step host callback)."""
         self.init_sim()
+        last_src = max((s.src.last_time() for s in self.sources), default=0.0)
         if until_after_sources is not None:
-            last = max((s.src.last_time() for s in self.sources), default=0.0)
-            t_end = last + until_after_sources
+            t_end = last_src + until_after_sources
         elif until is not None:
             t_end = self._t * self.dt + until
         else:
             raise ValueError("run() needs until= or until_after_sources=")
         nsteps = max(0, int(round(t_end / self.dt)) - self._t)
-        if nsteps:
-            self._state = S.run(self._plan, self._state, nsteps, t0=self._t)
+
+        # collect Harminv-style collectors
+        from ..analysis.harminv import Harminv
+        collectors = []       # (harminv, only_after_sources)
+        for sf in step_funcs:
+            if isinstance(sf, tuple) and sf and sf[0] == "after_sources":
+                for fn in sf[1]:
+                    if isinstance(fn, Harminv):
+                        collectors.append((fn, True))
+            elif isinstance(sf, Harminv):
+                collectors.append((sf, False))
+
+        if not collectors:
+            if nsteps:
+                self._state = S.run(self._plan, self._state, nsteps,
+                                    t0=self._t)
+                self._t += nsteps
+            return
+
+        probes = []
+        for i, (h, _) in enumerate(collectors):
+            pts = self.gv.interp_weights(h.c, _vec_to_axes(self.gv, h.pt))
+            idx = np.array([p for p, w in pts], np.int32)
+            ws = np.array([w for p, w in pts])
+            probes.append(S.ProbeSpec(f"hm{i}", h.c, idx, ws))
+
+        n_src = max(0, min(nsteps, int(round(last_src / self.dt)) - self._t))
+        n_after = nsteps - n_src
+        if any(after for _, after in collectors):
+            if n_src:
+                self._state = S.run(self._plan, self._state, n_src, t0=self._t)
+                self._t += n_src
+            if n_after:
+                self._state, ys = S.run(self._plan, self._state, n_after,
+                                        t0=self._t, probes=probes)
+                self._t += n_after
+        else:
+            self._state, ys = S.run(self._plan, self._state, nsteps,
+                                    t0=self._t, probes=probes)
             self._t += nsteps
+        for i, (h, _) in enumerate(collectors):
+            series = np.asarray(ys[f"hm{i}"])
+            h._collect(series, self.dt)
+            h._analyze()
 
     def step(self, nsteps: int = 1):
         self.init_sim()
@@ -423,3 +469,9 @@ def _site_coord(gv: G.GridVolume, comp: str, idx) -> Vector3:
     if gv.dim == "1d":
         v = [0.0, 0.0, vals[0]]
     return Vector3(*v)
+
+
+def after_sources(*step_funcs):
+    """Marker: apply these step functions only once sources have turned off
+    (simulation.py:5059 after_sources)."""
+    return ("after_sources", step_funcs)

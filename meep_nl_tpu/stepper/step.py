@@ -20,8 +20,9 @@ function is scan- and grad-compatible.
 
 from __future__ import annotations
 
+import dataclasses
 import math
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -521,24 +522,48 @@ def build_xs(plan: Plan, nsteps: int, t0: int = 0) -> Dict[str, Any]:
 
 
 def run(plan: Plan, state: Dict[str, Any], nsteps: int,
-        jit: bool = True, t0: Optional[int] = None):
+        jit: bool = True, t0: Optional[int] = None,
+        probes: Sequence["ProbeSpec"] = ()):
     """Scan the step over nsteps (the inner loop of Simulation.run,
     simulation.py:2795).
 
     Pass `t0` explicitly on TPU paths: the axon tunnel backend fails any
     compile issued after a device-to-host read, so reading state['t'] here
-    must be avoidable."""
+    must be avoidable.
+
+    `probes` are point samplers emitted as per-step scan outputs (the analog
+    of get_field time series feeding Harminv, bands.cpp/monitor.cpp); when
+    given, returns (state, {name: (nsteps,) series}).
+    """
     step = make_step(plan)
     if t0 is None:
         t0 = int(state["t"])
     xs = build_xs(plan, nsteps, t0)
+    pidx = {p.name: jnp.asarray(p.indices, jnp.int32) for p in probes}
+    pw = {p.name: jnp.asarray(p.weights) for p in probes}
 
     def runner(state, xs, C):
         def body(carry, x):
-            return step(carry, x, C), None
-        state, _ = jax.lax.scan(body, state, xs, length=nsteps)
-        return state
+            ns = step(carry, x, C)
+            out = {p.name: jnp.sum(ns["f"][p.component][tuple(pidx[p.name].T)]
+                                   * pw[p.name])
+                   for p in probes}
+            return ns, out
+        state, ys = jax.lax.scan(body, state, xs, length=nsteps)
+        return state, ys
 
     if jit:
         runner = jax.jit(runner)
-    return runner(state, xs, plan.coefs)
+    state, ys = runner(state, xs, plan.coefs)
+    if probes:
+        return state, ys
+    return state
+
+
+@dataclasses.dataclass
+class ProbeSpec:
+    """Point (or weighted-stencil) field sampler emitted every step."""
+    name: str
+    component: str
+    indices: Any        # (npts, ndim) int
+    weights: Any        # (npts,)
