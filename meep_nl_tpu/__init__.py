@@ -19,6 +19,7 @@ from .models.geom import (Vector3, Medium, Sphere, Block, Cylinder, Cone,
                           Wedge, Ellipsoid, Prism, LorentzianSusceptibility,
                           DrudeSusceptibility, vacuum, air)
 from .models.simulation import (Simulation, PML, Absorber, FluxRegion,
+                                Near2FarRegion,
                                 after_sources,
                                 Ex, Ey, Ez, Hx, Hy, Hz, Dx, Dy, Dz,
                                 Bx, By, Bz, Er, Ep, Hr, Hp, Dielectric,

@@ -1,0 +1,148 @@
+"""Near-to-far field transformation (analog of src/near2far.cpp).
+
+From DTFT tangential fields on a closed near surface, computes far fields via
+the free-space Green's functions (near2far.cpp:133 green3d, :208 green2d) and
+the surface-equivalence weights of add_dft_near2far (near2far.cpp:625-637):
+each tangential component c on a plane with normal nd contributes as an
+equivalent current of component c0 (the dual field's other transverse
+component) with sign s = +-1 from n x (.).
+
+All post-processing on the host (numpy/scipy), like the reference's
+sum-over-surface-points; the heavy part is a broadcasted evaluation over
+(surface points x far points x frequencies).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from scipy.special import hankel1
+
+
+def green3d(x: np.ndarray, freq: float, eps: float, mu: float,
+            x0: np.ndarray, c0: str, f0: np.ndarray) -> np.ndarray:
+    """Fields (Ex,Ey,Ez,Hx,Hy,Hz) at x from point currents f0 of component
+    c0 at x0 (near2far.cpp:133).  x: (3,), x0: (npts,3), f0: (npts,),
+    returns (6,) summed over points."""
+    rvec = x[None, :] - x0                      # (npts, 3)
+    r = np.linalg.norm(rvec, axis=-1)
+    rhat = rvec / r[:, None]
+    n = np.sqrt(eps * mu)
+    k = 2 * np.pi * freq * n
+    ikr = 1j * k * r
+    ikr2 = -(k * r) ** 2
+    # J = -i w p  =>  divide by -i w relative to dipole-moment formulas
+    expfac = f0 * (k * n / (4 * np.pi * r)) * np.exp(1j * (k * r + np.pi / 2))
+    Z = np.sqrt(mu / eps)
+    p = np.zeros(3)
+    p["xyz".index(c0[1])] = 1.0
+    pdotrhat = rhat @ p
+    rhatcrossp = np.cross(rhat, p)
+    term1 = 1.0 - 1.0 / ikr + 1.0 / ikr2
+    term2 = (-1.0 + 3.0 / ikr - 3.0 / ikr2) * pdotrhat
+    term3 = 1.0 - 1.0 / ikr
+    EH = np.zeros(6, np.complex128)
+    if c0[0] == "e":
+        ef = expfac / eps
+        for d in range(3):
+            EH[d] = np.sum(ef * (term1 * p[d] + term2 * rhat[:, d]))
+            EH[3 + d] = np.sum(ef * term3 * rhatcrossp[:, d] / Z)
+    else:
+        ef = expfac / mu
+        for d in range(3):
+            EH[d] = np.sum(-ef * term3 * rhatcrossp[:, d] * Z)
+            EH[3 + d] = np.sum(ef * (term1 * p[d] + term2 * rhat[:, d]))
+    return EH
+
+
+def green2d(x: np.ndarray, freq: float, eps: float, mu: float,
+            x0: np.ndarray, c0: str, f0: np.ndarray) -> np.ndarray:
+    """2D Green's function (near2far.cpp:208): x (2,), x0 (npts,2)."""
+    rvec = x[None, :] - x0
+    r = np.linalg.norm(rvec, axis=-1)
+    rhat = rvec / r[:, None]
+    omega = 2 * np.pi * freq
+    k = omega * np.sqrt(eps * mu)
+    kr = k * r
+    Z = np.sqrt(mu / eps)
+    H0 = hankel1(0, kr) * f0
+    H1 = hankel1(1, kr) * f0
+    ikH1 = 0.25j * k * H1
+    EH = np.zeros(6, np.complex128)
+    d0 = c0[1]
+    if d0 == "z":
+        if c0[0] == "e":     # Ez line current
+            EH[2] = np.sum((-0.25 * omega * mu) * H0)
+            EH[3] = np.sum(-rhat[:, 1] * ikH1)
+            EH[4] = np.sum(rhat[:, 0] * ikH1)
+        else:                # Hz line current
+            EH[0] = np.sum(rhat[:, 1] * ikH1)
+            EH[1] = np.sum(-rhat[:, 0] * ikH1)
+            EH[5] = np.sum((-0.25 * omega * eps) * H0)
+        return EH
+    # in-plane current
+    H2 = hankel1(2, kr) * f0
+    p = np.zeros(2)
+    p["xy".index(d0)] = 1.0
+    pdotrhat = rhat @ p
+    rhatcrossp = rhat[:, 0] * p[1] - rhat[:, 1] * p[0]
+    if c0[0] == "e":
+        EH[0] = np.sum(-(rhat[:, 0] * (pdotrhat / r * 0.25 * Z)) * H1
+                       + (rhat[:, 1] * (rhatcrossp * omega * mu * 0.125)) * (H0 - H2))
+        EH[1] = np.sum(-(rhat[:, 1] * (pdotrhat / r * 0.25 * Z)) * H1
+                       - (rhat[:, 0] * (rhatcrossp * omega * mu * 0.125)) * (H0 - H2))
+        EH[5] = np.sum(-rhatcrossp * ikH1)
+    else:
+        EH[2] = np.sum(rhatcrossp * ikH1)
+        EH[3] = np.sum(-(rhat[:, 0] * (pdotrhat / r * 0.25 / Z)) * H1
+                       + (rhat[:, 1] * (rhatcrossp * omega * eps * 0.125)) * (H0 - H2))
+        EH[4] = np.sum(-(rhat[:, 1] * (pdotrhat / r * 0.25 / Z)) * H1
+                       - (rhat[:, 0] * (rhatcrossp * omega * eps * 0.125)) * (H0 - H2))
+    return EH
+
+
+# equivalent-current mapping for a plane with normal nd (near2far.cpp:584-637):
+# transverse dirs fd in cyclic order; recorded component -> (c0, sign)
+_CYCLIC_FD = {"x": ("y", "z"), "y": ("z", "x"), "z": ("x", "y")}
+
+
+def equivalence_terms(normal: str):
+    """[(recorded_component, equivalent_source_component, sign), ...]"""
+    fd0, fd1 = _CYCLIC_FD[normal]
+    out = []
+    for i, ft in enumerate(("e", "h")):
+        dual = "h" if ft == "e" else "e"
+        for j, fd in enumerate((fd0, fd1)):
+            c = ft + fd
+            c0 = dual + (fd1 if j == 0 else fd0)
+            s = 1.0 if j == 0 else -1.0
+            if ft == "e":
+                s = -s
+            out.append((c, c0, s))
+    return out
+
+
+@dataclasses.dataclass
+class Near2FarSurface:
+    """One recorded near-surface term: the DTFT array + its site coords."""
+    c0: str                 # equivalent source component
+    coords: np.ndarray      # (npts, ndim) absolute coordinates
+    dft_name: str           # key into state['dft'] (weights include s*dV)
+
+
+def farfield(surfaces: Sequence[Near2FarSurface], state, freqs,
+             x: Sequence[float], dim: str, eps: float = 1.0, mu: float = 1.0
+             ) -> np.ndarray:
+    """(6, nfreq) far fields at x (farfield_lowlevel, near2far.cpp:340)."""
+    green = green2d if dim == "2d" else green3d
+    x = np.asarray(x, np.float64)
+    nfreq = len(freqs)
+    EH = np.zeros((6, nfreq), np.complex128)
+    for surf in surfaces:
+        dft = np.asarray(state["dft"][surf.dft_name])
+        flat = dft.reshape(-1, nfreq)
+        for i, f in enumerate(freqs):
+            EH[:, i] += green(x, f, eps, mu, surf.coords, surf.c0, flat[:, i])
+    return EH

@@ -65,6 +65,16 @@ class FluxRegion:
     weight: float = 1.0
 
 
+Near2FarRegion = FluxRegion
+
+
+@dataclasses.dataclass
+class _N2FHandle:
+    name: str
+    freqs: np.ndarray
+    surfaces: list
+
+
 @dataclasses.dataclass
 class _FluxHandle:
     name: str
@@ -306,6 +316,89 @@ class Simulation:
         self._handles.append(h)
         return h
 
+    def add_near2far(self, fcen, df, nfreq, *regions, decimation_factor=1):
+        """Record near-surface DTFTs for far-field transforms
+        (add_dft_near2far, near2far.cpp:558)."""
+        if self._plan is not None:
+            raise RuntimeError("add monitors before the first run()")
+        freqs = self._freqs(fcen, df, nfreq)
+        name = f"n2f{len(self._handles)}"
+        live = sum(self._live_components(), [])
+        surfaces = []
+        for ri, reg in enumerate(regions):
+            center = _vec_to_axes(self.gv, reg.center)
+            size = _vec_to_axes(self.gv, reg.size if reg.size is not None
+                                else Vector3())
+            normal = reg.direction
+            if normal is None:
+                zero_axes = [self.gv.axes[i] for i, sz in enumerate(size)
+                             if sz == 0]
+                normal = zero_axes[0]
+            specs, surfs = M.near2far_specs(self.gv, f"{name}:{ri}", normal,
+                                            center, size, freqs,
+                                            weight=reg.weight, live=live)
+            self._dft_specs += specs
+            surfaces += surfs
+        h = _N2FHandle(name, freqs, surfaces)
+        self._handles.append(h)
+        return h
+
+    def get_farfield(self, handle, pt) -> np.ndarray:
+        """(6, nfreq) = (Ex,Ey,Ez,Hx,Hy,Hz)(w) at a far point
+        (dft_near2far::farfield)."""
+        from ..analysis.near2far import farfield
+        x = _vec_to_axes(self.gv, pt)
+        return farfield(handle.surfaces, self._state, handle.freqs, x,
+                        self.gv.dim)
+
+    def get_farfields(self, handle, resolution, center=None, size=None):
+        """Far fields on a grid (get_farfields_array, near2far.cpp:400)."""
+        c_ax = _vec_to_axes(self.gv, center if center is not None else Vector3())
+        s_ax = _vec_to_axes(self.gv, size if size is not None else Vector3())
+        axes_pts = []
+        for lo, hi in ((c - s / 2, c + s / 2) for c, s in zip(c_ax, s_ax)):
+            n = max(1, int(round((hi - lo) * resolution)) + 1)
+            axes_pts.append(np.linspace(lo, hi, n))
+        mesh = np.meshgrid(*axes_pts, indexing="ij")
+        shape = mesh[0].shape
+        out = np.zeros((6, len(handle.freqs)) + shape, np.complex128)
+        for ind in np.ndindex(*shape):
+            pt = [m[ind] for m in mesh]
+            out[(slice(None), slice(None)) + ind] = self.get_farfield_axes(
+                handle, pt)
+        return out
+
+    def get_farfield_axes(self, handle, x_axes) -> np.ndarray:
+        from ..analysis.near2far import farfield
+        return farfield(handle.surfaces, self._state, handle.freqs, x_axes,
+                        self.gv.dim)
+
+    def add_energy(self, fcen, df, nfreq, region, decimation_factor=1):
+        """Frequency-domain EM energy in a volume (dft_energy analog)."""
+        if self._plan is not None:
+            raise RuntimeError("add monitors before the first run()")
+        freqs = self._freqs(fcen, df, nfreq)
+        name = f"en{len(self._handles)}"
+        c_ax = _vec_to_axes(self.gv, region.center)
+        s_ax = _vec_to_axes(self.gv, region.size if region.size is not None
+                            else Vector3())
+        live = sum(self._live_components(), [])
+        self._dft_specs += M.energy_specs(self.gv, name, c_ax, s_ax, freqs,
+                                          live=live,
+                                          decimation=decimation_factor)
+        h = _FluxHandle(name, freqs)
+        self._handles.append(h)
+        return h
+
+    def get_electric_energy(self, handle):
+        return M.get_energy(self._plan, self._state, handle.name, "electric")
+
+    def get_magnetic_energy(self, handle):
+        return M.get_energy(self._plan, self._state, handle.name, "magnetic")
+
+    def get_total_energy(self, handle):
+        return M.get_energy(self._plan, self._state, handle.name, "total")
+
     def get_fluxes(self, handle: _FluxHandle) -> np.ndarray:
         total = None
         for ri in range(getattr(handle, "_nregions", 1)):
@@ -436,6 +529,21 @@ class Simulation:
     @property
     def plan(self):
         return self._plan
+
+    # ---------------------------------------------------------- checkpoint
+    def dump(self, path: str):
+        """Checkpoint fields+monitors+time (fields_dump.cpp:108 analog)."""
+        from ..io import checkpoint as CK
+        self.init_sim()
+        CK.save_state(path, self._plan, self._state, t=self._t)
+
+    def load(self, path: str):
+        """Resume from a checkpoint produced by an identically-configured
+        Simulation (structure/fields load, simulation.py:2293-2448)."""
+        from ..io import checkpoint as CK
+        self.init_sim()
+        self._state = CK.load_state(path, self._plan)
+        self._t = CK.load_t(path)
 
 
 def _volume_sites(gv: G.GridVolume, comp: str, center, size):

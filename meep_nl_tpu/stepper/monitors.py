@@ -186,3 +186,102 @@ def get_flux(plan: Plan, state, name: str) -> np.ndarray:
         f = f.reshape(-1, f.shape[-1]).sum(axis=0)
         out = f if out is None else out + f
     return out
+
+
+# energy-density pairs: E with D, H with B (dft.cpp:657-687 dft_energy)
+def energy_specs(gv: G.GridVolume, name: str, center, size, freqs,
+                 live: Optional[Sequence[str]] = None,
+                 decimation: int = 1) -> List[DftSpec]:
+    """DTFT specs for u(w) = 1/2 Re(E* . D) + 1/2 Re(H* . B) over a volume
+    (add_dft_energy; dft.cpp:689 total)."""
+    region, w_full, dv = volume_region_weights(gv, center, size)
+    freqs = np.asarray(freqs, dtype=np.float64)
+    ones = np.ones_like(w_full)
+    specs = []
+    for c in list(gv.e_components) + list(gv.h_components):
+        if live is not None and c not in live:
+            continue
+        pair = ("d" if c[0] == "e" else "b") + c[1]
+        specs.append(DftSpec(name=f"{name}:{c}", component=c, region=region,
+                             weights=w_full * dv, freqs=freqs,
+                             decimation=decimation))
+        specs.append(DftSpec(name=f"{name}:{pair}", component=pair,
+                             region=region, weights=ones, freqs=freqs,
+                             decimation=decimation))
+    return specs
+
+
+def get_energy(plan: Plan, state, name: str, which: str = "total") -> np.ndarray:
+    """Assemble frequency-domain energy (dft_energy::electric/magnetic)."""
+    gv = plan.gv
+    out = None
+    fts = {"electric": "e", "magnetic": "h"}.get(which)
+    for key in state["dft"]:
+        if not key.startswith(name + ":"):
+            continue
+        c = key.rsplit(":", 1)[1]
+        if c[0] not in "eh":
+            continue
+        if fts is not None and c[0] != fts:
+            continue
+        pair = ("d" if c[0] == "e" else "b") + c[1]
+        dF = np.asarray(state["dft"][key])
+        dG = np.asarray(state["dft"][f"{name}:{pair}"])
+        v = 0.5 * np.real(np.conj(dF) * dG)
+        v = v.reshape(-1, v.shape[-1]).sum(axis=0)
+        out = v if out is None else out + v
+    return out
+
+
+def comp_lattice_region_weights(gv: G.GridVolume, c: str, center, size
+                                ) -> Tuple[Tuple[Tuple[int, int], ...],
+                                           np.ndarray, float, np.ndarray]:
+    """Region + weights on component c's own Yee lattice, plus the absolute
+    coordinates of the selected sites (for near2far's Green sums)."""
+    region = []
+    axis_w = []
+    dv = 1.0
+    coord_list = []
+    for ax in range(gv.ndim):
+        coords = gv.comp_coords(c, ax)
+        ys = G.yee_shift(c, gv.dim)[gv.axes[ax]]
+        nlat = gv.num[ax] + (0 if ys else 1)
+        lo = center[ax] - 0.5 * size[ax]
+        hi = center[ax] + 0.5 * size[ax]
+        fa = (lo - coords[0]) / gv.dx
+        fb = (hi - coords[0]) / gv.dx
+        start, stop, w = _axis_weights_lattice(fa, fb, nlat)
+        region.append((start, stop))
+        axis_w.append(w)
+        coord_list.append(coords[start:stop])
+        if size[ax] > 0:
+            dv *= gv.dx
+    w_full = axis_w[0]
+    for w in axis_w[1:]:
+        w_full = np.multiply.outer(w_full, w)
+    mesh = np.meshgrid(*coord_list, indexing="ij")
+    pts = np.stack([m.ravel() for m in mesh], axis=-1)
+    return tuple(region), w_full, dv, pts
+
+
+def near2far_specs(gv: G.GridVolume, name: str, normal: str, center, size,
+                   freqs, weight: float = 1.0,
+                   live: Optional[Sequence[str]] = None):
+    """Specs + surface descriptors for one near2far plane
+    (add_dft_near2far, near2far.cpp:558-641)."""
+    from ..analysis.near2far import equivalence_terms, Near2FarSurface
+    freqs = np.asarray(freqs, np.float64)
+    specs, surfaces = [], []
+    for c, c0, s in equivalence_terms(normal):
+        if c not in list(gv.e_components) + list(gv.h_components):
+            continue
+        if live is not None and c not in live:
+            continue
+        region, w_full, dv, pts = comp_lattice_region_weights(gv, c, center,
+                                                              size)
+        key = f"{name}:{c}"
+        specs.append(DftSpec(name=key, component=c, region=region,
+                             weights=w_full * dv, freqs=freqs,
+                             scale=s * weight, centered=False))
+        surfaces.append(Near2FarSurface(c0=c0, coords=pts, dft_name=key))
+    return specs, surfaces

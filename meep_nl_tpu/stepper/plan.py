@@ -116,7 +116,10 @@ class DftSpec:
     freqs: np.ndarray         # (nfreq,)
     scale: complex = 1.0
     decimation: int = 1
-    # if True, weights already include dV and interpolation weights
+    #: True: region indexes the centered lattice with Yee->center averaging
+    #: (use_centered_grid); False: the component's own Yee lattice (the
+    #: near2far convention, add_dft(..., centered_grid=false))
+    centered: bool = True
 
 
 # ---------------------------------------------------------------------------

@@ -430,7 +430,10 @@ def _dft_update(plan: Plan, C: Dict[str, Any], state: Dict[str, Any],
         key = f"dft{mi}:ph"
         if key not in xs:
             continue
-        favg = _centered_avg(plan, m.component, state["f"][m.component])
+        if m.centered:
+            favg = _centered_avg(plan, m.component, state["f"][m.component])
+        else:
+            favg = state["f"][m.component]
         sl = tuple(slice(a, b) for a, b in m.region)
         fv = favg[sl]
         w = C[f"dft{mi}:w"]
