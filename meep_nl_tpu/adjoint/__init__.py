@@ -1,0 +1,3 @@
+from .design import DesignRegion, DesignVariables
+from .optimization import OptimizationProblem, run_differentiable
+from . import filters
