@@ -169,6 +169,7 @@ class Simulation:
         if self.force_all_components:
             return list(self.gv.e_components), list(self.gv.h_components)
         need = {s.component for s in self.sources}
+        need |= {s.component for s in getattr(self, "_extra_srcs", [])}
         need |= {m.component for m in self._dft_specs}
         live = set(need)
         changed = True
@@ -251,6 +252,7 @@ class Simulation:
                                     mean_stretch=bl.mean_stretch,
                                     pml_profile_power=bl.pml_profile_power))
         srcs = self._build_sources(live_e, live_h)
+        srcs += getattr(self, "_extra_srcs", [])
         bloch_k = None
         periodic = self._periodic()
         if self.k_point is not None:
@@ -372,6 +374,129 @@ class Simulation:
         from ..analysis.near2far import farfield
         return farfield(handle.surfaces, self._state, handle.freqs, x_axes,
                         self.gv.dim)
+
+    def add_eigenmode_source(self, src, center, size, direction=+1,
+                             mode_band=1, amplitude=1.0):
+        """Launch a waveguide eigenmode (add_eigenmode_source, mpb.cpp:830).
+
+        2D TM implementation: solves the cross-section eigenproblem at the
+        source center frequency, then injects the equivalent currents
+        J = n x H (electric, on Ez) and M = -n x E (magnetic, on Hy) for a
+        unidirectional launch. `direction`: +1 = +x (or +normal)."""
+        if self._plan is not None:
+            raise RuntimeError("add sources before the first run()")
+        from ..analysis.modes import solve_tm_modes
+        from . import scene as _scene
+        from .source import Source as _Src
+        gv = self.gv
+        if gv.dim != "2d":
+            raise NotImplementedError("eigenmode sources: 2d TM in round 1")
+        c_ax = _vec_to_axes(gv, center)
+        s_ax = _vec_to_axes(gv, size)
+        norm_ax = 0 if s_ax[0] == 0 else 1
+        tang_ax = 1 - norm_ax
+        # epsilon profile along the line at Ez sites
+        ycoords = gv.comp_coords("ez", tang_ax)
+        lo = c_ax[tang_ax] - s_ax[tang_ax] / 2
+        hi = c_ax[tang_ax] + s_ax[tang_ax] / 2
+        sel = np.where((ycoords >= lo - 1e-9) & (ycoords <= hi + 1e-9))[0]
+        pts = np.zeros((len(sel), 3))
+        pts[:, tang_ax] = ycoords[sel]
+        pts[:, norm_ax] = c_ax[norm_ax]
+        idxm = _scene._material_at(pts, self.geometry, self.default_material)
+        eps_line = _scene._eps_of(idxm, self.geometry, self.default_material, 2)
+        fcen = src.frequency
+        modes = solve_tm_modes(eps_line, gv.dx, fcen, num_modes=mode_band)
+        if len(modes) < mode_band:
+            raise ValueError(f"only {len(modes)} guided modes found")
+        m = modes[mode_band - 1]
+        w = 2 * np.pi * fcen
+        sgn = 1.0 if direction > 0 else -1.0
+        # J_z and M_y with relative sign chosen so the +normal launch
+        # cancels (calibrated against the flux directionality drive)
+        jz = -sgn * (m.beta / w) * m.ez
+        my = m.ez
+        # electric current at Ez sites on the line
+        npts = len(sel)
+        idx_e = np.zeros((npts, 2), np.int32)
+        idx_e[:, tang_ax] = sel
+        xline = gv.comp_coords("ez", norm_ax)
+        ixe = int(np.argmin(np.abs(xline - c_ax[norm_ax])))
+        idx_e[:, norm_ax] = ixe
+        amps_e = (jz * amplitude * self.resolution).astype(np.complex128)
+        self._extra_srcs = getattr(self, "_extra_srcs", [])
+        self._extra_srcs.append(SrcVolSpec("ez", idx_e, amps_e, src))
+        # magnetic current at Hy sites (staggered half cell in x):
+        # interpolate each (x0, y_i) onto the hy lattice
+        hyy = gv.comp_coords("hy", tang_ax)
+        idx_list, amp_list = [], []
+        for k, yv in enumerate(ycoords[sel]):
+            pt = [0.0, 0.0]
+            pt[norm_ax] = c_ax[norm_ax]
+            pt[tang_ax] = yv
+            for gidx, wgt in gv.interp_weights("hy", pt):
+                idx_list.append(gidx)
+                amp_list.append(wgt * my[k] * amplitude * self.resolution)
+        idx_h = np.array(idx_list, np.int32)
+        amps_h = np.array(amp_list, np.complex128)
+        self._extra_srcs.append(SrcVolSpec("hy", idx_h, amps_h, src))
+        return m
+
+    def get_eigenmode_coefficients(self, flux_handle, bands,
+                                   direction_normal="x"):
+        """S-parameter mode decomposition on a flux monitor
+        (get_eigenmode_coefficients, mpb.cpp:925).  Returns alpha of shape
+        (len(bands), nfreq, 2) = forward/backward coefficients."""
+        from ..analysis.modes import solve_tm_modes, mode_overlap_tm
+        from . import scene as _scene
+        freqs = flux_handle.freqs
+        # the flux monitor stores pair0 = (ex/ez..) per normal; for TM with
+        # normal x the live pair is (ez, hy) at index 1 with scale -1
+        key_e = f"{flux_handle.name}:0:e1"
+        key_h = f"{flux_handle.name}:0:h1"
+        dE = np.asarray(self._state["dft"][key_e])   # includes -dV weights
+        dH = np.asarray(self._state["dft"][key_h])
+        spec_e = next(mspec for mspec in self._plan.dfts
+                      if mspec.name == key_e)
+        wgt = spec_e.weights
+        scale = spec_e.scale
+        reg = spec_e.region
+        extents = [b - a for a, b in reg]
+        tang_ax = int(np.argmax(extents))
+        norm_pos = 1 - tang_ax
+        # separate the outer-product weights: interpolation along the normal
+        # (sums to 1) x integration along the cross-section (x dV)
+        w_t_dv = wgt.sum(axis=norm_pos)              # (n_tang,)
+        w_n = wgt.sum(axis=tang_ax)
+        w_n = w_n / max(w_n.sum(), 1e-300)           # (n_norm,)
+        # collapse the normal axis to fields AT the monitor plane
+        dE_plane = dE.sum(axis=norm_pos) / scale
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dE_raw = np.where(w_t_dv[:, None] != 0,
+                              dE_plane / w_t_dv[:, None], 0.0)
+        dH = np.tensordot(w_n, np.moveaxis(dH, norm_pos, 0), axes=1)
+        ys = (np.arange(reg[tang_ax][0], reg[tang_ax][1]) + 0.5) * self.gv.dx             + self.gv.origin[tang_ax]
+        xpos = (reg[1 - tang_ax][0] + 0.5) * self.gv.dx + self.gv.origin[1 - tang_ax]
+        pts = np.zeros((len(ys), 3))
+        pts[:, tang_ax] = ys
+        pts[:, 1 - tang_ax] = xpos
+        idxm = _scene._material_at(pts, self.geometry, self.default_material)
+        eps_line = _scene._eps_of(idxm, self.geometry, self.default_material, 2)
+        nfreq = len(freqs)
+        alpha = np.zeros((len(bands), nfreq, 2), np.complex128)
+        for bi, band in enumerate(bands):
+            for fi, f in enumerate(freqs):
+                modes = solve_tm_modes(eps_line, self.gv.dx, f,
+                                       num_modes=band)
+                if len(modes) < band:
+                    continue
+                m = modes[band - 1]
+                ez = dE_raw[:, fi]
+                hy = dH[:, fi]
+                ap, am = mode_overlap_tm(m, ez, hy, self.gv.dx)
+                alpha[bi, fi, 0] = ap
+                alpha[bi, fi, 1] = am
+        return alpha
 
     def add_energy(self, fcen, df, nfreq, region, decimation_factor=1):
         """Frequency-domain EM energy in a volume (dft_energy analog)."""
