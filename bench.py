@@ -5,20 +5,26 @@ The reference's own throughput metric is grid-point updates/sec
 >=10 GCells/s per TPU chip on a 3D PML-bounded grid at fp32.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The axon TPU tunnel in this environment wedges on some larger grids
+(execution never completes; see memory axon-tpu-tunnel-quirks), so the
+driver-facing entry tries a descending ladder of grid sizes in subprocesses
+with timeouts and reports the largest size that completes.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-import numpy as np
 
-
-def main():
+def run_one():
+    """Single measurement at BENCH_GRID (invoked as a subprocess)."""
+    import numpy as np
     import jax
 
-    size_env = os.environ.get("BENCH_GRID", "256,256,256")
+    size_env = os.environ.get("BENCH_GRID", "128,128,128")
     nx, ny, nz = (int(s) for s in size_env.split(","))
     steps = int(os.environ.get("BENCH_STEPS", "50"))
 
@@ -47,27 +53,20 @@ def main():
         state, _ = jax.lax.scan(body, state, xs)
         return state
 
-    def fence_val(state):
-        return state["f"]["ez"][1, 1, 1]
-
     state = init_state(plan)
     xs = build_xs(plan, steps, 0)
     xs2 = build_xs(plan, steps, steps)
     C = plan.coefs
 
-    # The axon tunnel rejects compiles issued after transfers or while the
-    # device is busy: AOT-compile every program up front, then only execute.
     run_c = jax.jit(run_block).lower(state, xs, C).compile()
-    fence_c = jax.jit(fence_val).lower(state).compile()
 
-    # warmup execution; a scalar device-to-host read is the only true fence
-    # (block_until_ready does not synchronize through the tunnel)
+    # warmup; a scalar d2h read is the only true fence through the tunnel
     state = run_c(state, xs, C)
-    _ = float(fence_c(state))
+    _ = float(state["f"]["ez"][1, 1, 1])
 
     t0 = time.perf_counter()
     state = run_c(state, xs2, C)
-    _ = float(fence_c(state))
+    _ = float(state["f"]["ez"][1, 1, 1])
     dt_wall = time.perf_counter() - t0
 
     cells = nx * ny * nz
@@ -78,7 +77,35 @@ def main():
         "value": round(gcells, 3),
         "unit": "GCells/s",
         "vs_baseline": round(gcells / baseline, 3),
+        "grid": [nx, ny, nz],
+        "steps": steps,
     }))
+
+
+def main():
+    if os.environ.get("BENCH_ONE"):
+        run_one()
+        return
+    ladder = os.environ.get(
+        "BENCH_LADDER",
+        "256,256,256;192,192,192;128,128,128;96,96,96;64,64,64").split(";")
+    timeout = int(os.environ.get("BENCH_TIMEOUT", "420"))
+    for grid in ladder:
+        env = dict(os.environ, BENCH_ONE="1", BENCH_GRID=grid)
+        try:
+            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                 env=env, capture_output=True, text=True,
+                                 timeout=timeout)
+        except subprocess.TimeoutExpired:
+            continue
+        for line in out.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{") and "metric" in line:
+                print(line)
+                return
+    print(json.dumps({"metric": "yee_cell_updates_3d_pml_fp32",
+                      "value": 0.0, "unit": "GCells/s", "vs_baseline": 0.0,
+                      "error": "all grid sizes failed"}))
 
 
 if __name__ == "__main__":

@@ -29,3 +29,10 @@ from .analysis.harminv import Harminv, harminv
 inf = float("inf")
 
 __version__ = "0.1.0"
+
+from .models.run_control import (at_every, at_beginning, at_end,
+                                 during_sources, in_volume,
+                                 stop_when_fields_decayed,
+                                 stop_when_dft_decayed, output_field,
+                                 output_efield_z, output_epsilon)
+from .utils.visualization import plot2D, Animate2D

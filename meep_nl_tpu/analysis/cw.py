@@ -1,0 +1,133 @@
+"""Frequency-domain CW solver (analog of src/cw_fields.cpp:142 solve_cw +
+src/bicgstab.cpp).
+
+The steady state of a CW-driven linear system satisfies
+    x_{n+1} = A x_n + b   with   x_{n+1} = lambda x_n,  lambda = e^{-i w dt}
+i.e. the linear system (A - lambda I) x = -b, where A is ONE timestep with
+sources off (a pure linear operator on the complex field state) and b is one
+timestep applied to the zero state with sources on.  The reference builds the
+same operator out of fields::step and solves with BiCGSTAB(L); here the
+operator is the jitted step and the solver is a pytree-valued BiCGSTAB
+running entirely on device (dot products are the reference's sum_to_all
+reductions, performed by XLA).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..stepper.plan import Plan
+from ..stepper.step import build_xs, init_state, make_step
+
+
+def _tree_dot(a, b):
+    leaves = jax.tree.leaves(jax.tree.map(
+        lambda x, y: jnp.sum(jnp.conj(x) * y), a, b))
+    return sum(leaves)
+
+
+def _tree_axpy(alpha, x, y):
+    return jax.tree.map(lambda xi, yi: alpha * xi + yi, x, y)
+
+
+def _tree_scale(alpha, x):
+    return jax.tree.map(lambda xi: alpha * xi, x)
+
+
+def bicgstab_tree(op: Callable, b, x0, tol: float = 1e-8,
+                  max_iters: int = 2000):
+    """Unpreconditioned BiCGSTAB on pytree vectors (bicgstab.cpp analog)."""
+    r0 = jax.tree.map(lambda bi, axi: bi - axi, b, op(x0))
+    rhat = r0
+
+    def norm(v):
+        return jnp.sqrt(jnp.abs(_tree_dot(v, v)))
+
+    bnorm = norm(b)
+
+    def cond(carry):
+        x, r, p, v, rho, alpha, omega, k = carry
+        return jnp.logical_and(k < max_iters, norm(r) > tol * bnorm)
+
+    def body(carry):
+        x, r, p, v, rho, alpha, omega, k = carry
+        rho1 = _tree_dot(rhat, r)
+        beta = (rho1 / rho) * (alpha / omega)
+        p = _tree_axpy(beta, _tree_axpy(-omega, v, p), r)
+        v = op(p)
+        alpha = rho1 / _tree_dot(rhat, v)
+        s = _tree_axpy(-alpha, v, r)
+        t = op(s)
+        omega = _tree_dot(t, s) / _tree_dot(t, t)
+        x = _tree_axpy(alpha, p, _tree_axpy(omega, s, x))
+        r = _tree_axpy(-omega, t, s)
+        return (x, r, p, v, rho1, alpha, omega, k + 1)
+
+    one = jnp.asarray(1.0 + 0j, jnp.complex64)
+    zeros = jax.tree.map(jnp.zeros_like, b)
+    carry = (x0, r0, zeros, zeros, one, one, one, jnp.asarray(0))
+    carry = jax.lax.while_loop(cond, body, carry)
+    x, r = carry[0], carry[1]
+    return x, norm(r) / bnorm, carry[7]
+
+
+def solve_cw(plan: Plan, freq: float, tol: float = 1e-6,
+             max_iters: int = 2000, m: int = 8) -> Dict[str, Any]:
+    """Solve for the complex steady-state fields at `freq` (solve_cw,
+    cw_fields.cpp:142).  Requires plan.complex_fields.
+
+    Uses the m-step operator (A^m - lambda^m): the one-step operator's
+    spectrum hugs the unit circle (unitary propagation), which stalls
+    unpreconditioned Krylov; m steps per application widens the spectral
+    gaps --- the TPU-friendly stand-in for the reference's BiCGSTAB(L)
+    polynomial smoothing (bicgstab.cpp L=2)."""
+    if not plan.complex_fields:
+        raise ValueError("solve_cw needs complex fields "
+                         "(compile_plan(complex_fields=True))")
+    step = make_step(plan)
+    xs_m = build_xs(plan, m, 0)
+    xs0 = {k: jnp.zeros_like(v[0]) for k, v in xs_m.items()}
+    lam_m = jnp.exp(-2j * np.pi * freq * plan.dt * m).astype(jnp.complex64)
+
+    z0 = init_state(plan)
+    # the full linear substate: fields plus every auxiliary (PML fu/fcnd/W,
+    # polarization P/P_prev) --- they are all part of the one-step linear
+    # recurrence (the reference instead eliminates W algebraically via
+    # set_solve_cw_omega, meep.hpp:1569)
+    LIN_KEYS = ("f", "f_u", "f_cond", "f_w", "pol")
+
+    def pack(state):
+        return {k: state[k] for k in LIN_KEYS}
+
+    def unpack(x):
+        return {**z0, **x}
+
+    @jax.jit
+    def op(x, C):
+        """(A^m - lambda^m) x : m sourceless steps minus the phase advance."""
+        s = unpack(x)
+        for _ in range(m):
+            s = step(s, xs0, C)
+        return jax.tree.map(lambda a, b: a - lam_m * b, pack(s), x)
+
+    @jax.jit
+    def rhs(C):
+        """-(m driven steps from zero): the source contribution, with the
+        per-substep time phases from build_xs."""
+        s = z0
+        for j in range(m):
+            s = step(s, {k: v[j] for k, v in xs_m.items()}, C)
+        return jax.tree.map(lambda a: -a, pack(s))
+
+    C = plan.coefs
+    b = rhs(C)
+    x0 = jax.tree.map(jnp.zeros_like, b)
+    x, relres, iters = bicgstab_tree(partial(op, C=C), b, x0, tol=tol,
+                                     max_iters=max_iters)
+    return {**x, "relres": float(jax.device_get(relres)),
+            "iters": int(jax.device_get(iters))}

@@ -541,61 +541,117 @@ class Simulation:
     def run(self, *step_funcs, until=None, until_after_sources=None):
         """Run the simulation (simulation.py:4502 / _run_until:2795).
 
-        Step functions supported: `after_sources(Harminv(...))` and bare
-        `Harminv` instances (collected via scan-emitted probe series, not a
-        per-step host callback)."""
+        Supports the step-function DSL (models.run_control): at_every /
+        at_beginning / at_end / after_sources(...) / bare callables, Harminv
+        collectors (scan-emitted probes), and stop-condition objects for
+        `until` (stop_when_fields_decayed / stop_when_dft_decayed)."""
+        from . import run_control as RC
         self.init_sim()
+        sf = RC.parse_step_funcs(step_funcs)
         last_src = max((s.src.last_time() for s in self.sources), default=0.0)
-        if until_after_sources is not None:
+
+        stop_cond = None
+        if until_after_sources is not None and not isinstance(
+                until_after_sources, (int, float)):
+            stop_cond = until_after_sources
+            t_end = None
+            t_min = last_src
+        elif until_after_sources is not None:
             t_end = last_src + until_after_sources
-        elif until is not None:
-            t_end = self._t * self.dt + until
-        else:
+            t_min = 0.0
+        elif until is None:
             raise ValueError("run() needs until= or until_after_sources=")
-        nsteps = max(0, int(round(t_end / self.dt)) - self._t)
+        elif isinstance(until, (int, float)):
+            t_end = self._t * self.dt + until
+            t_min = 0.0
+        else:
+            stop_cond = until
+            t_end = None
+            t_min = 0.0
 
-        # collect Harminv-style collectors
-        from ..analysis.harminv import Harminv
-        collectors = []       # (harminv, only_after_sources)
-        for sf in step_funcs:
-            if isinstance(sf, tuple) and sf and sf[0] == "after_sources":
-                for fn in sf[1]:
-                    if isinstance(fn, Harminv):
-                        collectors.append((fn, True))
-            elif isinstance(sf, Harminv):
-                collectors.append((sf, False))
+        for fn in sf.begin:
+            fn(self)
 
-        if not collectors:
-            if nsteps:
-                self._state = S.run(self._plan, self._state, nsteps,
-                                    t0=self._t)
-                self._t += nsteps
-            return
-
+        # probes for collectors
         probes = []
-        for i, (h, _) in enumerate(collectors):
+        for i, (h, _) in enumerate(sf.collectors):
             pts = self.gv.interp_weights(h.c, _vec_to_axes(self.gv, h.pt))
             idx = np.array([p for p, w in pts], np.int32)
             ws = np.array([w for p, w in pts])
             probes.append(S.ProbeSpec(f"hm{i}", h.c, idx, ws))
+        series = {p.name: [] for p in probes}
+        collect_from_step = {}
+        for i, (h, after) in enumerate(sf.collectors):
+            collect_from_step[f"hm{i}"] = (int(round(last_src / self.dt))
+                                           if after else 0)
 
-        n_src = max(0, min(nsteps, int(round(last_src / self.dt)) - self._t))
-        n_after = nsteps - n_src
-        if any(after for _, after in collectors):
-            if n_src:
-                self._state = S.run(self._plan, self._state, n_src, t0=self._t)
-                self._t += n_src
-            if n_after:
-                self._state, ys = S.run(self._plan, self._state, n_after,
-                                        t0=self._t, probes=probes)
-                self._t += n_after
+        # choose block size: smallest callback interval or the whole run
+        intervals = [iv for iv, _ in sf.every if iv > 0]
+        if stop_cond is not None:
+            intervals.append(getattr(stop_cond, "dt", 4.0))
+        need_blocks = bool(intervals or sf.every or stop_cond is not None)
+        if t_end is not None:
+            total_steps = max(0, int(round(t_end / self.dt)) - self._t)
         else:
+            total_steps = None
+
+        if not need_blocks:
+            # single fused scan (fast path)
+            if total_steps:
+                self._run_steps(total_steps, probes, series)
+            self._finish_collectors(sf, series)
+            for fn in sf.end:
+                fn(self)
+            return
+
+        block_t = min(intervals) if intervals else 4.0
+        block_steps = max(1, int(round(block_t / self.dt)))
+        last_fire = {id(fn): self.meep_time() for _, fn in sf.every}
+        max_steps = total_steps if total_steps is not None else 10 ** 9
+        done = 0
+        while done < max_steps:
+            n = min(block_steps, max_steps - done)
+            self._run_steps(n, probes, series)
+            done += n
+            now = self.meep_time()
+            for iv, fn in sf.every:
+                if iv <= 0 or now - last_fire[id(fn)] >= iv - 1e-9:
+                    fn(self)
+                    last_fire[id(fn)] = now
+            if now > last_src:
+                for fn in sf.after_sources_fns:
+                    fn(self)
+                    sf.after_sources_fns = []
+                    break
+            if stop_cond is not None and now >= t_min and stop_cond.check(self):
+                break
+        self._finish_collectors(sf, series)
+        for fn in sf.end:
+            fn(self)
+
+    def _run_steps(self, nsteps, probes, series):
+        if probes:
             self._state, ys = S.run(self._plan, self._state, nsteps,
                                     t0=self._t, probes=probes)
-            self._t += nsteps
-        for i, (h, _) in enumerate(collectors):
-            series = np.asarray(ys[f"hm{i}"])
-            h._collect(series, self.dt)
+            for k in series:
+                series[k].append(np.asarray(ys[k]))
+        else:
+            self._state = S.run(self._plan, self._state, nsteps, t0=self._t)
+        self._t += nsteps
+
+    def _finish_collectors(self, sf, series):
+        for i, (h, after) in enumerate(sf.collectors):
+            chunks = series.get(f"hm{i}", [])
+            if not chunks:
+                continue
+            data = np.concatenate(chunks)
+            if after:
+                last_src = max((s.src.last_time() for s in self.sources),
+                               default=0.0)
+                n_skip = max(0, int(round(last_src / self.dt))
+                             - (self._t - len(data)))
+                data = data[n_skip:]
+            h._collect(data, self.dt)
             h._analyze()
 
     def step(self, nsteps: int = 1):
@@ -654,6 +710,24 @@ class Simulation:
     @property
     def plan(self):
         return self._plan
+
+    def solve_cw(self, tol=1e-6, maxiters=2000, freq=None):
+        """Frequency-domain steady-state solve (solve_cw,
+        cw_fields.cpp:142).  Uses the CW source frequency by default;
+        requires force_complex_fields=True."""
+        from ..analysis.cw import solve_cw as _solve
+        self.init_sim()
+        if freq is None:
+            freqs = [s.src.frequency for s in self.sources
+                     if hasattr(s.src, "frequency")]
+            if not freqs:
+                raise ValueError("solve_cw needs a source frequency")
+            freq = freqs[0]
+        out = _solve(self._plan, freq, tol=tol, max_iters=maxiters)
+        for k in ("f", "f_u", "f_cond", "f_w", "pol"):
+            if k in out:
+                self._state = {**self._state, k: out[k]}
+        return out
 
     # ---------------------------------------------------------- checkpoint
     def dump(self, path: str):

@@ -459,6 +459,24 @@ def compile_plan(
     eh_h = make_eh_specs("h")
 
     # ------- susceptibilities ------------------------------------------------
+    # discrete-ADE sampling guard: the leapfrog Lorentzian update's poles
+    # leave the unit circle when (2 pi f0 dt) >= 2 (cf. the reference's
+    # lorentzian_unstable check, susceptibility.cpp:160, disabled there as
+    # "too conservative" --- at fp32 the margin matters)
+    import warnings as _warnings
+    for p in mat.pols:
+        W = 2 * math.pi * p.omega0 * dt
+        if W >= 2.0:
+            raise ValueError(
+                f"susceptibility pole at f0={p.omega0} is unstable at this "
+                f"resolution (2 pi f0 dt = {W:.2f} >= 2); raise the "
+                "resolution, use dtype=float64, or drop far-UV poles into "
+                "epsilon")
+        if W > 1.2 and dtype == np.float32:
+            _warnings.warn(
+                f"susceptibility pole at f0={p.omega0}: 2 pi f0 dt = "
+                f"{W:.2f} is marginal at fp32; consider higher resolution "
+                "or float64", stacklevel=2)
     pol_e = [p for p in mat.pols if p.field_type == "e"]
     pol_h = [p for p in mat.pols if p.field_type == "h"]
     for pi, p in enumerate(mat.pols):
