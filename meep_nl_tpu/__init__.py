@@ -36,3 +36,5 @@ from .models.run_control import (at_every, at_beginning, at_end,
                                  stop_when_dft_decayed, output_field,
                                  output_efield_z, output_epsilon)
 from .utils.visualization import plot2D, Animate2D
+
+CYLINDRICAL = "cyl"

@@ -190,8 +190,11 @@ class GridVolume:
             raise ValueError(f"size must have {len(axes)} entries for {dim}")
         num = tuple(int(round(s * resolution)) for s in size)
         if origin is None:
-            # center the cell on the origin, like meep's vol2d/vol3d
-            origin = tuple(-n / (2 * resolution) for n in num)
+            # center the cell on the origin, like meep's vol2d/vol3d;
+            # cylindrical cells start at the axis r=0 (volcyl)
+            origin = tuple(
+                0.0 if (dim == "cyl" and d == R) else -n / (2 * resolution)
+                for d, n in zip(axes, num))
         return GridVolume(dim, axes, num, float(resolution), tuple(origin))
 
     # -- basic metrics ------------------------------------------------------
@@ -291,8 +294,12 @@ class GridVolume:
             zero_here = (d_c != d) if ft_e else (d_c == d)
             if zero_here:
                 idx = [slice(None)] * self.ndim
-                idx[ax] = 0
-                m[tuple(idx)] = 0.0
+                # cylindrical: the low-r side is the axis, not a metal wall
+                at_axis = (self.dim == "cyl" and d == R
+                           and abs(self.origin[ax]) < 1e-12)
+                if not at_axis:
+                    idx[ax] = 0
+                    m[tuple(idx)] = 0.0
                 idx[ax] = self.num[ax]
                 m[tuple(idx)] = 0.0
         return m

@@ -117,6 +117,7 @@ class Simulation:
                  eps_averaging: bool = True,
                  subpixel_n: int = 3,
                  force_all_components: bool = False,
+                 m: float = 0,
                  dtype=np.float32):
         self.cell_size = _v3(cell_size)
         self.resolution = float(resolution)
@@ -130,6 +131,7 @@ class Simulation:
         self.eps_averaging = eps_averaging
         self.subpixel_n = subpixel_n
         self.force_all_components = force_all_components
+        self.m = m
         self.dtype = dtype
 
         # infer dimensionality (meep: z-only -> 1d; z==0 -> 2d)
@@ -140,7 +142,7 @@ class Simulation:
         elif dimensions in (None, 2) and cs.z == 0 and cs.x > 0 and cs.y > 0:
             self.dim = "2d"
             size = [cs.x, cs.y]
-        elif dimensions == -2 or dimensions == "cyl":
+        elif dimensions == -2 or dimensions == "cyl" or dimensions == "CYLINDRICAL":
             self.dim = "cyl"
             size = [cs.x, cs.z]
         else:
@@ -263,7 +265,7 @@ class Simulation:
             sources=srcs, dfts=self._dft_specs, courant=self.courant,
             dtype=self.dtype,
             complex_fields=True if self.force_complex_fields else None,
-            live_e=live_e, live_h=live_h)
+            live_e=live_e, live_h=live_h, m=self.m)
         self._state = S.init_state(self._plan)
 
     # -------------------------------------------------------------- monitors

@@ -116,6 +116,14 @@ def volume_region_weights(gv: G.GridVolume, center: Sequence[float],
     w_full = axis_w[0]
     for w in axis_w[1:]:
         w_full = np.multiply.outer(w_full, w)
+    if gv.dim == "cyl":
+        # cylindrical integration measure 2 pi r (loop_in_chunks.cpp:508-512)
+        rax = gv.axis_of("r")
+        r_cent = gv.origin[rax] + (np.arange(region[rax][0],
+                                             region[rax][1]) + 0.5) * gv.dx
+        shape = [1] * len(axis_w)
+        shape[rax] = -1
+        w_full = w_full * (2 * np.pi * np.abs(r_cent)).reshape(shape)
     return tuple(region), w_full, dv
 
 
@@ -140,7 +148,11 @@ def flux_specs(gv: G.GridVolume, name: str, normal: str,
     `live` restricts to components actually stepped (e.g. TM-only runs), so
     monitors don't pull dead polarizations into the live set."""
     region, w_full, dv = volume_region_weights(gv, center, size)
-    cE, cH = _FLUX_PAIRS[normal]
+    if gv.dim == "cyl" and normal == "z":
+        # Sz in cylindrical: E=(Er,Ep), H=(Hp,Hr)  (dft.cpp:606)
+        cE, cH = ("er", "ep"), ("hp", "hr")
+    else:
+        cE, cH = _FLUX_PAIRS[normal]
     freqs = np.asarray(freqs, dtype=np.float64)
     specs = []
     ones = np.ones_like(w_full)

@@ -140,6 +140,13 @@ class CurlSpec:
     dsig_axis: Optional[int]  # PML direction cycle(d_c,1) if sigma there
     dsigu_axis: Optional[int]
     has_cond: bool
+    # --- cylindrical extras (step_db.cpp:86-294) ---
+    #: the curl partner whose phi-derivative becomes the i*m/r term, and the
+    #: sign it enters the curl with (+ for the plus slot, - for minus)
+    phi_comp: Optional[str] = None
+    phi_sign: float = 0.0
+    #: z components: the radial derivative is (1/r) d(r g)/dr
+    r_weighted: bool = False
 
 
 @dataclasses.dataclass
@@ -188,6 +195,8 @@ class Plan:
     have_fmp_e: bool
     have_fmp_h: bool
     coefs: Dict[str, Any]                # jnp arrays (filled by compile_plan)
+    #: cylindrical azimuthal number (exp(i m phi) dependence); 0 otherwise
+    m: float = 0.0
 
     @property
     def dt(self) -> float:
@@ -285,9 +294,11 @@ def compile_plan(
     live_e: Optional[Sequence[str]] = None,
     live_h: Optional[Sequence[str]] = None,
     pad_to_multiple: Any = 1,
+    m: float = 0.0,
 ) -> Plan:
     import jax.numpy as jnp
 
+    mm = m
     ndim = gv.ndim
     if isinstance(pad_to_multiple, int):
         pad_to_multiple = (pad_to_multiple,) * ndim
@@ -311,7 +322,8 @@ def compile_plan(
         for ax, k in enumerate(bloch_k)
     )
     if complex_fields is None:
-        complex_fields = any(abs(ph - 1.0) > 1e-12 for ph in bloch_phase)
+        complex_fields = any(abs(ph - 1.0) > 1e-12 for ph in bloch_phase) \
+            or (gv.dim == "cyl" and mm != 0)
 
     dt = courant * gv.dx
     dtdx = courant
@@ -346,16 +358,42 @@ def compile_plan(
     # ------- masks ---------------------------------------------------------
     for c in list(live_e) + list(live_h) + ["d" + c[1] for c in live_e] + \
             ["b" + c[1] for c in live_h]:
-        m = gv.metal_mask(c, periodic)
+        mk = gv.metal_mask(c, periodic)
         # periodic axes: ghost plane N is dead
         for ax in range(ndim):
             if periodic[ax]:
                 idx = [slice(None)] * ndim
                 idx[ax] = gv.num[ax]
-                m[tuple(idx)] = 0.0
-        put(f"mask:{c}", m, fill="zero")
+                mk[tuple(idx)] = 0.0
+        if gv.dim == "cyl" and abs(gv.origin[gv.axis_of(G.R)]) < 1e-12:
+            # r=0 axis conditions (step_db.cpp:296-457): zero the components
+            # the reference zeroes per m; |m|>=2 additionally zeroes the
+            # first |m| rings for numerical stability (the zero-near-origin
+            # hack documented at step_db.cpp:414-436)
+            rax = gv.axis_of(G.R)
+            d_c = G.component_direction(c)
+            ftc = c[0]
+            zero_rings = 0
+            if mm == 0:
+                if (ftc in "de" and d_c == G.P) or \
+                        (ftc in "bh" and d_c == G.R):
+                    zero_rings = 1
+            elif abs(mm) == 1:
+                if (ftc in "de" and d_c == G.Z):
+                    zero_rings = 1
+            else:
+                if (ftc in "de" and d_c in (G.P, G.Z)) or \
+                        (ftc in "bh" and d_c == G.R):
+                    zero_rings = int(abs(mm))
+            if zero_rings and G.yee_shift(c, gv.dim)[G.R] == 0:
+                idx = [slice(None)] * ndim
+                idx[rax] = slice(0, zero_rings)
+                mk[tuple(idx)] = 0.0
+        put(f"mask:{c}", mk, fill="zero")
 
     # ------- curl (step_db) specs ------------------------------------------
+    is_cyl = gv.dim == "cyl"
+
     def make_curl_specs(ft: str) -> List[CurlSpec]:
         specs = []
         live = live_e if ft == "d" else live_h
@@ -370,6 +408,32 @@ def compile_plan(
             cnd = mat.cond.get(c)
             has_cond = cnd is not None
             ys = G.yee_shift(c, gv.dim)
+            # cylindrical: pull phi-derivative partners out of the curl plan
+            # (the i*m/r terms, step_db.cpp:178) and mark the z component's
+            # (1/r) d(r g)/dr radial derivative (step_db.cpp:94-119)
+            phi_comp, phi_sign, r_weighted = None, 0.0, False
+            if is_cyl:
+                if plan.plus is not None and plan.plus_dir == G.P:
+                    phi_comp, phi_sign = plan.plus, +1.0
+                    plan = dataclasses.replace(plan, plus=None, plus_dir=None)
+                if plan.minus is not None and plan.minus_dir == G.P:
+                    phi_comp, phi_sign = plan.minus, -1.0
+                    plan = dataclasses.replace(plan, minus=None, minus_dir=None)
+                if d_c == G.Z:
+                    r_weighted = True
+                # r coordinate vectors at this component's sites and at the
+                # radial-partner's sites
+                r_f = gv.comp_coords(c, gv.axis_of(G.R))
+                rinv = np.where(np.abs(r_f) > 1e-12, 1.0 / np.where(
+                    np.abs(r_f) > 1e-12, r_f, 1.0), 0.0)
+                if mm != 0 and phi_comp is not None:
+                    # i*m/r coefficient (times dx; dtdx multiplies later)
+                    put(f"{c}:imr", _bcast(mm * gv.dx * rinv, gv.axis_of(G.R),
+                                           ndim))
+                if r_weighted and plan.plus is not None:
+                    r_g = gv.comp_coords(plan.plus, gv.axis_of(G.R))
+                    put(f"{c}:rg", _bcast(r_g, gv.axis_of(G.R), ndim))
+                    put(f"{c}:rfinv", _bcast(rinv, gv.axis_of(G.R), ndim))
             if dsig_axis is not None:
                 d = gv.axes[dsig_axis]
                 sh = ys[d]
@@ -394,7 +458,8 @@ def compile_plan(
                 g_minus=plan.minus,
                 minus_axis=gv.axis_of(plan.minus_dir) if plan.minus else None,
                 is_d=(ft == "d"),
-                dsig_axis=dsig_axis, dsigu_axis=dsigu_axis, has_cond=has_cond))
+                dsig_axis=dsig_axis, dsigu_axis=dsigu_axis, has_cond=has_cond,
+                phi_comp=phi_comp, phi_sign=phi_sign, r_weighted=r_weighted))
         return specs
 
     curl_d = make_curl_specs("d")
@@ -514,7 +579,7 @@ def compile_plan(
         pol_specs_e=pol_e, pol_specs_h=pol_h,
         sources=list(sources), dfts=list(dfts),
         have_fmp_e=have_fmp_e, have_fmp_h=have_fmp_h,
-        coefs=coefs)
+        coefs=coefs, m=mm)
 
 
 def _infer_live(gv: G.GridVolume, mat: MaterialSpec, sources, dfts, ft: str

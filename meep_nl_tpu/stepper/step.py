@@ -94,11 +94,15 @@ def init_state(plan: Plan) -> Dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 
-def _curl(plan: Plan, spec: CurlSpec, f: Dict[str, Any]) -> jnp.ndarray:
+def _curl(plan: Plan, spec: CurlSpec, f: Dict[str, Any],
+          C: Optional[Dict[str, Any]] = None) -> jnp.ndarray:
     """dfl such that the no-PML update is f += dfl (step_generic.cpp:39-67).
 
     D components: +Courant * (bwd-diff g_plus - bwd-diff g_minus)
     B components: -Courant * (fwd-diff g_plus - fwd-diff g_minus)
+
+    Cylindrical (step_db.cpp:86-294): phi-derivatives become i*m/r
+    multiplies; the z component's radial derivative is (1/r) d(r g)/dr.
     """
     dtdx = plan.courant
 
@@ -110,11 +114,23 @@ def _curl(plan: Plan, spec: CurlSpec, f: Dict[str, Any]) -> jnp.ndarray:
     sgn = 1.0 if spec.is_d else -1.0
     total = None
     if spec.g_plus is not None:
-        total = diff(f[spec.g_plus], spec.plus_axis)
+        if spec.r_weighted:
+            # (1/r) d(r g)/dr discretized on the staggered lattice
+            rg = C[f"{spec.c}:rg"] * f[spec.g_plus]
+            total = C[f"{spec.c}:rfinv"] * diff(rg, spec.plus_axis)
+        else:
+            total = diff(f[spec.g_plus], spec.plus_axis)
     if spec.g_minus is not None:
         t2 = diff(f[spec.g_minus], spec.minus_axis)
         total = -t2 if total is None else total - t2
-    return sgn * dtdx * total
+    out = 0.0 if total is None else sgn * dtdx * total
+    if spec.phi_comp is not None and plan.m != 0:
+        # i*m/r phi-derivative term; the sign carries the curl slot and the
+        # D/B orientation like the finite-difference terms
+        term = (1j * spec.phi_sign * sgn * dtdx) * C[f"{spec.c}:imr"] \
+            * f[spec.phi_comp]
+        out = out + term
+    return out
 
 
 def _curl_update(plan: Plan, C: Dict[str, Any], spec: CurlSpec,
@@ -125,7 +141,7 @@ def _curl_update(plan: Plan, C: Dict[str, Any], spec: CurlSpec,
     chain: dfl -> [cond: fcnd aux] -> [dsig: f or fu] -> [dsigu: f]."""
     c = spec.c
     f = state["f"][c]
-    dfl = _curl(plan, spec, state["f"])
+    dfl = _curl(plan, spec, state["f"], C)
     dt = plan.dt
     new_state = state
 
@@ -374,13 +390,15 @@ def _compute_fmp(plan: Plan, C: Dict[str, Any], ft: str,
             dc = ft2 + s.component[1]
             if dc not in fmp:
                 continue
-            key = f"src{si}:dip"
+            key = f"src{si}:dip_re"
             if key not in xs:
                 continue
-            amp = C[f"src{si}:amp_re"] + 1j * C[f"src{si}:amp_im"]
-            contrib = xs[key] * amp
-            if not plan.complex_fields:
-                contrib = contrib.real
+            w_re, w_im = xs[key], xs[f"src{si}:dip_im"]
+            a_re, a_im = C[f"src{si}:amp_re"], C[f"src{si}:amp_im"]
+            if plan.complex_fields:
+                contrib = (w_re + 1j * w_im) * (a_re + 1j * a_im)
+            else:
+                contrib = w_re * a_re - w_im * a_im
             idx = C[f"src{si}:idx"]
             fmp[dc] = fmp[dc].at[tuple(idx.T)].add(-contrib)
     return fmp
@@ -396,17 +414,21 @@ def _apply_sources(plan: Plan, C: Dict[str, Any], ft2: str,
         ftc = "d" if s.component[0] == "e" else "b"
         if ftc != ft2 or s.is_integrated:
             continue
-        key = f"src{si}:cur"
+        key = f"src{si}:cur_re"
         if key not in xs:
             continue
         dc = ft2 + s.component[1]
         if dc not in f:
             continue
-        amp = C[f"src{si}:amp_re"] + 1j * C[f"src{si}:amp_im"]
-        A = xs[key] * amp * dt
+        w_re, w_im = xs[key], xs[f"src{si}:cur_im"]
+        a_re, a_im = C[f"src{si}:amp_re"], C[f"src{si}:amp_im"]
+        if plan.complex_fields:
+            A = (w_re + 1j * w_im) * (a_re + 1j * a_im) * dt
+        else:
+            A = (w_re * a_re - w_im * a_im) * dt
         if f"src{si}:cndinv" in C:
             A = A * C[f"src{si}:cndinv"]
-        contrib = A if plan.complex_fields else A.real
+        contrib = A
         idx = C[f"src{si}:idx"]
         f[dc] = f[dc].at[tuple(idx.T)].add(-contrib)
     return {**state, "f": f}
@@ -427,7 +449,7 @@ def _dft_update(plan: Plan, C: Dict[str, Any], state: Dict[str, Any],
                 xs: Dict[str, Any]) -> Dict[str, Any]:
     dft = dict(state["dft"])
     for mi, m in enumerate(plan.dfts):
-        key = f"dft{mi}:ph"
+        key = f"dft{mi}:ph_re"
         if key not in xs:
             continue
         if m.centered:
@@ -437,9 +459,64 @@ def _dft_update(plan: Plan, C: Dict[str, Any], state: Dict[str, Any],
         sl = tuple(slice(a, b) for a, b in m.region)
         fv = favg[sl]
         w = C[f"dft{mi}:w"]
-        ph = xs[key]  # (nfreq,) complex, already includes scale/decimation
+        # (nfreq,) phase recombined from real tables (tunnel workaround)
+        ph = xs[key] + 1j * xs[f"dft{mi}:ph_im"]
         dft[m.name] = dft[m.name] + (w * fv)[..., None] * ph
     return {**state, "dft": dft}
+
+
+def _axis_specials(plan: Plan, C, ft2: str, state):
+    """Cylindrical r=0 updates that replace the singular curl terms
+    (step_db.cpp:296-457).
+
+    m=0:  d(Dz)/dt|_{r=0} = (4/dr) Hp(dr/2)  (the limit of (1/r)d(rHp)/dr)
+    |m|=1: d(Dp)/dt|_{r=0} = dHr/dz - 2 Hz(dr/2)/dr
+           d(Br)/dt|_{r=0} = dEp/dz - i m Ez(ring1)/dr
+    (other components at the axis are masked to zero by the plan)."""
+    gv = plan.gv
+    if gv.dim != "cyl" or abs(gv.origin[gv.axis_of("r")]) > 1e-12:
+        return state
+    rax = gv.axis_of("r")
+    zax = 1 - rax
+    Cc = plan.courant
+    f = dict(state["f"])
+
+    def ring(arr, i=0):
+        idx = [slice(None)] * gv.ndim
+        idx[rax] = i
+        return arr[tuple(idx)]
+
+    def set_ring(arr, val, i=0):
+        idx = [slice(None)] * gv.ndim
+        idx[rax] = i
+        return arr.at[tuple(idx)].set(val)
+
+    # NOTE: the regular curl update already ran on ring 0 (with the radial
+    # terms masked to zero or half-counted); these are the CORRECTIONS that
+    # complete it.  PML chains are bypassed on the axis ring (sigma_r = 0 on
+    # the axis; only the z-PML corner sees a slight mismatch).
+    if plan.m == 0 and ft2 == "d" and "dz" in f and "hp" in f:
+        # (1/r) d(r Hp)/dr -> (4/dr) Hp(dr/2); the masked rfinv gave 0
+        new0 = ring(f["dz"]) + 4 * Cc * ring(f["hp"])
+        f["dz"] = set_ring(f["dz"], new0)
+    elif abs(plan.m) == 1:
+        if ft2 == "d" and "dp" in f and "hz" in f:
+            # -dHz/dr at r=0: the zero-filled diff gave -Hz(dr/2)/dr; the
+            # correct antisymmetric limit is -2 Hz(dr/2)/dr: add the half
+            new0 = ring(f["dp"]) - Cc * ring(f["hz"])
+            f["dp"] = set_ring(f["dp"], new0)
+        if ft2 == "b" and "br" in f and "ez" in f:
+            # -i m Ez/r at r=0 evaluated one ring in (step_db.cpp:356)
+            ez1 = ring(f["ez"], 1)
+            new0 = ring(f["br"]) - 1j * plan.m * Cc * ez1
+            f["br"] = set_ring(f["br"], new0)
+    else:
+        return state
+    # re-apply the masks on the touched rings
+    for c in list(f):
+        if f[c] is not state["f"][c]:
+            f[c] = f[c] * C[f"mask:{c}"]
+    return {**state, "f": f}
 
 
 # ---------------------------------------------------------------------------
@@ -462,6 +539,7 @@ def make_step(plan: Plan):
         # --- B half ---------------------------------------------------------
         for spec in plan.curl_specs_b:
             state = _curl_update(plan, C, spec, state)
+        state = _axis_specials(plan, C, "b", state)
         state = _apply_sources(plan, C, "b", state, xs)
         dmp_h = _compute_fmp(plan, C, "h", state, xs) if plan.have_fmp_h else \
             {s.dc: state["f"][s.dc] for s in plan.eh_specs_h}
@@ -473,6 +551,7 @@ def make_step(plan: Plan):
         # --- D half ---------------------------------------------------------
         for spec in plan.curl_specs_d:
             state = _curl_update(plan, C, spec, state)
+        state = _axis_specials(plan, C, "d", state)
         state = _apply_sources(plan, C, "d", state, xs)
         dmp_e = _compute_fmp(plan, C, "e", state, xs) if plan.have_fmp_e else \
             {s.dc: state["f"][s.dc] for s in plan.eh_specs_e}
@@ -499,18 +578,23 @@ def build_xs(plan: Plan, nsteps: int, t0: int = 0) -> Dict[str, Any]:
     dt = plan.dt
     steps = np.arange(t0, t0 + nsteps)
     xs: Dict[str, Any] = {}
-    cdtype = np.complex64 if plan.dtype != np.float64 else np.complex128
+    # NOTE: complex64 scan inputs wedge the axon TPU tunnel on larger grids
+    # (see memory axon-tpu-tunnel-quirks); every table is split into re/im
+    # float arrays and recombined inside the step.
+    rdtype = np.float32 if plan.dtype != np.float64 else np.float64
     for si, s in enumerate(plan.sources):
         st = s.src_time
         is_h_family = s.component[0] == "h"
         if s.is_integrated:
             tt = (steps + (0.5 if is_h_family else 1.0)) * dt
-            xs[f"src{si}:dip"] = np.asarray(
-                [st.dipole(t) for t in tt], dtype=cdtype)
+            w = np.asarray([st.dipole(t) for t in tt], np.complex128)
+            xs[f"src{si}:dip_re"] = w.real.astype(rdtype)
+            xs[f"src{si}:dip_im"] = w.imag.astype(rdtype)
         else:
             tt = (steps + (0.0 if is_h_family else 0.5)) * dt
-            xs[f"src{si}:cur"] = np.asarray(
-                [st.current(t, dt) for t in tt], dtype=cdtype)
+            w = np.asarray([st.current(t, dt) for t in tt], np.complex128)
+            xs[f"src{si}:cur_re"] = w.real.astype(rdtype)
+            xs[f"src{si}:cur_im"] = w.imag.astype(rdtype)
     for mi, m in enumerate(plan.dfts):
         is_h = m.component[0] in ("h", "b")
         tE = (steps + 1) * dt
@@ -520,7 +604,8 @@ def build_xs(plan: Plan, nsteps: int, t0: int = 0) -> Dict[str, Any]:
             * (m.scale * dt / math.sqrt(2 * math.pi) * m.decimation)
         live = ((steps + 1) % m.decimation) == 0
         ph = ph * live[:, None]
-        xs[f"dft{mi}:ph"] = ph.astype(cdtype)
+        xs[f"dft{mi}:ph_re"] = ph.real.astype(rdtype)
+        xs[f"dft{mi}:ph_im"] = ph.imag.astype(rdtype)
     return {k: jnp.asarray(v) for k, v in xs.items()}
 
 
