@@ -174,16 +174,26 @@ def rasterize(gv: G.GridVolume, geometry: Sequence[GeometricObject],
                                           lambda m: m.B_conductivity)
 
     # ---- susceptibilities ----------------------------------------------------
+    from .geom import (NoisyLorentzianSusceptibility,
+                       GyrotropicLorentzianSusceptibility)
+
+    def _kind_of(sus):
+        if isinstance(sus, GyrotropicLorentzianSusceptibility):
+            return ("gyrotropic", 0.0, tuple(sus.bias))
+        if isinstance(sus, NoisyLorentzianSusceptibility):
+            return ("noisy", sus.noise_amp, (0.0, 0.0, 0.0))
+        return ("lorentzian", 0.0, (0.0, 0.0, 0.0))
+
     pols: List[PolSpec] = []
     sus_keys = {}
     for m in all_media:
         for s in m.E_susceptibilities:
-            key = (s.frequency, s.gamma, s.drude, "e")
+            key = (s.frequency, s.gamma, s.drude, "e") + _kind_of(s)
             sus_keys.setdefault(key, []).append((m, s))
         for s in m.H_susceptibilities:
-            key = (s.frequency, s.gamma, s.drude, "h")
+            key = (s.frequency, s.gamma, s.drude, "h") + _kind_of(s)
             sus_keys.setdefault(key, []).append((m, s))
-    for (f0, gam, drude, ft), pairs in sus_keys.items():
+    for (f0, gam, drude, ft, kind, namp, bias), pairs in sus_keys.items():
         sigma: Dict[Tuple[str, str], np.ndarray] = {}
         live = live_e if ft == "e" else live_h
         for c in live:
@@ -199,7 +209,8 @@ def rasterize(gv: G.GridVolume, geometry: Sequence[GeometricObject],
                        else med.H_susceptibilities)
                 sv = 0.0
                 for s in sus:
-                    if (s.frequency, s.gamma, s.drude) == (f0, gam, drude):
+                    if (s.frequency, s.gamma, s.drude) == (f0, gam, drude) \
+                            and _kind_of(s) == (kind, namp, bias):
                         sv += tuple(s.sigma_vec())[dind]
                 if sv != 0.0:
                     any_nonzero = True
@@ -209,7 +220,8 @@ def rasterize(gv: G.GridVolume, geometry: Sequence[GeometricObject],
                 sigma[(c, d_c)] = arr
         if sigma:
             pols.append(PolSpec(field_type=ft, omega0=f0, gamma=gam,
-                                sigma=sigma, drude=drude))
+                                sigma=sigma, drude=drude, kind=kind,
+                                noise_amp=namp, bias=bias))
 
     return MaterialSpec(chi1inv=chi1inv, cond=cond, chi2=chi2, chi3=chi3,
                         nr_chi2=nr_chi2, pols=pols)

@@ -317,12 +317,19 @@ def compile_plan(
     periodic = tuple(periodic) if periodic is not None else (False,) * ndim
     if bloch_k is None:
         bloch_k = (0.0,) * ndim
-    bloch_phase = tuple(
-        complex(np.exp(1j * 2 * np.pi * k * gv.size[ax])) if periodic[ax] else 1.0 + 0j
-        for ax, k in enumerate(bloch_k)
-    )
+    def _phase(ax, k):
+        if not periodic[ax]:
+            return 1.0
+        ph = complex(np.exp(1j * 2 * np.pi * k * gv.size[ax]))
+        # keep purely-real phases (k=0 or half-integer) as floats so the
+        # wrap multiply doesn't promote real fields to complex
+        if abs(ph.imag) < 1e-12:
+            return float(ph.real)
+        return ph
+
+    bloch_phase = tuple(_phase(ax, k) for ax, k in enumerate(bloch_k))
     if complex_fields is None:
-        complex_fields = any(abs(ph - 1.0) > 1e-12 for ph in bloch_phase) \
+        complex_fields = any(isinstance(ph, complex) for ph in bloch_phase) \
             or (gv.dim == "cyl" and mm != 0)
 
     dt = courant * gv.dx

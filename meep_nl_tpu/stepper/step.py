@@ -74,10 +74,20 @@ def init_state(plan: Plan) -> Dict[str, Any]:
     pol = []
     for pi, p in enumerate(plan.pol_specs_e + plan.pol_specs_h):
         comps = sorted({c for (c, d) in p.sigma if d == G.component_direction(c)})
-        pol.append({
+        entry = {
             "p": {c: zeros() for c in comps},
             "pp": {c: zeros() for c in comps},
-        })
+        }
+        if p.kind == "gyrotropic":
+            # gyrotropic media track the full P 3-vector at every component
+            # site (gyrotropy_data, susceptibility.cpp:445); the off-axis
+            # entries are carried under '#' keys (skipped by subtract_P)
+            for c in comps:
+                entry["p"][f"{c}#1"] = zeros()
+                entry["p"][f"{c}#2"] = zeros()
+                entry["pp"][f"{c}#1"] = zeros()
+                entry["pp"][f"{c}#2"] = zeros()
+        pol.append(entry)
 
     dft = {}
     for m in plan.dfts:
@@ -85,8 +95,17 @@ def init_state(plan: Plan) -> Dict[str, Any]:
         dft[m.name] = jnp.zeros(ext + (len(m.freqs),), dtype=jnp.complex64
                                 if plan.dtype != np.float64 else jnp.complex128)
 
-    return {"f": f, "f_u": f_u, "f_cond": f_cond, "f_w": f_w,
-            "pol": pol, "dft": dft, "t": jnp.zeros((), jnp.int32)}
+    out = {"f": f, "f_u": f_u, "f_cond": f_cond, "f_w": f_w,
+           "pol": pol, "dft": dft, "t": jnp.zeros((), jnp.int32)}
+    if any(p.kind == "noisy"
+           for p in plan.pol_specs_e + plan.pol_specs_h):
+        out["rng"] = jax.random.PRNGKey(plan_seed(plan))
+    return out
+
+
+def plan_seed(plan) -> int:
+    """Deterministic RNG seed (set_random_seed analog, src/random.cpp)."""
+    return getattr(plan, "_rng_seed", 12345)
 
 
 # ---------------------------------------------------------------------------
@@ -317,6 +336,121 @@ def _eh_update(plan: Plan, C: Dict[str, Any], spec: EhSpec,
 
 def _pol_update(plan: Plan, C: Dict[str, Any], pi: int, p: PolSpec,
                 state: Dict[str, Any]) -> Dict[str, Any]:
+    """Susceptibility ADE dispatch: lorentzian/drude leapfrog
+    (susceptibility.cpp:188-260), noisy variant (:317), gyrotropic
+    precession (:445)."""
+    if p.kind == "gyrotropic":
+        return _pol_update_gyro(plan, C, pi, p, state)
+    state = _pol_update_lorentzian(plan, C, pi, p, state)
+    if p.kind == "noisy" and p.noise_amp != 0.0:
+        state = _pol_add_noise(plan, C, pi, p, state)
+    return state
+
+
+def _pol_add_noise(plan: Plan, C, pi: int, p: PolSpec, state):
+    """White-noise polarization driving (noisy_lorentzian_susceptibility,
+    susceptibility.cpp:317-339): P += N(0, amp*sqrt(sigma))."""
+    dt = plan.dt
+    g2pi = 2 * math.pi * p.gamma
+    w2pi = 2 * math.pi * p.omega0
+    amp = w2pi * p.noise_amp * math.sqrt(g2pi) * dt * dt / (1 + g2pi * dt / 2)
+    key = state["rng"]
+    pol_st = state["pol"][pi]
+    new_p = dict(pol_st["p"])
+    for c in list(new_p):
+        if "#" in c:
+            continue
+        d = G.component_direction(c)
+        sig = C[f"pol{pi}:{c}:{d}"]
+        key, sub = jax.random.split(key)
+        noise = jax.random.normal(sub, new_p[c].shape,
+                                  dtype=jnp.float32)
+        if jnp.iscomplexobj(new_p[c]):
+            key, sub2 = jax.random.split(key)
+            noise = noise + 1j * jax.random.normal(sub2, new_p[c].shape,
+                                                   dtype=jnp.float32)
+        new_p[c] = new_p[c] + amp * jnp.sqrt(jnp.abs(sig)) * noise
+    pols = list(state["pol"])
+    pols[pi] = {**pol_st, "p": new_p}
+    return {**state, "pol": pols, "rng": key}
+
+
+def _pol_update_gyro(plan: Plan, C, pi: int, p: PolSpec, state):
+    """Gyrotropic Lorentzian/Drude precession
+    (gyrotropic_susceptibility::update_P, susceptibility.cpp:445-517):
+    per-site 3x3 skew-symmetric solve with bias vector b."""
+    dt = plan.dt
+    w2pidt = 2 * math.pi * p.omega0 * dt
+    g2pidt = 2 * math.pi * p.gamma * dt
+    omega0dtsqr = w2pidt * w2pidt
+    gamma1 = 1 - g2pidt / 2
+    diag = 2 - (0.0 if p.drude else omega0dtsqr)
+    pt = math.pi * dt
+    bx, by, bz = p.bias
+    # gyro tensor g[i][j] = eps_ijk b_k (skew)
+    gmat = np.array([[0.0, bz, -by], [-bz, 0.0, bx], [by, -bx, 0.0]])
+    gd = 1 + g2pidt / 2
+    gx, gy, gz = pt * bx, pt * by, pt * bz
+    invdet = 1.0 / gd / (gd * gd + gx * gx + gy * gy + gz * gz)
+    inv = np.array([
+        [invdet * (gd * gd + gx * gx), invdet * (gx * gy + gd * gz),
+         invdet * (gx * gz - gd * gy)],
+        [invdet * (gy * gx - gd * gz), invdet * (gd * gd + gy * gy),
+         invdet * (gy * gz + gd * gx)],
+        [invdet * (gz * gx + gd * gy), invdet * (gz * gy - gd * gx),
+         invdet * (gd * gd + gz * gz)]])
+    gv = plan.gv
+    pol_st = state["pol"][pi]
+    new_p = dict(pol_st["p"])
+    new_pp = dict(pol_st["pp"])
+
+    def W(c):
+        return state["f_w"].get(c, state["f"].get(c))
+
+    for c in [k for k in pol_st["p"] if "#" not in k]:
+        d0 = G.component_direction(c)
+        sgn = 1 if c[0] == "e" else -1
+        s_arr = C[f"pol{pi}:{c}:{d0}"]
+        d1 = G.cycle_direction(gv.dim, d0, 1)
+        d2 = G.cycle_direction(gv.dim, d0, 2)
+        i0 = "xyz".index(d0)
+        i1 = "xyz".index(d1)
+        i2 = "xyz".index(d2)
+        ax_own = gv.axis_of(d0)
+        w0 = W(c)
+        c1 = c[0] + d1
+        c2 = c[0] + d2
+        w1 = W(c1)
+        w2 = W(c2)
+        drive1 = 0.0
+        drive2 = 0.0
+        if w1 is not None and gv.has_direction(d1):
+            drive1 = omega0dtsqr * s_arr * _avg4(plan, w1, ax_own,
+                                                gv.axis_of(d1), sgn)
+        if w2 is not None and gv.has_direction(d2):
+            drive2 = omega0dtsqr * s_arr * _avg4(plan, w2, ax_own,
+                                                gv.axis_of(d2), sgn)
+        p0, p1v, p2v = (pol_st["p"][c], pol_st["p"][f"{c}#1"],
+                        pol_st["p"][f"{c}#2"])
+        pp0, pp1, pp2 = (pol_st["pp"][c], pol_st["pp"][f"{c}#1"],
+                         pol_st["pp"][f"{c}#2"])
+        r0 = diag * p0 - gamma1 * pp0 + omega0dtsqr * s_arr * w0 \
+            - pt * gmat[i0][i1] * pp1 - pt * gmat[i0][i2] * pp2
+        r1 = diag * p1v - gamma1 * pp1 + drive1 \
+            - pt * gmat[i1][i0] * pp0 - pt * gmat[i1][i2] * pp2
+        r2 = diag * p2v - gamma1 * pp2 + drive2 \
+            - pt * gmat[i2][i1] * pp1 - pt * gmat[i2][i0] * pp0
+        new_pp[c], new_pp[f"{c}#1"], new_pp[f"{c}#2"] = p0, p1v, p2v
+        new_p[c] = inv[i0][i0] * r0 + inv[i0][i1] * r1 + inv[i0][i2] * r2
+        new_p[f"{c}#1"] = inv[i1][i0] * r0 + inv[i1][i1] * r1 + inv[i1][i2] * r2
+        new_p[f"{c}#2"] = inv[i2][i0] * r0 + inv[i2][i1] * r1 + inv[i2][i2] * r2
+    pols = list(state["pol"])
+    pols[pi] = {"p": new_p, "pp": new_pp}
+    return {**state, "pol": pols}
+
+
+def _pol_update_lorentzian(plan: Plan, C: Dict[str, Any], pi: int, p: PolSpec,
+                state: Dict[str, Any]) -> Dict[str, Any]:
     """Lorentzian/Drude ADE leapfrog (susceptibility.cpp:188-260)."""
     dt = plan.dt
     w2pi = 2 * math.pi * p.omega0
@@ -381,6 +515,8 @@ def _compute_fmp(plan: Plan, C: Dict[str, Any], ft: str,
     for k, p in enumerate(pol_specs):
         pi = pol_off + k
         for c, parr in state["pol"][pi]["p"].items():
+            if "#" in c:
+                continue  # gyrotropic off-axis P entries are internal
             dc = ft2 + c[1]
             if dc in fmp:
                 fmp[dc] = fmp[dc] - parr
