@@ -155,6 +155,8 @@ class Simulation:
         self._plan = None
         self._state = None
         self._t = 0   # host-side step counter (axon d2h workaround)
+        from ..utils.timing import Timers
+        self.timers = Timers()
 
     # ------------------------------------------------------------------ setup
     @property
@@ -246,13 +248,19 @@ class Simulation:
                               subpixel_n=self.subpixel_n,
                               live_e=live_e, live_h=live_h)
         pmls = []
+        absorbers = []
         for bl in self.boundary_layers:
             dirs = list(self.gv.axes) if bl.direction == ALL else [bl.direction]
             for d in dirs:
-                pmls.append(PMLSpec(d, bl.thickness, side=bl.side,
-                                    r_asymptotic=bl.r_asymptotic,
-                                    mean_stretch=bl.mean_stretch,
-                                    pml_profile_power=bl.pml_profile_power))
+                if isinstance(bl, Absorber):
+                    absorbers.append((d, bl))
+                else:
+                    pmls.append(PMLSpec(d, bl.thickness, side=bl.side,
+                                        r_asymptotic=bl.r_asymptotic,
+                                        mean_stretch=bl.mean_stretch,
+                                        pml_profile_power=bl.pml_profile_power))
+        if absorbers:
+            _apply_absorbers(self.gv, mat, absorbers, live_e, live_h)
         srcs = self._build_sources(live_e, live_h)
         srcs += getattr(self, "_extra_srcs", [])
         bloch_k = None
@@ -631,7 +639,42 @@ class Simulation:
         for fn in sf.end:
             fn(self)
 
+    def time_spent_on(self, category: str) -> float:
+        return self.timers.time_spent_on(category)
+
+    def print_times(self):
+        self.timers.print_times()
+
+    def get_array_metadata(self, component=None, center=None, size=None):
+        """(coords per axis, weights) for a get_array region
+        (array-metadata analog, meep.hpp:1863)."""
+        self.init_sim()
+        component = component or "ez"
+        c_ax = _vec_to_axes(self.gv, center if center is not None else Vector3())
+        s_ax = _vec_to_axes(self.gv, size if size is not None else Vector3())
+        coords = []
+        weights = []
+        for ax in range(self.gv.ndim):
+            cs = self.gv.comp_coords(component, ax)
+            lo = c_ax[ax] - s_ax[ax] / 2
+            hi = c_ax[ax] + s_ax[ax] / 2
+            i0 = int(np.searchsorted(cs, lo - 1e-9))
+            i1 = max(int(np.searchsorted(cs, hi + 1e-9)), i0 + 1)
+            coords.append(cs[i0:i1])
+            w = np.ones(i1 - i0)
+            if len(w) > 1:
+                w[0] = w[-1] = 0.5
+            weights.append(w * self.gv.dx if s_ax[ax] > 0 else w)
+        w_full = weights[0]
+        for w in weights[1:]:
+            w_full = np.multiply.outer(w_full, w)
+        return coords, w_full
+
     def _run_steps(self, nsteps, probes, series):
+        with self.timers.scope("stepping"):
+            return self._run_steps_inner(nsteps, probes, series)
+
+    def _run_steps_inner(self, nsteps, probes, series):
         if probes:
             self._state, ys = S.run(self._plan, self._state, nsteps,
                                     t0=self._t, probes=probes)
@@ -784,3 +827,32 @@ def after_sources(*step_funcs):
     """Marker: apply these step functions only once sources have turned off
     (simulation.py:5059 after_sources)."""
     return ("after_sources", step_funcs)
+
+
+def _apply_absorbers(gv, mat, absorbers, live_e, live_h):
+    """Scalar-conductivity absorber layers (the reference's Absorber
+    fallback: a quadratic D+B conductivity ramp instead of uPML; used where
+    PML fails, e.g. backed by dispersive media)."""
+    for d, bl in absorbers:
+        ax = gv.axis_of(d)
+        lo = gv.origin[ax]
+        hi = lo + gv.size[ax]
+        sides = [-1, +1] if bl.side == 0 else [bl.side]
+        # strength calibrated like PML: -ln(R)/(2 * thickness * mean)
+        strength = -np.log(bl.r_asymptotic) / (2.0 * bl.thickness) / 2.0
+        for c in list(live_e) + list(live_h):
+            key = ("d" if c[0] == "e" else "b") + c[1]
+            coords = gv.comp_coords(key, ax)
+            prof = np.zeros(len(coords))
+            for side in sides:
+                edge = lo if side < 0 else hi
+                depth = np.maximum(0.0, bl.thickness - np.abs(coords - edge))
+                u = depth / bl.thickness
+                prof = np.maximum(prof, strength * u ** bl.pml_profile_power)
+            shape = [1] * gv.ndim
+            shape[ax] = -1
+            arr = np.broadcast_to(prof.reshape(shape), gv.shape).copy()
+            if key in mat.cond and mat.cond[key] is not None:
+                mat.cond[key] = mat.cond[key] + arr
+            else:
+                mat.cond[key] = arr
