@@ -118,6 +118,7 @@ class Simulation:
                  subpixel_n: int = 3,
                  force_all_components: bool = False,
                  m: float = 0,
+                 bfast_scaled_k=None,
                  dtype=np.float32):
         self.cell_size = _v3(cell_size)
         self.resolution = float(resolution)
@@ -132,6 +133,7 @@ class Simulation:
         self.subpixel_n = subpixel_n
         self.force_all_components = force_all_components
         self.m = m
+        self.bfast_scaled_k = bfast_scaled_k
         self.dtype = dtype
 
         # infer dimensionality (meep: z-only -> 1d; z==0 -> 2d)
@@ -273,7 +275,9 @@ class Simulation:
             sources=srcs, dfts=self._dft_specs, courant=self.courant,
             dtype=self.dtype,
             complex_fields=True if self.force_complex_fields else None,
-            live_e=live_e, live_h=live_h, m=self.m)
+            live_e=live_e, live_h=live_h, m=self.m,
+            bfast_scaled_k=(tuple(_v3(self.bfast_scaled_k))
+                            if self.bfast_scaled_k is not None else None))
         self._state = S.init_state(self._plan)
 
     # -------------------------------------------------------------- monitors

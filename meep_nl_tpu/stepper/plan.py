@@ -197,6 +197,9 @@ class Plan:
     coefs: Dict[str, Any]                # jnp arrays (filled by compile_plan)
     #: cylindrical azimuthal number (exp(i m phi) dependence); 0 otherwise
     m: float = 0.0
+    #: BFAST fixed-angle broadband scaled-k vector (the fork's machinery,
+    #: step_generic.cpp:339 step_bfast); None = off
+    bfast_k: Any = None
 
     @property
     def dt(self) -> float:
@@ -295,6 +298,7 @@ def compile_plan(
     live_h: Optional[Sequence[str]] = None,
     pad_to_multiple: Any = 1,
     m: float = 0.0,
+    bfast_scaled_k=None,
 ) -> Plan:
     import jax.numpy as jnp
 
@@ -328,9 +332,11 @@ def compile_plan(
         return ph
 
     bloch_phase = tuple(_phase(ax, k) for ax, k in enumerate(bloch_k))
+    if bfast_scaled_k is not None and not any(bfast_scaled_k):
+        bfast_scaled_k = None
     if complex_fields is None:
         complex_fields = any(isinstance(ph, complex) for ph in bloch_phase) \
-            or (gv.dim == "cyl" and mm != 0)
+            or (gv.dim == "cyl" and mm != 0) or (bfast_scaled_k is not None)
 
     dt = courant * gv.dx
     dtdx = courant
@@ -586,7 +592,8 @@ def compile_plan(
         pol_specs_e=pol_e, pol_specs_h=pol_h,
         sources=list(sources), dfts=list(dfts),
         have_fmp_e=have_fmp_e, have_fmp_h=have_fmp_h,
-        coefs=coefs, m=mm)
+        coefs=coefs, m=mm,
+        bfast_k=tuple(bfast_scaled_k) if bfast_scaled_k is not None else None)
 
 
 def _infer_live(gv: G.GridVolume, mat: MaterialSpec, sources, dfts, ft: str

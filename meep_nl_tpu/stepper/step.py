@@ -70,6 +70,10 @@ def init_state(plan: Plan) -> Dict[str, Any]:
               if (s.dsig_axis is not None and s.has_cond)}
     f_w = {s.ec: zeros() for s in plan.eh_specs_e + plan.eh_specs_h
            if s.dsigw_axis is not None}
+    f_bfast = {}
+    if plan.bfast_k is not None:
+        f_bfast = {s.c: zeros()
+                   for s in plan.curl_specs_d + plan.curl_specs_b}
 
     pol = []
     for pi, p in enumerate(plan.pol_specs_e + plan.pol_specs_h):
@@ -97,6 +101,8 @@ def init_state(plan: Plan) -> Dict[str, Any]:
 
     out = {"f": f, "f_u": f_u, "f_cond": f_cond, "f_w": f_w,
            "pol": pol, "dft": dft, "t": jnp.zeros((), jnp.int32)}
+    if f_bfast:
+        out["f_bfast"] = f_bfast
     if any(p.kind == "noisy"
            for p in plan.pol_specs_e + plan.pol_specs_h):
         out["rng"] = jax.random.PRNGKey(plan_seed(plan))
@@ -199,6 +205,60 @@ def _curl_update(plan: Plan, C: Dict[str, Any], spec: CurlSpec,
     f_new = f_new * C[f"mask:{c}"]
     new_state = {**new_state, "f": {**new_state["f"], c: f_new}}
     return new_state
+
+
+def _bfast_update(plan: Plan, C: Dict[str, Any], spec: CurlSpec,
+                  state: Dict[str, Any]) -> Dict[str, Any]:
+    """BFAST fixed-angle broadband terms (the fork's step_bfast,
+    step_generic.cpp:339-537).
+
+    The flip-flop auxiliary F implements multiplication by i*tan(w dt/2),
+    i.e. an effective k_x(w) = scaled_k * w --- frequency-proportional
+    transverse wavevector, which is what makes oblique incidence broadband
+    at a FIXED angle.  F_new = (k1*pair(g1) - k2*pair(g2)) - F_prev;
+    f += (F_new - F_prev) through the conductivity/PML chains (additive,
+    like step_beta)."""
+    if plan.bfast_k is None:
+        return state
+    kidx = {"x": 0, "y": 1, "z": 2}
+    # k1 rides the PLUS partner but takes the MINUS partner's direction
+    # (cross product assignment, step_db.cpp:129-137); both negated for D
+    k1 = (plan.bfast_k[kidx[spec.g_minus[1]]]
+          if spec.g_minus is not None else 0.0)
+    k2 = (plan.bfast_k[kidx[spec.g_plus[1]]]
+          if spec.g_plus is not None else 0.0)
+    if spec.is_d:
+        k1, k2 = -k1, -k2
+    if (k1 == 0.0 or spec.g_plus is None) and \
+            (k2 == 0.0 or spec.g_minus is None):
+        return state
+    c = spec.c
+
+    def pair(g, a):
+        if spec.is_d:
+            return g + _sh(plan, g, a, -1)
+        return _sh(plan, g, a, +1) + g
+
+    f = state["f"]
+    A = 0.0
+    if spec.g_plus is not None and k1 != 0.0:
+        A = A + k1 * pair(f[spec.g_plus], spec.plus_axis)
+    if spec.g_minus is not None and k2 != 0.0:
+        A = A - k2 * pair(f[spec.g_minus], spec.minus_axis)
+    F_prev = state["f_bfast"][c]
+    F_new = A - F_prev
+    delta = F_new - F_prev
+    if spec.has_cond:
+        delta = delta * C[f"{c}:cndinv"]
+    new_state = {**state, "f_bfast": {**state["f_bfast"], c: F_new}}
+    if spec.dsig_axis is not None:
+        delta = delta * C[f"{c}:siginv"]
+    if spec.dsigu_axis is not None:
+        fu = new_state["f_u"][c]
+        new_state = {**new_state, "f_u": {**new_state["f_u"], c: fu + delta}}
+        delta = delta * C[f"{c}:siginvu"]
+    fc = (f[c] + delta) * C[f"mask:{c}"]
+    return {**new_state, "f": {**f, c: fc}}
 
 
 def _nonlinear_u(Dsqr, Di, u, chi2, chi3):
@@ -675,6 +735,7 @@ def make_step(plan: Plan):
         # --- B half ---------------------------------------------------------
         for spec in plan.curl_specs_b:
             state = _curl_update(plan, C, spec, state)
+            state = _bfast_update(plan, C, spec, state)
         state = _axis_specials(plan, C, "b", state)
         state = _apply_sources(plan, C, "b", state, xs)
         dmp_h = _compute_fmp(plan, C, "h", state, xs) if plan.have_fmp_h else \
@@ -687,6 +748,7 @@ def make_step(plan: Plan):
         # --- D half ---------------------------------------------------------
         for spec in plan.curl_specs_d:
             state = _curl_update(plan, C, spec, state)
+            state = _bfast_update(plan, C, spec, state)
         state = _axis_specials(plan, C, "d", state)
         state = _apply_sources(plan, C, "d", state, xs)
         dmp_e = _compute_fmp(plan, C, "e", state, xs) if plan.have_fmp_e else \

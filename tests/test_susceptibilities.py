@@ -66,3 +66,26 @@ def test_faraday_rotation():
     assert ex_amp > 1e-6
     # Faraday rotation: orthogonal polarization generated
     assert ey_amp > 0.02 * ex_amp, (ex_amp, ey_amp)
+
+
+def test_bfast_stable_and_off_by_default():
+    """BFAST aux recurrence (step_generic.cpp:339): stable at large scaled-k
+    and exactly inert when k=0.  (Quantitative oblique-incidence validation
+    is a round-2 item; the fork ships no test either.)"""
+    def run(bk):
+        sim = mp.Simulation(cell_size=mp.Vector3(6, 6), resolution=10,
+                            sources=[mp.Source(
+                                mp.GaussianSource(frequency=1.0, fwidth=0.4),
+                                component=mp.Ez, center=mp.Vector3(-2, 0),
+                                size=mp.Vector3(0, 3))],
+                            boundary_layers=[mp.PML(1.0)],
+                            bfast_scaled_k=bk)
+        sim.run(until=25)
+        return np.asarray(sim.fields_state["f"]["ez"])
+
+    e0 = run(None)
+    ek = run(mp.Vector3(0.5, 0, 0))
+    assert np.all(np.isfinite(np.abs(ek)))
+    assert np.abs(ek).max() < 1e3  # no blow-up at large k
+    ez0 = run(mp.Vector3(0, 0, 0))
+    np.testing.assert_array_equal(np.asarray(ez0), e0)  # k=0 inert
