@@ -14,10 +14,12 @@ from .stepper.plan import (MaterialSpec, PolSpec, PMLSpec, SrcVolSpec,
                            DftSpec, compile_plan)
 from .stepper.step import init_state, make_step, build_xs, run
 from .models.source import (GaussianSource, ContinuousSource, CustomSource,
-                            Source, SourceTime)
+                            Source, SourceTime, GaussianBeamSource)
 from .models.geom import (Vector3, Medium, Sphere, Block, Cylinder, Cone,
                           Wedge, Ellipsoid, Prism, LorentzianSusceptibility,
-                          DrudeSusceptibility, vacuum, air)
+                          DrudeSusceptibility, NoisyLorentzianSusceptibility,
+                          GyrotropicLorentzianSusceptibility, Transition,
+                          MultilevelAtom, vacuum, air)
 from .models.simulation import (Simulation, PML, Absorber, FluxRegion,
                                 Near2FarRegion,
                                 after_sources,

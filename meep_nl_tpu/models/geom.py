@@ -119,6 +119,60 @@ class GyrotropicLorentzianSusceptibility(LorentzianSusceptibility):
     bias: Vector3 = dataclasses.field(default_factory=Vector3)
 
 
+@dataclasses.dataclass
+class Transition:
+    """One atomic transition (python/geom.py Transition)."""
+    from_level: int
+    to_level: int
+    transition_rate: float = 0.0          # nonradiative rate (into Gamma)
+    frequency: float = 0.0                # radiative transition frequency
+    gamma: float = 0.0                    # linewidth
+    sigma_diag: Vector3 = dataclasses.field(
+        default_factory=lambda: Vector3(1, 1, 1))
+    pumping_rate: float = 0.0
+
+
+@dataclasses.dataclass
+class MultilevelAtom:
+    """Saturable multilevel gain medium (python/geom.py MultilevelAtom;
+    src/multilevel-atom.cpp)."""
+    initial_populations: List[float] = dataclasses.field(default_factory=list)
+    transitions: List[Transition] = dataclasses.field(default_factory=list)
+    sigma: float = 1.0
+
+    def to_matrices(self):
+        """(Gamma LxL, N0 L, alpha LxT, omega T, gamma T, sigmat Tx3) for
+        the radiative transitions; nonradiative/pumping rates fold into
+        Gamma (meepgeom.cpp's add_susceptibilities multilevel branch)."""
+        import numpy as np
+        L = len(self.initial_populations)
+        rad = [t for t in self.transitions if t.frequency != 0]
+        T = len(rad)
+        Gamma = np.zeros((L, L))
+        for t in self.transitions:
+            rate = t.transition_rate + t.pumping_rate
+            if rate != 0:
+                i, j = t.from_level, t.to_level
+                Gamma[i, i] += rate
+                Gamma[j, i] -= rate
+        alpha = np.zeros((L, T))
+        omega = np.zeros(T)
+        gam = np.zeros(T)
+        sigmat = np.zeros((T, 3))
+        for k, t in enumerate(rad):
+            omega[k] = t.frequency
+            gam[k] = t.gamma
+            # sign convention: E.dP > 0 (field does work on the medium,
+            # absorption) pumps population INTO the upper (from_)level;
+            # the inversion dN = N[alpha>0] - N[alpha<0] then drives gain
+            # with the inverted sign in the oscillator (multilevel-atom.cpp)
+            alpha[t.from_level, k] = +1.0 / (2 * np.pi * t.frequency)
+            alpha[t.to_level, k] = -1.0 / (2 * np.pi * t.frequency)
+            sigmat[k] = tuple(_v3(t.sigma_diag))
+        return Gamma, np.asarray(self.initial_populations, float), \
+            alpha, omega, gam, sigmat
+
+
 # ---------------------------------------------------------------------------
 # Medium
 # ---------------------------------------------------------------------------

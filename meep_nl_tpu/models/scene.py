@@ -115,15 +115,29 @@ def rasterize(gv: G.GridVolume, geometry: Sequence[GeometricObject],
         pts = _site_points(gv, c)
         if eps_averaging and geometry:
             offs = _subsample_offsets(gv, subpixel_n)
-            eps_sum = np.zeros(gv.shape)
-            inv_sum = np.zeros(gv.shape)
-            for off in offs:
-                idx = _material_at(pts + off, geometry, default_material)
-                e = _eps_of(idx, geometry, default_material, dind)
-                eps_sum += e
-                inv_sum += 1.0 / e
-            mean_eps = eps_sum / len(offs)
-            mean_inv = inv_sum / len(offs)
+            mean_eps = mean_inv = None
+            # native C++ fast path (meep_nl_tpu.native; the role of the
+            # reference's C++ meepgeom rasterization)
+            from .. import native as NATIVE
+            objs = NATIVE.serialize_objects(geometry)
+            if objs is not None and NATIVE.get_lib() is not None:
+                eps_of = np.array([tuple(g.material.eps_diag_vec())[dind]
+                                   for g in geometry])
+                eps_def = tuple(default_material.eps_diag_vec())[dind]
+                me, mi = NATIVE.eps_averaged_native(pts, offs, objs, eps_of,
+                                                    eps_def)
+                mean_eps = me.reshape(gv.shape)
+                mean_inv = mi.reshape(gv.shape)
+            if mean_eps is None:
+                eps_sum = np.zeros(gv.shape)
+                inv_sum = np.zeros(gv.shape)
+                for off in offs:
+                    idx = _material_at(pts + off, geometry, default_material)
+                    e = _eps_of(idx, geometry, default_material, dind)
+                    eps_sum += e
+                    inv_sum += 1.0 / e
+                mean_eps = eps_sum / len(offs)
+                mean_inv = inv_sum / len(offs)
             # normal estimate from the gradient of mean eps
             grad2 = np.zeros(gv.shape)
             gd2 = np.zeros(gv.shape)
@@ -140,6 +154,33 @@ def rasterize(gv: G.GridVolume, geometry: Sequence[GeometricObject],
             einv = 1.0 / _eps_of(idx, geometry, default_material, dind)
         if not np.allclose(einv, 1.0):
             chi1inv.setdefault(c, {})[d_c] = einv
+
+        # full-tensor epsilon: off-diagonal inverse rows (update_eh OFFDIAG
+        # path, step_generic.cpp:597). Sampled pointwise (the reference
+        # averages subpixel tensors; round 2).
+        if any(m.epsilon_offdiag is not None for m in all_media):
+            idx_od = _material_at(pts, geometry, default_material)
+            full = np.zeros(gv.shape + (3, 3))
+            for i, med in enumerate(list(geometry) + [None]):
+                mmed = med.material if med is not None else default_material
+                diag = tuple(mmed.eps_diag_vec())
+                od = (tuple(_v3(mmed.epsilon_offdiag))
+                      if mmed.epsilon_offdiag is not None else (0., 0., 0.))
+                eps_t = np.array([[diag[0], od[0], od[1]],
+                                  [od[0], diag[1], od[2]],
+                                  [od[1], od[2], diag[2]]])
+                einv_t = np.linalg.inv(eps_t)
+                sel = (idx_od == i) if med is not None else (idx_od == -1)
+                full[sel] = einv_t
+            dind_map = {"x": 0, "y": 1, "z": 2, "r": 0, "p": 1}
+            row = dind_map[d_c]
+            chi1inv.setdefault(c, {})[d_c] = full[..., row, row]
+            for dd in ("x", "y", "z"):
+                if dd == d_c:
+                    continue
+                col = dind_map[dd]
+                if np.any(full[..., row, col] != 0):
+                    chi1inv.setdefault(c, {})[dd] = full[..., row, col]
 
         # pointwise scalars at this site
         idx0 = _material_at(pts, geometry, default_material)
@@ -175,9 +216,35 @@ def rasterize(gv: G.GridVolume, geometry: Sequence[GeometricObject],
 
     # ---- susceptibilities ----------------------------------------------------
     from .geom import (NoisyLorentzianSusceptibility,
-                       GyrotropicLorentzianSusceptibility)
+                       GyrotropicLorentzianSusceptibility, MultilevelAtom)
+
+    # multilevel atoms are handled separately (their own PolSpec kind)
+    ml_pols: List[PolSpec] = []
+    for i, obj in enumerate(list(geometry) + [None]):
+        med = obj.material if obj is not None else default_material
+        for sus in med.E_susceptibilities:
+            if not isinstance(sus, MultilevelAtom):
+                continue
+            Gamma, N0, alpha, omega, gam, sigmat = sus.to_matrices()
+            sigma = {}
+            for c in live_e:
+                d_c = G.component_direction(c)
+                pts = _site_points(gv, c)
+                idx = _material_at(pts, geometry, default_material)
+                sel = (idx == i) if obj is not None else (idx == -1)
+                arr = np.where(sel, sus.sigma, 0.0)
+                if np.any(arr):
+                    sigma[(c, d_c)] = arr
+            if sigma:
+                ml_pols.append(PolSpec(
+                    field_type="e", omega0=float(omega[0]),
+                    gamma=float(gam[0]), sigma=sigma, kind="multilevel",
+                    ml_Gamma=Gamma, ml_N0=N0, ml_alpha=alpha,
+                    ml_omega=omega, ml_gamma=gam, ml_sigmat=sigmat))
 
     def _kind_of(sus):
+        if isinstance(sus, MultilevelAtom):
+            return ("multilevel", 0.0, (0.0, 0.0, 0.0))
         if isinstance(sus, GyrotropicLorentzianSusceptibility):
             return ("gyrotropic", 0.0, tuple(sus.bias))
         if isinstance(sus, NoisyLorentzianSusceptibility):
@@ -188,6 +255,8 @@ def rasterize(gv: G.GridVolume, geometry: Sequence[GeometricObject],
     sus_keys = {}
     for m in all_media:
         for s in m.E_susceptibilities:
+            if isinstance(s, MultilevelAtom):
+                continue
             key = (s.frequency, s.gamma, s.drude, "e") + _kind_of(s)
             sus_keys.setdefault(key, []).append((m, s))
         for s in m.H_susceptibilities:
@@ -224,4 +293,4 @@ def rasterize(gv: G.GridVolume, geometry: Sequence[GeometricObject],
                                 noise_amp=namp, bias=bias))
 
     return MaterialSpec(chi1inv=chi1inv, cond=cond, chi2=chi2, chi3=chi3,
-                        nr_chi2=nr_chi2, pols=pols)
+                        nr_chi2=nr_chi2, pols=pols + ml_pols)

@@ -270,6 +270,22 @@ class Simulation:
         if self.k_point is not None:
             kv = _v3(self.k_point)
             bloch_k = _vec_to_axes(self.gv, kv)
+        if getattr(self, "_want_ldos", False):
+            for si, sv in enumerate(srcs):
+                if sv.component[0] != "e":
+                    continue
+                idx = sv.indices
+                lo = idx.min(axis=0)
+                hi = idx.max(axis=0) + 1
+                region = tuple((int(a), int(b)) for a, b in zip(lo, hi))
+                w = np.zeros([b - a for a, b in region], np.complex128)
+                for (pt, amp) in zip(idx, sv.amps):
+                    w[tuple(p - a for p, (a, b) in zip(pt, region))] += \
+                        np.conj(amp)
+                self._dft_specs.append(DftSpec(
+                    name=f"{self._ldos_name}:{si}", component=sv.component,
+                    region=region, weights=w, freqs=self._ldos_freqs,
+                    centered=False))
         self._plan = compile_plan(
             self.gv, mat, pmls=pmls, periodic=periodic, bloch_k=bloch_k,
             sources=srcs, dfts=self._dft_specs, courant=self.courant,
@@ -512,6 +528,78 @@ class Simulation:
                 alpha[bi, fi, 1] = am
         return alpha
 
+    def add_force(self, fcen, df, nfreq, *regions, decimation_factor=1):
+        """Maxwell stress-tensor force monitor (add_dft_force).  Each
+        region's `direction` is the force component; the surface normal is
+        inferred from the zero-extent axis."""
+        if self._plan is not None:
+            raise RuntimeError("add monitors before the first run()")
+        freqs = self._freqs(fcen, df, nfreq)
+        name = f"force{len(self._handles)}"
+        live = sum(self._live_components(), [])
+        for ri, reg in enumerate(regions):
+            center = _vec_to_axes(self.gv, reg.center)
+            size = _vec_to_axes(self.gv, reg.size if reg.size is not None
+                                else Vector3())
+            zero_axes = [self.gv.axes[i] for i, sz in enumerate(size)
+                         if sz == 0]
+            normal = zero_axes[0]
+            fd = reg.direction or normal
+            self._dft_specs += M.force_specs(self.gv, f"{name}:{ri}", fd,
+                                             normal, center, size, freqs,
+                                             weight=reg.weight, live=live)
+        h = _FluxHandle(name, freqs)
+        h._nregions = len(regions)
+        self._handles.append(h)
+        return h
+
+    def get_forces(self, handle):
+        total = None
+        for ri in range(getattr(handle, "_nregions", 1)):
+            f = M.get_force(self._plan, self._state, f"{handle.name}:{ri}")
+            if f is not None:
+                total = f if total is None else total + f
+        return total
+
+    def add_ldos(self, fcen, df, nfreq, decimation_factor=1):
+        """LDOS monitor (dft_ldos.cpp): accumulates the E-field DTFT at the
+        source points weighted by conj(source amplitude); assembled against
+        the host-computed current spectrum in get_ldos."""
+        if self._plan is not None:
+            raise RuntimeError("add monitors before the first run()")
+        freqs = self._freqs(fcen, df, nfreq)
+        name = f"ldos{len(self._handles)}"
+        self._ldos_freqs = freqs
+        self._ldos_name = name
+        # specs are created at init (sources are discretized then); mark it
+        self._want_ldos = True
+        h = _FluxHandle(name, freqs)
+        self._handles.append(h)
+        return h
+
+    def get_ldos(self, handle=None) -> np.ndarray:
+        """ldos(w) = (4/pi) * -1/2 Re[F(w) conj(J(w))] / |J(w)|^2 / Jsum^2
+        (dft_ldos::ldos, dft_ldos.cpp:60-79)."""
+        freqs = self._ldos_freqs
+        dt = self._plan.dt
+        out = np.zeros(len(freqs))
+        nsteps = self._t
+        steps = np.arange(nsteps)
+        for si, s in enumerate(self._plan.sources):
+            key = f"{self._ldos_name}:{si}"
+            if key not in self._state["dft"]:
+                continue
+            Fdft = np.asarray(self._state["dft"][key]).reshape(-1, len(freqs)).sum(0)
+            # current spectrum at the same convention (dt/sqrt(2pi) sum)
+            tt = (steps + 0.5) * dt
+            cur = np.asarray([s.src_time.current(t, dt) for t in tt])
+            Jsum = float(np.sum(np.abs(np.asarray(s.amps))))
+            for fi, f in enumerate(freqs):
+                Jdft = np.sum(cur * np.exp(2j * np.pi * f * tt)) * dt / np.sqrt(2 * np.pi)
+                scale = 4.0 / np.pi * -0.5 / (Jsum * Jsum)
+                out[fi] += scale * np.real(Fdft[fi] * np.conj(Jdft)) / abs(Jdft) ** 2
+        return out
+
     def add_energy(self, fcen, df, nfreq, region, decimation_factor=1):
         """Frequency-domain EM energy in a volume (dft_energy analog)."""
         if self._plan is not None:
@@ -544,6 +632,28 @@ class Simulation:
             f = M.get_flux(self._plan, self._state, f"{handle.name}:{ri}")
             total = f if total is None else total + f
         return total
+
+    def get_flux_data(self, handle):
+        """Snapshot the DFT accumulators of a flux monitor
+        (get_flux_data, simulation.py; used for scattered-field
+        normalization runs)."""
+        out = {}
+        for key, arr in self._state["dft"].items():
+            if key.startswith(handle.name + ":"):
+                out[key] = np.asarray(arr).copy()
+        return out
+
+    def load_minus_flux_data(self, handle, data):
+        """Subtract a normalization run's DFT fields from this monitor
+        (load_minus_flux_data): the monitor then measures scattered fields
+        only."""
+        self.init_sim()
+        import jax.numpy as jnp
+        dft = dict(self._state["dft"])
+        for key, arr in data.items():
+            if key in dft:
+                dft[key] = dft[key] - jnp.asarray(arr)
+        self._state = {**self._state, "dft": dft}
 
     def get_dft_array(self, handle, component, num_freq=None):
         arr = np.asarray(self._state["dft"][f"{handle.name}:{component}"])

@@ -157,3 +157,44 @@ class Source:
     size: Optional[Sequence[float]] = None
     amplitude: complex = 1.0
     amp_func: Optional[Callable] = None
+
+
+@dataclasses.dataclass
+class GaussianBeamSource(Source):
+    """Focused Gaussian beam launched from a source plane
+    (python/source.py GaussianBeam3DSource/2D; reference meep.hpp:1707).
+
+    Implemented as an amplitude-function source: the transverse profile on
+    the source plane is the complex paraxial beam field
+        E(r) = w0/w(z) exp(-r^2/w(z)^2) exp(i k (z_f + r^2/(2 R)) + i Gouy)
+    evaluated at the plane's distance from the focus."""
+    beam_x0: Sequence[float] = (0.0, 0.0, 0.0)     # focus relative to center
+    beam_kdir: Sequence[float] = (1.0, 0.0, 0.0)   # propagation direction
+    beam_w0: float = 1.0                           # waist radius
+    beam_E0: complex = 1.0
+    frequency: Optional[float] = None
+
+    def __post_init__(self):
+        import math as _m
+        f = self.frequency or getattr(self.src, "frequency", None)
+        if f is None:
+            raise ValueError("GaussianBeamSource needs a frequency")
+        k = 2 * _m.pi * f
+        kdir = np.asarray(self.beam_kdir, float)
+        kdir = kdir / np.linalg.norm(kdir)
+        x0 = np.asarray(self.beam_x0, float)
+        w0 = self.beam_w0
+        zR = k * w0 * w0 / 2.0
+        E0 = self.beam_E0
+
+        def amp(pt):
+            p = np.array([pt.x, pt.y, pt.z]) - x0
+            z = float(p @ kdir)
+            r2 = float(p @ p) - z * z
+            wz = w0 * _m.sqrt(1 + (z / zR) ** 2)
+            Rinv = z / (z * z + zR * zR)
+            gouy = _m.atan2(z, zR)
+            return (E0 * (w0 / wz) * _m.exp(-r2 / (wz * wz))
+                    * np.exp(1j * (k * z + 0.5 * k * r2 * Rinv - gouy)))
+
+        self.amp_func = amp

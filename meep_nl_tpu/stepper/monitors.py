@@ -297,3 +297,69 @@ def near2far_specs(gv: G.GridVolume, name: str, normal: str, center, size,
                              scale=s * weight, centered=False))
         surfaces.append(Near2FarSurface(c0=c0, coords=pts, dft_name=key))
     return specs, surfaces
+
+
+def force_specs(gv: G.GridVolume, name: str, force_dir: str, normal: str,
+                center, size, freqs, weight: float = 1.0,
+                live: Optional[Sequence[str]] = None) -> List[DftSpec]:
+    """Maxwell stress-tensor monitor (add_dft_force, stress.cpp:153):
+    off-diagonal E/H pair products for force_dir != normal, +-|E_d|^2/2
+    diagonal terms otherwise."""
+    region, w_full, dv = volume_region_weights(gv, center, size)
+    freqs = np.asarray(freqs, np.float64)
+    ones = np.ones_like(w_full)
+    specs = []
+
+    def live_ok(c):
+        return live is None or c in live
+
+    if force_dir != normal:
+        for ft in ("e", "h"):
+            c1, c2 = ft + force_dir, ft + normal
+            if c1 in gv.e_components + gv.h_components and live_ok(c1) \
+                    and live_ok(c2):
+                specs.append(DftSpec(name=f"{name}:od1:{ft}", component=c1,
+                                     region=region, weights=w_full * dv,
+                                     freqs=freqs, scale=weight))
+                specs.append(DftSpec(name=f"{name}:od2:{ft}", component=c2,
+                                     region=region, weights=ones,
+                                     freqs=freqs))
+    else:
+        for ft in ("e", "h"):
+            for d in (gv.axes if gv.dim != "2d" else ("x", "y", "z")):
+                c = ft + d
+                if c not in gv.e_components + gv.h_components or not live_ok(c):
+                    continue
+                sgn = 0.5 if d == force_dir else -0.5
+                specs.append(DftSpec(name=f"{name}:diag:{c}", component=c,
+                                     region=region,
+                                     weights=np.sqrt(np.maximum(
+                                         w_full * dv, 0.0)),
+                                     freqs=freqs, scale=sgn * weight))
+    return specs
+
+
+def get_force(plan: Plan, state, name: str) -> np.ndarray:
+    """Assemble the stress-tensor force (dft_force::force, stress.cpp)."""
+    out = None
+
+    def acc(v):
+        nonlocal out
+        out = v if out is None else out + v
+
+    for ft in ("e", "h"):
+        k1, k2 = f"{name}:od1:{ft}", f"{name}:od2:{ft}"
+        if k1 in state["dft"]:
+            a = np.asarray(state["dft"][k1])
+            b = np.asarray(state["dft"][k2])
+            acc(np.real(np.conj(a) * b).reshape(-1, a.shape[-1]).sum(0))
+    for key in state["dft"]:
+        if key.startswith(f"{name}:diag:"):
+            a = np.asarray(state["dft"][key])
+            spec = next(s for s in plan.dfts if s.name == key)
+            # scale was folded into the accumulation linearly; |a|^2 carries
+            # scale^2, so divide one factor out and reapply its sign
+            sc = spec.scale
+            acc((np.abs(a) ** 2 / abs(sc) * np.sign(np.real(sc)))
+                .reshape(-1, a.shape[-1]).sum(0))
+    return out

@@ -49,10 +49,20 @@ class PolSpec:
     # that exist are stored. Diagonal entry (c, dir(c)) drives the update.
     sigma: Dict[Tuple[str, str], np.ndarray]
     drude: bool = False                  # no_omega_0_denominator
-    # gyrotropic / noisy extensions (round 2+):
-    kind: str = "lorentzian"
+    kind: str = "lorentzian"             # | noisy | gyrotropic | multilevel
     noise_amp: float = 0.0
     bias: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # multilevel-atom parameters (multilevel-atom.cpp; meep.hpp:340):
+    #   L levels, T transitions; Gamma (L,L) relaxation/pumping matrix;
+    #   N0 (L,) initial populations; alpha (L,T) transition couplings;
+    #   omega/gamma_t (T,) transition frequencies/linewidths;
+    #   sigmat (T,3) per-direction transition strengths
+    ml_Gamma: Any = None
+    ml_N0: Any = None
+    ml_alpha: Any = None
+    ml_omega: Any = None
+    ml_gamma: Any = None
+    ml_sigmat: Any = None
 
 
 @dataclasses.dataclass
@@ -147,6 +157,10 @@ class CurlSpec:
     phi_sign: float = 0.0
     #: z components: the radial derivative is (1/r) d(r g)/dr
     r_weighted: bool = False
+    #: (lo_n, hi_n) site counts where the dsig / dsigu PML chains are
+    #: non-identity; aux updates are exactly slab-local outside
+    dsig_slabs: Optional[Tuple[int, int]] = None
+    dsigu_slabs: Optional[Tuple[int, int]] = None
 
 
 @dataclasses.dataclass
@@ -171,6 +185,7 @@ class EhSpec:
     has_nr: bool              # fork's full-tensor chi2 Newton branch
     dsigw_axis: Optional[int]
     trivial: bool             # E aliases D (no transform needed)
+    dsigw_slabs: Optional[Tuple[int, int]] = None
 
 
 @dataclasses.dataclass
@@ -200,6 +215,20 @@ class Plan:
     #: BFAST fixed-angle broadband scaled-k vector (the fork's machinery,
     #: step_generic.cpp:339 step_bfast); None = off
     bfast_k: Any = None
+    #: per-component plane-zero mask representation: {c: [(axis, index), ...]}
+    #: or None when the mask is not expressible as dead planes (then the
+    #: full multiply is used)
+    mask_planes: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    #: slab-local PML chains: outside the sigma slabs the aux recurrences
+    #: are the identity (fu==f, E==u*D inductively), so chain updates touch
+    #: only the slab slices.  Mathematically exact (see test_slab_opt), but
+    #: currently a large REGRESSION on the axon TPU toolchain (the
+    #: dynamic-update-slices fail to alias in-place, costing full copies),
+    #: so default OFF; the round-2 Pallas kernels implement the same
+    #: specialization natively.
+    slab_opt: bool = False
+    #: plane-zero masks via dynamic-update-slice (same aliasing caveat)
+    plane_masks: bool = False
 
     @property
     def dt(self) -> float:
@@ -353,7 +382,28 @@ def compile_plan(
     def sigsize_gt1(d: str) -> bool:
         return d in pml_full
 
+    def slab_extents(d: str, sh: int) -> Tuple[int, int]:
+        """(lo_n, hi_n): number of sites with nonzero sigma from each end
+        of axis d at component sites with half-offset sh. The PML chain is
+        the identity elsewhere (kappa=1, sigma=0), so aux-field updates are
+        exactly slab-local."""
+        nax = gv.num[gv.axis_of(d)]
+        vec = _sample_pml_vec(pml_full[d]["sig"], nax, sh)
+        kapv = _sample_pml_vec(pml_full[d]["kap"], nax, sh)
+        live = (vec != 0) | (kapv != 1)
+        n = len(live)
+        lo = 0
+        while lo < n and live[lo]:
+            lo += 1
+        hi = 0
+        while hi < n and live[n - 1 - hi]:
+            hi += 1
+        if lo + hi >= n:   # PML covers everything; no interior
+            return (n, 0)
+        return (lo, hi)
+
     coefs: Dict[str, Any] = {}
+    mask_planes: Dict[str, Any] = {}
 
     def put(key: str, arr, as_dtype=None, fill: str = "edge") -> str:
         arr = np.asarray(arr)
@@ -403,6 +453,26 @@ def compile_plan(
                 idx[rax] = slice(0, zero_rings)
                 mk[tuple(idx)] = 0.0
         put(f"mask:{c}", mk, fill="zero")
+        # plane-zero representation of the same mask: cheaper than a full
+        # multiply when the mask is all-ones except axis-aligned slabs
+        planes = []
+        full = _pad_full(mk, "zero")
+        ok_planes = True
+        probe = np.ones_like(full)
+        for ax in range(ndim):
+            nax = full.shape[ax]
+            other = [a for a in range(ndim) if a != ax]
+            flat = full.min(axis=tuple(other)) if other else full
+            flat_max = full.max(axis=tuple(other)) if other else full
+            for i in range(nax):
+                if flat_max[i] == 0.0:     # whole plane dead
+                    planes.append((ax, i))
+                    idxp = [slice(None)] * ndim
+                    idxp[ax] = i
+                    probe[tuple(idxp)] = 0.0
+        if not np.array_equal(probe, full):
+            ok_planes = False
+        mask_planes[c] = planes if ok_planes else None
 
     # ------- curl (step_db) specs ------------------------------------------
     is_cyl = gv.dim == "cyl"
@@ -447,6 +517,7 @@ def compile_plan(
                     r_g = gv.comp_coords(plan.plus, gv.axis_of(G.R))
                     put(f"{c}:rg", _bcast(r_g, gv.axis_of(G.R), ndim))
                     put(f"{c}:rfinv", _bcast(rinv, gv.axis_of(G.R), ndim))
+            dsig_slabs = dsigu_slabs = None
             if dsig_axis is not None:
                 d = gv.axes[dsig_axis]
                 sh = ys[d]
@@ -454,6 +525,7 @@ def compile_plan(
                 put(f"{c}:sig", _bcast(_sample_pml_vec(pml_full[d]["sig"], nax, sh), dsig_axis, ndim))
                 put(f"{c}:kap", _bcast(_sample_pml_vec(pml_full[d]["kap"], nax, sh), dsig_axis, ndim))
                 put(f"{c}:siginv", _bcast(_sample_pml_vec(pml_full[d]["siginv"], nax, sh), dsig_axis, ndim))
+                dsig_slabs = slab_extents(d, sh)
             if dsigu_axis is not None:
                 d = gv.axes[dsigu_axis]
                 sh = ys[d]
@@ -461,6 +533,7 @@ def compile_plan(
                 put(f"{c}:sigu", _bcast(_sample_pml_vec(pml_full[d]["sig"], nax, sh), dsigu_axis, ndim))
                 put(f"{c}:kapu", _bcast(_sample_pml_vec(pml_full[d]["kap"], nax, sh), dsigu_axis, ndim))
                 put(f"{c}:siginvu", _bcast(_sample_pml_vec(pml_full[d]["siginv"], nax, sh), dsigu_axis, ndim))
+                dsigu_slabs = slab_extents(d, sh)
             if has_cond:
                 put(f"{c}:cnd", cnd)
                 put(f"{c}:cndinv", 1.0 / (1.0 + 0.5 * dt * cnd))
@@ -472,7 +545,8 @@ def compile_plan(
                 minus_axis=gv.axis_of(plan.minus_dir) if plan.minus else None,
                 is_d=(ft == "d"),
                 dsig_axis=dsig_axis, dsigu_axis=dsigu_axis, has_cond=has_cond,
-                phi_comp=phi_comp, phi_sign=phi_sign, r_weighted=r_weighted))
+                phi_comp=phi_comp, phi_sign=phi_sign, r_weighted=r_weighted,
+                dsig_slabs=dsig_slabs, dsigu_slabs=dsigu_slabs))
         return specs
 
     curl_d = make_curl_specs("d")
@@ -501,12 +575,14 @@ def compile_plan(
             dsigw_axis = (gv.axis_of(d_ec)
                           if (gv.has_direction(d_ec) and sigsize_gt1(d_ec)) else None)
             ys = G.yee_shift(ec, gv.dim)
+            dsigw_slabs = None
             if dsigw_axis is not None:
                 d = gv.axes[dsigw_axis]
                 sh = ys[d]
                 nax = gv.num[dsigw_axis]
                 put(f"{ec}:sigw", _bcast(_sample_pml_vec(pml_full[d]["sig"], nax, sh), dsigw_axis, ndim))
                 put(f"{ec}:kapw", _bcast(_sample_pml_vec(pml_full[d]["kap"], nax, sh), dsigw_axis, ndim))
+                dsigw_slabs = slab_extents(d, sh)
             if u is not None:
                 put(f"{ec}:u", u)
             if u1 is not None:
@@ -530,7 +606,8 @@ def compile_plan(
                 ax_2=gv.axis_of(d2) if gv.has_direction(d2) else None,
                 has_u=u is not None, has_u1=u1 is not None, has_u2=u2 is not None,
                 has_chi3=chi3 is not None, has_nr=nr is not None,
-                dsigw_axis=dsigw_axis, trivial=trivial))
+                dsigw_axis=dsigw_axis, trivial=trivial,
+                dsigw_slabs=dsigw_slabs))
         return specs
 
     eh_e = make_eh_specs("e")
@@ -581,7 +658,9 @@ def compile_plan(
 
     # ------- dft monitors --------------------------------------------------------
     for mi, mspec in enumerate(dfts):
-        put(f"dft{mi}:w", mspec.weights)
+        w = np.asarray(mspec.weights)
+        put(f"dft{mi}:w", w,
+            as_dtype=(np.complex64 if np.iscomplexobj(w) else None))
 
     return Plan(
         gv=gv, courant=courant, dtype=dtype, complex_fields=complex_fields,
@@ -593,7 +672,8 @@ def compile_plan(
         sources=list(sources), dfts=list(dfts),
         have_fmp_e=have_fmp_e, have_fmp_h=have_fmp_h,
         coefs=coefs, m=mm,
-        bfast_k=tuple(bfast_scaled_k) if bfast_scaled_k is not None else None)
+        bfast_k=tuple(bfast_scaled_k) if bfast_scaled_k is not None else None,
+        mask_planes=mask_planes)
 
 
 def _infer_live(gv: G.GridVolume, mat: MaterialSpec, sources, dfts, ft: str

@@ -38,6 +38,29 @@ def _sh(plan: Plan, arr, axis: int, by: int):
     return shift(arr, axis, by, plan.periodic[axis], plan.bloch_phase[axis],
                  nlive=plan.gv.num[axis])
 
+
+def _apply_mask(plan: Plan, C: Dict[str, Any], c: str, arr):
+    """Enforce the metal/axis/dead-padding mask (boundaries.cpp:304
+    zero_metal analog).
+
+    When the mask is a set of axis-aligned dead planes (the common case),
+    they CAN be zeroed with thin dynamic-update-slices instead of a
+    full-array multiply (~20% of the step's HBM traffic) --- but the axon
+    TPU toolchain fails to alias scan-carry dynamic-update-slices in place,
+    turning each one into a full copy (measured 10x regression), so the
+    multiply stays the default; plane mode is opt-in via plan.plane_masks
+    for backends that alias properly."""
+    planes = plan.mask_planes.get(c) if (plan.mask_planes
+                                         and getattr(plan, "plane_masks",
+                                                     False)) else None
+    if planes is None:
+        return arr * C[f"mask:{c}"]
+    for ax, i in planes:
+        idx = [slice(None)] * arr.ndim
+        idx[ax] = i
+        arr = arr.at[tuple(idx)].set(0.0)
+    return arr
+
 NR_ITERS = 8  # quadratic convergence: 8 Newton steps reach fp32 roundoff
               # for perturbative chi2 (reference iterates to 1e-8, tol at
               # newton_raphson.cpp:30)
@@ -82,6 +105,22 @@ def init_state(plan: Plan) -> Dict[str, Any]:
             "p": {c: zeros() for c in comps},
             "pp": {c: zeros() for c in comps},
         }
+        if p.kind == "multilevel":
+            # per-transition P stacks and centered-lattice populations
+            # (multilevel_data, multilevel-atom.cpp:240)
+            T = len(p.ml_omega)
+            L = len(p.ml_N0)
+            N0 = jnp.asarray(np.asarray(p.ml_N0, np.float64),
+                             plan.dtype).reshape((L,) + (1,) * len(shape))
+            entry = {
+                "p": {c: jnp.zeros((T,) + tuple(shape), dtype=fdtype)
+                      for c in comps},
+                "pp": {c: jnp.zeros((T,) + tuple(shape), dtype=fdtype)
+                       for c in comps},
+                "N": jnp.tile(N0, (1,) + tuple(shape)),
+            }
+            pol.append(entry)
+            continue
         if p.kind == "gyrotropic":
             # gyrotropic media track the full P 3-vector at every component
             # site (gyrotropy_data, susceptibility.cpp:445); the off-axis
@@ -103,6 +142,14 @@ def init_state(plan: Plan) -> Dict[str, Any]:
            "pol": pol, "dft": dft, "t": jnp.zeros((), jnp.int32)}
     if f_bfast:
         out["f_bfast"] = f_bfast
+    # W_prev needed by multilevel atoms (needs_W_prev, update_eh.cpp:222)
+    mlw = set()
+    for p in plan.pol_specs_e + plan.pol_specs_h:
+        if p.kind == "multilevel":
+            for (c, d) in p.sigma:
+                mlw.add(c)
+    if mlw:
+        out["f_w_prev"] = {c: jnp.zeros(shape, dtype=fdtype) for c in mlw}
     if any(p.kind == "noisy"
            for p in plan.pol_specs_e + plan.pol_specs_h):
         out["rng"] = jax.random.PRNGKey(plan_seed(plan))
@@ -158,12 +205,30 @@ def _curl(plan: Plan, spec: CurlSpec, f: Dict[str, Any],
     return out
 
 
+def _slab_slices(slabs, axis: int, n_sites: int, ndim: int):
+    """Storage slices of the lo/hi sigma slabs along `axis`."""
+    lo, hi = slabs
+    out = []
+    if lo > 0:
+        sl = [slice(None)] * ndim
+        sl[axis] = slice(0, lo)
+        out.append(tuple(sl))
+    if hi > 0:
+        sl = [slice(None)] * ndim
+        sl[axis] = slice(n_sites - hi, n_sites)
+        out.append(tuple(sl))
+    return out
+
+
 def _curl_update(plan: Plan, C: Dict[str, Any], spec: CurlSpec,
                  state: Dict[str, Any]) -> Dict[str, Any]:
     """The full PML/conductivity chain around a curl delta
     (step_generic.cpp:89-253).
 
-    chain: dfl -> [cond: fcnd aux] -> [dsig: f or fu] -> [dsigu: f]."""
+    chain: dfl -> [cond: fcnd aux] -> [dsig: f or fu] -> [dsigu: f].
+    When slab_opt applies (no conductivity), the chains run only on the
+    sigma slabs: outside them kappa=1/sigma=0 makes the chain the identity
+    and fu==f inductively, so the full-array aux traffic is skipped."""
     c = spec.c
     f = state["f"][c]
     dfl = _curl(plan, spec, state["f"], C)
@@ -173,6 +238,49 @@ def _curl_update(plan: Plan, C: Dict[str, Any], spec: CurlSpec,
     has_sig = spec.dsig_axis is not None
     has_sigu = spec.dsigu_axis is not None
     has_cond = spec.has_cond
+
+    slab_ok = (plan.slab_opt and not has_cond
+               and (not has_sig or spec.dsig_slabs is not None)
+               and (not has_sigu or spec.dsigu_slabs is not None)
+               and (has_sig or has_sigu))
+    if slab_ok:
+        ndim = f.ndim
+        base = f + dfl
+        if has_sig:
+            n_sites = plan.gv.num[spec.dsig_axis] + 1
+            for sl in _slab_slices(spec.dsig_slabs, spec.dsig_axis,
+                                   n_sites, ndim):
+                ksl = tuple(s if C[f"{c}:kap"].shape[i] > 1 else slice(None)
+                            for i, s in enumerate(sl))
+                base = base.at[sl].set(
+                    ((C[f"{c}:kap"][ksl] - C[f"{c}:sig"][ksl]) * f[sl]
+                     + dfl[sl]) * C[f"{c}:siginv"][ksl])
+        if has_sigu:
+            fu_full = state["f_u"][c]
+            n_sites = plan.gv.num[spec.dsigu_axis] + 1
+            new_fu = fu_full
+            for sl in _slab_slices(spec.dsigu_slabs, spec.dsigu_axis,
+                                   n_sites, ndim):
+                kusl = tuple(s if C[f"{c}:kapu"].shape[i] > 1 else slice(None)
+                             for i, s in enumerate(sl))
+                fu_old = fu_full[sl]
+                # inner chain on this slab (includes the dsig chain where
+                # the slabs intersect, via the sliced vectors)
+                if has_sig:
+                    ksl2 = tuple(s if C[f"{c}:kap"].shape[i] > 1
+                                 else slice(None) for i, s in enumerate(sl))
+                    fu_new = ((C[f"{c}:kap"][ksl2] - C[f"{c}:sig"][ksl2])
+                              * fu_old + dfl[sl]) * C[f"{c}:siginv"][ksl2]
+                else:
+                    fu_new = fu_old + dfl[sl]
+                base = base.at[sl].set(
+                    C[f"{c}:siginvu"][kusl]
+                    * ((C[f"{c}:kapu"][kusl] - C[f"{c}:sigu"][kusl]) * f[sl]
+                       + fu_new - fu_old))
+                new_fu = new_fu.at[sl].set(fu_new)
+            new_state = {**new_state, "f_u": {**state["f_u"], c: new_fu}}
+        f_new = _apply_mask(plan, C, c, base)
+        return {**new_state, "f": {**new_state["f"], c: f_new}}
 
     if has_sig and has_cond:
         fcnd = state["f_cond"][c]
@@ -257,7 +365,7 @@ def _bfast_update(plan: Plan, C: Dict[str, Any], spec: CurlSpec,
         fu = new_state["f_u"][c]
         new_state = {**new_state, "f_u": {**new_state["f_u"], c: fu + delta}}
         delta = delta * C[f"{c}:siginvu"]
-    fc = (f[c] + delta) * C[f"mask:{c}"]
+    fc = _apply_mask(plan, C, c, f[c] + delta)
     return {**new_state, "f": {**f, c: fc}}
 
 
@@ -380,7 +488,31 @@ def _eh_update(plan: Plan, C: Dict[str, Any], spec: EhSpec,
         lin = jnp.where(chi2 != 0, own, lin)
 
     new_state = state
-    if spec.dsigw_axis is not None:
+    ft_key = "e" if ec[0] == "e" else "h"
+    has_pols = bool(plan.pol_specs_e if ft_key == "e" else plan.pol_specs_h)
+    slab_ok = (plan.slab_opt and spec.dsigw_axis is not None
+               and spec.dsigw_slabs is not None and not has_pols)
+    if slab_ok:
+        # outside the sigma_w slab E == u*D inductively (kappa_w=1,
+        # sigma_w=0 makes the W chain copy lin); only the slabs need the
+        # chain and the fw storage
+        fw = state["f_w"][ec]
+        f_old = state["f"][ec]
+        f_new = lin
+        new_fw = fw
+        n_sites = plan.gv.num[spec.dsigw_axis] + 1
+        for sl in _slab_slices(spec.dsigw_slabs, spec.dsigw_axis, n_sites,
+                               lin.ndim):
+            kwsl = tuple(s if C[f"{ec}:kapw"].shape[i] > 1 else slice(None)
+                         for i, s in enumerate(sl))
+            fw_sl = lin[sl]
+            f_new = f_new.at[sl].set(
+                f_old[sl] + (C[f"{ec}:kapw"][kwsl] + C[f"{ec}:sigw"][kwsl])
+                * fw_sl
+                - (C[f"{ec}:kapw"][kwsl] - C[f"{ec}:sigw"][kwsl]) * fw[sl])
+            new_fw = new_fw.at[sl].set(fw_sl)
+        new_state = {**new_state, "f_w": {**state["f_w"], ec: new_fw}}
+    elif spec.dsigw_axis is not None:
         fw = state["f_w"][ec]
         fw_new = lin
         kapw, sigw = C[f"{ec}:kapw"], C[f"{ec}:sigw"]
@@ -389,7 +521,7 @@ def _eh_update(plan: Plan, C: Dict[str, Any], spec: EhSpec,
     else:
         f_new = lin
 
-    f_new = f_new * C[f"mask:{ec}"]
+    f_new = _apply_mask(plan, C, ec, f_new)
     new_state = {**new_state, "f": {**new_state["f"], ec: f_new}}
     return new_state
 
@@ -401,6 +533,8 @@ def _pol_update(plan: Plan, C: Dict[str, Any], pi: int, p: PolSpec,
     precession (:445)."""
     if p.kind == "gyrotropic":
         return _pol_update_gyro(plan, C, pi, p, state)
+    if p.kind == "multilevel":
+        return _pol_update_multilevel(plan, C, pi, p, state)
     state = _pol_update_lorentzian(plan, C, pi, p, state)
     if p.kind == "noisy" and p.noise_amp != 0.0:
         state = _pol_add_noise(plan, C, pi, p, state)
@@ -433,6 +567,113 @@ def _pol_add_noise(plan: Plan, C, pi: int, p: PolSpec, state):
     pols = list(state["pol"])
     pols[pi] = {**pol_st, "p": new_p}
     return {**state, "pol": pols, "rng": key}
+
+
+def _yee_to_cent(plan, c, arr):
+    """4-point average from component c's Yee sites to centered sites
+    (yee2cent_offsets)."""
+    gv = plan.gv
+    ys = G.yee_shift(c, gv.dim)
+    out = arr
+    for ax, d in enumerate(gv.axes):
+        if ys[d] == 0:
+            out = 0.5 * (out + _sh(plan, out, ax, +1))
+    return out
+
+
+def _cent_to_yee(plan, c, arr):
+    """Average from centered sites back to component c's Yee sites
+    (cent2yee_offsets)."""
+    gv = plan.gv
+    ys = G.yee_shift(c, gv.dim)
+    out = arr
+    for ax, d in enumerate(gv.axes):
+        if ys[d] == 0:
+            out = 0.5 * (out + _sh(plan, out, ax, -1))
+    return out
+
+
+def _pol_update_multilevel(plan: Plan, C, pi: int, p: PolSpec, state):
+    """Multilevel-atom update (multilevel_susceptibility::update_P,
+    multilevel-atom.cpp:240-384): implicit population relaxation
+    N' = GammaInv [(I - Gamma dt/2) N + alpha (E.dP + g_perp dt E.P_avg)],
+    then per-transition damped oscillators driven by sigma_t W dN."""
+    dt = plan.dt
+    dt2 = 0.5 * dt
+    L = len(p.ml_N0)
+    T = len(p.ml_omega)
+    Gamma = np.asarray(p.ml_Gamma, np.float64).reshape(L, L)
+    alpha = np.asarray(p.ml_alpha, np.float64).reshape(L, T)
+    GammaInv = np.linalg.inv(np.eye(L) + Gamma * dt2)
+    IG = np.eye(L) - Gamma * dt2
+    pol_st = state["pol"][pi]
+    comps = sorted(pol_st["p"].keys())
+    gv = plan.gv
+
+    def W(c):
+        return state["f_w"].get(c, state["f"].get(c))
+
+    def W_prev(c):
+        return state.get("f_w_prev", {}).get(c, W(c))
+
+    # --- population update on the centered lattice -----------------------
+    N = state["pol"][pi]["N"]                      # (L,) + shape
+    Ntmp = jnp.einsum("lm,m...->l...", jnp.asarray(IG, plan.dtype), N)
+    # E (current+previous) averaged to centered sites: "E8"/8
+    Ec = {c: _yee_to_cent(plan, c, W(c)) + _yee_to_cent(plan, c, W_prev(c))
+          for c in comps}                          # 2*E_avg
+    for t in range(T):
+        gperpdt = float(p.ml_gamma[t]) * math.pi * dt
+        EdP = 0.0
+        EPave = 0.0
+        for c in comps:
+            pc = pol_st["p"][c][t]
+            ppc = pol_st["pp"][c][t]
+            dP = _yee_to_cent(plan, c, pc - ppc)
+            Pave = _yee_to_cent(plan, c, pc + ppc)
+            EdP = EdP + dP * Ec[c] * 0.5           # (2E)(dP)/ (2*2)... see below
+            EPave = EPave + Pave * Ec[c] * 0.25
+        # reference: EdP32/32 with 8E * 4dP -> (2E*dP)*... our Ec=2E_avg,
+        # dP=dP_avg: EdP_ref = (2E)(dP)/4 matches 0.5 factor above /2:
+        EdP = EdP * 0.5
+        EPave = EPave * 0.5
+        a_t = jnp.asarray(alpha[:, t], plan.dtype).reshape(
+            (L,) + (1,) * (N.ndim - 1))
+        Ntmp = Ntmp + a_t * (EdP + gperpdt * EPave)
+    N_new = jnp.einsum("lm,m...->l...", jnp.asarray(GammaInv, plan.dtype),
+                       Ntmp)
+
+    # --- per-transition polarization oscillators --------------------------
+    new_p = {c: pol_st["p"][c] for c in comps}
+    new_pp = {c: pol_st["pp"][c] for c in comps}
+    dind = {"x": 0, "y": 1, "z": 2, "r": 0, "p": 1}
+    for t in range(T):
+        w2pi = 2 * math.pi * float(p.ml_omega[t])
+        g2pi = 2 * math.pi * float(p.ml_gamma[t])
+        gperp = math.pi * float(p.ml_gamma[t])
+        om_corr = w2pi * w2pi * dt * dt + gperp * gperp * dt * dt
+        gamma1inv = 1.0 / (1 + g2pi * dt2)
+        gamma1 = 1 - g2pi * dt2
+        lp = int(np.argmax(alpha[:, t] > 0))
+        lm = int(np.argmax(alpha[:, t] < 0))
+        dN_cent = N_new[lp] - N_new[lm]
+        for c in comps:
+            d0 = G.component_direction(c)
+            st_val = float(np.asarray(p.ml_sigmat).reshape(T, -1)[t][
+                dind[d0]])
+            if st_val == 0.0:
+                continue
+            sig = C[f"pol{pi}:{c}:{d0}"]
+            dNi = _cent_to_yee(plan, c, dN_cent)
+            pc = pol_st["p"][c][t]
+            ppc = pol_st["pp"][c][t]
+            pn = gamma1inv * (pc * (2 - om_corr) - gamma1 * ppc
+                              - dt * dt * (st_val * sig * W(c)) * dNi)
+            new_p[c] = new_p[c].at[t].set(pn)
+            new_pp[c] = new_pp[c].at[t].set(pc)
+    pols = list(state["pol"])
+    pols[pi] = {"p": new_p, "pp": new_pp, "N": N_new}
+    return {**state, "pol": pols}
 
 
 def _pol_update_gyro(plan: Plan, C, pi: int, p: PolSpec, state):
@@ -579,7 +820,11 @@ def _compute_fmp(plan: Plan, C: Dict[str, Any], ft: str,
                 continue  # gyrotropic off-axis P entries are internal
             dc = ft2 + c[1]
             if dc in fmp:
-                fmp[dc] = fmp[dc] - parr
+                if parr.ndim == fmp[dc].ndim + 1:
+                    # multilevel: sum the per-transition stack
+                    fmp[dc] = fmp[dc] - parr.sum(axis=0)
+                else:
+                    fmp[dc] = fmp[dc] - parr
     # integrated sources (polarization-like)
     for si, s in enumerate(plan.sources):
         if s.is_integrated and s.component[0] == ft:
@@ -711,7 +956,7 @@ def _axis_specials(plan: Plan, C, ft2: str, state):
     # re-apply the masks on the touched rings
     for c in list(f):
         if f[c] is not state["f"][c]:
-            f[c] = f[c] * C[f"mask:{c}"]
+            f[c] = _apply_mask(plan, C, c, f[c])
     return {**state, "f": f}
 
 
@@ -738,6 +983,12 @@ def make_step(plan: Plan):
             state = _bfast_update(plan, C, spec, state)
         state = _axis_specials(plan, C, "b", state)
         state = _apply_sources(plan, C, "b", state, xs)
+        if "f_w_prev" in state:
+            fwp = dict(state["f_w_prev"])
+            for c in fwp:
+                if c[0] == "h":
+                    fwp[c] = state["f_w"].get(c, state["f"].get(c))
+            state = {**state, "f_w_prev": fwp}
         dmp_h = _compute_fmp(plan, C, "h", state, xs) if plan.have_fmp_h else \
             {s.dc: state["f"][s.dc] for s in plan.eh_specs_h}
         for spec in plan.eh_specs_h:
@@ -751,6 +1002,12 @@ def make_step(plan: Plan):
             state = _bfast_update(plan, C, spec, state)
         state = _axis_specials(plan, C, "d", state)
         state = _apply_sources(plan, C, "d", state, xs)
+        if "f_w_prev" in state:
+            fwp = dict(state["f_w_prev"])
+            for c in fwp:
+                if c[0] == "e":
+                    fwp[c] = state["f_w"].get(c, state["f"].get(c))
+            state = {**state, "f_w_prev": fwp}
         dmp_e = _compute_fmp(plan, C, "e", state, xs) if plan.have_fmp_e else \
             {s.dc: state["f"][s.dc] for s in plan.eh_specs_e}
         for spec in plan.eh_specs_e:

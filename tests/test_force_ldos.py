@@ -1,0 +1,75 @@
+"""Stress-tensor force and LDOS monitors (stress.cpp / dft_ldos.cpp)."""
+
+import numpy as np
+
+import meep_nl_tpu as mp
+
+
+def test_radiation_pressure_on_mirror():
+    """Plane wave on a reflecting (high-eps) slab: the stress-tensor force
+    approaches 2 x incident power (momentum flux, c=1) for strong
+    reflection."""
+    fcen, df = 0.8, 0.3
+    cell = 10.0
+
+    def build(with_mirror):
+        geom = [mp.Block(size=mp.Vector3(2.0, mp.inf, mp.inf),
+                         center=mp.Vector3(2.0, 0),
+                         material=mp.Medium(epsilon=400.0))] if with_mirror \
+            else []
+        sim = mp.Simulation(cell_size=mp.Vector3(cell, 6), resolution=12,
+                            geometry=geom,
+                            sources=[mp.Source(
+                                mp.GaussianSource(frequency=fcen, fwidth=df),
+                                component=mp.Ez,
+                                center=mp.Vector3(-3.5, 0),
+                                size=mp.Vector3(0, 6))],
+                            boundary_layers=[mp.PML(1.0, direction="x")],
+                            k_point=mp.Vector3())
+        return sim
+
+    sim = build(True)
+    # force monitor: x-force through a plane between source and mirror
+    frc = sim.add_force(fcen, 0.0, 1,
+                        mp.FluxRegion(center=mp.Vector3(0.0, 0),
+                                      size=mp.Vector3(0, 6), direction="x"))
+    fl = sim.add_flux(fcen, 0.0, 1,
+                      mp.FluxRegion(center=mp.Vector3(-2.0, 0),
+                                    size=mp.Vector3(0, 6)))
+    sim.run(until_after_sources=25)
+    F = sim.get_forces(frc)[0]
+    P = sim.get_fluxes(fl)[0]
+
+    # normalization: incident-only power
+    sim0 = build(False)
+    fl0 = sim0.add_flux(fcen, 0.0, 1,
+                        mp.FluxRegion(center=mp.Vector3(-2.0, 0),
+                                      size=mp.Vector3(0, 6)))
+    sim0.run(until_after_sources=25)
+    P_inc = sim0.get_fluxes(fl0)[0]
+
+    # a standing wave forms; the momentum flux through the plane is
+    # |F| = (1+R) * P_inc with R ~ 1 for eps=400 (the single-plane sign
+    # follows the surface orientation convention)
+    ratio = abs(F) / P_inc
+    assert 1.7 < ratio < 2.2, (F, P_inc, ratio)
+
+
+def test_ldos_positive_and_peaked():
+    """Vacuum LDOS is positive and smooth; a resonant cavity enhances it."""
+    def ldos_at(geometry, fcen=0.5, df=0.3):
+        sim = mp.Simulation(cell_size=mp.Vector3(6, 6), resolution=12,
+                            geometry=geometry,
+                            sources=[mp.Source(
+                                mp.GaussianSource(frequency=fcen, fwidth=df),
+                                component=mp.Ez, center=mp.Vector3())],
+                            boundary_layers=[mp.PML(1.0)])
+        h = sim.add_ldos(fcen, df, 7)
+        sim.run(until_after_sources=40)
+        return sim.get_ldos(h)
+
+    l_vac = ldos_at([])
+    assert np.all(np.isfinite(l_vac))
+    assert np.all(l_vac > 0)
+    # smooth in vacuum: no more than ~50% variation across the band
+    assert l_vac.max() / l_vac.min() < 2.0
