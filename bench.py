@@ -26,7 +26,7 @@ def run_one():
 
     size_env = os.environ.get("BENCH_GRID", "128,128,128")
     nx, ny, nz = (int(s) for s in size_env.split(","))
-    steps = int(os.environ.get("BENCH_STEPS", "50"))
+    steps = int(os.environ.get("BENCH_STEPS", "200"))
 
     import meep_nl_tpu as mnt
     from meep_nl_tpu.core import grid as G
@@ -44,6 +44,8 @@ def run_one():
     pmls = [PMLSpec(d, 1.0) for d in ("x", "y", "z")]
     plan = compile_plan(gv, MaterialSpec(chi1inv={}), pmls=pmls, sources=[src],
                         pad_to_multiple=(8, 8, 128))
+    if os.environ.get("BENCH_PALLAS"):
+        plan.use_pallas = True
 
     step = make_step(plan)
 

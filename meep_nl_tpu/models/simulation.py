@@ -119,6 +119,7 @@ class Simulation:
                  force_all_components: bool = False,
                  m: float = 0,
                  bfast_scaled_k=None,
+                 use_pallas: bool = False,
                  dtype=np.float32):
         self.cell_size = _v3(cell_size)
         self.resolution = float(resolution)
@@ -134,6 +135,7 @@ class Simulation:
         self.force_all_components = force_all_components
         self.m = m
         self.bfast_scaled_k = bfast_scaled_k
+        self.use_pallas = use_pallas
         self.dtype = dtype
 
         # infer dimensionality (meep: z-only -> 1d; z==0 -> 2d)
@@ -294,6 +296,7 @@ class Simulation:
             live_e=live_e, live_h=live_h, m=self.m,
             bfast_scaled_k=(tuple(_v3(self.bfast_scaled_k))
                             if self.bfast_scaled_k is not None else None))
+        self._plan.use_pallas = self.use_pallas
         self._state = S.init_state(self._plan)
 
     # -------------------------------------------------------------- monitors

@@ -229,6 +229,10 @@ class Plan:
     slab_opt: bool = False
     #: plane-zero masks via dynamic-update-slice (same aliasing caveat)
     plane_masks: bool = False
+    #: fused Pallas half-step kernels (ops/pallas/fused.py) when the plan
+    #: shape supports them (3D cartesian, real, diagonal media, uPML);
+    #: silently falls back to the jnp path otherwise
+    use_pallas: bool = False
 
     @property
     def dt(self) -> float:

@@ -973,6 +973,33 @@ def make_step(plan: Plan):
     jit receives them as device buffers rather than embedding multi-MB
     constants into the HLO."""
 
+    if plan.use_pallas:
+        from ..ops.pallas.fused import (pallas_supported, build_half_step,
+                                        build_source_fixup)
+        if pallas_supported(plan):
+            half_b = build_half_step(plan, "b")
+            half_d = build_half_step(plan, "d")
+            fix_b = build_source_fixup(plan, "b")
+            fix_d = build_source_fixup(plan, "d")
+
+            def step_pallas(state: Dict[str, Any], xs: Dict[str, Any],
+                            C: Optional[Dict[str, Any]] = None
+                            ) -> Dict[str, Any]:
+                if C is None:
+                    C = plan.coefs
+                f, fu, fw = half_b(state["f"], state["f_u"],
+                                   state["f_w"], C)
+                if fix_b is not None:
+                    f, fw = fix_b(f, fw, C, xs)
+                f, fu, fw = half_d(f, fu, fw, C)
+                if fix_d is not None:
+                    f, fw = fix_d(f, fw, C, xs)
+                state = {**state, "f": f, "f_u": fu, "f_w": fw,
+                         "t": state["t"] + 1}
+                return _dft_update(plan, C, state, xs)
+
+            return step_pallas
+
     def step(state: Dict[str, Any], xs: Dict[str, Any],
              C: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
         if C is None:
