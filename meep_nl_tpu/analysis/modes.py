@@ -88,6 +88,130 @@ def solve_tm_modes(eps_line: np.ndarray, dx: float, freq: float,
     return out
 
 
+@dataclasses.dataclass
+class Mode2D:
+    """A full-vector guided mode on a 2D cross-section (u, v transverse,
+    right-handed (u, v, n) with n the propagation normal).
+
+    Field profiles are (nu, nv) arrays on the in-plane Yee sub-lattices:
+    eu at (half, 0), ev at (0, half), en at (0, 0); hu colocated with ev,
+    hv colocated with eu (the in-plane projections of the 3D Yee cell).
+    Normalized so sum Re(eu hv* - ev hu*) dA = 1 (the monitor flux
+    convention, no 1/2; dft.cpp:533)."""
+    freq: float
+    beta: float
+    dx: float
+    eu: np.ndarray
+    ev: np.ndarray
+    en: np.ndarray
+    hu: np.ndarray
+    hv: np.ndarray
+
+    @property
+    def neff(self) -> float:
+        return self.beta / (2 * np.pi * self.freq)
+
+
+def _diff_ops(n: int, d: float):
+    """Forward (U) and backward (V = -U^T) difference ops with Dirichlet."""
+    import scipy.sparse as sp
+    U = sp.diags([-np.ones(n), np.ones(n - 1)], [0, 1]) / d
+    return U.tocsr(), (-U.T).tocsr()
+
+
+def solve_vector_modes(eps_u: np.ndarray, eps_v: np.ndarray,
+                       eps_n: np.ndarray, dx: float, freq: float,
+                       num_modes: int = 1) -> List["Mode2D"]:
+    """Full-vector FD waveguide modes of a 2D cross-section (mpb.cpp's
+    role, done with the transverse-E Yee eigenproblem instead of MPB's
+    planewave iteration).
+
+    Eliminating Ez and Hz from the curl equations with fields
+    ~ exp(i(beta n - w t)) gives  beta^2 e_t = P e_t  with
+      Puu = w^2 eps_u + Vv Uv + Uu (1/eps_n) Vu eps_u
+      Puv = Uu (1/eps_n) Vv eps_v - Vv Uu          (and u<->v symmetric)
+    on the in-plane Yee sub-lattices with Dirichlet edges (the monitor is
+    embedded in cladding/PML).  eps_* are (nu, nv) sampled at the
+    respective component sites."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spl
+
+    nu, nv = eps_n.shape
+    w = 2 * np.pi * freq
+    Uu1, Vu1 = _diff_ops(nu, dx)
+    Uv1, Vv1 = _diff_ops(nv, dx)
+    Iu, Iv = sp.identity(nu), sp.identity(nv)
+    Uu, Vu = sp.kron(Uu1, Iv).tocsr(), sp.kron(Vu1, Iv).tocsr()
+    Uv, Vv = sp.kron(Iu, Uv1).tocsr(), sp.kron(Iu, Vv1).tocsr()
+
+    def D(a):
+        return sp.diags(np.asarray(a, np.float64).ravel())
+
+    inv_n = D(1.0 / eps_n)
+    Puu = w * w * D(eps_u) + Vv @ Uv + Uu @ inv_n @ Vu @ D(eps_u)
+    Puv = Uu @ inv_n @ Vv @ D(eps_v) - Vv @ Uu
+    Pvu = Uv @ inv_n @ Vu @ D(eps_u) - Vu @ Uv
+    Pvv = w * w * D(eps_v) + Vu @ Uu + Uv @ inv_n @ Vv @ D(eps_v)
+    P = sp.bmat([[Puu, Puv], [Pvu, Pvv]]).tocsc()
+
+    eps_max = float(max(eps_u.max(), eps_v.max(), eps_n.max()))
+    eps_clad = float(min(eps_n[0].min(), eps_n[-1].min(),
+                         eps_n[:, 0].min(), eps_n[:, -1].min()))
+    k = min(num_modes + 4, P.shape[0] - 2)
+    sigma = w * w * eps_max * (1 + 1e-6)
+    vals, vecs = spl.eigs(P, k=k, sigma=sigma)
+    order = np.argsort(-vals.real)
+
+    N = nu * nv
+    out: List[Mode2D] = []
+    for idx in order:
+        b2 = vals[idx]
+        if abs(b2.imag) > 1e-6 * abs(b2.real) + 1e-12:
+            continue
+        b2 = b2.real
+        if b2 <= w * w * eps_clad + 1e-9 or b2 > w * w * eps_max:
+            continue
+        beta = float(np.sqrt(b2))
+        vec = vecs[:, idx]
+        # rotate the (arbitrary) global phase so e_t is real
+        ph = vec[np.argmax(np.abs(vec))]
+        vec = vec * np.conj(ph) / abs(ph)
+        eu = vec[:N].reshape(nu, nv)
+        ev = vec[N:].reshape(nu, nv)
+        # En from the divergence: i beta eps_n En = -(Vu eps_u eu + Vv ...)
+        S = (Vu @ (eps_u.ravel() * eu.ravel())
+             + Vv @ (eps_v.ravel() * ev.ravel()))
+        en = (1j * S / (beta * eps_n.ravel())).reshape(nu, nv)
+        # H from curl E: i w hu = dEn/dv - i beta ev   (at (0, half))
+        hu = ((Uv @ en.ravel() - 1j * beta * ev.ravel())
+              / (1j * w)).reshape(nu, nv)
+        hv = ((1j * beta * eu.ravel() - Uu @ en.ravel())
+              / (1j * w)).reshape(nu, nv)
+        # flux normalization (no 1/2) and sign: forward flux positive
+        p = float(np.sum((eu * np.conj(hv) - ev * np.conj(hu)).real)
+                  * dx * dx)
+        s = np.sign(p) if p != 0 else 1.0
+        sc = 1.0 / np.sqrt(abs(p))
+        out.append(Mode2D(freq=freq, beta=beta, dx=dx,
+                          eu=eu.real * sc, ev=ev.real * sc,
+                          en=en * sc * s, hu=hu.real * sc * s,
+                          hv=hv.real * sc * s))
+        if len(out) >= num_modes:
+            break
+    return out
+
+
+def mode_overlap_vector(mode: "Mode2D", Eu: np.ndarray, Ev: np.ndarray,
+                        Hu: np.ndarray, Hv: np.ndarray,
+                        dA: float) -> Tuple[complex, complex]:
+    """Forward/backward coefficients from DTFT fields on the plane
+    (get_eigenmode_coefficients, mpb.cpp:925):
+      a+/- = (<e_m, H> +/- <h_m, E>)/2 with the cross-product overlaps."""
+    c1 = np.sum(np.conj(mode.eu) * Hv - np.conj(mode.ev) * Hu) * dA
+    c2 = np.sum(Eu * np.conj(mode.hv) - Ev * np.conj(mode.hu)) * dA
+    return 0.5 * (c1 + c2), 0.5 * (c1 - c2)
+
+
 def mode_overlap_tm(mode: Mode1D, ez_dft: np.ndarray, hy_dft: np.ndarray,
                     dx: float) -> Tuple[complex, complex]:
     """Forward/backward mode coefficients from DTFT fields on the

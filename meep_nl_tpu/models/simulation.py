@@ -408,22 +408,55 @@ class Simulation:
         return farfield(handle.surfaces, self._state, handle.freqs, x_axes,
                         self.gv.dim)
 
+    def _plane_eps(self, n_ax: int, u_ax: int, v_ax: int, c_ax, lo, hi,
+                   sel_u, sel_v):
+        """Sample epsilon on the three in-plane mode sub-lattices of a
+        cross-section plane (normal n_ax at c_ax[n_ax]); returns
+        (eps_u, eps_v, eps_n) of shape (len(sel_u), len(sel_v)) at the
+        E_{u_ax}, E_{v_ax}, E_{n_ax} in-plane Yee sites."""
+        from . import scene as _scene
+        gv = self.gv
+        comps = {"u": ("e" + "xyz"[u_ax], u_ax),
+                 "v": ("e" + "xyz"[v_ax], v_ax),
+                 "n": ("e" + "xyz"[n_ax], n_ax)}
+        out = {}
+        for key, (comp, dind) in comps.items():
+            cu = gv.comp_coords(comp, u_ax)[sel_u]
+            cv = gv.comp_coords(comp, v_ax)[sel_v]
+            uu, vv = np.meshgrid(cu, cv, indexing="ij")
+            pts = np.zeros((uu.size, 3))
+            pts[:, u_ax] = uu.ravel()
+            pts[:, v_ax] = vv.ravel()
+            pts[:, n_ax] = c_ax[n_ax]
+            idxm = _scene._material_at(pts, self.geometry,
+                                       self.default_material)
+            eps = _scene._eps_of(idxm, self.geometry, self.default_material,
+                                 dind)
+            out[key] = np.asarray(eps, np.float64).reshape(uu.shape)
+        return out["u"], out["v"], out["n"]
+
     def add_eigenmode_source(self, src, center, size, direction=+1,
                              mode_band=1, amplitude=1.0):
         """Launch a waveguide eigenmode (add_eigenmode_source, mpb.cpp:830).
 
-        2D TM implementation: solves the cross-section eigenproblem at the
-        source center frequency, then injects the equivalent currents
-        J = n x H (electric, on Ez) and M = -n x E (magnetic, on Hy) for a
-        unidirectional launch. `direction`: +1 = +x (or +normal)."""
+        Solves the cross-section eigenproblem at the source center frequency
+        (2D: TM tridiagonal; 3D: full-vector transverse-E FD, the MPB
+        replacement), then injects the equivalent currents J = n x H
+        (electric) and M = -n x E (magnetic) for a unidirectional launch.
+        `direction`: +1 = +normal."""
         if self._plan is not None:
             raise RuntimeError("add sources before the first run()")
         from ..analysis.modes import solve_tm_modes
         from . import scene as _scene
         from .source import Source as _Src
         gv = self.gv
+        if gv.dim == "3d":
+            return self._add_eigenmode_source_3d(src, center, size,
+                                                 direction, mode_band,
+                                                 amplitude)
         if gv.dim != "2d":
-            raise NotImplementedError("eigenmode sources: 2d TM in round 1")
+            raise NotImplementedError(
+                "eigenmode sources: 2d TM and 3d full-vector")
         c_ax = _vec_to_axes(gv, center)
         s_ax = _vec_to_axes(gv, size)
         norm_ax = 0 if s_ax[0] == 0 else 1
@@ -475,11 +508,135 @@ class Simulation:
         self._extra_srcs.append(SrcVolSpec("hy", idx_h, amps_h, src))
         return m
 
+    def _add_eigenmode_source_3d(self, src, center, size, direction,
+                                 mode_band, amplitude):
+        """3D eigenmode source: full-vector mode of the cross-section,
+        injected as the equivalent-current sheet J = n x H, M = -n x E
+        in the right-handed transverse frame u=(n+1)%3, v=(n+2)%3."""
+        from ..analysis.modes import solve_vector_modes
+        gv = self.gv
+        c_ax = _vec_to_axes(gv, center)
+        s_ax = _vec_to_axes(gv, size)
+        n_ax = int(np.argmin([abs(s) for s in s_ax]))
+        u_ax, v_ax = (n_ax + 1) % 3, (n_ax + 2) % 3
+        en_comp = "e" + "xyz"[n_ax]
+
+        def win(ax):
+            cc = gv.comp_coords(en_comp, ax)
+            lo = c_ax[ax] - s_ax[ax] / 2
+            hi = c_ax[ax] + s_ax[ax] / 2
+            return np.where((cc >= lo - 1e-9) & (cc <= hi + 1e-9))[0]
+
+        sel_u, sel_v = win(u_ax), win(v_ax)
+        eps_u, eps_v, eps_n = self._plane_eps(n_ax, u_ax, v_ax, c_ax,
+                                              None, None, sel_u, sel_v)
+        fcen = src.frequency
+        modes = solve_vector_modes(eps_u, eps_v, eps_n, gv.dx, fcen,
+                                   num_modes=mode_band)
+        if len(modes) < mode_band:
+            raise ValueError(f"only {len(modes)} guided modes found")
+        m = modes[mode_band - 1]
+        sgn = 1.0 if direction > 0 else -1.0
+        self._extra_srcs = getattr(self, "_extra_srcs", [])
+
+        def inject(comp, prof2d, coord_comp):
+            """Scatter a (nu, nv) current profile (sampled at coord_comp's
+            in-plane sites) onto comp's 3D lattice."""
+            cu = gv.comp_coords(coord_comp, u_ax)[sel_u]
+            cv = gv.comp_coords(coord_comp, v_ax)[sel_v]
+            idx_list, amp_list = [], []
+            for i, uu in enumerate(cu):
+                for j, vv in enumerate(cv):
+                    a = prof2d[i, j]
+                    if a == 0:
+                        continue
+                    pt = [0.0, 0.0, 0.0]
+                    pt[u_ax], pt[v_ax], pt[n_ax] = uu, vv, c_ax[n_ax]
+                    for gidx, wgt in gv.interp_weights(comp, pt):
+                        idx_list.append(gidx)
+                        amp_list.append(wgt * a * amplitude
+                                        * self.resolution)
+            if idx_list:
+                self._extra_srcs.append(SrcVolSpec(
+                    comp, np.array(idx_list, np.int32),
+                    np.array(amp_list, np.complex128), src))
+
+        eu_c, ev_c = "e" + "xyz"[u_ax], "e" + "xyz"[v_ax]
+        hu_c, hv_c = "h" + "xyz"[u_ax], "h" + "xyz"[v_ax]
+        # J = n x H flips with launch direction; M = -n x E does not
+        # (the backward mode has H reversed), matching the 2D calibration
+        inject(eu_c, -sgn * m.hv, eu_c)   # J_u at Eu sites (hv colocated)
+        inject(ev_c, sgn * m.hu, ev_c)    # J_v at Ev sites
+        inject(hu_c, m.ev + 0j, ev_c)     # M_u at Hu sites ((0, half))
+        inject(hv_c, -m.eu + 0j, eu_c)    # M_v at Hv sites ((half, 0))
+        return m
+
+    def _get_eigenmode_coefficients_3d(self, flux_handle, bands):
+        """3D mode decomposition: un-weight the plane monitor's DTFT pairs
+        (pair0 = (E_u, H_v) scale +1, pair1 = (E_v, H_u) scale -1 per
+        _FLUX_PAIRS' cyclic convention) and overlap with full-vector
+        modes."""
+        from ..analysis.modes import solve_vector_modes, mode_overlap_vector
+        freqs = flux_handle.freqs
+        name = flux_handle.name
+        spec_e0 = next(s for s in self._plan.dfts
+                       if s.name == f"{name}:0:e0")
+        reg = spec_e0.region
+        extents = [b - a for a, b in reg]
+        n_ax = int(np.argmin(extents))
+        u_ax, v_ax = (n_ax + 1) % 3, (n_ax + 2) % 3
+
+        def plane(key_e, key_h):
+            dE = np.asarray(self._state["dft"][key_e])
+            dH = np.asarray(self._state["dft"][key_h])
+            spec = next(s for s in self._plan.dfts if s.name == key_e)
+            wgt = spec.weights
+            w_t = wgt.sum(axis=n_ax)
+            w_n = wgt.sum(axis=tuple(a for a in range(3) if a != n_ax))
+            w_n = w_n / max(w_n.sum(), 1e-300)
+            dE_p = dE.sum(axis=n_ax) / spec.scale
+            with np.errstate(divide="ignore", invalid="ignore"):
+                E = np.where(w_t[..., None] != 0, dE_p / w_t[..., None],
+                             0.0)
+            H = np.tensordot(w_n, np.moveaxis(dH, n_ax, 0), axes=1)
+            return E, H
+
+        E_u, H_v = plane(f"{name}:0:e0", f"{name}:0:h0")
+        E_v, H_u = plane(f"{name}:0:e1", f"{name}:0:h1")
+        rem = [a for a in range(3) if a != n_ax]
+        if rem[0] != u_ax:   # arrays come out in ascending-axis order
+            E_u, H_v, E_v, H_u = (np.swapaxes(A, 0, 1)
+                                  for A in (E_u, H_v, E_v, H_u))
+        sel_u = np.arange(reg[u_ax][0], reg[u_ax][1])
+        sel_v = np.arange(reg[v_ax][0], reg[v_ax][1])
+        c_ax = [0.0, 0.0, 0.0]
+        c_ax[n_ax] = ((reg[n_ax][0] + 0.5) * self.gv.dx
+                      + self.gv.origin[n_ax])
+        eps_u, eps_v, eps_n = self._plane_eps(n_ax, u_ax, v_ax, c_ax,
+                                              None, None, sel_u, sel_v)
+        dA = self.gv.dx ** 2
+        alpha = np.zeros((len(bands), len(freqs), 2), np.complex128)
+        for fi, f in enumerate(freqs):
+            modes = solve_vector_modes(eps_u, eps_v, eps_n, self.gv.dx, f,
+                                       num_modes=max(bands))
+            for bi, band in enumerate(bands):
+                if len(modes) < band:
+                    continue
+                m = modes[band - 1]
+                ap, am = mode_overlap_vector(
+                    m, E_u[..., fi], E_v[..., fi],
+                    H_u[..., fi], H_v[..., fi], dA)
+                alpha[bi, fi, 0] = ap
+                alpha[bi, fi, 1] = am
+        return alpha
+
     def get_eigenmode_coefficients(self, flux_handle, bands,
                                    direction_normal="x"):
         """S-parameter mode decomposition on a flux monitor
         (get_eigenmode_coefficients, mpb.cpp:925).  Returns alpha of shape
         (len(bands), nfreq, 2) = forward/backward coefficients."""
+        if self.gv.dim == "3d":
+            return self._get_eigenmode_coefficients_3d(flux_handle, bands)
         from ..analysis.modes import solve_tm_modes, mode_overlap_tm
         from . import scene as _scene
         freqs = flux_handle.freqs

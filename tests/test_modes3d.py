@@ -1,0 +1,63 @@
+"""Full-vector 3D eigenmode sources + mode decomposition
+(analogs of python/tests/test_mode_coeffs.py; solver replaces libMPB,
+reference src/mpb.cpp:830/925).
+
+A straight square dielectric waveguide along x: the eigenmode source must
+launch unidirectionally *in mode space* (the FD solver mode differs from
+the exact discrete FDTD mode by O(dx^2), so some near-field radiation is
+expected at low resolution), and get_eigenmode_coefficients must attribute
+the forward flux to the fundamental mode."""
+
+import numpy as np
+import pytest
+
+import meep_nl_tpu as mp
+
+
+def _run(direction):
+    fcen, df = 0.5, 0.15
+    sim = mp.Simulation(
+        cell_size=mp.Vector3(5, 2.5, 2.5), resolution=8,
+        geometry=[mp.Block(size=mp.Vector3(mp.inf, 0.8, 0.8),
+                           material=mp.Medium(epsilon=12))],
+        boundary_layers=[mp.PML(0.6)],
+        eps_averaging=False)
+    mode = sim.add_eigenmode_source(
+        mp.GaussianSource(frequency=fcen, fwidth=df),
+        center=mp.Vector3(-1.2, 0, 0), size=mp.Vector3(0, 1.6, 1.6),
+        direction=direction)
+    fwd = sim.add_flux(fcen, 0, 1, mp.FluxRegion(
+        center=mp.Vector3(1.2, 0, 0), size=mp.Vector3(0, 1.6, 1.6)))
+    sim.run(until=40)
+    pf = float(sim.get_fluxes(fwd)[0])
+    alpha = sim.get_eigenmode_coefficients(fwd, [1])
+    return mode, pf, alpha[0, 0, 0], alpha[0, 0, 1]
+
+
+@pytest.fixture(scope="module")
+def launches():
+    return _run(+1), _run(-1)
+
+
+def test_mode_solver_guided(launches):
+    (mode, _, _, _), _ = launches
+    assert 1.0 < mode.neff < np.sqrt(12)
+    # fundamental of a strongly-guiding square core is well-confined
+    assert mode.neff > 2.0
+
+
+def test_forward_launch_is_fundamental(launches):
+    (_, pf, ap, am), _ = launches
+    assert pf > 0
+    # the fundamental carries (most of) the forward flux; the deficit is
+    # near-field radiation from the O(dx^2) solver/FDTD mode mismatch
+    assert 0.7 * pf < abs(ap) ** 2 < 1.1 * pf, (abs(ap) ** 2, pf)
+    # mode-space extinction of the counter-propagating component
+    assert abs(am) ** 2 < 0.03 * abs(ap) ** 2, (abs(am) ** 2, abs(ap) ** 2)
+
+
+def test_reversed_launch_suppresses_forward_mode(launches):
+    (_, _, ap_fwd, _), (_, _, ap_rev, _) = launches
+    # direction=-1 must put (almost) nothing into the forward mode
+    assert abs(ap_rev) ** 2 < 0.02 * abs(ap_fwd) ** 2, (
+        abs(ap_rev) ** 2, abs(ap_fwd) ** 2)
