@@ -76,18 +76,11 @@ def bicgstab_tree(op: Callable, b, x0, tol: float = 1e-8,
     return x, norm(r) / bnorm, carry[7]
 
 
-def solve_cw(plan: Plan, freq: float, tol: float = 1e-6,
-             max_iters: int = 2000, m: int = 8) -> Dict[str, Any]:
-    """Solve for the complex steady-state fields at `freq` (solve_cw,
-    cw_fields.cpp:142).  Requires plan.complex_fields.
-
-    Uses the m-step operator (A^m - lambda^m): the one-step operator's
-    spectrum hugs the unit circle (unitary propagation), which stalls
-    unpreconditioned Krylov; m steps per application widens the spectral
-    gaps --- the TPU-friendly stand-in for the reference's BiCGSTAB(L)
-    polynomial smoothing (bicgstab.cpp L=2)."""
+def _build_ops(plan: Plan, freq: float, m: int):
+    """Shared machinery: the m-step shifted operator (A^m - lambda^m) and
+    the driven right-hand side, on the packed linear substate."""
     if not plan.complex_fields:
-        raise ValueError("solve_cw needs complex fields "
+        raise ValueError("frequency-domain solves need complex fields "
                          "(compile_plan(complex_fields=True))")
     step = make_step(plan)
     xs_m = build_xs(plan, m, 0)
@@ -124,6 +117,20 @@ def solve_cw(plan: Plan, freq: float, tol: float = 1e-6,
             s = step(s, {k: v[j] for k, v in xs_m.items()}, C)
         return jax.tree.map(lambda a: -a, pack(s))
 
+    return op, rhs, lam_m
+
+
+def solve_cw(plan: Plan, freq: float, tol: float = 1e-6,
+             max_iters: int = 2000, m: int = 8) -> Dict[str, Any]:
+    """Solve for the complex steady-state fields at `freq` (solve_cw,
+    cw_fields.cpp:142).  Requires plan.complex_fields.
+
+    Uses the m-step operator (A^m - lambda^m): the one-step operator's
+    spectrum hugs the unit circle (unitary propagation), which stalls
+    unpreconditioned Krylov; m steps per application widens the spectral
+    gaps --- the TPU-friendly stand-in for the reference's BiCGSTAB(L)
+    polynomial smoothing (bicgstab.cpp L=2)."""
+    op, rhs, _ = _build_ops(plan, freq, m)
     C = plan.coefs
     b = rhs(C)
     x0 = jax.tree.map(jnp.zeros_like, b)
@@ -131,3 +138,56 @@ def solve_cw(plan: Plan, freq: float, tol: float = 1e-6,
                                      max_iters=max_iters)
     return {**x, "relres": float(jax.device_get(relres)),
             "iters": int(jax.device_get(iters))}
+
+
+def solve_eigfreq(plan: Plan, freq_guess: float, eig_tol: float = 1e-6,
+                  eig_iters: int = 12, cw_tol: float = 1e-8,
+                  cw_iters: int = 4000, m: int = 8) -> Dict[str, Any]:
+    """Frequency-domain eigensolver: the resonant mode nearest `freq_guess`
+    by shift-invert power iteration on the m-step operator (the reference's
+    solve_cw-based eigensolver; cw_fields.cpp + SURVEY 2 'frequency-domain
+    eigensolver via shift-invert iterations').
+
+    Each iteration solves (A^m - sigma^m) w = v with BiCGSTAB, the inverse
+    iteration for the eigenvalue lambda^m of A^m closest to
+    sigma^m = e^{-i 2 pi f0 dt m}; the Rayleigh quotient mu = <v, w> gives
+    lambda^m = sigma^m + 1/mu.  Returns the complex eigenfrequency
+    (freq_re, decay rate, Q) and the mode fields."""
+    op, rhs, sigma_m = _build_ops(plan, freq_guess, m)
+    C = plan.coefs
+
+    def norm(v):
+        return jnp.sqrt(jnp.abs(_tree_dot(v, v)))
+
+    # seed: a few driven steps imprint the source's spatial structure
+    v = rhs(C)
+    v = _tree_scale(1.0 / norm(v), v)
+    lam_prev = None
+    lam_m = None
+    history = []
+    for _ in range(eig_iters):
+        w, relres, _ = bicgstab_tree(partial(op, C=C), v,
+                                     jax.tree.map(jnp.zeros_like, v),
+                                     tol=cw_tol, max_iters=cw_iters)
+        mu = jax.device_get(_tree_dot(v, w))       # <v, w>, ||v|| = 1
+        lam_m = complex(jax.device_get(sigma_m)) + 1.0 / complex(mu)
+        v = _tree_scale(1.0 / norm(w), w)
+        history.append(lam_m)
+        # the first iterates mix non-normal (PML) transients into the
+        # Rayleigh quotient; never trust agreement before iteration 3
+        if len(history) >= 3 and lam_prev is not None and \
+                abs(lam_m - lam_prev) <= eig_tol * abs(lam_m):
+            break
+        lam_prev = lam_m
+    # lambda^m = e^{-i omega m dt}: unwrap around the guess (principal
+    # branch of log(lam/sigma) stays near zero)
+    w0 = 2 * np.pi * freq_guess
+    omega = w0 + 1j * np.log(lam_m / complex(jax.device_get(sigma_m))) \
+        / (m * plan.dt)
+    freq = omega / (2 * np.pi)
+    decay = -2 * np.pi * freq.imag   # field amplitude decay rate Im(omega)
+    Q = float(freq.real / (2 * abs(freq.imag))) if freq.imag != 0 else \
+        np.inf
+    return {"freq": float(freq.real), "decay": float(decay), "Q": Q,
+            "eigfreq": complex(freq), "mode": v,
+            "iters": len(history), "history": history}

@@ -1048,6 +1048,27 @@ class Simulation:
                 self._state = {**self._state, k: out[k]}
         return out
 
+    def solve_eigfreq(self, freq=None, tol=1e-6, maxiters=12,
+                      cwtol=1e-8, cwmaxiters=4000):
+        """Frequency-domain eigensolver: resonant complex eigenfrequency
+        nearest `freq` (default: the source frequency) by shift-invert
+        power iteration on the step operator (the reference's
+        solve_cw-based eigensolver).  Returns a dict with freq, decay, Q,
+        eigfreq, and the mode fields; the simulation state is set to the
+        mode.  Requires force_complex_fields=True."""
+        from ..analysis.cw import solve_eigfreq as _solve
+        self.init_sim()
+        if freq is None:
+            freqs = [s.src.frequency for s in self.sources
+                     if hasattr(s.src, "frequency")]
+            if not freqs:
+                raise ValueError("solve_eigfreq needs a guess frequency")
+            freq = freqs[0]
+        out = _solve(self._plan, freq, eig_tol=tol, eig_iters=maxiters,
+                     cw_tol=cwtol, cw_iters=cwmaxiters)
+        self._state = {**self._state, **out["mode"]}
+        return out
+
     # ---------------------------------------------------------- checkpoint
     def dump(self, path: str):
         """Checkpoint fields+monitors+time (fields_dump.cpp:108 analog)."""
