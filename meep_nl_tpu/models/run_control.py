@@ -130,17 +130,40 @@ def output_epsilon(sim, volume=None):
     np.save("epsilon.npy", np.asarray(sim.get_epsilon()))
 
 
+class FieldProbe:
+    """In-scan point time-series sampler: records component `c` at `pt`
+    every step at full scan speed (rides the same probe mechanism as
+    Harminv; no per-step host sync).  After run(), `.data` holds the
+    series and `.dt` the timestep."""
+
+    def __init__(self, c, pt):
+        self.c = c
+        self.pt = pt
+        self.data = np.zeros(0)
+        self.dt = None
+
+    def _collect(self, data, dt):
+        self.data = np.concatenate([self.data, np.asarray(data)])
+        self.dt = dt
+
+    def _analyze(self):
+        pass
+
+
+def _is_collector(x) -> bool:
+    return hasattr(x, "_collect") and hasattr(x, "c") and hasattr(x, "pt")
+
+
 def parse_step_funcs(step_funcs) -> StepFuncs:
-    from ..analysis.harminv import Harminv
     out = StepFuncs([], [], [], [], [])
     for sf in step_funcs:
-        if isinstance(sf, Harminv):
+        if _is_collector(sf):
             out.collectors.append((sf, False))
         elif isinstance(sf, tuple) and sf:
             tag = sf[0]
             if tag == "after_sources":
                 for fn in sf[1]:
-                    if isinstance(fn, Harminv):
+                    if _is_collector(fn):
                         out.collectors.append((fn, True))
                     else:
                         out.after_sources_fns.append(fn)
