@@ -116,6 +116,7 @@ class Simulation:
                  force_complex_fields: bool = False,
                  eps_averaging: bool = True,
                  subpixel_n: int = 3,
+                 subpixel_tensor: bool = False,
                  force_all_components: bool = False,
                  m: float = 0,
                  bfast_scaled_k=None,
@@ -132,6 +133,7 @@ class Simulation:
         self.force_complex_fields = force_complex_fields
         self.eps_averaging = eps_averaging
         self.subpixel_n = subpixel_n
+        self.subpixel_tensor = subpixel_tensor
         self.force_all_components = force_all_components
         self.m = m
         self.bfast_scaled_k = bfast_scaled_k
@@ -250,6 +252,7 @@ class Simulation:
         mat = scene.rasterize(self.gv, self.geometry, self.default_material,
                               eps_averaging=self.eps_averaging,
                               subpixel_n=self.subpixel_n,
+                              subpixel_tensor=self.subpixel_tensor,
                               live_e=live_e, live_h=live_h)
         pmls = []
         absorbers = []
