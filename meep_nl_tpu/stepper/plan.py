@@ -367,6 +367,21 @@ def compile_plan(
     bloch_phase = tuple(_phase(ax, k) for ax, k in enumerate(bloch_k))
     if bfast_scaled_k is not None and not any(bfast_scaled_k):
         bfast_scaled_k = None
+    if bfast_scaled_k is not None:
+        # BFAST tightens the CFL bound: the s*dH/dt terms add to the
+        # update's spectral radius, shrinking the stable Courant factor by
+        # roughly (1 - max|scaled_k|) (Liang et al.; observed empirically:
+        # s=0.5 blows up at courant 0.5, stable at <=0.35 in 2D)
+        smax = max(abs(float(s)) for s in bfast_scaled_k)
+        climit = (1.0 - smax) / np.sqrt(gv.ndim)
+        if smax >= 1.0:
+            raise ValueError(f"bfast_scaled_k magnitude {smax} >= 1 "
+                             "(|sin(theta)| must be < 1)")
+        if courant > climit + 1e-9:
+            raise ValueError(
+                f"BFAST with max|scaled_k|={smax} needs Courant <= "
+                f"(1-|s|)/sqrt(D) = {climit:.3f}; got {courant} "
+                "(pass Courant=... to Simulation)")
     if complex_fields is None:
         complex_fields = any(isinstance(ph, complex) for ph in bloch_phase) \
             or (gv.dim == "cyl" and mm != 0) or (bfast_scaled_k is not None)
@@ -541,6 +556,29 @@ def compile_plan(
             if has_cond:
                 put(f"{c}:cnd", cnd)
                 put(f"{c}:cndinv", 1.0 / (1.0 + 0.5 * dt * cnd))
+            if bfast_scaled_k is not None and pml_full:
+                # taper the BFAST k smoothly to zero across every PML
+                # depth: the deep-PML field is attenuated by e^{-2 int
+                # sigma} anyway, and keeping the s*dH/dt coupling at full
+                # strength there destabilizes the aux flip-flop (see
+                # step._bfast_update); cos^2 ramp, 1 at the inner edge
+                tap_total = None
+                for d in pml_full:
+                    ax = gv.axis_of(d)
+                    sh = ys[d]
+                    nax = gv.num[ax]
+                    lo, hi = slab_extents(d, sh)
+                    n_sites = len(_sample_pml_vec(pml_full[d]["sig"],
+                                                  nax, sh))
+                    tv = np.ones(n_sites)
+                    for i in range(min(lo, n_sites)):
+                        tv[i] = np.cos(0.5 * np.pi * (lo - i) / lo) ** 2
+                    for i in range(min(hi, n_sites)):
+                        tv[n_sites - 1 - i] = np.cos(
+                            0.5 * np.pi * (hi - i) / hi) ** 2
+                    tb = _bcast(tv, ax, ndim)
+                    tap_total = tb if tap_total is None else tap_total * tb
+                put(f"{c}:bftap", tap_total)
             specs.append(CurlSpec(
                 c=c, ec=fc,
                 g_plus=plan.plus,

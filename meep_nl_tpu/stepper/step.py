@@ -329,12 +329,19 @@ def _bfast_update(plan: Plan, C: Dict[str, Any], spec: CurlSpec,
     if plan.bfast_k is None:
         return state
     kidx = {"x": 0, "y": 1, "z": 2}
-    # k1 rides the PLUS partner but takes the MINUS partner's direction
-    # (cross product assignment, step_db.cpp:129-137); both negated for D
-    k1 = (plan.bfast_k[kidx[spec.g_minus[1]]]
-          if spec.g_minus is not None else 0.0)
-    k2 = (plan.bfast_k[kidx[spec.g_plus[1]]]
-          if spec.g_plus is not None else 0.0)
+    # each slot's k is the scaled-k component along that term's
+    # DIFFERENTIATION axis (ik_ax replaces d/d ax); equivalent to the
+    # reference's cross-product partner-letter assignment when both curl
+    # partners exist (step_db.cpp:129-137).  Like the reference, apply
+    # BFAST only to two-partner curls: the fork's supported mode is the
+    # 3D-component 1D/3D cell (test_refl_angular.py), where every curl has
+    # both partners; activating single-partner terms (2D TM) destabilizes
+    # the flip-flop even below the BFAST CFL bound.
+    if spec.g_plus is None or spec.g_minus is None:
+        return state
+    axes = plan.gv.axes
+    k1 = plan.bfast_k[kidx[axes[spec.plus_axis]]]
+    k2 = plan.bfast_k[kidx[axes[spec.minus_axis]]]
     if spec.is_d:
         k1, k2 = -k1, -k2
     if (k1 == 0.0 or spec.g_plus is None) and \
@@ -353,12 +360,52 @@ def _bfast_update(plan: Plan, C: Dict[str, Any], spec: CurlSpec,
         A = A + k1 * pair(f[spec.g_plus], spec.plus_axis)
     if spec.g_minus is not None and k2 != 0.0:
         A = A - k2 * pair(f[spec.g_minus], spec.minus_axis)
+    if f"{c}:bftap" in C:
+        A = A * C[f"{c}:bftap"]
     F_prev = state["f_bfast"][c]
-    F_new = A - F_prev
+    # In lossy regions (PML sigma / conductivity) the bare flip-flop
+    # F_new = A - F_prev is destabilized by the field-aux feedback loop
+    # (measured growth 1.014/step localized in the PML skin even at the
+    # BFAST-reduced Courant), because F's Nyquist pole sits exactly on the
+    # unit circle while the fields it couples to decay.  Damp F with the
+    # same per-site decay factor the fields see, gamma = (kap-sig)/(kap+sig)
+    # (and the conductivity equivalent): identically 1 in the interior, so
+    # the dispersion there is untouched; inside absorbing layers the
+    # effective k_x rolls off with the fields (a small extra PML
+    # reflection, traded for unconditional stability).
+    gam = None
+
+    def mulgam(g, extra):
+        return extra if g is None else g * extra
+
+    if spec.dsig_axis is not None:
+        gam = mulgam(gam, (C[f"{c}:kap"] - C[f"{c}:sig"])
+                     * C[f"{c}:siginv"])
+    if spec.dsigu_axis is not None:
+        gam = mulgam(gam, (C[f"{c}:kapu"] - C[f"{c}:sigu"])
+                     * C[f"{c}:siginvu"])
+    if spec.has_cond:
+        gam = mulgam(gam, (1 - 0.5 * plan.dt * C[f"{c}:cnd"])
+                     * C[f"{c}:cndinv"])
+    if gam is None:
+        # chain-free components (e.g. dz in z-PML): key off the partner
+        # E/H component's own-direction W-chain profile when present
+        ec = ("e" if c[0] == "d" else "h") + c[1]
+        if f"{ec}:sigw" in C:
+            gam = (C[f"{ec}:kapw"] - C[f"{ec}:sigw"]) \
+                / (C[f"{ec}:kapw"] + C[f"{ec}:sigw"])
+    F_new = (A - (gam * F_prev if gam is not None else F_prev))
     delta = F_new - F_prev
+    new_state = {**state, "f_bfast": {**state["f_bfast"], c: F_new}}
     if spec.has_cond:
         delta = delta * C[f"{c}:cndinv"]
-    new_state = {**state, "f_bfast": {**state["f_bfast"], c: F_new}}
+        if spec.dsig_axis is not None and c in new_state["f_cond"]:
+            # conductivity+PML: the recurrence integrates through fcnd
+            # (step_generic.cpp:489 dfcnd bookkeeping); without PML the
+            # conductivity is folded into the inner update directly
+            fcnd = new_state["f_cond"][c]
+            new_state = {**new_state,
+                         "f_cond": {**new_state["f_cond"], c: fcnd + delta}}
     if spec.dsig_axis is not None:
         delta = delta * C[f"{c}:siginv"]
     if spec.dsigu_axis is not None:

@@ -70,10 +70,13 @@ def test_faraday_rotation():
 
 def test_bfast_stable_and_off_by_default():
     """BFAST aux recurrence (step_generic.cpp:339): stable at large scaled-k
-    and exactly inert when k=0.  (Quantitative oblique-incidence validation
-    is a round-2 item; the fork ships no test either.)"""
+    and exactly inert when k=0.  (Quantitative oblique-incidence validation:
+    tests/test_bfast.py.)"""
     def run(bk):
+        cour = 0.5 if bk is None or not any(tuple(bk)) else \
+            (1 - max(abs(v) for v in tuple(bk))) / np.sqrt(2)
         sim = mp.Simulation(cell_size=mp.Vector3(6, 6), resolution=10,
+                            Courant=cour,
                             sources=[mp.Source(
                                 mp.GaussianSource(frequency=1.0, fwidth=0.4),
                                 component=mp.Ez, center=mp.Vector3(-2, 0),
