@@ -41,18 +41,23 @@ def run_one():
     idx = np.array([p for p, w in pts], np.int32)
     amps = np.array([w for p, w in pts], np.complex128)
     src = SrcVolSpec("ez", idx, amps, src_t)
-    pmls = [PMLSpec(d, 1.0) for d in ("x", "y", "z")]
+    pmls = [] if os.environ.get("BENCH_NOPML") else \
+        [PMLSpec(d, 1.0) for d in ("x", "y", "z")]
     plan = compile_plan(gv, MaterialSpec(chi1inv={}), pmls=pmls, sources=[src],
                         pad_to_multiple=(8, 8, 128))
     if os.environ.get("BENCH_PALLAS"):
         plan.use_pallas = True
+    if os.environ.get("BENCH_SLAB"):
+        plan.slab_store = True
 
     step = make_step(plan)
 
     def run_block(state, xs, C):
         def body(carry, x):
             return step(carry, x, C), None
-        state, _ = jax.lax.scan(body, state, xs)
+        # unroll=4 measured +7% on the TPU (1.05 -> 1.12 GCells/s at 128^3):
+        # better HBM pipelining across step boundaries
+        state, _ = jax.lax.scan(body, state, xs, unroll=4)
         return state
 
     state = init_state(plan)

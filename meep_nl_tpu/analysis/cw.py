@@ -92,7 +92,8 @@ def _build_ops(plan: Plan, freq: float, m: int):
     # polarization P/P_prev) --- they are all part of the one-step linear
     # recurrence (the reference instead eliminates W algebraically via
     # set_solve_cw_omega, meep.hpp:1569)
-    LIN_KEYS = ("f", "f_u", "f_cond", "f_w", "pol")
+    LIN_KEYS = tuple(k for k in ("f", "f_u", "f_cond", "f_w", "pol",
+                                 "d_sl", "fu_sl", "fw_sl") if k in z0)
 
     def pack(state):
         return {k: state[k] for k in LIN_KEYS}

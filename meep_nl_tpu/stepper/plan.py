@@ -233,6 +233,10 @@ class Plan:
     #: shape supports them (3D cartesian, real, diagonal media, uPML);
     #: silently falls back to the jnp path otherwise
     use_pallas: bool = False
+    #: slab-stored stepper (stepper/slabstep.py): PML aux fields live only
+    #: on their sigma slabs, E/H are the only full arrays; silently falls
+    #: back to the uniform path outside the supported envelope
+    slab_store: bool = False
 
     @property
     def dt(self) -> float:

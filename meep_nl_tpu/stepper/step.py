@@ -50,15 +50,33 @@ def _apply_mask(plan: Plan, C: Dict[str, Any], c: str, arr):
     turning each one into a full copy (measured 10x regression), so the
     multiply stays the default; plane mode is opt-in via plan.plane_masks
     for backends that alias properly."""
-    planes = plan.mask_planes.get(c) if (plan.mask_planes
-                                         and getattr(plan, "plane_masks",
-                                                     False)) else None
+    planes = plan.mask_planes.get(c) if plan.mask_planes else None
     if planes is None:
         return arr * C[f"mask:{c}"]
+    if getattr(plan, "plane_masks", False):
+        # thin dynamic-update-slices: opt-in (aliasing caveat above)
+        for ax, i in planes:
+            idx = [slice(None)] * arr.ndim
+            idx[ax] = i
+            arr = arr.at[tuple(idx)].set(0.0)
+        return arr
+    # default: per-axis iota-compare masks.  The alive vectors are 1D
+    # (broadcast at use), so XLA generates them in-register: unlike the
+    # full mask-array multiply this costs ZERO HBM reads (the mask arrays
+    # were ~20% of the step's traffic), and unlike the DUS mode it
+    # introduces no aliasing hazard in scan carries.
+    by_ax: Dict[int, list] = {}
     for ax, i in planes:
-        idx = [slice(None)] * arr.ndim
-        idx[ax] = i
-        arr = arr.at[tuple(idx)].set(0.0)
+        by_ax.setdefault(ax, []).append(i)
+    for ax, idxs in by_ax.items():
+        n = arr.shape[ax]
+        io = jax.lax.iota(jnp.int32, n)
+        alive = jnp.ones((n,), bool)
+        for i in idxs:
+            alive = alive & (io != i)
+        shape = [1] * arr.ndim
+        shape[ax] = n
+        arr = arr * alive.reshape(shape).astype(arr.dtype)
     return arr
 
 NR_ITERS = 8  # quadratic convergence: 8 Newton steps reach fp32 roundoff
@@ -71,7 +89,11 @@ NR_ITERS = 8  # quadratic convergence: 8 Newton steps reach fp32 roundoff
 # ---------------------------------------------------------------------------
 
 
-def init_state(plan: Plan) -> Dict[str, Any]:
+def init_state(plan: Plan, _slab_ok: bool = True) -> Dict[str, Any]:
+    if _slab_ok and getattr(plan, "slab_store", False):
+        from .slabstep import slab_supported, init_state_slab
+        if slab_supported(plan):
+            return init_state_slab(plan)
     gv = plan.gv
     fdtype = jnp.complex64 if plan.complex_fields else plan.dtype
     if plan.dtype == np.float64:
@@ -1020,6 +1042,11 @@ def make_step(plan: Plan):
     jit receives them as device buffers rather than embedding multi-MB
     constants into the HLO."""
 
+    if getattr(plan, "slab_store", False):
+        from .slabstep import slab_supported, make_step_slab
+        if slab_supported(plan):
+            return make_step_slab(plan)
+
     if plan.use_pallas:
         from ..ops.pallas.fused import (pallas_supported, build_half_step,
                                         build_source_fixup)
@@ -1166,7 +1193,9 @@ def run(plan: Plan, state: Dict[str, Any], nsteps: int,
                                    * pw[p.name])
                    for p in probes}
             return ns, out
-        state, ys = jax.lax.scan(body, state, xs, length=nsteps)
+        # unroll=4: +7% on TPU (HBM pipelining across step boundaries)
+        state, ys = jax.lax.scan(body, state, xs, length=nsteps,
+                                 unroll=4 if nsteps % 4 == 0 else 1)
         return state, ys
 
     if jit:
