@@ -14,7 +14,8 @@ from .stepper.plan import (MaterialSpec, PolSpec, PMLSpec, SrcVolSpec,
                            DftSpec, compile_plan)
 from .stepper.step import init_state, make_step, build_xs, run
 from .models.source import (GaussianSource, ContinuousSource, CustomSource,
-                            Source, SourceTime, GaussianBeamSource)
+                            Source, SourceTime, GaussianBeamSource,
+                            IndexedSource)
 from .models.geom import (Vector3, Medium, Sphere, Block, Cylinder, Cone,
                           Wedge, Ellipsoid, Prism, LorentzianSusceptibility,
                           DrudeSusceptibility, NoisyLorentzianSusceptibility,
@@ -40,3 +41,24 @@ from .models.run_control import (at_every, at_beginning, at_end,
 from .utils.visualization import plot2D, Animate2D
 
 CYLINDRICAL = "cyl"
+
+
+class _Verbosity:
+    """Shared verbosity shim (python/verbosity_mgr.py parity): levels
+    0 = quiet .. 3 = debug; only gates this package's optional prints."""
+
+    def __init__(self):
+        self.meep = 1
+        self.mpb = 1
+
+    def __call__(self, level=None):
+        if level is not None:
+            self.meep = int(level)
+        return self.meep
+
+    def set(self, level):
+        self.meep = int(level)
+        return self.meep
+
+
+verbosity = _Verbosity()

@@ -121,6 +121,8 @@ class Simulation:
                  m: float = 0,
                  bfast_scaled_k=None,
                  use_pallas: bool = False,
+                 slab_store: bool = False,
+                 epsilon_input_file: str = None,
                  dtype=np.float32):
         self.cell_size = _v3(cell_size)
         self.resolution = float(resolution)
@@ -138,6 +140,8 @@ class Simulation:
         self.m = m
         self.bfast_scaled_k = bfast_scaled_k
         self.use_pallas = use_pallas
+        self.slab_store = slab_store
+        self.epsilon_input_file = epsilon_input_file
         self.dtype = dtype
 
         # infer dimensionality (meep: z-only -> 1d; z==0 -> 2d)
@@ -202,10 +206,16 @@ class Simulation:
         return live_e, live_h
 
     def _build_sources(self, live_e, live_h) -> List[SrcVolSpec]:
+        from .source import IndexedSource
         out = []
         gv = self.gv
         for s in self.sources:
             comp = s.component
+            if isinstance(s, IndexedSource):
+                out.append(SrcVolSpec(
+                    comp, np.asarray(s.indices, np.int32),
+                    np.asarray(s.amplitudes, np.complex128), s.src))
+                continue
             center = _vec_to_axes(gv, s.center)
             size = _vec_to_axes(gv, s.size) if s.size is not None else \
                 [0.0] * gv.ndim
@@ -245,6 +255,104 @@ class Simulation:
                                                         False)))
         return out
 
+    def _apply_epsilon_input(self, mat, live_e):
+        """Background epsilon from an HDF5 file (simulation.py
+        epsilon_input_file; meepgeom epsilon input): the dataset spans the
+        cell and is sampled (multi-linear) at each live E component's Yee
+        sites; geometry objects still overlay it."""
+        import h5py
+        from scipy.ndimage import map_coordinates
+        with h5py.File(self.epsilon_input_file, "r") as f:
+            name = "eps" if "eps" in f else list(f.keys())[0]
+            eps_bg = np.asarray(f[name], np.float64)
+        gv = self.gv
+        lo = [gv.origin[a] for a in range(gv.ndim)]
+        span = [max(gv.num[a] * gv.dx, 1e-30) for a in range(gv.ndim)]
+        for c in live_e:
+            dind = c[1]
+            coords = []
+            for a in range(gv.ndim):
+                cc = gv.comp_coords(c, a)
+                frac = (cc - lo[a]) / span[a]
+                coords.append(frac * (eps_bg.shape[a] - 1))
+            mesh = np.meshgrid(*coords, indexing="ij")
+            eps_s = map_coordinates(eps_bg, [m.ravel() for m in mesh],
+                                    order=1, mode="nearest")
+            eps_s = eps_s.reshape(mesh[0].shape)
+            # overlay: keep geometry-object values, replace default-medium
+            idx = scene._material_at(
+                scene._site_points(gv, c), self.geometry,
+                self.default_material)
+            row = mat.chi1inv.setdefault(c, {}).get(dind)
+            if row is None:
+                row = np.ones(eps_s.shape)
+            bg = 1.0 / eps_s
+            mat.chi1inv[c][dind] = np.where(idx == -1, bg, row)
+
+    def initialize_field(self, component, func):
+        """Set the initial field of `component` from a spatial function
+        f(Vector3) -> value (fields::initialize_field, initialize.cpp)."""
+        import jax.numpy as jnp
+        self.init_sim()
+        gv = self.gv
+        if component not in self._state["f"]:
+            raise ValueError(f"component {component} is not stepped")
+        coords = [gv.comp_coords(component, a) for a in range(gv.ndim)]
+        mesh = np.meshgrid(*coords, indexing="ij")
+        vals = np.zeros(mesh[0].shape, np.complex128)
+        it = np.nditer(mesh[0], flags=["multi_index"])
+        for _ in it:
+            mi = it.multi_index
+            pt = [m[mi] for m in mesh]
+            v3 = [0.0, 0.0, 0.0]
+            for a, d in enumerate(gv.axes):
+                v3[{"x": 0, "y": 1, "z": 2, "r": 0, "p": 1}[d]] = pt[a]
+            if gv.dim == "1d":
+                v3 = [0.0, 0.0, pt[0]]
+            vals[mi] = func(Vector3(*v3))
+        arr = self._state["f"][component]
+        out = np.zeros(arr.shape, np.complex128)
+        out[tuple(slice(0, s) for s in vals.shape)] = vals
+        if not self._plan.complex_fields:
+            out = out.real
+        new = jnp.asarray(out, arr.dtype)
+        C = self._plan.coefs
+        new = S._apply_mask(self._plan, C, component, new)
+        f = {**self._state["f"], component: new}
+        st = {**self._state, "f": f}
+        # keep the conjugate arrays consistent (the reference memcpys
+        # f into f_u at alloc; E and D must agree via D = E/u or the next
+        # eh update would overwrite the initialization)
+        dc = ("d" if component[0] == "e" else "b") + component[1]
+        if dc in f:
+            u = C.get(f"{component}:u")
+            d_new = new / u if u is not None else new
+            d_new = S._apply_mask(self._plan, C, dc, d_new)
+            f[dc] = d_new
+            if "f_u" in st and dc in st["f_u"]:
+                st = {**st, "f_u": {**st["f_u"], dc: d_new}}
+            if "f_w" in st and component in st["f_w"]:
+                st = {**st, "f_w": {**st["f_w"], component: new}}
+        self._state = st
+
+    def integrate_field_function(self, cs, func, center=None, size=None):
+        """Integral of func(f1, f2, ...) over a volume
+        (fields::integrate, integrate.cpp; python integrate_field_function).
+        Component arrays are sampled on the first component's lattice;
+        default volume = the whole cell."""
+        self.init_sim()
+        if size is None:
+            size = self.cell_size
+        coords, w = self.get_array_metadata(component=cs[0], center=center,
+                                            size=size)
+        arrs = []
+        for c in cs:
+            a = np.asarray(self.get_array(component=c, center=center,
+                                          size=size))
+            arrs.append(a[tuple(slice(0, n) for n in w.shape)])
+        vals = func(*arrs)
+        return complex(np.sum(np.asarray(vals) * w))
+
     def init_sim(self):
         if self._plan is not None:
             return
@@ -254,6 +362,8 @@ class Simulation:
                               subpixel_n=self.subpixel_n,
                               subpixel_tensor=self.subpixel_tensor,
                               live_e=live_e, live_h=live_h)
+        if self.epsilon_input_file:
+            self._apply_epsilon_input(mat, live_e)
         pmls = []
         absorbers = []
         for bl in self.boundary_layers:
@@ -300,6 +410,7 @@ class Simulation:
             bfast_scaled_k=(tuple(_v3(self.bfast_scaled_k))
                             if self.bfast_scaled_k is not None else None))
         self._plan.use_pallas = self.use_pallas
+        self._plan.slab_store = self.slab_store
         self._state = S.init_state(self._plan)
 
     # -------------------------------------------------------------- monitors

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Callable, Optional, Sequence
+from typing import Any, Callable, Optional, Sequence
 
 import numpy as np
 
@@ -157,6 +157,17 @@ class Source:
     size: Optional[Sequence[float]] = None
     amplitude: complex = 1.0
     amp_func: Optional[Callable] = None
+
+
+@dataclasses.dataclass
+class IndexedSource:
+    """Raw (grid-index, amplitude) current source (python/source.py:1081
+    IndexedSource; used by the adjoint machinery): bypasses the volume
+    machinery and injects at explicit Yee indices of `component`."""
+    src: SourceTime
+    component: str
+    indices: Any                        # (npts, ndim) int
+    amplitudes: Any                     # (npts,) complex
 
 
 @dataclasses.dataclass
