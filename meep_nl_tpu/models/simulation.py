@@ -345,13 +345,16 @@ class Simulation:
             size = self.cell_size
         coords, w = self.get_array_metadata(component=cs[0], center=center,
                                             size=size)
-        arrs = []
-        for c in cs:
-            a = np.asarray(self.get_array(component=c, center=center,
-                                          size=size))
-            arrs.append(a[tuple(slice(0, n) for n in w.shape)])
-        vals = func(*arrs)
-        return complex(np.sum(np.asarray(vals) * w))
+        arrs = [np.asarray(self.get_array(component=c, center=center,
+                                          size=size)) for c in cs]
+        # staggered components have lattices differing by one site per
+        # axis; crop everything (and the weights) to the common shape
+        # (the reference instead interpolates to the centered grid)
+        shp = tuple(min(min(a.shape[i] for a in arrs), w.shape[i])
+                    for i in range(w.ndim))
+        cut = tuple(slice(0, n) for n in shp)
+        vals = func(*[a[cut] for a in arrs])
+        return complex(np.sum(np.asarray(vals) * w[cut]))
 
     def init_sim(self):
         if self._plan is not None:
