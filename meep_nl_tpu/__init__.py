@@ -28,6 +28,7 @@ from .models.simulation import (Simulation, PML, Absorber, FluxRegion,
                                 Bx, By, Bz, Er, Ep, Hr, Hp, Dielectric,
                                 X, Y, Z, ALL)
 from .analysis.harminv import Harminv, harminv
+from .analysis.bands import ModeSolver, retrieve_gap
 
 inf = float("inf")
 
