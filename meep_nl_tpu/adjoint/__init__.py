@@ -1,3 +1,5 @@
 from .design import DesignRegion, DesignVariables
 from .optimization import OptimizationProblem, run_differentiable
 from . import filters
+from .objectives import (eigenmode_coefficient, fourier_fields,
+                         ldos_objective)

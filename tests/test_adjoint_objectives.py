@@ -1,0 +1,103 @@
+"""Differentiable objective quantities (adjoint/objectives.py; analog of
+python/adjoint/objective.py EigenmodeCoefficient / FourierFields / LDOS):
+the mode-coefficient objective must be differentiable through the time
+loop and its gradient must match finite differences."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import meep_nl_tpu as mp
+from meep_nl_tpu.adjoint import (DesignRegion, DesignVariables,
+                                 OptimizationProblem)
+from meep_nl_tpu.adjoint.objectives import (eigenmode_coefficient,
+                                            fourier_fields)
+
+
+def _coupler(beta=0.0):
+    """Waveguide with a design region: maximize fundamental-mode
+    transmission |a+|^2 (the canonical EigenmodeCoefficient problem)."""
+    fcen = 0.6
+    wg = mp.Block(size=mp.Vector3(mp.inf, 1.0, mp.inf),
+                  material=mp.Medium(epsilon=6.0))
+    sim = mp.Simulation(
+        cell_size=mp.Vector3(8, 6), resolution=10,
+        geometry=[wg,
+                  mp.Block(size=mp.Vector3(2, 2, mp.inf),
+                           center=mp.Vector3(0, 0),
+                           material=mp.Medium(epsilon=6.0))],
+        sources=[mp.Source(mp.GaussianSource(frequency=fcen, fwidth=0.2),
+                           component=mp.Ez, center=mp.Vector3(-2.8, 0),
+                           size=mp.Vector3(0, 2))],
+        boundary_layers=[mp.PML(1.0)])
+    flux = sim.add_flux(fcen, 0.0, 1,
+                        mp.FluxRegion(center=mp.Vector3(2.6, 0),
+                                      size=mp.Vector3(0, 3)))
+    apfn = eigenmode_coefficient(sim, flux, band=1)
+
+    def objective(dfts):
+        ap = apfn(dfts)
+        return jnp.sum(jnp.abs(ap) ** 2)
+
+    dr = DesignRegion(DesignVariables(shape=(6, 6), eps_min=1.0,
+                                      eps_max=9.0, beta=beta),
+                      center=[0.0, 0.0], size=[2.0, 2.0])
+    return OptimizationProblem(simulation=sim, objective=objective,
+                               design_regions=[dr], run_time=35.0)
+
+
+def test_eigenmode_coefficient_gradient():
+    opt = _coupler()
+    rng = np.random.RandomState(0)
+    rho = 0.5 + 0.2 * rng.rand(6, 6)
+    f0, (g,) = opt(jnp.asarray(rho, jnp.float32))
+    assert np.isfinite(f0) and f0 > 0
+    for idx in [(2, 2), (4, 1)]:
+        fd = opt.calculate_fd_gradient(rho, idx, drho=1e-3)
+        assert abs(g[idx] - fd) <= 0.08 * max(abs(fd), 1e-6), (
+            idx, float(g[idx]), fd)
+
+
+def test_optimization_improves_mode_coupling():
+    opt = _coupler()
+    rng = np.random.RandomState(2)
+    rho = jnp.asarray(0.4 + 0.2 * rng.rand(6, 6), jnp.float32)
+    f0, (g,) = opt(rho)
+    ghat = g / (jnp.abs(g).max() + 1e-30)
+    for step in (0.3, 0.1, 0.03):
+        f1, _ = opt(jnp.clip(rho + step * ghat, 0, 1),
+                    need_gradient=False)
+        if f1 > f0:
+            break
+    assert f1 > f0, (f0, f1)
+
+
+def test_fourier_fields_objective():
+    fcen = 0.6
+    sim = mp.Simulation(
+        cell_size=mp.Vector3(6, 4), resolution=10,
+        geometry=[mp.Block(size=mp.Vector3(2, 2, mp.inf),
+                           center=mp.Vector3(0, 0),
+                           material=mp.Medium(epsilon=6.0))],
+        sources=[mp.Source(mp.GaussianSource(frequency=fcen, fwidth=0.2),
+                           component=mp.Ez, center=mp.Vector3(-2.0, 0),
+                           size=mp.Vector3(0, 2))],
+        boundary_layers=[mp.PML(1.0)])
+    dft = sim.add_dft_fields([mp.Ez], fcen, 0, 1,
+                             center=mp.Vector3(2.0, 0),
+                             size=mp.Vector3(0, 1))
+    fldfn = fourier_fields(sim, dft, mp.Ez)
+
+    def objective(dfts):
+        return jnp.sum(jnp.abs(fldfn(dfts)) ** 2)
+
+    dr = DesignRegion(DesignVariables(shape=(4, 4), eps_min=1.0,
+                                      eps_max=9.0),
+                      center=[0.0, 0.0], size=[2.0, 2.0])
+    opt = OptimizationProblem(simulation=sim, objective=objective,
+                              design_regions=[dr], run_time=25.0)
+    rho = jnp.full((4, 4), 0.5, jnp.float32)
+    f0, (g,) = opt(rho)
+    assert np.isfinite(f0) and f0 > 0
+    fd = opt.calculate_fd_gradient(np.asarray(rho), (1, 2), drho=1e-3)
+    assert abs(g[1, 2] - fd) <= 0.08 * max(abs(fd), 1e-6)
