@@ -625,6 +625,57 @@ class Simulation:
         self._extra_srcs.append(SrcVolSpec("hy", idx_h, amps_h, src))
         return m
 
+    def get_eigenmode(self, frequency, center, size, band_num=1):
+        """Solve for a waveguide eigenmode on a cross-section
+        (fields::get_eigenmode, mpb.cpp:322): returns the Mode1D (2D TM)
+        or Mode2D (3D full-vector) object with .freq/.beta/.neff and the
+        field profiles."""
+        gv = self.gv
+        if gv.dim == "3d":
+            from ..analysis.modes import solve_vector_modes
+            c_ax = _vec_to_axes(gv, center)
+            s_ax = _vec_to_axes(gv, size)
+            n_ax = int(np.argmin([abs(s) for s in s_ax]))
+            u_ax, v_ax = (n_ax + 1) % 3, (n_ax + 2) % 3
+            en_comp = "e" + "xyz"[n_ax]
+
+            def win(ax):
+                cc = gv.comp_coords(en_comp, ax)
+                lo = c_ax[ax] - s_ax[ax] / 2
+                hi = c_ax[ax] + s_ax[ax] / 2
+                return np.where((cc >= lo - 1e-9) & (cc <= hi + 1e-9))[0]
+
+            eps_u, eps_v, eps_n = self._plane_eps(
+                n_ax, u_ax, v_ax, c_ax, None, None, win(u_ax), win(v_ax))
+            modes = solve_vector_modes(eps_u, eps_v, eps_n, gv.dx,
+                                       frequency, num_modes=band_num)
+        elif gv.dim == "2d":
+            from ..analysis.modes import solve_tm_modes
+            from . import scene as _scene
+            c_ax = _vec_to_axes(gv, center)
+            s_ax = _vec_to_axes(gv, size)
+            norm_ax = 0 if s_ax[0] == 0 else 1
+            tang_ax = 1 - norm_ax
+            ycoords = gv.comp_coords("ez", tang_ax)
+            lo = c_ax[tang_ax] - s_ax[tang_ax] / 2
+            hi = c_ax[tang_ax] + s_ax[tang_ax] / 2
+            sel = np.where((ycoords >= lo - 1e-9)
+                           & (ycoords <= hi + 1e-9))[0]
+            pts = np.zeros((len(sel), 3))
+            pts[:, tang_ax] = ycoords[sel]
+            pts[:, norm_ax] = c_ax[norm_ax]
+            idxm = _scene._material_at(pts, self.geometry,
+                                       self.default_material)
+            eps = _scene._eps_of(idxm, self.geometry,
+                                 self.default_material, 2)
+            modes = solve_tm_modes(eps, gv.dx, frequency,
+                                   num_modes=band_num)
+        else:
+            raise NotImplementedError("get_eigenmode: 2d/3d")
+        if len(modes) < band_num:
+            raise ValueError(f"only {len(modes)} guided modes found")
+        return modes[band_num - 1]
+
     def _add_eigenmode_source_3d(self, src, center, size, direction,
                                  mode_band, amplitude):
         """3D eigenmode source: full-vector mode of the cross-section,

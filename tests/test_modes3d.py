@@ -61,3 +61,29 @@ def test_reversed_launch_suppresses_forward_mode(launches):
     # direction=-1 must put (almost) nothing into the forward mode
     assert abs(ap_rev) ** 2 < 0.02 * abs(ap_fwd) ** 2, (
         abs(ap_rev) ** 2, abs(ap_fwd) ** 2)
+
+
+def test_get_eigenmode_api():
+    """Simulation.get_eigenmode (mpb.cpp:322 parity): 2D and 3D."""
+    sim = mp.Simulation(cell_size=mp.Vector3(6, 4), resolution=12,
+                        geometry=[mp.Block(size=mp.Vector3(mp.inf, 1, mp.inf),
+                                           material=mp.Medium(epsilon=12))],
+                        sources=[mp.Source(
+                            mp.GaussianSource(frequency=0.4, fwidth=0.1),
+                            component=mp.Ez, center=mp.Vector3())],
+                        boundary_layers=[mp.PML(1.0)])
+    m2 = sim.get_eigenmode(0.4, center=mp.Vector3(), size=mp.Vector3(0, 3))
+    assert 1 < m2.neff < np.sqrt(12)
+    sim3 = mp.Simulation(cell_size=mp.Vector3(4, 2.5, 2.5), resolution=8,
+                         geometry=[mp.Block(size=mp.Vector3(mp.inf, .8, .8),
+                                            material=mp.Medium(epsilon=12))],
+                         sources=[mp.Source(
+                             mp.GaussianSource(frequency=0.5, fwidth=0.1),
+                             component=mp.Ey, center=mp.Vector3())],
+                         boundary_layers=[mp.PML(0.6)], eps_averaging=False)
+    m3 = sim3.get_eigenmode(0.5, center=mp.Vector3(),
+                            size=mp.Vector3(0, 1.6, 1.6))
+    assert 1 < m3.neff < np.sqrt(12)
+    with pytest.raises(ValueError):
+        sim3.get_eigenmode(0.5, center=mp.Vector3(),
+                           size=mp.Vector3(0, 1.6, 1.6), band_num=40)
