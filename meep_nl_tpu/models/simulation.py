@@ -422,7 +422,39 @@ class Simulation:
             return np.array([fcen])
         return np.linspace(fcen - df / 2, fcen + df / 2, nfreq)
 
-    def add_flux(self, fcen, df, nfreq, *regions, decimation_factor=1):
+    def _resolve_decimation(self, decimation_factor, freqs):
+        """0 = automatic Nyquist-safe subsampling (dft.cpp:195-216):
+        floor(1/(2 dt (f_max + src_f_max))), disabled (1) for nonlinear
+        or noisy media where harmonics fall outside the source band."""
+        if decimation_factor != 0:
+            return int(decimation_factor)
+        mats = [g.material for g in self.geometry] + [self.default_material]
+        for m in mats:
+            if (abs(getattr(m, "chi2", 0)) > 0 or
+                    abs(getattr(m, "chi3", 0)) > 0):
+                return 1
+            for su in (getattr(m, "E_susceptibilities", []) or []):
+                if "Noisy" in type(su).__name__:
+                    return 1
+        f_mon = float(np.max(freqs))
+        f_src = 0.0
+        srcs = list(self.sources) + [
+            sv.src_time if hasattr(sv, "src_time") else sv
+            for sv in getattr(self, "_extra_srcs", [])]
+        for s in srcs:
+            st = getattr(s, "src", None) or getattr(s, "src_time", None) \
+                or s
+            f0 = getattr(st, "frequency", 0.0) or 0.0
+            fw = st.get_fwidth() if hasattr(st, "get_fwidth") else 0.0
+            f_src = max(f_src, f0 + 0.5 * fw)
+        if f_src == 0.0:
+            # no source bandwidth known (e.g. monitors added before
+            # eigenmode sources): don't guess
+            return 1
+        dec = int(np.floor(1.0 / (2 * self.dt * (f_mon + f_src))))
+        return max(1, dec)
+
+    def add_flux(self, fcen, df, nfreq, *regions, decimation_factor=0):
         if self._plan is not None:
             raise RuntimeError("add monitors before the first run() "
                                "(plan already compiled)")
@@ -445,7 +477,7 @@ class Simulation:
             live = live_cs[0] + live_cs[1]
             specs += M.flux_specs(self.gv, f"{name}:{ri}", normal, center,
                                   size, freqs, weight=reg.weight, live=live,
-                                  decimation=decimation_factor)
+                                  decimation=self._resolve_decimation(decimation_factor, freqs))
         self._dft_specs += specs
         h = _FluxHandle(name, freqs)
         h._nregions = len(regions)
@@ -453,7 +485,7 @@ class Simulation:
         return h
 
     def add_dft_fields(self, components, fcen, df, nfreq, center=None,
-                       size=None, decimation_factor=1):
+                       size=None, decimation_factor=0):
         if self._plan is not None:
             raise RuntimeError("add monitors before the first run()")
         freqs = self._freqs(fcen, df, nfreq)
@@ -463,12 +495,12 @@ class Simulation:
         for c in components:
             self._dft_specs += M.field_specs(self.gv, f"{name}:{c}", c, c_ax,
                                              s_ax, freqs,
-                                             decimation=decimation_factor)
+                                             decimation=self._resolve_decimation(decimation_factor, freqs))
         h = _DftFieldsHandle(name, list(components), freqs)
         self._handles.append(h)
         return h
 
-    def add_near2far(self, fcen, df, nfreq, *regions, decimation_factor=1):
+    def add_near2far(self, fcen, df, nfreq, *regions, decimation_factor=0):
         """Record near-surface DTFTs for far-field transforms
         (add_dft_near2far, near2far.cpp:558)."""
         if self._plan is not None:
@@ -856,7 +888,7 @@ class Simulation:
                 alpha[bi, fi, 1] = am
         return alpha
 
-    def add_force(self, fcen, df, nfreq, *regions, decimation_factor=1):
+    def add_force(self, fcen, df, nfreq, *regions, decimation_factor=0):
         """Maxwell stress-tensor force monitor (add_dft_force).  Each
         region's `direction` is the force component; the surface normal is
         inferred from the zero-extent axis."""
@@ -889,7 +921,7 @@ class Simulation:
                 total = f if total is None else total + f
         return total
 
-    def add_ldos(self, fcen, df, nfreq, decimation_factor=1):
+    def add_ldos(self, fcen, df, nfreq, decimation_factor=0):
         """LDOS monitor (dft_ldos.cpp): accumulates the E-field DTFT at the
         source points weighted by conj(source amplitude); assembled against
         the host-computed current spectrum in get_ldos."""
@@ -928,7 +960,7 @@ class Simulation:
                 out[fi] += scale * np.real(Fdft[fi] * np.conj(Jdft)) / abs(Jdft) ** 2
         return out
 
-    def add_energy(self, fcen, df, nfreq, region, decimation_factor=1):
+    def add_energy(self, fcen, df, nfreq, region, decimation_factor=0):
         """Frequency-domain EM energy in a volume (dft_energy analog)."""
         if self._plan is not None:
             raise RuntimeError("add monitors before the first run()")
@@ -940,7 +972,7 @@ class Simulation:
         live = sum(self._live_components(), [])
         self._dft_specs += M.energy_specs(self.gv, name, c_ax, s_ax, freqs,
                                           live=live,
-                                          decimation=decimation_factor)
+                                          decimation=self._resolve_decimation(decimation_factor, freqs))
         h = _FluxHandle(name, freqs)
         self._handles.append(h)
         return h

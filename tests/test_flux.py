@@ -77,3 +77,31 @@ def test_volume_weights_sum_to_length():
     assert dv == gv.dx
     # weights along x sum to 3.1/dx, and the y interpolation sums to 1
     assert abs(w.sum() - 3.1 / gv.dx) < 1e-6
+
+
+def test_auto_decimation_matches_full_rate():
+    """decimation_factor=0 (default) picks the Nyquist-safe subsampling
+    (dft.cpp:195) and must reproduce the full-rate DTFT."""
+    import meep_nl_tpu as mp
+
+    def run(dec):
+        sim = mp.Simulation(cell_size=mp.Vector3(6, 4), resolution=12,
+                            sources=[mp.Source(
+                                mp.GaussianSource(frequency=0.8, fwidth=0.3),
+                                component=mp.Ez, center=mp.Vector3(-1.5, 0),
+                                size=mp.Vector3(0, 2))],
+                            boundary_layers=[mp.PML(1.0)])
+        fl = sim.add_flux(0.8, 0.3, 5,
+                          mp.FluxRegion(center=mp.Vector3(1.5, 0),
+                                        size=mp.Vector3(0, 2)),
+                          decimation_factor=dec)
+        sim.init_sim()
+        d = next(s.decimation for s in sim._plan.dfts
+                 if s.name.startswith("fl"))
+        sim.run(until=40)
+        return d, np.array(sim.get_fluxes(fl))
+
+    d1, f1 = run(1)
+    da, fa = run(0)
+    assert d1 == 1 and da > 1
+    assert np.abs(fa - f1).max() < 1e-4 * np.abs(f1).max()
