@@ -243,10 +243,22 @@ class GeometricObject:
         """pts: (..., 3) absolute coordinates -> boolean mask."""
         raise NotImplementedError
 
+    def _init_common(self, material, center):
+        self.material = material if material is not None else Medium()
+        self.center = center if center is not None else Vector3()
 
-@dataclasses.dataclass
+
+# NOTE: the reference's shapes take their defining parameter as the FIRST
+# positional (Block(size), Sphere(radius), Prism(vertices);
+# python/geom.py:1245), so these classes hand-write __init__ instead of
+# relying on dataclass field order (which would put `material` first).
+@dataclasses.dataclass(init=False)
 class Sphere(GeometricObject):
     radius: float = 0.0
+
+    def __init__(self, radius=0.0, material=None, center=None):
+        self.radius = float(radius)
+        self._init_common(material, center)
 
     def inside(self, pts):
         c = np.array(tuple(_v3(self.center)))
@@ -254,12 +266,20 @@ class Sphere(GeometricObject):
         return (d ** 2).sum(-1) <= self.radius ** 2
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(init=False)
 class Block(GeometricObject):
     size: Vector3 = dataclasses.field(default_factory=Vector3)
     e1: Vector3 = dataclasses.field(default_factory=lambda: Vector3(1, 0, 0))
     e2: Vector3 = dataclasses.field(default_factory=lambda: Vector3(0, 1, 0))
     e3: Vector3 = dataclasses.field(default_factory=lambda: Vector3(0, 0, 1))
+
+    def __init__(self, size=None, e1=None, e2=None, e3=None,
+                 material=None, center=None):
+        self.size = size if size is not None else Vector3()
+        self.e1 = e1 if e1 is not None else Vector3(1, 0, 0)
+        self.e2 = e2 if e2 is not None else Vector3(0, 1, 0)
+        self.e3 = e3 if e3 is not None else Vector3(0, 0, 1)
+        self._init_common(material, center)
 
     def inside(self, pts):
         c = np.array(tuple(_v3(self.center)))
@@ -275,7 +295,7 @@ class Block(GeometricObject):
         return ok
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(init=False)
 class Ellipsoid(Block):
     def inside(self, pts):
         c = np.array(tuple(_v3(self.center)))
@@ -292,11 +312,20 @@ class Ellipsoid(Block):
         return r <= 1.0
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(init=False)
 class Cylinder(GeometricObject):
     radius: float = 0.0
     height: float = float("inf")
     axis: Vector3 = dataclasses.field(default_factory=lambda: Vector3(0, 0, 1))
+
+    def __init__(self, radius=0.0, height=float("inf"), axis=None,
+                 material=None, center=None, **kw):
+        self.radius = float(radius)
+        self.height = height
+        self.axis = axis if axis is not None else Vector3(0, 0, 1)
+        self._init_common(material, center)
+        for k, v in kw.items():      # subclass extras (radius2, wedge_*)
+            setattr(self, k, v)
 
     def inside(self, pts):
         c = np.array(tuple(_v3(self.center)))
@@ -312,9 +341,13 @@ class Cylinder(GeometricObject):
         return ok
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(init=False)
 class Cone(Cylinder):
     radius2: float = 0.0
+
+    def __init__(self, *a, radius2=0.0, **kw):
+        super().__init__(*a, **kw)
+        self.radius2 = radius2
 
     def inside(self, pts):
         c = np.array(tuple(_v3(self.center)))
@@ -330,11 +363,17 @@ class Cone(Cylinder):
         return (r2 <= rad ** 2) & (np.abs(z) <= h / 2)
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(init=False)
 class Wedge(Cylinder):
     wedge_angle: float = 2 * math.pi
     wedge_start: Vector3 = dataclasses.field(
         default_factory=lambda: Vector3(1, 0, 0))
+
+    def __init__(self, *a, wedge_angle=2 * math.pi, wedge_start=None, **kw):
+        super().__init__(*a, **kw)
+        self.wedge_angle = wedge_angle
+        self.wedge_start = wedge_start if wedge_start is not None \
+            else Vector3(1, 0, 0)
 
     def inside(self, pts):
         ok = super().inside(pts)
@@ -352,13 +391,21 @@ class Wedge(Cylinder):
         return ok & (ang <= self.wedge_angle)
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(init=False)
 class Prism(GeometricObject):
     """Polygonal prism (GDSII import target; src/GDSIIgeom.cpp)."""
     vertices: List[Vector3] = dataclasses.field(default_factory=list)
     height: float = float("inf")
     axis: Vector3 = dataclasses.field(default_factory=lambda: Vector3(0, 0, 1))
     sidewall_angle: float = 0.0
+
+    def __init__(self, vertices=None, height=float("inf"), axis=None,
+                 sidewall_angle=0.0, material=None, center=None):
+        self.vertices = list(vertices) if vertices is not None else []
+        self.height = height
+        self.axis = axis if axis is not None else Vector3(0, 0, 1)
+        self.sidewall_angle = sidewall_angle
+        self._init_common(material, center)
 
     def inside(self, pts):
         # 2D point-in-polygon in the plane normal to axis (z assumed)

@@ -27,14 +27,12 @@ from .geom import GeometricObject, Medium, Vector3, _v3
 
 def _material_at(pts: np.ndarray, geometry: Sequence[GeometricObject],
                  default: Medium) -> List[np.ndarray]:
-    """Index of the material governing each point (last object wins on
-    overlap per the reference's convention of earlier objects taking
-    precedence — meep: objects LATER in the list take precedence? The
-    reference uses FIRST object containing the point, meepgeom.cpp
-    geom_epsilon). Returns an int index array; -1 = default."""
+    """Index of the material governing each point.  "When objects overlap,
+    later objects in the list take precedence"
+    (doc/docs/Python_User_Interface.md:136).  Returns an int index array;
+    -1 = default material."""
     idx = np.full(pts.shape[:-1], -1, dtype=np.int32)
-    # first object containing the point wins (libctlgeom convention)
-    for i in reversed(range(len(geometry))):
+    for i in range(len(geometry)):       # later objects overwrite earlier
         mask = geometry[i].inside(pts)
         idx = np.where(mask, i, idx)
     return idx

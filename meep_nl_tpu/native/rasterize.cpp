@@ -1,7 +1,7 @@
 // Native geometry rasterizer: the hot inner loop of the setup pass
 // (the role filled by C++ meepgeom.cpp/libctlgeom in the reference).
 //
-// Evaluates, for a batch of sample points, the index of the first geometric
+// Evaluates, for a batch of sample points, the index of the governing
 // object containing each point (libctlgeom convention: earlier objects take
 // precedence).  Supersampled subpixel smoothing makes this loop
 // O(subsample^d * N^d * objects); the C++ version is ~50x the NumPy
@@ -73,10 +73,12 @@ void material_at(const double *pts, int64_t npts, const double *objs,
     for (int64_t i = 0; i < npts; ++i) {
         double x = pts[3 * i], y = pts[3 * i + 1], z = pts[3 * i + 2];
         int32_t hit = -1;
-        for (int64_t j = 0; j < nobj; ++j) {
+        // later objects take precedence (Python_User_Interface.md:136):
+        // scan from the END of the list, first hit wins
+        for (int64_t j = nobj - 1; j >= 0; --j) {
             if (inside_one(objs + j * NPARAM, x, y, z)) {
                 hit = (int32_t)j;
-                break;  // first object wins (geom_epsilon convention)
+                break;
             }
         }
         out[i] = hit;
@@ -96,7 +98,7 @@ void eps_averaged(const double *pts, int64_t npts, const double *offs,
             double px = x + offs[3 * k], py = y + offs[3 * k + 1],
                    pz = z + offs[3 * k + 2];
             double e = eps_default;
-            for (int64_t j = 0; j < nobj; ++j) {
+            for (int64_t j = nobj - 1; j >= 0; --j) {   // later object wins
                 if (inside_one(objs + j * NPARAM, px, py, pz)) {
                     e = eps_of[j];
                     break;

@@ -38,7 +38,10 @@ def test_rasterize_native_equals_python():
     geom = _geom()
     m_nat = scene.rasterize(gv, geom, subpixel_n=3)
     # force the numpy path by adding an unsupported object type (Wedge)
-    geom2 = geom + [mp.Wedge(radius=0.0, material=mp.Medium())]
+    # sentinel forces the numpy fallback; keep it outside the cell so the
+    # later-objects-take-precedence rule can't let it claim any point
+    geom2 = geom + [mp.Wedge(radius=0.0, center=mp.Vector3(100, 100),
+                             material=mp.Medium())]
     m_py = scene.rasterize(gv, geom2, subpixel_n=3)
     a = m_nat.chi1inv["ez"]["z"]
     b = m_py.chi1inv["ez"]["z"]
@@ -54,7 +57,10 @@ def test_native_is_faster_for_3d():
     t0 = time.perf_counter()
     scene.rasterize(gv, geom, subpixel_n=3)
     t_nat = time.perf_counter() - t0
-    geom2 = geom + [mp.Wedge(radius=0.0, material=mp.Medium())]
+    # sentinel forces the numpy fallback; keep it outside the cell so the
+    # later-objects-take-precedence rule can't let it claim any point
+    geom2 = geom + [mp.Wedge(radius=0.0, center=mp.Vector3(100, 100),
+                             material=mp.Medium())]
     t0 = time.perf_counter()
     scene.rasterize(gv, geom2, subpixel_n=3)
     t_py = time.perf_counter() - t0
