@@ -3,3 +3,4 @@ from .optimization import OptimizationProblem, run_differentiable
 from . import filters
 from .objectives import (eigenmode_coefficient, fourier_fields,
                          ldos_objective)
+from .connectivity import connectivity_penalty

@@ -101,3 +101,29 @@ def test_fourier_fields_objective():
     assert np.isfinite(f0) and f0 > 0
     fd = opt.calculate_fd_gradient(np.asarray(rho), (1, 2), drho=1e-3)
     assert abs(g[1, 2] - fd) <= 0.08 * max(abs(fd), 1e-6)
+
+
+def test_connectivity_penalty():
+    """Connectivity constraint (adjoint/connectivity.py; reference
+    python/adjoint/connectivity.py): connected designs ~0, disconnected
+    islands penalized, differentiable."""
+    import jax
+    from meep_nl_tpu.adjoint.connectivity import connectivity_penalty
+
+    n = 24
+    rho_c = np.full((n, n), 0.01)
+    rho_c[10:14, :] = 1.0            # bar reaching the ymin seed
+    rho_d = np.full((n, n), 0.01)
+    rho_d[10:14, 12:20] = 1.0        # floating island
+    pc = float(connectivity_penalty(jnp.asarray(rho_c), seed="ymin"))
+    pd = float(connectivity_penalty(jnp.asarray(rho_d), seed="ymin"))
+    assert pc < 0.05 and pd > 0.3 and pd > 100 * pc, (pc, pd)
+    # screening sharpens the contrast (suppresses leakage through the
+    # low-density background)
+    pds = float(connectivity_penalty(jnp.asarray(rho_d), seed="ymin",
+                                     alpha=0.5))
+    assert pds > pd
+    g = jax.grad(lambda r: connectivity_penalty(r, seed="ymin"))(
+        jnp.asarray(rho_d))
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.abs(np.asarray(g)).max() > 0
