@@ -116,3 +116,46 @@ def test_long_time_stability():
     ex = np.asarray(sim.fields_state["f"]["ex"])
     assert np.all(np.isfinite(np.abs(ex)))
     assert np.abs(ex).max() < 1e-3
+
+
+@pytest.mark.slow
+def test_oblique_fresnel_s_pol():
+    """s-polarization (E perpendicular to the incidence plane, Ey source):
+    broadband 30-degree reflectance matches the s-pol Fresnel formula
+    within the sharp-interface discretization envelope."""
+    n2 = 1.5
+    fcen, df, nf = 1.0, 0.5, 5
+
+    def run(iface):
+        geom = [mp.Block(mp.Vector3(mp.inf, mp.inf, 5.0),
+                         center=mp.Vector3(0, 0, 2.5),
+                         material=mp.Medium(epsilon=n2 ** 2))] if iface \
+            else []
+        sim = mp.Simulation(
+            cell_size=mp.Vector3(0.1, 0.1, 10), resolution=20,
+            Courant=COUR, geometry=geom,
+            sources=[mp.Source(mp.GaussianSource(fcen, fwidth=df),
+                               component=mp.Ey,
+                               center=mp.Vector3(0, 0, -3.0),
+                               size=mp.Vector3(0.1, 0.1, 0))],
+            boundary_layers=[mp.PML(1.0, direction=mp.Z)],
+            k_point=mp.Vector3(0, 0, 0),
+            bfast_scaled_k=mp.Vector3(S, 0, 0), eps_averaging=False)
+        refl = sim.add_flux(fcen, df, nf, mp.FluxRegion(
+            center=mp.Vector3(0, 0, -2.0), size=mp.Vector3(0.1, 0.1, 0)))
+        return sim, refl
+
+    sim0, refl0 = run(False)
+    sim0.run(until=60)
+    inc = np.array(sim0.get_fluxes(refl0))
+    data = sim0.get_flux_data(refl0)
+    sim1, refl1 = run(True)
+    sim1.load_minus_flux_data(refl1, data)
+    sim1.run(until=100)
+    R = -np.array(sim1.get_fluxes(refl1)) / inc
+    for i, f in enumerate(np.linspace(fcen - df / 2, fcen + df / 2, nf)):
+        w = 2 * np.pi * f
+        kz1 = np.sqrt(w ** 2 - (S * w) ** 2)
+        kz2 = np.sqrt((n2 * w) ** 2 - (S * w) ** 2)
+        rs = (kz1 - kz2) / (kz1 + kz2)
+        assert abs(R[i] - rs ** 2) < 0.015, (f, R[i], rs ** 2)
