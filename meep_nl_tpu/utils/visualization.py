@@ -68,6 +68,14 @@ class Animate2D:
     def grab(self):
         self.frames.append(np.array(self.sim.get_array(component=self.fields)))
 
+    def __call__(self, sim=None):
+        """Step-function protocol: usable directly in
+        sim.run(at_every(dt, animate), ...) like the reference's
+        Animate2D."""
+        if sim is not None:
+            self.sim = sim
+        self.grab()
+
     def to_mp4(self, path: str, fps: int = 10):
         import matplotlib.pyplot as plt
         import matplotlib.animation as animation
@@ -82,5 +90,14 @@ class Animate2D:
             return [im]
 
         ani = animation.FuncAnimation(fig, update, frames=len(self.frames))
+        if path.endswith(".mp4") and not animation.FFMpegWriter.isAvailable():
+            # no ffmpeg in this environment: Pillow can only write GIFs
+            path = path[:-4] + ".gif"
         ani.save(path, fps=fps)
         plt.close(fig)
+        return path
+
+    # the reference's Animate2D exposes to_gif as well
+    def to_gif(self, path: str, fps: int = 10):
+        return self.to_mp4(path if path.endswith(".gif")
+                           else path + ".gif", fps=fps)
