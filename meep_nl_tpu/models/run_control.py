@@ -58,18 +58,28 @@ def in_volume(volume, *fns):
 
 @dataclasses.dataclass
 class stop_when_fields_decayed:
-    """Stop condition: |component| at pt decayed by decay_by from its peak,
-    checked every dt (simulation.py:5225)."""
+    """Stop condition: |component|^2 at pt decayed by decay_by from its peak
+    (simulation.py:5225).  Matching the reference, the decision uses the MAX
+    of |f|^2 over each dt window — never a single instantaneous sample, which
+    could land on a zero crossing of the oscillating field and terminate the
+    run prematurely.  The runner rides an in-scan probe at pt so every
+    timestep inside the window is sampled (the reference samples every step
+    via its per-step closure)."""
     dt: float
     c: str
     pt: Any
     decay_by: float = 1e-3
     _peak: float = 0.0
 
+    def check_window(self, window_max_abs: float) -> bool:
+        """Decide from the max |f| over the past dt window (probe-fed)."""
+        cur = float(window_max_abs) ** 2
+        self._peak = max(self._peak, cur)
+        return self._peak > 0 and cur <= self.decay_by * self._peak
+
     def check(self, sim) -> bool:
-        v = abs(sim.get_field_point(self.c, self.pt))
-        self._peak = max(self._peak, v)
-        return self._peak > 0 and v <= self.decay_by * self._peak
+        # fallback (no probe available): instantaneous sample
+        return self.check_window(abs(sim.get_field_point(self.c, self.pt)))
 
 
 @dataclasses.dataclass

@@ -1069,11 +1069,25 @@ class Simulation:
             collect_from_step[f"hm{i}"] = (int(round(last_src / self.dt))
                                            if after else 0)
 
+        # stop conditions with a (c, pt) sample ride an in-scan probe so the
+        # decision sees the MAX over each dt window, not one instant
+        stop_probe_name = None
+        if (stop_cond is not None and hasattr(stop_cond, "check_window")
+                and getattr(stop_cond, "c", None) is not None):
+            pts = self.gv.interp_weights(
+                stop_cond.c, _vec_to_axes(self.gv, stop_cond.pt))
+            idx = np.array([p for p, w in pts], np.int32)
+            ws = np.array([w for p, w in pts])
+            stop_probe_name = "stopc"
+            probes.append(S.ProbeSpec(stop_probe_name, stop_cond.c, idx, ws))
+            series[stop_probe_name] = []
+
         # choose block size: smallest callback interval or the whole run
         intervals = [iv for iv, _ in sf.every if iv > 0]
         if stop_cond is not None:
             intervals.append(getattr(stop_cond, "dt", 4.0))
-        need_blocks = bool(intervals or sf.every or stop_cond is not None)
+        need_blocks = bool(intervals or sf.every or stop_cond is not None
+                           or sf.after_sources_fns)
         if t_end is not None:
             total_steps = max(0, int(round(t_end / self.dt)) - self._t)
         else:
@@ -1102,13 +1116,21 @@ class Simulation:
                 if iv <= 0 or now - last_fire[id(fn)] >= iv - 1e-9:
                     fn(self)
                     last_fire[id(fn)] = now
-            if now > last_src:
-                for fn in sf.after_sources_fns:
+            if now > last_src and sf.after_sources_fns:
+                fns = sf.after_sources_fns
+                sf.after_sources_fns = []
+                for fn in fns:
                     fn(self)
-                    sf.after_sources_fns = []
+            if stop_cond is not None and now >= t_min:
+                if stop_probe_name is not None:
+                    window = np.concatenate(
+                        [np.asarray(x) for x in series[stop_probe_name]]
+                    ) if series[stop_probe_name] else np.zeros(1)
+                    series[stop_probe_name] = []
+                    if stop_cond.check_window(np.abs(window).max()):
+                        break
+                elif stop_cond.check(self):
                     break
-            if stop_cond is not None and now >= t_min and stop_cond.check(self):
-                break
         self._finish_collectors(sf, series)
         for fn in sf.end:
             fn(self)

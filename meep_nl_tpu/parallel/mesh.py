@@ -60,24 +60,28 @@ def grid_pspec(plan: Plan, mesh: Mesh) -> P:
 
 
 def state_shardings(plan: Plan, mesh: Mesh, state: Dict[str, Any]):
-    """Sharding pytree: field/aux/pol arrays sharded spatially; DFT
-    accumulators and the step counter replicated (monitor regions are small;
-    the flux reduction is the analog of sum_to_all, dft.cpp:543)."""
-    fs = NamedSharding(mesh, grid_pspec(plan, mesh))
+    """Sharding pytree derived from the state leaves themselves: any array
+    whose trailing dims equal the storage grid shape is sharded spatially
+    (fields, PML/conductivity aux, polarizations incl. stacked multilevel
+    (T,)+grid arrays); everything else — DFT accumulators (small monitor
+    regions; the flux reduction is the analog of sum_to_all, dft.cpp:543),
+    the step counter, RNG keys — is replicated.  Deriving from the leaves
+    keeps BFAST (f_bfast), multilevel (f_w_prev), and noisy-media (rng)
+    states shardable without a hard-coded key list."""
+    spec = grid_pspec(plan, mesh)
+    fs = NamedSharding(mesh, spec)
     rep = NamedSharding(mesh, P())
+    ss = tuple(plan.storage_shape or plan.gv.shape)
 
-    def assign(path_is_field, tree):
-        return jax.tree.map(lambda _: fs if path_is_field else rep, tree)
+    def assign(arr):
+        shape = tuple(getattr(arr, "shape", ()))
+        if shape == ss:
+            return fs
+        if len(shape) == len(ss) + 1 and shape[1:] == ss:
+            return NamedSharding(mesh, P(None, *spec))
+        return rep
 
-    return {
-        "f": assign(True, state["f"]),
-        "f_u": assign(True, state["f_u"]),
-        "f_cond": assign(True, state["f_cond"]),
-        "f_w": assign(True, state["f_w"]),
-        "pol": assign(True, state["pol"]),
-        "dft": assign(False, state["dft"]),
-        "t": rep,
-    }
+    return jax.tree.map(assign, state)
 
 
 def shard_state(plan: Plan, mesh: Mesh, state: Dict[str, Any]) -> Dict[str, Any]:
