@@ -37,7 +37,12 @@ def run_one():
     from meep_nl_tpu.stepper.step import init_state, make_step, build_xs
 
     res = 16.0
-    gv = G.GridVolume.create("3d", [nx / res, ny / res, nz / res], res)
+    # sites-aligned grid: nx-1 cells -> nx SITES per axis, so the arrays hit
+    # the TPU's (8, 128) tile layout exactly (an nx-site array would pad
+    # nx..next-multiple-of-128 lanes in HBM: 257 sites costs 384 lanes of
+    # traffic, a free 1.5x loss).  The metric counts the true cells.
+    cx, cy, cz = nx - 1, ny - 1, nz - 1
+    gv = G.GridVolume.create("3d", [cx / res, cy / res, cz / res], res)
     src_t = mnt.GaussianSource(frequency=1.0, fwidth=0.5)
     pts = gv.interp_weights("ez", [0.0, 0.0, 0.0])
     idx = np.array([p for p, w in pts], np.int32)
@@ -52,7 +57,22 @@ def run_one():
     if os.environ.get("BENCH_SLAB"):
         plan.slab_store = True
 
-    step = make_step(plan)
+    # fused Pallas kernel (ops/pallas/fdtd3d.py): the production path for
+    # this envelope; BENCH_JNP=1 measures the jnp stepper instead
+    from meep_nl_tpu.ops.pallas import fdtd3d
+    use_fdtd3d = (not os.environ.get("BENCH_JNP")
+                  and not os.environ.get("BENCH_PALLAS")
+                  and not os.environ.get("BENCH_SLAB")
+                  and fdtd3d.supported(plan))
+    if use_fdtd3d:
+        ker = fdtd3d.Fdtd3dKernel(plan)
+        step0 = ker.make_step()
+
+        def step(state, x, C):
+            return step0(state, x, C)
+    else:
+        ker = None
+        step = make_step(plan)
 
     def run_block(state, xs, C):
         def body(carry, x):
@@ -62,20 +82,27 @@ def run_one():
         state, _ = jax.lax.scan(body, state, xs, unroll=4)
         return state
 
-    state = init_state(plan)
+    state = ker.init_state() if ker is not None else init_state(plan)
     xs = build_xs(plan, steps, 0)
     xs2 = build_xs(plan, steps, steps)
+    if ker is not None:
+        xs = {k: v for k, v in xs.items() if k in ker.xs_keys}
+        xs2 = {k: v for k, v in xs2.items() if k in ker.xs_keys}
     C = plan.coefs
+
+    def fence(state):
+        arr = state["f"]["ez"] if "f" in state else state["dz"]
+        return float(arr[1, 1, 1])
 
     run_c = jax.jit(run_block).lower(state, xs, C).compile()
 
     # warmup; a scalar d2h read is the only true fence through the tunnel
     state = run_c(state, xs, C)
-    _ = float(state["f"]["ez"][1, 1, 1])
+    _ = fence(state)
 
     t0 = time.perf_counter()
     state = run_c(state, xs2, C)
-    _ = float(state["f"]["ez"][1, 1, 1])
+    _ = fence(state)
     dt_wall = time.perf_counter() - t0
 
     # tunnel latency is wildly variable: re-measure while the subprocess
@@ -86,10 +113,10 @@ def run_one():
     while time.perf_counter() + dt_wall * 1.3 < deadline:
         t0 = time.perf_counter()
         state = run_c(state, xs, C)
-        _ = float(state["f"]["ez"][1, 1, 1])
+        _ = fence(state)
         dt_wall = min(dt_wall, time.perf_counter() - t0)
 
-    cells = nx * ny * nz
+    cells = cx * cy * cz
     gcells = cells * steps / dt_wall / 1e9
     baseline = 10.0  # GCells/s north star (BASELINE.json)
     print(json.dumps({
@@ -97,8 +124,9 @@ def run_one():
         "value": round(gcells, 3),
         "unit": "GCells/s",
         "vs_baseline": round(gcells / baseline, 3),
-        "grid": [nx, ny, nz],
+        "grid": [cx, cy, cz],
         "steps": steps,
+        "kernel": "fdtd3d" if ker is not None else "jnp",
     }))
 
 

@@ -26,7 +26,8 @@ from .models.simulation import (Simulation, PML, Absorber, FluxRegion,
                                 after_sources,
                                 Ex, Ey, Ez, Hx, Hy, Hz, Dx, Dy, Dz,
                                 Bx, By, Bz, Er, Ep, Hr, Hp, Dielectric,
-                                X, Y, Z, ALL)
+                                X, Y, Z, R, ALL,
+                                Low, High, Metallic, Magnetic)
 from .analysis.harminv import Harminv, harminv
 from .analysis.bands import ModeSolver, retrieve_gap
 

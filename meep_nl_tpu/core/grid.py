@@ -271,13 +271,20 @@ class GridVolume:
             m &= mask.reshape([-1 if a == ax else 1 for a in range(self.ndim)])
         return m
 
-    def metal_mask(self, c: str, periodic: Sequence[bool]) -> np.ndarray:
-        """0/1 mask enforcing PEC walls (analog of boundaries.cpp:304).
+    def metal_mask(self, c: str, periodic: Sequence[bool],
+                   boundaries=None) -> np.ndarray:
+        """0/1 mask enforcing conducting walls (analog of
+        boundaries.cpp:304 zero_metal and meep.hpp:1609
+        boundary_condition::{Metallic, Magnetic}).
 
-        On a metal boundary plane, components that *lie in* that plane are
-        zeroed if they are electric/D tangential or magnetic/B normal.
+        On a Metallic (PEC) plane: tangential E/D and normal H/B vanish.
+        On a Magnetic (PMC) plane: tangential H/B and normal E/D vanish.
+        `boundaries` maps (direction_letter, side) with side in
+        {'low','high'} to 'metal' | 'magnetic'; default is metal
+        everywhere (set_boundary, meep.hpp:1776).
         Staggered components never lie exactly on their staggered planes.
-        Periodic axes get no metal."""
+        Periodic axes get no wall."""
+        boundaries = boundaries or {}
         m = self.comp_valid_mask(c).astype(np.float64)
         ys = yee_shift(c, self.dim)
         ft_e = field_type(c) in ("e", "d")
@@ -285,22 +292,36 @@ class GridVolume:
         for ax, d in enumerate(self.axes):
             if periodic[ax]:
                 continue
-            if ys[d] != 0:
-                continue  # not on the boundary planes of this axis
-            # component lies on planes i=0 and i=num: zero it there if it
-            # must vanish on a perfect electric conductor:
-            #  - tangential E/D (direction != plane normal)
-            #  - normal H/B (direction == plane normal)
-            zero_here = (d_c != d) if ft_e else (d_c == d)
-            if zero_here:
+            for side in ("low", "high"):
+                cond = boundaries.get((d, side), "metal")
+                if cond == "metal":
+                    # Metallic zeroes the ON-PLANE components that must
+                    # vanish on a PEC: tangential E/D, normal H/B
+                    # (on_metal_boundary, boundaries.cpp:186-198)
+                    if ys[d] != 0:
+                        continue
+                    zero_here = (d_c != d) if ft_e else (d_c == d)
+                    i = 0 if side == "low" else self.num[ax]
+                elif cond == "magnetic":
+                    # Magnetic zeroes the whole HALF-OFFSET layer adjacent
+                    # to the wall (boundaries.cpp:191: little_corner + 1 in
+                    # doubled ivec coords) — i.e. every component staggered
+                    # along d there: normal E/D and tangential H/B.  This
+                    # puts the PMC mirror at the half-cell layer.
+                    if ys[d] == 0:
+                        continue
+                    zero_here = True
+                    i = 0 if side == "low" else self.num[ax] - 1
+                else:   # 'none'
+                    continue
+                if not zero_here:
+                    continue
+                # cylindrical: the low-r side is the axis, not a wall
+                if (side == "low" and self.dim == "cyl" and d == R
+                        and abs(self.origin[ax]) < 1e-12):
+                    continue
                 idx = [slice(None)] * self.ndim
-                # cylindrical: the low-r side is the axis, not a metal wall
-                at_axis = (self.dim == "cyl" and d == R
-                           and abs(self.origin[ax]) < 1e-12)
-                if not at_axis:
-                    idx[ax] = 0
-                    m[tuple(idx)] = 0.0
-                idx[ax] = self.num[ax]
+                idx[ax] = i
                 m[tuple(idx)] = 0.0
         return m
 

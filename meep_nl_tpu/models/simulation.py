@@ -18,6 +18,7 @@ import math
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+import jax.numpy as jnp
 
 from ..core import grid as G
 from ..stepper import monitors as M
@@ -38,6 +39,12 @@ Dielectric = "eps"
 
 X, Y, Z = "x", "y", "z"
 ALL = "all"
+R = "r"
+
+# boundary sides / wall conditions (meep.hpp:1606-1609 boundary_side,
+# boundary_condition)
+Low, High = "low", "high"
+Metallic, Magnetic = "metal", "magnetic"
 
 
 @dataclasses.dataclass
@@ -165,8 +172,28 @@ class Simulation:
         self._plan = None
         self._state = None
         self._t = 0   # host-side step counter (axon d2h workaround)
+        self._boundaries = {}     # (dir_letter, side) -> 'metal'|'magnetic'
+        self._last_progress = None
         from ..utils.timing import Timers
         self.timers = Timers()
+
+    def set_boundary(self, side, direction, condition):
+        """Set the wall condition on one cell face (meep.hpp:1776
+        set_boundary; boundary_condition enum at :1609).  `side` is mp.Low /
+        mp.High (or 'low'/'high'), `direction` mp.X/Y/Z/R (or a letter),
+        `condition` mp.Metallic or mp.Magnetic.  Must be called before the
+        fields are initialized."""
+        if self._plan is not None:
+            raise RuntimeError("set_boundary must precede init_sim()")
+        sd = side if isinstance(side, str) else ("low" if side < 0 else "high")
+        sd = sd.lower()
+        d = direction if isinstance(direction, str) else "xyzrp"[direction]
+        cond = condition if isinstance(condition, str) else \
+            ("metal" if condition == 0 else "magnetic")
+        cond = {"metallic": "metal"}.get(cond.lower(), cond.lower())
+        if cond not in ("metal", "magnetic", "none"):
+            raise ValueError(f"unknown boundary condition {condition}")
+        self._boundaries[(d, sd)] = cond
 
     # ------------------------------------------------------------------ setup
     @property
@@ -411,7 +438,8 @@ class Simulation:
             complex_fields=True if self.force_complex_fields else None,
             live_e=live_e, live_h=live_h, m=self.m,
             bfast_scaled_k=(tuple(_v3(self.bfast_scaled_k))
-                            if self.bfast_scaled_k is not None else None))
+                            if self.bfast_scaled_k is not None else None),
+            boundaries=self._boundaries or None)
         self._plan.use_pallas = self.use_pallas
         self._plan.slab_store = self.slab_store
         self._state = S.init_state(self._plan)
@@ -1097,6 +1125,7 @@ class Simulation:
             # single fused scan (fast path)
             if total_steps:
                 self._run_steps(total_steps, probes, series)
+                self._check_finite()
             self._finish_collectors(sf, series)
             for fn in sf.end:
                 fn(self)
@@ -1107,10 +1136,23 @@ class Simulation:
         last_fire = {id(fn): self.meep_time() for _, fn in sf.every}
         max_steps = total_steps if total_steps is not None else 10 ** 9
         done = 0
+        import time as _time
+        self._last_progress = (_time.monotonic(), self._t)
         while done < max_steps:
             n = min(block_steps, max_steps - done)
             self._run_steps(n, probes, series)
             done += n
+            self._check_finite()
+            # step-rate progress line (step.cpp:49-56: every ~4s of wall)
+            from .. import verbosity as _vb
+            wall, t_then = self._last_progress
+            now_wall = _time.monotonic()
+            if _vb.meep > 0 and now_wall - wall >= 4.0 \
+                    and self._t > t_then:
+                rate = (now_wall - wall) / (self._t - t_then)
+                print(f"on time step {self._t} "
+                      f"(time={self.meep_time():g}), {rate:g} s/step")
+                self._last_progress = (now_wall, self._t)
             now = self.meep_time()
             for iv, fn in sf.every:
                 if iv <= 0 or now - last_fire[id(fn)] >= iv - 1e-9:
@@ -1251,6 +1293,110 @@ class Simulation:
     @property
     def plan(self):
         return self._plan
+
+    # ---------------- instantaneous (time-domain) energy & flux -----------
+    # (energy_and_flux.cpp:54 field_energy_in_box, :217 flux_in_box, with
+    # synchronize_magnetic_fields, meep.hpp:2209)
+
+    def _synchronized_hb(self):
+        """H and B averaged between t-dt/2 and t+dt/2 — i.e. synchronized
+        with E's time t — by stepping a copy one step and averaging
+        (2nd-order accurate; synchronize_magnetic_fields analog)."""
+        st2 = S.run(self._plan, self._state, 1, t0=self._t)
+        out = {}
+        for c in self._state["f"]:
+            if c[0] in "hb":
+                out[c] = 0.5 * (np.asarray(self._state["f"][c])
+                                + np.asarray(st2["f"][c]))
+        return out
+
+    def _box_integral(self, comp_for_grid, values, center, size):
+        """Integrate a centered-grid array over a box using trapezoid
+        weights (get_array_metadata)."""
+        coords, w = self.get_array_metadata(component=comp_for_grid,
+                                            center=center, size=size)
+        sl = []
+        for ax in range(self.gv.ndim):
+            cs = self.gv.comp_coords(comp_for_grid, ax)
+            i0 = int(np.searchsorted(cs, coords[ax][0] - 1e-12))
+            sl.append(slice(i0, i0 + len(coords[ax])))
+        return float(np.sum(values[tuple(sl)] * w))
+
+    def _centered(self, c, arr):
+        return np.asarray(S._centered_avg(self._plan, c, jnp.asarray(arr)))
+
+    def electric_energy_in_box(self, center=None, size=None):
+        """(1/2) integral of E . D over the box, instantaneous
+        (energy_and_flux.cpp:100)."""
+        self.init_sim()
+        if size is None:
+            size = self.cell_size
+        total = 0.0
+        for s in self._plan.eh_specs_e:
+            e = self._centered(s.ec, np.real(np.asarray(
+                self._state["f"][s.ec])))
+            d = self._centered(s.dc, np.real(np.asarray(
+                self._state["f"][s.dc])))
+            total += 0.5 * self._box_integral(s.ec, e * d, center, size)
+        return total
+
+    def magnetic_energy_in_box(self, center=None, size=None):
+        """(1/2) integral of H . B over the box with synchronized magnetic
+        fields (energy_and_flux.cpp:113)."""
+        self.init_sim()
+        if size is None:
+            size = self.cell_size
+        hb = self._synchronized_hb()
+        total = 0.0
+        for s in self._plan.eh_specs_h:
+            h = self._centered(s.ec, np.real(hb[s.ec]))
+            b = self._centered(s.dc, np.real(hb[s.dc]))
+            total += 0.5 * self._box_integral(s.ec, h * b, center, size)
+        return total
+
+    def field_energy_in_box(self, center=None, size=None):
+        """Total instantaneous EM energy in the box
+        (energy_and_flux.cpp:54)."""
+        return self.electric_energy_in_box(center, size) \
+            + self.magnetic_energy_in_box(center, size)
+
+    def flux_in_box(self, direction, center=None, size=None):
+        """Instantaneous Poynting flux integral (E x H_sync) . d over the
+        box (energy_and_flux.cpp:217)."""
+        self.init_sim()
+        if size is None:
+            size = self.cell_size
+        d = direction if isinstance(direction, str) else "xyz"[direction]
+        cyc = {"x": ("y", "z"), "y": ("z", "x"), "z": ("x", "y"),
+               "r": ("p", "z"), "p": ("z", "r")}
+        p, q = cyc[d]
+        hb = self._synchronized_hb()
+        f = self._state["f"]
+
+        def get(c, bank):
+            if c in bank:
+                return self._centered(c, np.real(np.asarray(bank[c])))
+            return None
+
+        ep_, eq_ = get("e" + p, f), get("e" + q, f)
+        hp_, hq_ = get("h" + p, hb), get("h" + q, hb)
+        grid_c = next(s.ec for s in self._plan.eh_specs_e)
+        total = 0.0
+        if ep_ is not None and hq_ is not None:
+            total += self._box_integral(grid_c, ep_ * hq_, center, size)
+        if eq_ is not None and hp_ is not None:
+            total -= self._box_integral(grid_c, eq_ * hp_, center, size)
+        return total
+
+    def _check_finite(self):
+        """Per-block NaN/Inf abort (step.cpp:138: the reference probes the
+        energy density at the cell center every step and aborts)."""
+        c = next(iter(self._state["f"]))
+        v = self.get_field_point(c, Vector3())
+        if not np.isfinite(complex(v).real) or not np.isfinite(
+                complex(v).imag):
+            raise RuntimeError(
+                "simulation fields are NaN or Inf (step.cpp:138 abort)")
 
     def solve_cw(self, tol=1e-6, maxiters=2000, freq=None):
         """Frequency-domain steady-state solve (solve_cw,

@@ -336,6 +336,7 @@ def compile_plan(
     pad_to_multiple: Any = 1,
     m: float = 0.0,
     bfast_scaled_k=None,
+    boundaries=None,   # {(dir_letter, 'low'|'high'): 'metal'|'magnetic'}
 ) -> Plan:
     import jax.numpy as jnp
 
@@ -444,7 +445,7 @@ def compile_plan(
     # ------- masks ---------------------------------------------------------
     for c in list(live_e) + list(live_h) + ["d" + c[1] for c in live_e] + \
             ["b" + c[1] for c in live_h]:
-        mk = gv.metal_mask(c, periodic)
+        mk = gv.metal_mask(c, periodic, boundaries)
         # periodic axes: ghost plane N is dead
         for ax in range(ndim):
             if periodic[ax]:
