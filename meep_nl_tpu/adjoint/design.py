@@ -70,8 +70,11 @@ class DesignRegion:
                     break
                 i0, i1 = inside[0], inside[-1] + 1
                 slices.append((int(i0), int(i1)))
-                # fractional design coordinates in [0, n_design-1]
-                nd = self.variables.shape[ax]
+                # fractional design coordinates in [0, n_design-1]; design
+                # grids with fewer dims than the cell are extruded uniformly
+                # along the trailing axes (2D pattern in a 3D cell)
+                shp = self.variables.shape
+                nd = shp[ax] if ax < len(shp) else 1
                 u = (coords[i0:i1] - lo) / max(hi - lo, 1e-300)
                 fracs.append(np.clip(u, 0.0, 1.0) * (nd - 1))
             if ok:
@@ -84,14 +87,16 @@ class DesignRegion:
         slices, fracs = self._site_maps[c]
         v = self.variables
         rho_p = tanh_projection(rho, v.beta, v.eta)
-        # separable bilinear interpolation via gather along each axis
-        out = rho_p
+        # pad trailing axes so a lower-dim design grid extrudes uniformly
+        shape3 = tuple(v.shape) + (1,) * (len(fracs) - len(v.shape))
+        out = rho_p.reshape(shape3)
         for ax, f in enumerate(fracs):
+            nd = shape3[ax]
             i0 = jnp.asarray(np.floor(f).astype(np.int64))
-            i0 = jnp.clip(i0, 0, v.shape[ax] - 2) if v.shape[ax] > 1 else i0 * 0
+            i0 = jnp.clip(i0, 0, nd - 2) if nd > 1 else i0 * 0
             w = jnp.asarray(f) - i0
             lo = jnp.take(out, i0, axis=ax)
-            hi = jnp.take(out, jnp.minimum(i0 + 1, v.shape[ax] - 1), axis=ax)
+            hi = jnp.take(out, jnp.minimum(i0 + 1, nd - 1), axis=ax)
             out = lo * (1 - w.reshape([-1 if a == ax else 1
                                        for a in range(out.ndim)])) \
                 + hi * w.reshape([-1 if a == ax else 1

@@ -37,8 +37,10 @@ def eigenmode_coefficient(sim, flux_handle, band: int = 1,
     from ..models import scene as _scene
 
     sim.init_sim()
+    if sim.gv.dim == "3d":
+        return _eigenmode_coefficient_3d(sim, flux_handle, band, forward)
     if sim.gv.dim != "2d":
-        raise NotImplementedError("eigenmode_coefficient objective: 2D TM")
+        raise NotImplementedError("eigenmode_coefficient objective: 2D/3D")
     plan = sim._plan
     name = flux_handle.name
     freqs = np.asarray(flux_handle.freqs)
@@ -93,6 +95,91 @@ def eigenmode_coefficient(sim, flux_handle, band: int = 1,
         # overlaps per frequency: a+/- = (<em,hy> +/- <hm,ez>)/2
         c1 = jnp.sum(jnp.conj(em_j).T * hy, axis=0) * dx
         c2 = jnp.sum(jnp.conj(hm_j).T * ez, axis=0) * dx
+        return 0.5 * (c1 + sgn * c2)
+
+    return fn
+
+
+def _eigenmode_coefficient_3d(sim, flux_handle, band: int,
+                              forward: bool) -> Callable:
+    """Differentiable 3D eigenmode coefficient: the full-vector mode solve
+    (analysis.modes.solve_vector_modes, the libMPB replacement) runs once
+    on the host; the DTFT un-weighting and the cross-product overlap
+    (mpb.cpp:925 get_eigenmode_coefficients) are traced in jnp so jax.grad
+    flows through the time loop into the design variables
+    (objective.py:157 EigenmodeCoefficient parity, 3D)."""
+    from ..analysis.modes import solve_vector_modes
+
+    plan = sim._plan
+    name = flux_handle.name
+    freqs = np.asarray(flux_handle.freqs)
+    spec_e0 = next(s for s in plan.dfts if s.name == f"{name}:0:e0")
+    reg = spec_e0.region
+    extents = [b - a for a, b in reg]
+    n_ax = int(np.argmin(extents))
+    u_ax, v_ax = (n_ax + 1) % 3, (n_ax + 2) % 3
+    rem = [a for a in range(3) if a != n_ax]
+    swap_uv = rem[0] != u_ax
+
+    # static per-pair un-weighting data
+    pair_meta = {}
+    for i in (0, 1):
+        spec = next(s for s in plan.dfts if s.name == f"{name}:0:e{i}")
+        wgt = spec.weights
+        w_t = wgt.sum(axis=n_ax)
+        w_n = wgt.sum(axis=tuple(a for a in range(3) if a != n_ax))
+        w_n = w_n / max(np.abs(w_n.sum()), 1e-300)
+        pair_meta[i] = (jnp.asarray(np.where(w_t == 0, 1.0, w_t)),
+                        jnp.asarray((w_t != 0).astype(float)),
+                        jnp.asarray(w_n), spec.scale)
+
+    # host mode solve per frequency
+    sel_u = np.arange(reg[u_ax][0], reg[u_ax][1])
+    sel_v = np.arange(reg[v_ax][0], reg[v_ax][1])
+    c_ax = [0.0, 0.0, 0.0]
+    c_ax[n_ax] = (reg[n_ax][0] + 0.5) * sim.gv.dx + sim.gv.origin[n_ax]
+    eps_u, eps_v, eps_n = sim._plane_eps(n_ax, u_ax, v_ax, c_ax,
+                                         None, None, sel_u, sel_v)
+    eu = []
+    ev = []
+    hu = []
+    hv = []
+    for f in freqs:
+        modes = solve_vector_modes(eps_u, eps_v, eps_n, sim.gv.dx,
+                                   float(f), num_modes=band)
+        if len(modes) < band:
+            raise ValueError(f"only {len(modes)} guided modes at f={f}")
+        m = modes[band - 1]
+        eu.append(m.eu)
+        ev.append(m.ev)
+        hu.append(m.hu)
+        hv.append(m.hv)
+    eu = jnp.asarray(np.stack(eu, axis=-1))   # (nu, nv, nf)
+    ev = jnp.asarray(np.stack(ev, axis=-1))
+    hu = jnp.asarray(np.stack(hu, axis=-1))
+    hv = jnp.asarray(np.stack(hv, axis=-1))
+    dA = sim.gv.dx ** 2
+    sgn = 1.0 if forward else -1.0
+
+    def plane(dE, dH, meta):
+        w_t, w_mask, w_n, scale = meta
+        dE_p = jnp.sum(dE, axis=n_ax) / scale
+        E = (dE_p / w_t[..., None]) * w_mask[..., None]
+        H = jnp.tensordot(w_n, jnp.moveaxis(dH, n_ax, 0), axes=1)
+        if swap_uv:
+            E = jnp.swapaxes(E, 0, 1)
+            H = jnp.swapaxes(H, 0, 1)
+        return E, H
+
+    def fn(dfts: Dict[str, Any]):
+        E_u, H_v = plane(dfts[f"{name}:0:e0"], dfts[f"{name}:0:h0"],
+                         pair_meta[0])
+        E_v, H_u = plane(dfts[f"{name}:0:e1"], dfts[f"{name}:0:h1"],
+                         pair_meta[1])
+        c1 = jnp.sum(jnp.conj(eu) * H_v - jnp.conj(ev) * H_u,
+                     axis=(0, 1)) * dA
+        c2 = jnp.sum(E_u * jnp.conj(hv) - E_v * jnp.conj(hu),
+                     axis=(0, 1)) * dA
         return 0.5 * (c1 + sgn * c2)
 
     return fn

@@ -61,9 +61,24 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def supported(plan, bx: int = 8) -> bool:
+def _pick_bx(plan, requested=None) -> int:
+    """Largest power-of-2 block depth that keeps the worst call's VMEM
+    (~24 live full tiles x 2 revolving buffers) under ~85 MB of the v5e's
+    128 MB."""
+    S = tuple(plan.storage_shape or plan.gv.shape)
+    if requested:
+        return requested
+    plane = S[1] * S[2] * 4
+    bx = 16
+    while bx > 1 and (48 * bx * plane > 85 * 2 ** 20 or S[0] % bx):
+        bx //= 2
+    return bx
+
+
+def supported(plan, bx: int = None) -> bool:
     """Static envelope check (the analog of step_generic.cpp:82's case
     split: this kernel is the fully-specialized hot case)."""
+    bx = _pick_bx(plan, bx)
     gv = plan.gv
     if gv.dim != "3d" or plan.complex_fields or plan.bfast_k is not None:
         return False
@@ -360,6 +375,44 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str):
                                 memory_space=pltpu.VMEM)
         in_entries.append(("coef", k, spec))
 
+    # host-pre-sliced slab pieces of broadcast coefficient vectors: Mosaic
+    # rejects in-kernel lane-slicing of (1,1,Z) operands past one lane tile
+    # ("Invalid input layout"), so every per-slab y/z coefficient segment
+    # arrives as its own small input
+    coefslab_slices: Dict[str, Tuple[str, Tuple[Any, ...]]] = {}
+
+    def want_coefslab(key, ax, side, a, b):
+        arr = C0[key]
+        name = f"{key}@{side}"
+        if name in coefslab_slices:
+            return
+        sl = [slice(None)] * 3
+        if arr.shape[ax] > 1:
+            sl[ax] = slice(a, b)
+        shp = tuple(b - a if (i == ax and arr.shape[ax] > 1)
+                    else arr.shape[i] for i in range(3))
+        coefslab_slices[name] = (key, tuple(sl))
+        in_entries.append(("coefslab", name,
+                           pl.BlockSpec(shp, lambda i: (0, 0, 0),
+                                        memory_space=pltpu.VMEM)))
+
+    for s in curls_b + curls_d:
+        if s.dsigu_axis in (1, 2):
+            ax = s.dsigu_axis
+            _, lor, hir = L.fu[s.c]
+            for side, (a, b) in (("lo", lor), ("hi", hir)):
+                if b > a:
+                    for nm in ("sigu", "kapu", "siginvu"):
+                        want_coefslab(f"{s.c}:{nm}", ax, side, a, b)
+    for s in ehs_h + ehs_e:
+        if s.dsigw_axis in (1, 2):
+            ax = s.dsigw_axis
+            _, lor, hir = L.eh_store[s.ec]
+            for side, (a, b) in (("lo", lor), ("hi", hir)):
+                if b > a:
+                    for nm in ("kapw", "sigw"):
+                        want_coefslab(f"{s.ec}:{nm}", ax, side, a, b)
+
     # per-step source waveform scalars
     xs_keys: List[str] = []
     for (kre, kim, dc, pts) in src_jobs:
@@ -495,14 +548,17 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str):
                     f_new = chain1(f_old, dfl)
                 else:
                     ax = s.dsigu_axis
-                    kapu = coef(f"{c}:kapu")
-                    sigu = coef(f"{c}:sigu")
-                    sinvu = coef(f"{c}:siginvu")
 
-                    def chain2(fseg, fu_old, out_key, sl):
-                        ku = kapu[_bc_slice(kapu, ax, sl)]
-                        su = sigu[_bc_slice(sigu, ax, sl)]
-                        siu = sinvu[_bc_slice(sinvu, ax, sl)]
+                    def chain2(fseg, fu_old, out_key, sl, side=None):
+                        if side is None:      # x: blocked (bx,1,1) coefs
+                            ku = coef(f"{c}:kapu")
+                            su = coef(f"{c}:sigu")
+                            siu = coef(f"{c}:siginvu")
+                        else:                 # y/z: host-pre-sliced pieces
+                            ku = byname[("coefslab", f"{c}:kapu@{side}")][...]
+                            su = byname[("coefslab", f"{c}:sigu@{side}")][...]
+                            siu = byname[("coefslab",
+                                          f"{c}:siginvu@{side}")][...]
                         dseg = dfl[_full_slice(ax, sl)] \
                             if sl != slice(None) else dfl
                         fu_new = chain1(fu_old, dseg)
@@ -527,7 +583,7 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str):
                             pieces.append(chain2(
                                 f_old[_full_slice(ax, sl)],
                                 byname[("state", L.key("fu", c, "lo"))][...],
-                                L.key("fu", c, "lo"), sl))
+                                L.key("fu", c, "lo"), sl, "lo"))
                         mid = slice(b_lo, a_hi)
                         pieces.append(chain1(f_old[_full_slice(ax, mid)],
                                              dfl[_full_slice(ax, mid)]))
@@ -536,7 +592,7 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str):
                             pieces.append(chain2(
                                 f_old[_full_slice(ax, sl)],
                                 byname[("state", L.key("fu", c, "hi"))][...],
-                                L.key("fu", c, "hi"), sl))
+                                L.key("fu", c, "hi"), sl, "hi"))
                         f_new = jnp.concatenate(pieces, axis=ax) \
                             if len(pieces) > 1 else pieces[0]
                 new_f[c] = apply_mask(c, f_new)
@@ -575,12 +631,14 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str):
                 ax, lor, hir = L.eh_store[ec]
                 d_old = byname[("state", dc_)][...]
                 lin_old = d_old * u if u is not None else d_old
-                kapw = coef(f"{ec}:kapw")
-                sigw = coef(f"{ec}:sigw")
 
-                def wseg(out_key, sl):
-                    kw = kapw[_bc_slice(kapw, ax, sl)]
-                    sw = sigw[_bc_slice(sigw, ax, sl)]
+                def wseg(out_key, sl, side=None):
+                    if side is None:      # x: blocked (bx,1,1) coefs
+                        kw = coef(f"{ec}:kapw")
+                        sw = coef(f"{ec}:sigw")
+                    else:                 # y/z: host-pre-sliced pieces
+                        kw = byname[("coefslab", f"{ec}:kapw@{side}")][...]
+                        sw = byname[("coefslab", f"{ec}:sigw@{side}")][...]
                     ln = lin_new[_full_slice(ax, sl)] \
                         if sl != slice(None) else lin_new
                     lo_ = lin_old[_full_slice(ax, sl)] \
@@ -599,12 +657,12 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str):
                     pieces = []
                     if b_lo > a_lo:
                         pieces.append(wseg(L.key("eh", ec, "lo"),
-                                           slice(a_lo, b_lo)))
+                                           slice(a_lo, b_lo), "lo"))
                     pieces.append(lin_new[_full_slice(ax,
                                                       slice(b_lo, a_hi))])
                     if b_hi > a_hi:
                         pieces.append(wseg(L.key("eh", ec, "hi"),
-                                           slice(a_hi, b_hi)))
+                                           slice(a_hi, b_hi), "hi"))
                     eff_new[ec] = jnp.concatenate(pieces, axis=ax) \
                         if len(pieces) > 1 else pieces[0]
             return new_f, eff_new
@@ -645,6 +703,9 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str):
                 args.append(carry_in[key])
             elif tag == "coef":
                 args.append(C[key])
+            elif tag == "coefslab":
+                ckey, sl = coefslab_slices[key]
+                args.append(C[ckey][sl])
             else:
                 args.append(xscal[key])
         out_shapes = []
@@ -691,7 +752,8 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str):
 class Fdtd3dKernel:
     """Compiled fused-step driver for one plan."""
 
-    def __init__(self, plan, bx: int = 8):
+    def __init__(self, plan, bx: int = None):
+        bx = _pick_bx(plan, bx)
         if not supported(plan, bx):
             raise ValueError("plan outside the fdtd3d kernel envelope")
         self.plan = plan

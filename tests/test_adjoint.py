@@ -56,8 +56,9 @@ def test_gradient_matches_finite_difference():
     assert g.shape == (6, 6)
     # compare a handful of entries against central differences
     for idx in [(1, 1), (3, 2), (4, 4)]:
-        fd = opt.calculate_fd_gradient(rho, idx, drho=1e-3)
-        assert abs(g[idx] - fd) <= 0.05 * max(abs(fd), 1e-6), (idx, g[idx], fd)
+        fd = opt.calculate_fd_gradient(rho, idx, drho=3e-3)
+        # measured agreement is ~0.01-0.1% (central FD); gate at 1%
+        assert abs(g[idx] - fd) <= 0.01 * max(abs(fd), 1e-6), (idx, g[idx], fd)
 
 
 def test_gradient_through_filter_and_projection():
@@ -80,4 +81,4 @@ def test_gradient_through_filter_and_projection():
     rm = rho0.copy(); rm[idx] -= dr
     fd = (float(J(jnp.asarray(rp, jnp.float32)))
           - float(J(jnp.asarray(rm, jnp.float32)))) / (2 * dr)
-    assert abs(float(g[idx]) - fd) <= 0.05 * max(abs(fd), 1e-6)
+    assert abs(float(g[idx]) - fd) <= 0.01 * max(abs(fd), 1e-6)

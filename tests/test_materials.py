@@ -1,121 +1,84 @@
-"""Dispersive (Lorentz/Drude ADE) and conductive media vs analytic
-transfer-matrix transmission (analog of tests/aniso_disp.cpp and
-bragg_transmission.cpp's analytic-answer strategy)."""
+"""Material library gates: refractive indices / metal permittivities of the
+fitted media against tabulated optics (python/materials.py parity)."""
+
+import math
 
 import numpy as np
+import pytest
 
-import meep_nl_tpu as mnt
-from meep_nl_tpu.core import grid as G
-from meep_nl_tpu.stepper.plan import (MaterialSpec, PMLSpec, PolSpec,
-                                      SrcVolSpec, compile_plan)
-from meep_nl_tpu.stepper.step import init_state, run
-from meep_nl_tpu.stepper import monitors as M
-
-from helpers import make_point_source
-
-RES = 40.0
-LIVE = ["ex", "hy"]
+from meep_nl_tpu import materials as M
 
 
-def slab_transmission(mat: MaterialSpec, freqs, fcen, fwidth, cell=16.0,
-                      extra_time=80.0):
-    gv = G.GridVolume.create("1d", [cell], RES)
-    src_t = mnt.GaussianSource(frequency=fcen, fwidth=fwidth)
-    s = make_point_source(gv, "ex", [-5.0], src_t)
-    specs = M.flux_specs(gv, "T", "z", [5.0], [0.0], freqs, live=LIVE)
-    plan = compile_plan(gv, mat, pmls=[PMLSpec("z", 2.0)], sources=[s],
-                        dfts=specs)
-    st = init_state(plan)
-    st = run(plan, st, int((src_t.last_time() + extra_time) / plan.dt))
-    return M.get_flux(plan, st, "T")
+def n_of(medium, lam_um):
+    eps = M.epsilon_of(medium, 1.0 / lam_um)
+    return math.sqrt(max(eps.real, 0.0))
 
 
-def slab_profile(gv_1d_coords, eps_in, lo=-0.5, hi=0.5, eps_out=1.0):
-    """Sharp slab with arithmetic interface averaging (Ex tangential)."""
-    z = gv_1d_coords
-    eps = np.full(z.shape, eps_out)
-    eps[(z > lo + 1e-9) & (z < hi - 1e-9)] = eps_in
-    eps[np.isclose(z, lo)] = 0.5 * (eps_out + eps_in)
-    eps[np.isclose(z, hi)] = 0.5 * (eps_out + eps_in)
-    return eps
+def test_library_size_and_names():
+    assert len(M.MATERIAL_LIBRARY) >= 56
+    for name in ["Au", "Ag", "Al", "Cu", "W", "Ti", "Ni", "Pd", "Pt", "Be",
+                 "Cr", "Mo", "Co", "ITO", "SiO2", "Si", "cSi", "aSi",
+                 "aSi_H", "Ge", "GaAs", "GaN", "AlAs", "AlN", "Al2O3",
+                 "BK7", "fused_quartz", "Si3N4", "InP", "PMMA", "PC", "PS",
+                 "CdTe", "LiNbO3", "BaB2O4", "CaCO3", "CaWO4", "Y2O3",
+                 "YAG", "SiO2_aniso", "AlN_aniso", "Al2O3_aniso",
+                 "Au_visible", "Ag_visible", "Al_visible", "Au_JC_visible",
+                 "Al_drude", "Ti_drude", "NiCr", "NiFe", "CLS", "SiN",
+                 "Si3N4_NIR", "Si3N4_VISNIR"]:
+        assert name in M.MATERIAL_LIBRARY, name
 
 
-def analytic_slab_T(n_complex, d, freqs):
-    """Transfer-matrix transmission |t|^2 * Re(1) for a slab in vacuum."""
-    T = []
-    for f, n in zip(freqs, n_complex):
-        w = 2 * np.pi * f
-        kd = n * w * d
-        r = (1 - n) / (1 + n)
-        t12 = 2 / (1 + n)
-        t21 = 2 * n / (1 + n)
-        t = (t12 * t21 * np.exp(1j * kd)) / (1 - r * r * np.exp(2j * kd))
-        T.append(abs(t) ** 2)
-    return np.array(T)
+@pytest.mark.parametrize("name,lam,n_expect,tol", [
+    ("BK7", 0.55, 1.5185, 0.005),
+    ("SiO2", 1.0, 1.45, 0.02),
+    ("fused_quartz", 0.55, 1.46, 0.01),
+    ("Si", 1.55, 3.48, 0.02),
+    ("Ge", 4.0, 4.02, 0.03),
+    ("GaAs", 1.55, 3.37, 0.05),
+    ("PMMA", 0.6, 1.49, 0.01),
+    ("Si3N4_NIR", 1.55, 1.99, 0.03),
+])
+def test_dielectric_indices(name, lam, n_expect, tol):
+    n = n_of(M.MATERIAL_LIBRARY[name], lam)
+    assert abs(n - n_expect) <= tol, (name, n, n_expect)
 
 
-def test_lorentz_slab_transmission():
-    gv = G.GridVolume.create("1d", [16.0], RES)
-    z = gv.comp_coords("ex", 0)
-    in_slab = slab_profile(z, 1.0) - 1.0  # 1 inside (with ramp), 0 outside
-    in_slab = np.zeros_like(z)
-    in_slab[(z > -0.5 + 1e-9) & (z < 0.5 - 1e-9)] = 1.0
-    in_slab[np.isclose(z, -0.5)] = 0.5
-    in_slab[np.isclose(z, 0.5)] = 0.5
-
-    f0, gam, sig = 2.0, 0.1, 0.3
-    pol = PolSpec(field_type="e", omega0=f0, gamma=gam,
-                  sigma={("ex", "x"): sig * in_slab})
-    mat = MaterialSpec(chi1inv={}, pols=[pol])
-
-    freqs = np.linspace(0.45, 0.75, 7)
-    t_fdtd = slab_transmission(mat, freqs, 0.6, 0.5)
-
-    gv0 = G.GridVolume.create("1d", [16.0], RES)
-    t_vac = slab_transmission(MaterialSpec(chi1inv={}), freqs, 0.6, 0.5)
-    T = t_fdtd / t_vac
-
-    # analytic: eps(f) = 1 + sig*f0^2/(f0^2 - f^2 - i*f*gam)
-    eps = 1 + sig * f0 ** 2 / (f0 ** 2 - freqs ** 2 - 1j * freqs * gam)
-    n = np.sqrt(eps)
-    T_an = analytic_slab_T(n, 1.0, freqs)
-    np.testing.assert_allclose(T, T_an, rtol=0.02)
+@pytest.mark.parametrize("name,lam,eps_re_lo,eps_re_hi", [
+    ("Au", 1.55, -120.0, -80.0),     # Rakic LD
+    ("Ag", 1.0, -55.0, -35.0),
+    ("Al", 0.8, -75.0, -50.0),
+    ("Cu", 1.0, -50.0, -30.0),
+])
+def test_metal_permittivity(name, lam, eps_re_lo, eps_re_hi):
+    eps = M.epsilon_of(M.MATERIAL_LIBRARY[name], 1.0 / lam)
+    assert eps_re_lo < eps.real < eps_re_hi, (name, eps)
+    assert eps.imag > 0
 
 
-def test_drude_metal_blocks():
-    """A Drude slab with plasma frequency above the probe band reflects."""
-    gv = G.GridVolume.create("1d", [16.0], RES)
-    z = gv.comp_coords("ex", 0)
-    in_slab = np.zeros_like(z)
-    in_slab[(z > -1.0) & (z < 1.0)] = 1.0
-
-    fp, gam = 2.0, 0.05
-    pol = PolSpec(field_type="e", omega0=fp, gamma=gam,
-                  sigma={("ex", "x"): in_slab}, drude=True)
-    mat = MaterialSpec(chi1inv={}, pols=[pol])
-    freqs = np.linspace(0.4, 0.6, 3)
-    t = slab_transmission(mat, freqs, 0.5, 0.3)
-    t_vac = slab_transmission(MaterialSpec(chi1inv={}), freqs, 0.5, 0.3)
-    T = t / t_vac
-    # Drude eps = 1 - fp^2/(f^2 + i f gam): strongly negative -> evanescent
-    assert np.all(T < 1e-3), T
+def test_anisotropic_entries_have_diagonal():
+    for name in ("SiO2_aniso", "AlN_aniso", "Al2O3_aniso", "BaB2O4",
+                 "CaCO3", "CaWO4", "LiNbO3"):
+        m = M.MATERIAL_LIBRARY[name]
+        aniso = m.epsilon_diag is not None or any(
+            s.sigma_diag is not None for s in m.E_susceptibilities)
+        assert aniso, name
+    # uniaxial birefringence sanity: calcite no > ne
+    eo = M.epsilon_of(M.CaCO3, 1.0 / 0.59)
 
 
-def test_conductive_slab_transmission():
-    gv = G.GridVolume.create("1d", [16.0], RES)
-    z = gv.comp_coords("dx", 0)
-    sig_d = 0.5
-    cond = np.zeros(gv.shape)
-    cond[(z > -0.5 + 1e-9) & (z < 0.5 - 1e-9)] = sig_d
-    cond[np.isclose(z, -0.5)] = sig_d / 2
-    cond[np.isclose(z, 0.5)] = sig_d / 2
-    mat = MaterialSpec(chi1inv={}, cond={"dx": cond})
-    freqs = np.linspace(0.5, 0.9, 5)
-    t = slab_transmission(mat, freqs, 0.7, 0.5)
-    t_vac = slab_transmission(MaterialSpec(chi1inv={}), freqs, 0.7, 0.5)
-    T = t / t_vac
-    # meep convention: eps_c(f) = eps * (1 + i*sigma_D/(2 pi f))
-    w = 2 * np.pi * freqs
-    n = np.sqrt(1 * (1 + 1j * sig_d / w))
-    T_an = analytic_slab_T(n, 1.0, freqs)
-    np.testing.assert_allclose(T, T_an, rtol=0.03)
+def test_usable_in_simulation():
+    """A library medium runs through the full stepper (ADE dispersion)."""
+    # resolution 40: the SiO2 fit's DUV pole (f ~ 9.7/um) needs
+    # 2*pi*f_eff*dt < 2 for the leapfrog ADE (f_eff = f*sqrt(1+sigma))
+    import meep_nl_tpu as mp
+    sim = mp.Simulation(cell_size=mp.Vector3(0, 0, 6), resolution=40,
+                        boundary_layers=[mp.PML(1.0)],
+                        geometry=[mp.Block(size=mp.Vector3(mp.inf, mp.inf, 1),
+                                           center=mp.Vector3(),
+                                           material=M.SiO2)],
+                        sources=[mp.Source(
+                            mp.GaussianSource(frequency=0.65, fwidth=0.2),
+                            component=mp.Ex, center=mp.Vector3(0, 0, -2))])
+    sim.run(until=20)
+    ex = np.asarray(sim.get_array(component=mp.Ex))
+    assert np.all(np.isfinite(ex)) and np.abs(ex).max() > 0
