@@ -243,6 +243,17 @@ class GeometricObject:
         """pts: (..., 3) absolute coordinates -> boolean mask."""
         raise NotImplementedError
 
+    def normal_at(self, pts: np.ndarray) -> Optional[np.ndarray]:
+        """(..., 3) unit outward normal of the object's nearest surface.
+
+        The analog of the reference's normal_to_fixed_object /
+        sphere-quadrature normal estimation (anisotropic_averaging.cpp:27,
+        sphere-quad.cpp): subpixel smoothing needs the interface normal at
+        mixed voxels.  Shapes with analytic surfaces return it exactly;
+        None (the base default) falls back to the fill-fraction-gradient
+        estimate in models.scene."""
+        return None
+
     def _init_common(self, material, center):
         self.material = material if material is not None else Medium()
         self.center = center if center is not None else Vector3()
@@ -264,6 +275,12 @@ class Sphere(GeometricObject):
         c = np.array(tuple(_v3(self.center)))
         d = pts - c
         return (d ** 2).sum(-1) <= self.radius ** 2
+
+    def normal_at(self, pts):
+        c = np.array(tuple(_v3(self.center)))
+        d = pts - c
+        r = np.sqrt(np.maximum((d ** 2).sum(-1, keepdims=True), 1e-300))
+        return d / r
 
 
 @dataclasses.dataclass(init=False)
@@ -294,6 +311,26 @@ class Block(GeometricObject):
             ok &= np.abs(proj) <= half + 1e-12
         return ok
 
+    def normal_at(self, pts):
+        # nearest face: the finite axis with the least distance to its face
+        c = np.array(tuple(_v3(self.center)))
+        d = pts - c
+        size = np.array(tuple(_v3(self.size)))
+        best = np.full(pts.shape[:-1], np.inf)
+        normal = np.zeros(pts.shape[:-1] + (3,))
+        for ei, s in zip((self.e1, self.e2, self.e3), size):
+            if s == float("inf"):
+                continue
+            e = np.array(tuple(_v3(ei)), dtype=np.float64)
+            e = e / np.linalg.norm(e)
+            proj = (d * e).sum(-1)
+            dist = np.abs(s / 2 - np.abs(proj))
+            closer = dist < best
+            best = np.where(closer, dist, best)
+            sgn = np.where(proj >= 0, 1.0, -1.0)
+            normal = np.where(closer[..., None], sgn[..., None] * e, normal)
+        return normal if np.isfinite(best).any() else None
+
 
 @dataclasses.dataclass(init=False)
 class Ellipsoid(Block):
@@ -310,6 +347,22 @@ class Ellipsoid(Block):
                 continue
             r += (2 * proj / s) ** 2
         return r <= 1.0
+
+    def normal_at(self, pts):
+        # gradient of sum_i (2 proj_i / s_i)^2: n ~ sum_i proj_i/(s_i/2)^2 e_i
+        c = np.array(tuple(_v3(self.center)))
+        d = pts - c
+        size = np.array(tuple(_v3(self.size)))
+        g = np.zeros(pts.shape[:-1] + (3,))
+        for ei, s in zip((self.e1, self.e2, self.e3), size):
+            if s == 0 or s == float("inf"):
+                continue
+            e = np.array(tuple(_v3(ei)), dtype=np.float64)
+            e = e / np.linalg.norm(e)
+            proj = (d * e).sum(-1)
+            g = g + (proj / (s / 2) ** 2)[..., None] * e
+        nrm = np.sqrt(np.maximum((g ** 2).sum(-1, keepdims=True), 1e-300))
+        return g / nrm
 
 
 @dataclasses.dataclass(init=False)
@@ -340,6 +393,23 @@ class Cylinder(GeometricObject):
             ok &= np.abs(z) <= self.height / 2
         return ok
 
+    def normal_at(self, pts):
+        c = np.array(tuple(_v3(self.center)))
+        a = np.array(tuple(_v3(self.axis)), dtype=np.float64)
+        a = a / np.linalg.norm(a)
+        d = pts - c
+        z = (d * a).sum(-1)
+        perp = d - z[..., None] * a
+        r = np.sqrt(np.maximum((perp ** 2).sum(-1), 1e-300))
+        lat = perp / r[..., None]
+        lat_dist = np.abs(r - self.radius)
+        if self.height == float("inf"):
+            return lat
+        cap_dist = np.abs(self.height / 2 - np.abs(z))
+        sgn = np.where(z >= 0, 1.0, -1.0)
+        cap = sgn[..., None] * a
+        return np.where((lat_dist <= cap_dist)[..., None], lat, cap)
+
 
 @dataclasses.dataclass(init=False)
 class Cone(Cylinder):
@@ -361,6 +431,27 @@ class Cone(Cylinder):
         frac = np.clip(z / h + 0.5, 0.0, 1.0)
         rad = self.radius + (self.radius2 - self.radius) * frac
         return (r2 <= rad ** 2) & (np.abs(z) <= h / 2)
+
+    def normal_at(self, pts):
+        c = np.array(tuple(_v3(self.center)))
+        a = np.array(tuple(_v3(self.axis)), dtype=np.float64)
+        a = a / np.linalg.norm(a)
+        d = pts - c
+        z = (d * a).sum(-1)
+        perp = d - z[..., None] * a
+        r = np.sqrt(np.maximum((perp ** 2).sum(-1), 1e-300))
+        h = self.height if self.height != float("inf") else 1e20
+        slope = (self.radius2 - self.radius) / h   # dr_surface/dz
+        # lateral normal: radial direction minus the surface slope along
+        # the axis, normalized
+        lat = (perp / r[..., None] - slope * a) / math.sqrt(1 + slope ** 2)
+        rad = self.radius + (self.radius2 - self.radius) * np.clip(
+            z / h + 0.5, 0.0, 1.0)
+        lat_dist = np.abs(r - rad) / math.sqrt(1 + slope ** 2)
+        cap_dist = np.abs(h / 2 - np.abs(z))
+        sgn = np.where(z >= 0, 1.0, -1.0)
+        cap = sgn[..., None] * a
+        return np.where((lat_dist <= cap_dist)[..., None], lat, cap)
 
 
 @dataclasses.dataclass(init=False)
@@ -425,3 +516,41 @@ class Prism(GeometricObject):
             z0 = _v3(self.center).z
             ok &= np.abs(pts[..., 2] - z0) <= self.height / 2
         return ok
+
+    def normal_at(self, pts):
+        # nearest polygon edge's in-plane outward normal (z-axis prisms,
+        # matching inside()); caps win where closer for finite height
+        vx = np.array([v.x for v in self.vertices])
+        vy = np.array([v.y for v in self.vertices])
+        n = len(vx)
+        if n < 3:
+            return None
+        area2 = np.sum(vx * np.roll(vy, -1) - np.roll(vx, -1) * vy)
+        ccw = 1.0 if area2 > 0 else -1.0
+        x, y = pts[..., 0], pts[..., 1]
+        best = np.full(pts.shape[:-1], np.inf)
+        normal = np.zeros(pts.shape[:-1] + (3,))
+        for i in range(n):
+            j = (i + 1) % n
+            ex, ey = vx[j] - vx[i], vy[j] - vy[i]
+            L2 = ex * ex + ey * ey
+            if L2 < 1e-30:
+                continue
+            t = np.clip(((x - vx[i]) * ex + (y - vy[i]) * ey) / L2, 0.0, 1.0)
+            dx, dy = x - (vx[i] + t * ex), y - (vy[i] + t * ey)
+            dist = np.sqrt(dx * dx + dy * dy)
+            closer = dist < best
+            best = np.where(closer, dist, best)
+            L = math.sqrt(L2)
+            # CCW polygon: outward = edge direction rotated -90deg
+            nvec = np.array([ccw * ey / L, -ccw * ex / L, 0.0])
+            normal = np.where(closer[..., None], nvec, normal)
+        if self.height != float("inf"):
+            z0 = _v3(self.center).z
+            dz = pts[..., 2] - z0
+            cap_dist = np.abs(self.height / 2 - np.abs(dz))
+            sgn = np.where(dz >= 0, 1.0, -1.0)
+            cap = np.zeros(pts.shape[:-1] + (3,))
+            cap[..., 2] = sgn
+            normal = np.where((cap_dist < best)[..., None], cap, normal)
+        return normal

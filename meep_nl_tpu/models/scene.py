@@ -83,6 +83,48 @@ def _subsample_offsets(gv: G.GridVolume, n: int) -> np.ndarray:
     return offs
 
 
+def _corner_offsets(gv: G.GridVolume) -> List[np.ndarray]:
+    """The 2^ndim voxel-corner offsets around a site."""
+    import itertools
+    half = 0.5 * gv.dx
+    offs = []
+    for combo in itertools.product((-half, half), repeat=gv.ndim):
+        off = np.zeros(3)
+        for ax, v in enumerate(combo):
+            slot = {"x": 0, "y": 1, "z": 2, "r": 0, "p": 1}[gv.axes[ax]]
+            off[slot] = v
+        if gv.dim == "1d":
+            off[2] = combo[0]
+            off[0] = 0.0
+        offs.append(off)
+    return offs
+
+
+def _analytic_normals(gv: G.GridVolume, pts: np.ndarray,
+                      geometry: Sequence[GeometricObject]
+                      ) -> Optional[np.ndarray]:
+    """(shape, 3) exact interface normals at voxels whose governing object
+    boundary crosses them; NaN where no analytic normal is available.
+
+    The voxel's visible boundary belongs to the LAST (topmost, by the
+    later-objects-take-precedence rule) object whose inside() varies over
+    the voxel corners; its normal_at gives the exact surface normal — the
+    role of the reference's normal_to_fixed_object + sphere-quad
+    quadrature (anisotropic_averaging.cpp:27, sphere-quad.cpp)."""
+    normals = None
+    corner = _corner_offsets(gv)
+    for obj in geometry:                      # later objects overwrite
+        ins = [obj.inside(pts + off) for off in corner]
+        varies = np.logical_or.reduce(ins) & ~np.logical_and.reduce(ins)
+        if not varies.any():
+            continue
+        n = obj.normal_at(pts)
+        if normals is None:
+            normals = np.full(pts.shape, np.nan)
+        normals[varies] = np.nan if n is None else n[varies]
+    return normals
+
+
 def rasterize(gv: G.GridVolume, geometry: Sequence[GeometricObject],
               default_material: Medium = Medium(),
               eps_averaging: bool = True,
@@ -137,17 +179,26 @@ def rasterize(gv: G.GridVolume, geometry: Sequence[GeometricObject],
                     inv_sum += 1.0 / e
                 mean_eps = eps_sum / len(offs)
                 mean_inv = inv_sum / len(offs)
-            # interface normal from the gradient of mean eps (signed
-            # components: the off-diagonal Kottke terms need n_i n_j with
-            # consistent orientation, not just squares)
+            # interface normal: analytic per-shape where the surface is
+            # known (Sphere/Block/Cylinder/Cone/Ellipsoid/Prism), else the
+            # fill-fraction-gradient estimate (signed components: the
+            # off-diagonal Kottke terms need n_i n_j with consistent
+            # orientation, not just squares)
             grads = [np.gradient(mean_eps, axis=ax)
                      for ax in range(gv.ndim)]
             grad2 = sum(g * g for g in grads)
             gnorm = np.sqrt(np.maximum(grad2, 1e-30))
-            own_ax = gv.axis_of(d_c) if gv.has_direction(d_c) else None
-            n_own = (grads[own_ax] / gnorm) if own_ax is not None \
-                else np.zeros(gv.shape)
-            nd2 = np.where(grad2 > 1e-30, n_own * n_own, 0.0)
+            nvec = np.zeros(gv.shape + (3,))
+            for ax in range(gv.ndim):
+                slot = dind_of[gv.axes[ax]]
+                nvec[..., slot] = np.where(grad2 > 1e-30,
+                                           grads[ax] / gnorm, 0.0)
+            an = _analytic_normals(gv, pts, geometry)
+            if an is not None:
+                have = np.isfinite(an[..., 0])
+                nvec = np.where(have[..., None], an, nvec)
+            n_own = nvec[..., dind]
+            nd2 = n_own * n_own
             # Kottke tensor for isotropic two-material voxels
             # (Kottke-Farjadpour-Johnson 2008; anisotropic_averaging.cpp):
             #   eps_eff^{-1} = <1/eps> nn^T + <eps>^{-1} (I - nn^T)
@@ -155,17 +206,13 @@ def rasterize(gv: G.GridVolume, geometry: Sequence[GeometricObject],
             einv = mean_inv * nd2 + (1.0 / mean_eps) * (1.0 - nd2)
             # off-diagonal row entries (I - nn^T has -n_i n_j off-diag,
             # <1/eps> nn^T has +n_i n_j): (<1/eps> - <eps>^{-1}) n_i n_j.
-            # Opt-in: tensor-exact at interfaces, but a disk-resonator
-            # accuracy drive showed no improvement over the diagonal
-            # blend yet (normal estimation noise); default stays diagonal
+            # Opt-in via subpixel_tensor=True: tensor-exact at interfaces.
             if subpixel_tensor and gv.dim in ("2d", "3d"):
                 delta_inv = mean_inv - 1.0 / mean_eps
-                for ax in range(gv.ndim):
-                    if own_ax is None or ax == own_ax:
+                for dd in ("x", "y", "z"):
+                    if dd == d_c or (c[0] + dd) not in live_e:
                         continue
-                    dd = gv.axes[ax]
-                    n_dd = np.where(grad2 > 1e-30, grads[ax] / gnorm, 0.0)
-                    od = delta_inv * n_own * n_dd
+                    od = delta_inv * n_own * nvec[..., dind_of[dd]]
                     if np.any(np.abs(od) > 1e-12):
                         chi1inv.setdefault(c, {})[dd] = od
         else:
