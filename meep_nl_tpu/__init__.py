@@ -27,7 +27,7 @@ from .models.simulation import (Simulation, PML, Absorber, FluxRegion,
                                 Ex, Ey, Ez, Hx, Hy, Hz, Dx, Dy, Dz,
                                 Bx, By, Bz, Er, Ep, Hr, Hp, Dielectric,
                                 X, Y, Z, R, ALL,
-                                Low, High, Metallic, Magnetic)
+                                Low, High, Metallic, Magnetic, Mirror)
 from .analysis.harminv import Harminv, harminv
 from .analysis.bands import ModeSolver, retrieve_gap
 
@@ -40,7 +40,7 @@ from .models.run_control import (at_every, at_beginning, at_end,
                                  stop_when_fields_decayed,
                                  stop_when_dft_decayed, output_field,
                                  output_efield_z, output_epsilon)
-from .utils.visualization import plot2D, Animate2D
+from .utils.visualization import plot2D, plot3D, plot_fields, Animate2D
 
 CYLINDRICAL = "cyl"
 

@@ -4,3 +4,4 @@ from . import filters
 from .objectives import (eigenmode_coefficient, fourier_fields,
                          ldos_objective)
 from .connectivity import connectivity_penalty
+from .basis import BilinearInterpolationBasis, unfilter_design

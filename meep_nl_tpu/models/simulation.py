@@ -48,6 +48,31 @@ Metallic, Magnetic = "metal", "magnetic"
 
 
 @dataclasses.dataclass
+class Mirror:
+    """Mirror-symmetry declaration (python/simulation.py Mirror;
+    src/symmetry.cpp mirror_symmetry).  The cell is halved along
+    `direction`: the symmetry plane through the cell center becomes a PEC
+    wall (phase -1: tangential E odd) or a PMC wall (phase +1: tangential
+    H odd), which reproduce the odd/even mirror exactly on the Yee mesh.
+
+    Grid alignment: phase -1 needs the plane on a whole grid site
+    (size*resolution even along `direction`); phase +1 needs it on a
+    half-offset site (size*resolution odd).  Sources given in the dropped
+    half are folded onto the retained half with the component's mirror
+    parity times `phase`; get_array unfolds full-axis requests."""
+    direction: str = "y"
+    phase: int = 1
+
+
+def _mirror_parity(comp: str, d: str) -> float:
+    """Intrinsic sign of component `comp` under a mirror in direction `d`
+    (vec.hpp:1189 symmetry::transform: E is a vector, H a pseudovector)."""
+    if comp[0] in ("e", "d"):
+        return -1.0 if comp[1] == d else 1.0
+    return 1.0 if comp[1] == d else -1.0
+
+
+@dataclasses.dataclass
 class PML:
     """uPML boundary layer (python/simulation.py PML class)."""
     thickness: float
@@ -130,6 +155,7 @@ class Simulation:
                  use_pallas: bool = False,
                  slab_store: bool = False,
                  epsilon_input_file: str = None,
+                 symmetries: Sequence = (),
                  dtype=np.float32):
         self.cell_size = _v3(cell_size)
         self.resolution = float(resolution)
@@ -165,14 +191,59 @@ class Simulation:
         else:
             self.dim = "3d"
             size = [cs.x, cs.y, cs.z]
-        self.gv = G.GridVolume.create(self.dim, size, self.resolution)
+
+        # (dir_letter, side) -> 'metal'|'magnetic'; filled by symmetries
+        # below and by set_boundary()
+        self._boundaries = {}
+
+        # mirror symmetries: halve the cell, put the right wall at the plane
+        self.symmetries = list(symmetries)
+        self._mirrors = []          # (axis_index, direction_letter, phase)
+        origin = None
+        if self.symmetries:
+            if k_point is not None:
+                raise ValueError("symmetries with k_point are not supported")
+            axes = G._DIM_AXES[self.dim]
+            dx = 1.0 / self.resolution
+            origin = [0.0 if (self.dim == "cyl" and d == "r")
+                      else -s / 2 for d, s in zip(axes, size)]
+            for sym in self.symmetries:
+                if not isinstance(sym, Mirror):
+                    raise NotImplementedError(
+                        "only Mirror symmetries are supported (rotations "
+                        "deferred; see README symmetry row)")
+                d = sym.direction
+                if d not in axes:
+                    raise ValueError(f"no grid axis {d} in {self.dim}")
+                ax = axes.index(d)
+                n_full = int(round(size[ax] * self.resolution))
+                if sym.phase == -1:
+                    if n_full % 2:
+                        raise ValueError(
+                            f"Mirror({d}, phase=-1) needs an even cell "
+                            f"count along {d} (have {n_full}) so the "
+                            "symmetry plane lands on a whole grid site")
+                    size[ax] = size[ax] / 2
+                    origin[ax] = 0.0
+                    self._boundaries[(d, "low")] = "metal"
+                else:
+                    if n_full % 2 == 0:
+                        raise ValueError(
+                            f"Mirror({d}, phase=+1) needs an odd cell "
+                            f"count along {d} (have {n_full}) so the "
+                            "symmetry plane lands on a half-offset site")
+                    size[ax] = size[ax] / 2 + dx / 2
+                    origin[ax] = -dx / 2
+                    self._boundaries[(d, "low")] = "magnetic"
+                self._mirrors.append((ax, d, int(sym.phase)))
+        self.gv = G.GridVolume.create(self.dim, size, self.resolution,
+                                      origin=origin)
 
         self._dft_specs: List[DftSpec] = []
         self._handles: List[Any] = []
         self._plan = None
         self._state = None
         self._t = 0   # host-side step counter (axon d2h workaround)
-        self._boundaries = {}     # (dir_letter, side) -> 'metal'|'magnetic'
         self._last_progress = None
         from ..utils.timing import Timers
         self.timers = Timers()
@@ -232,11 +303,39 @@ class Simulation:
             live_h = list(self.gv.h_components)
         return live_e, live_h
 
+    def _fold_source(self, s):
+        """Reflect a source lying in the dropped half of a mirrored cell
+        onto the retained half, scaled by phase * component mirror parity
+        (the symmetry projection of fields::add_volume_source under
+        symmetry.cpp transforms)."""
+        import dataclasses as dc
+        if not self._mirrors or not hasattr(s, "center"):
+            return s
+        slot = {"x": 0, "y": 1, "z": 2}
+        for ax, d, phase in self._mirrors:
+            c = list(_v3(s.center))
+            i = slot[d] if self.dim != "1d" else 2
+            if c[i] < -1e-12:
+                sz = list(_v3(s.size)) if getattr(s, "size", None) is not None \
+                    else [0.0, 0.0, 0.0]
+                if sz[i] > 2 * abs(c[i]):
+                    raise ValueError(
+                        f"source straddles the {d} mirror plane "
+                        "asymmetrically; place it in the retained half "
+                        "(or symmetrically about the plane)")
+                c[i] = -c[i]
+                sign = phase * _mirror_parity(s.component, d)
+                s = dc.replace(s, center=Vector3(*c),
+                               amplitude=s.amplitude * sign)
+        return s
+
     def _build_sources(self, live_e, live_h) -> List[SrcVolSpec]:
         from .source import IndexedSource
         out = []
         gv = self.gv
         for s in self.sources:
+            if self._mirrors and not isinstance(s, IndexedSource):
+                s = self._fold_source(s)
             comp = s.component
             if isinstance(s, IndexedSource):
                 out.append(SrcVolSpec(
@@ -396,13 +495,21 @@ class Simulation:
             self._apply_epsilon_input(mat, live_e)
         pmls = []
         absorbers = []
+        mirror_dirs = {d for _, d, _ in self._mirrors}
         for bl in self.boundary_layers:
             dirs = list(self.gv.axes) if bl.direction == ALL else [bl.direction]
             for d in dirs:
+                # a mirrored axis keeps the wall (the symmetry plane) at
+                # its low side; PML goes on the high side only
+                side = bl.side
+                if d in mirror_dirs:
+                    if side == -1:
+                        continue
+                    side = +1
                 if isinstance(bl, Absorber):
                     absorbers.append((d, bl))
                 else:
-                    pmls.append(PMLSpec(d, bl.thickness, side=bl.side,
+                    pmls.append(PMLSpec(d, bl.thickness, side=side,
                                         r_asymptotic=bl.r_asymptotic,
                                         mean_stretch=bl.mean_stretch,
                                         pml_profile_power=bl.pml_profile_power))
@@ -1087,9 +1194,15 @@ class Simulation:
         # probes for collectors
         probes = []
         for i, (h, _) in enumerate(sf.collectors):
-            pts = self.gv.interp_weights(h.c, _vec_to_axes(self.gv, h.pt))
-            idx = np.array([p for p, w in pts], np.int32)
-            ws = np.array([w for p, w in pts])
+            if getattr(h, "indices", None) is not None:
+                # WeightedProbe: explicit site indices + weights (per-step
+                # weighted surface integrals, e.g. Casimir DCT stress)
+                idx = np.asarray(h.indices, np.int32)
+                ws = np.asarray(h.weights)
+            else:
+                pts = self.gv.interp_weights(h.c, _vec_to_axes(self.gv, h.pt))
+                idx = np.array([p for p, w in pts], np.int32)
+                ws = np.array([w for p, w in pts])
             probes.append(S.ProbeSpec(f"hm{i}", h.c, idx, ws))
         series = {p.name: [] for p in probes}
         collect_from_step = {}
@@ -1255,19 +1368,45 @@ class Simulation:
         arr = np.asarray(self._state["f"][component])
         # crop padded storage to the live grid
         arr = arr[tuple(slice(0, n + 1) for n in self.gv.num)]
+        coords = [self.gv.comp_coords(component, ax)
+                  for ax in range(self.gv.ndim)]
+        arr, coords = self._unfold(component, arr, coords)
         if center is None and size is None:
             return arr
         c_ax = _vec_to_axes(self.gv, center if center is not None else Vector3())
         s_ax = _vec_to_axes(self.gv, size if size is not None else Vector3())
         sl = []
         for ax in range(self.gv.ndim):
-            coords = self.gv.comp_coords(component, ax)
             lo = c_ax[ax] - s_ax[ax] / 2
             hi = c_ax[ax] + s_ax[ax] / 2
-            i0 = int(np.searchsorted(coords, lo - 1e-9))
-            i1 = int(np.searchsorted(coords, hi + 1e-9))
+            i0 = int(np.searchsorted(coords[ax], lo - 1e-9))
+            i1 = int(np.searchsorted(coords[ax], hi + 1e-9))
             sl.append(slice(i0, max(i1, i0 + 1)))
         return arr[tuple(sl)]
+
+    def _unfold(self, component, arr, coords):
+        """Reconstruct the full mirrored cell from the retained half:
+        rows above the symmetry plane reflect with sign
+        phase * mirror_parity (symmetry.cpp transform applied in reverse).
+        On-plane rows are shared; the grid's one below-plane ghost row
+        (phase +1 alignment) is dropped."""
+        for ax, d, phase in self._mirrors:
+            s = phase * _mirror_parity(component, d)
+            c_ax = coords[ax]
+            pos = np.where(c_ax > 1e-12)[0]
+            onp = np.where(np.abs(c_ax) <= 1e-12)[0]
+            a_pos = np.take(arr, pos, axis=ax)
+            parts = [s * np.flip(a_pos, axis=ax)]
+            cparts = [-np.flip(c_ax[pos])]
+            if len(onp):
+                parts.append(np.take(arr, onp, axis=ax))
+                cparts.append(c_ax[onp])
+            parts.append(a_pos)
+            cparts.append(c_ax[pos])
+            arr = np.concatenate(parts, axis=ax)
+            coords = list(coords)
+            coords[ax] = np.concatenate(cparts)
+        return arr, coords
 
     def get_epsilon(self) -> np.ndarray:
         self.init_sim()

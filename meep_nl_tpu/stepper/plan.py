@@ -599,6 +599,28 @@ def compile_plan(
     curl_d = make_curl_specs("d")
     curl_b = make_curl_specs("b")
 
+    if bfast_scaled_k is not None:
+        # BFAST envelope is a HARD error, not silent narrowing: the
+        # s*dH/dt flip-flop is only stable when every curl has both
+        # partners (the fork's supported 1D/3D-component-set mode,
+        # test_refl_angular.py); a single-partner curl whose k component
+        # is nonzero would silently drop a BFAST term.
+        axes = gv.axes
+        kidx = {"x": 0, "y": 1, "z": 2}
+        for spec in curl_d + curl_b:
+            single = (spec.g_plus is None) != (spec.g_minus is None)
+            if not single:
+                continue
+            ax_have = spec.plus_axis if spec.g_plus is not None \
+                else spec.minus_axis
+            if abs(float(bfast_scaled_k[kidx[axes[ax_have]]])) > 0:
+                raise ValueError(
+                    f"BFAST: curl of {spec.c} has a single partner "
+                    f"({spec.g_plus or spec.g_minus}) with a nonzero "
+                    "scaled_k along its axis; this component set (e.g. 2D "
+                    "TM) is outside the stable BFAST envelope -- use a 3D "
+                    "cell / full component set (step_generic.cpp:339)")
+
     # ------- update_eh specs -------------------------------------------------
     def make_eh_specs(ft: str) -> List[EhSpec]:
         specs = []

@@ -56,6 +56,130 @@ def plot2D(sim, fields: Optional[str] = None, ax=None,
     return ax
 
 
+def plot_fields(sim, ax=None, fields=None, output_plane=None,
+                field_parameters: Optional[dict] = None):
+    """Field-only overlay on an existing axes (visualization.py:838
+    plot_fields): plots Re(component) over the cell (2D) or over a 2D
+    cross-section `output_plane = (center, size)` of a 3D cell (size has
+    exactly one zero entry)."""
+    import matplotlib.pyplot as plt
+
+    if fields is None:
+        return ax
+    if ax is None:
+        _, ax = plt.subplots()
+    sim.init_sim()
+    gv = sim.gv
+    fp = dict(alpha=0.6, cmap="RdBu", interpolation="none")
+    fp.update(field_parameters or {})
+    post = fp.pop("post_process", np.real)
+
+    if gv.ndim == 2:
+        arr = post(np.asarray(sim.get_array(component=fields)))
+        x0, y0 = gv.origin
+        sx, sy = gv.size
+        extent = [x0, x0 + sx, y0, y0 + sy]
+        labels = ("x", "y")
+    elif gv.ndim == 3:
+        if output_plane is None:
+            raise ValueError("3D cells need output_plane=(center, size) "
+                             "with one zero size entry")
+        center, size = output_plane
+        sz = [size.x, size.y, size.z] if hasattr(size, "x") else list(size)
+        flat = [i for i, s in enumerate(sz) if s == 0]
+        if len(flat) != 1:
+            raise ValueError("output_plane size needs exactly one zero")
+        arr = np.asarray(sim.get_array(component=fields, center=center,
+                                       size=size))
+        arr = post(np.squeeze(arr, axis=flat[0]))
+        keep = [i for i in range(3) if i != flat[0]]
+        cc = [center.x, center.y, center.z] if hasattr(center, "x") \
+            else list(center)
+        extent = []
+        for i in keep:
+            extent += [cc[i] - sz[i] / 2, cc[i] + sz[i] / 2]
+        labels = tuple("xyz"[i] for i in keep)
+    else:
+        raise NotImplementedError("plot_fields supports 2d/3d cells")
+    vmax = np.abs(arr).max() or 1.0
+    ax.imshow(arr.T, origin="lower", extent=extent, vmin=-vmax, vmax=vmax,
+              **fp)
+    ax.set_xlabel(labels[0])
+    ax.set_ylabel(labels[1])
+    return ax
+
+
+def plot3D(sim, save_to_image: bool = False, image_name: str = "sim.png",
+           max_voxels: int = 48 ** 3, **kwargs):
+    """3D structure render (visualization.py:1063 plot3D).  The reference
+    draws vispy marching-cubes isosurfaces; here the default backend is
+    matplotlib voxels (always available, downsampled to <= max_voxels),
+    with the vispy path used when the package is importable."""
+    sim.init_sim()
+    gv = sim.gv
+    if gv.ndim != 3:
+        raise ValueError("plot3D needs a 3D cell")
+    eps = np.asarray(sim.get_epsilon())
+    bg = float(np.real(getattr(sim.default_material, "epsilon", 1.0)))
+
+    try:
+        import vispy  # noqa: F401
+        return _plot3d_vispy(sim, eps, bg, save_to_image, image_name,
+                             **kwargs)
+    except ImportError:
+        pass
+
+    import matplotlib.pyplot as plt
+
+    # downsample so voxel rendering stays tractable
+    step = max(1, int(np.ceil((eps.size / max_voxels) ** (1 / 3))))
+    e = eps[::step, ::step, ::step]
+    filled = np.abs(e - bg) > 1e-3
+    fig = plt.figure()
+    ax = fig.add_subplot(projection="3d")
+    if filled.any():
+        levels = np.unique(np.round(e[filled], 2))
+        cmap = plt.get_cmap("viridis")
+        colors = np.zeros(filled.shape + (4,))
+        for i, lv in enumerate(levels):
+            m = filled & (np.round(e, 2) == lv)
+            colors[m] = cmap((i + 1) / (len(levels) + 1))
+            colors[m, 3] = 0.5
+        ax.voxels(filled, facecolors=colors, edgecolor=None)
+    ax.set_xlabel("x")
+    ax.set_ylabel("y")
+    ax.set_zlabel("z")
+    if save_to_image:
+        fig.savefig(image_name, dpi=120)
+        plt.close(fig)
+        return image_name
+    return ax
+
+
+def _plot3d_vispy(sim, eps, bg, save_to_image, image_name, **kwargs):
+    """vispy marching-cubes backend matching the reference's plot3D."""
+    from vispy.scene import SceneCanvas
+    from vispy.scene.visuals import Mesh
+    from skimage.measure import marching_cubes
+
+    canvas = SceneCanvas(keys="interactive", bgcolor="white")
+    view = canvas.central_widget.add_view()
+    view.camera = "turntable"
+    for lv in np.unique(np.round(np.abs(eps), 2)):
+        if abs(lv - bg) < 1e-3:
+            continue
+        mask = (np.round(np.abs(eps), 2) == lv).astype(float)
+        verts, faces, _, _ = marching_cubes(mask, 0.5)
+        view.add(Mesh(verts, faces))
+    if save_to_image:
+        img = canvas.render()
+        import imageio
+        imageio.imwrite(image_name, img)
+        return image_name
+    canvas.show()
+    return canvas
+
+
 class Animate2D:
     """Collect field frames during run blocks (visualization.py:1388)."""
 

@@ -159,3 +159,17 @@ def test_oblique_fresnel_s_pol():
         kz2 = np.sqrt((n2 * w) ** 2 - (S * w) ** 2)
         rs = (kz1 - kz2) / (kz1 + kz2)
         assert abs(R[i] - rs ** 2) < 0.015, (f, R[i], rs ** 2)
+
+
+def test_bfast_envelope_hard_error():
+    """Single-partner curls (e.g. 2D TM) with nonzero scaled_k along their
+    axis are outside the stable BFAST envelope and must raise, not
+    silently narrow."""
+    import pytest
+    with pytest.raises(ValueError, match="single partner"):
+        sim = mp.Simulation(
+            cell_size=mp.Vector3(4, 4), resolution=10,
+            sources=[mp.Source(mp.GaussianSource(frequency=0.8, fwidth=0.3),
+                               component=mp.Ez, center=mp.Vector3())],
+            bfast_scaled_k=(0.3, 0, 0), Courant=0.3)
+        sim.init_sim()

@@ -121,3 +121,56 @@ def test_conic_radius_eta_roundtrip():
         for eta_e in (0.55, 0.7, 0.8, 0.95):
             R = F.get_conic_radius_from_eta_e(b, eta_e)
             assert abs(F.get_eta_from_conic(b, R) - eta_e) < 1e-9
+
+
+def test_bilinear_basis():
+    """BilinearInterpolationBasis: exact on bilinear functions, symmetric
+    folding, and VJP == jax-grad of a scalar functional (basis.py:45)."""
+    import jax.numpy as jnp
+    from meep_nl_tpu.adjoint.basis import BilinearInterpolationBasis
+
+    b = BilinearInterpolationBasis(resolution=4, size=(2.0, 2.0))
+    xs = jnp.linspace(-0.9, 0.9, 7)
+    ys = jnp.linspace(-0.9, 0.9, 7)
+    # a bilinear target a + bx + cy + dxy is reproduced exactly
+    gx, gy = np.meshgrid(b.rho_x, b.rho_y, indexing="ij")
+    rho = 0.3 + 0.2 * gx - 0.1 * gy + 0.15 * gx * gy
+    got = b.interpolate(rho.ravel(), xs, ys)
+    want = 0.3 + 0.2 * np.array(xs) - 0.1 * np.array(ys) \
+        + 0.15 * np.array(xs) * np.array(ys)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # mirror symmetry folds negative coordinates
+    bs = BilinearInterpolationBasis(resolution=4, size=(2.0, 2.0),
+                                    symmetry=["x"])
+    v1 = bs.interpolate(bs.rho_vector, jnp.array([0.4]), jnp.array([0.2]))
+    v2 = bs.interpolate(bs.rho_vector, jnp.array([-0.4]), jnp.array([0.2]))
+    np.testing.assert_allclose(v1, v2)
+    # VJP matches finite differences
+    import jax
+    f = lambda r: jnp.sum(b.interpolate(r, xs, ys) ** 2)
+    r0 = jnp.asarray(np.random.RandomState(0).rand(b.num_design_params))
+    u = b.interpolate(r0, xs, ys)
+    vjp = b.get_basis_vjp(2 * u, xs, ys)
+    np.testing.assert_allclose(vjp, jax.grad(f)(r0), atol=1e-5,
+                               rtol=1e-5)
+
+
+def test_unfilter_design_roundtrip():
+    """unfilter_design recovers pre-filter variables whose processed
+    output matches the target (unfilter_design.py:6)."""
+    import jax.numpy as jnp
+    from meep_nl_tpu.adjoint.basis import unfilter_design
+    from meep_nl_tpu.adjoint.filters import conic_filter, tanh_projection
+
+    rng = np.random.RandomState(1)
+    n = 16
+    x_true = (rng.rand(n, n) > 0.5).astype(np.float64)
+
+    def processing(x):
+        f = conic_filter(x.reshape(n, n), 0.15, 10.0)
+        return tanh_projection(f, beta=8.0, eta=0.5).ravel()
+
+    target = processing(jnp.asarray(x_true))
+    x = unfilter_design(np.asarray(target), processing, maxiter=300)
+    err = np.abs(processing(jnp.asarray(x)) - np.asarray(target)).max()
+    assert err < 0.08, err

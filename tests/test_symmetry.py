@@ -1,0 +1,88 @@
+"""Mirror-symmetry cell reduction (models/simulation.py Mirror;
+reference src/symmetry.cpp + structure.cpp:157-184 chunk halving).
+
+A mirror plane through the cell center is exactly a PEC wall (phase -1)
+or PMC wall (phase +1) on the Yee mesh, so the half-cell run must equal
+the full-cell run restricted to the retained half -- and get_array must
+unfold it back to the full cell."""
+
+import numpy as np
+import pytest
+
+import meep_nl_tpu as mp
+
+
+def _run(sym, phase, until=8):
+    sy = 8.0 if phase == -1 else 8.1   # even / odd cell-count alignment
+    y0 = 0.8
+    if sym:
+        # only the dropped-half member: exercises the source fold
+        srcs = [mp.Source(mp.GaussianSource(frequency=0.5, fwidth=0.2),
+                          component=mp.Ez, center=mp.Vector3(-1.0, -y0),
+                          amplitude=phase)]
+    else:
+        srcs = [mp.Source(mp.GaussianSource(frequency=0.5, fwidth=0.2),
+                          component=mp.Ez, center=mp.Vector3(-1.0, y0)),
+                mp.Source(mp.GaussianSource(frequency=0.5, fwidth=0.2),
+                          component=mp.Ez, center=mp.Vector3(-1.0, -y0),
+                          amplitude=phase)]
+    geom = [mp.Block(center=mp.Vector3(1.0, 0),
+                     size=mp.Vector3(1.0, 2.0, mp.inf),
+                     material=mp.Medium(epsilon=4))]
+    sim = mp.Simulation(
+        cell_size=mp.Vector3(8, sy), resolution=10, geometry=geom,
+        sources=srcs, boundary_layers=[mp.PML(1.0)],
+        symmetries=[mp.Mirror(mp.Y, phase=phase)] if sym else [])
+    sim.run(until=until)
+    return sim
+
+
+@pytest.mark.parametrize("phase", [-1, +1])
+def test_mirror_matches_full_cell(phase):
+    a = np.asarray(_run(False, phase).get_array(component=mp.Ez))
+    sim = _run(True, phase)
+    b = np.asarray(sim.get_array(component=mp.Ez))
+    assert a.shape == b.shape
+    assert np.abs(a - b).max() < 2e-6 * np.abs(a).max()
+    # the half grid really is half-sized
+    full_cells = np.prod([int(8 * 10) + 1, int(80 if phase == -1 else 81) + 1])
+    half_cells = np.prod([n + 1 for n in sim.gv.num])
+    assert half_cells < 0.60 * full_cells
+
+
+@pytest.mark.parametrize("phase", [-1, +1])
+def test_mirror_odd_even_components(phase):
+    """Unfolded H components carry the right parity: hx (tangential H)
+    flips with phase*(-1), hy with phase*(+1)."""
+    sim = _run(True, phase)
+    hx = np.asarray(sim.get_array(component=mp.Hx))
+    ny = hx.shape[1]
+    # compare a row above the plane with its mirror row below
+    lo, hi = hx[:, ny // 2 - 4], hx[:, ny // 2 + 3 + (ny % 2)]
+    s = phase * -1.0
+    sel = np.abs(hi) > 1e-3 * np.abs(hi).max()
+    assert np.allclose(lo[sel], s * hi[sel], rtol=1e-3, atol=1e-9)
+
+
+def test_mirror_alignment_errors():
+    with pytest.raises(ValueError, match="even cell count"):
+        mp.Simulation(cell_size=mp.Vector3(8, 8.1), resolution=10,
+                      symmetries=[mp.Mirror(mp.Y, phase=-1)])
+    with pytest.raises(ValueError, match="odd cell count"):
+        mp.Simulation(cell_size=mp.Vector3(8, 8), resolution=10,
+                      symmetries=[mp.Mirror(mp.Y, phase=+1)])
+    with pytest.raises(ValueError, match="k_point"):
+        mp.Simulation(cell_size=mp.Vector3(8, 8), resolution=10,
+                      k_point=mp.Vector3(0.1, 0),
+                      symmetries=[mp.Mirror(mp.Y, phase=-1)])
+
+
+def test_mirror_straddling_source_rejected():
+    with pytest.raises(ValueError, match="straddles"):
+        sim = mp.Simulation(
+            cell_size=mp.Vector3(8, 8), resolution=10,
+            sources=[mp.Source(mp.GaussianSource(frequency=0.5, fwidth=0.2),
+                               component=mp.Ez, center=mp.Vector3(0, -0.5),
+                               size=mp.Vector3(0, 4))],
+            symmetries=[mp.Mirror(mp.Y, phase=-1)])
+        sim.init_sim()
