@@ -39,6 +39,14 @@ class Mode1D:
     def neff(self) -> float:
         return self.beta / (2 * np.pi * self.freq)
 
+    @property
+    def kdom(self) -> Tuple[float, float, float]:
+        """Dominant planewave wavevector (mpb.cpp get_eigenmode kdom /
+        band_kdom): for a guided cross-section mode this is beta along the
+        propagation normal."""
+        kt = getattr(self, "k_tangential", 0.0)
+        return (self.beta / (2 * np.pi), kt / (2 * np.pi), 0.0)
+
     def group_velocity_tm(self, eps: np.ndarray) -> float:
         """vg = P/U for TM modes: beta/(w <eps Ez^2>) * <Ez^2>."""
         w = 2 * np.pi * self.freq
@@ -48,7 +56,7 @@ class Mode1D:
 
 
 def solve_tm_modes(eps_line: np.ndarray, dx: float, freq: float,
-                   num_modes: int = 1) -> List[Mode1D]:
+                   num_modes: int = 1, parity: str = "") -> List[Mode1D]:
     """TM (Ez) guided modes of a 1D epsilon profile at frequency `freq`.
 
     Discretizes d2/dy2 with the standard 3-point stencil on the Ez lattice
@@ -77,12 +85,18 @@ def solve_tm_modes(eps_line: np.ndarray, dx: float, freq: float,
         prof = vecs[:, idx]
         # sign convention: max-|.| point positive
         prof = prof * np.sign(prof[np.argmax(np.abs(prof))])
+        if parity:
+            sc = mode_parity(prof)
+            if (parity in ("even", "EVEN") and sc < 0.5) or \
+                    (parity in ("odd", "ODD") and sc > -0.5):
+                continue
         # normalize so |overlap|^2 matches the flux-monitor convention,
         # which sums Re(E H*) without the physical 1/2 (dft.cpp:533)
         p = (beta / w) * np.sum(prof ** 2) * dx
         prof = prof / np.sqrt(abs(p))
         out.append(Mode1D(freq=freq, beta=beta, y=np.arange(n) * dx,
-                          ez=prof, hz=None))
+                          ez=prof, hz=None,
+                          parity="even" if mode_parity(prof) > 0 else "odd"))
         if len(out) >= num_modes:
             break
     return out
@@ -199,6 +213,98 @@ def solve_vector_modes(eps_u: np.ndarray, eps_v: np.ndarray,
         if len(out) >= num_modes:
             break
     return out
+
+
+def planewave_mode_tm(freq: float, eps: float, ky: float, ys: np.ndarray,
+                      dx: float, dt: Optional[float] = None
+                      ) -> Optional[Mode1D]:
+    """Analytic diffracted-planewave 'mode' for 2D TM monitors
+    (mpb.cpp:322 add_eigenmode_source with a diffractedplanewave /
+    get_eigenmode_coefficients diffraction orders): profile
+    ez(y) = exp(i ky y), normalized to the monitor flux convention.
+    None if the order is evanescent.
+
+    With dt given, beta is the DISCRETE Yee planewave's effective
+    Hy/Ez ratio w * (dt/dx) sin(kx dx/2)/sin(w dt/2) from the FDTD
+    dispersion relation, so |a|^2 matches the measured flux exactly at
+    finite resolution (the continuum ratio loses ~(w dx)^2/8)."""
+    w = 2 * np.pi * freq
+    if dt is not None:
+        # discrete dispersion: eps (dx/dt)^2 sin^2(w dt/2)
+        #                      = sin^2(kx dx/2) + sin^2(ky dx/2)
+        swt = np.sin(w * dt / 2)
+        s2 = eps * (dx / dt) ** 2 * swt ** 2 - np.sin(ky * dx / 2) ** 2
+        if s2 <= 0 or s2 > 1:   # evanescent, or beyond the lattice Nyquist
+            return None
+        beta = float(w * (dt / dx) * np.sqrt(s2) / swt)
+        # the monitor collapses E and H onto the plane by a (1/2, 1/2)
+        # average of the two adjacent x-planes; a planewave loses
+        # cos(kx dx/2) per field.  Boost the measurement kernel to undo it.
+        kx = 2 * np.arcsin(np.sqrt(s2)) / dx
+        meas_boost = 1.0 / np.cos(kx * dx / 2)
+    else:
+        b2 = eps * w * w - ky * ky
+        if b2 <= 0:
+            return None
+        beta = float(np.sqrt(b2))
+        meas_boost = 1.0
+    prof = np.exp(1j * ky * ys).astype(np.complex128)
+    p = (beta / w) * np.sum(np.abs(prof) ** 2) * dx
+    prof = prof * (meas_boost / np.sqrt(abs(p)))
+    m = Mode1D(freq=freq, beta=beta, y=ys, ez=prof, hz=None)
+    m.k_tangential = ky
+    return m
+
+
+def planewave_mode_vector(freq: float, eps: float, ku: float, kv: float,
+                          us: np.ndarray, vs: np.ndarray, dx: float,
+                          s_amp: complex = 1.0, p_amp: complex = 0.0,
+                          axis=(0.0, 0.0, 1.0)) -> Optional[Mode2D]:
+    """Analytic s/p-polarized diffracted planewave on a 3D monitor plane
+    (the reference's DiffractedPlanewave band specification,
+    python/simulation.py:2477; diffractedplanewave in mpb.cpp).
+
+    k = (kn, ku, kv) with kn = sqrt(eps w^2 - ku^2 - kv^2) along the
+    monitor normal; S polarization is axis x k (E perpendicular to the
+    plane of incidence spanned by k and `axis`), P is k x S.  Returns
+    None for evanescent orders."""
+    w = 2 * np.pi * freq
+    b2 = eps * w * w - ku * ku - kv * kv
+    if b2 <= 0:
+        return None
+    kn = float(np.sqrt(b2))
+    k = np.array([kn, ku, kv])           # (n, u, v) frame
+    ax = np.asarray(axis, np.float64)
+    s_dir = np.cross(ax, k)
+    if np.linalg.norm(s_dir) < 1e-12 * np.linalg.norm(k):
+        # k parallel to axis: use u as the S direction (mpb.cpp fallback)
+        s_dir = np.array([0.0, 1.0, 0.0])
+    s_dir = s_dir / np.linalg.norm(s_dir)
+    p_dir = np.cross(k, s_dir) / np.linalg.norm(k)
+    E = s_amp * s_dir + p_amp * p_dir
+    H = np.cross(k, E) / w               # H = (k x E)/w  (c = 1 units)
+    UU, VV = np.meshgrid(us, vs, indexing="ij")
+    phase = np.exp(1j * (ku * UU + kv * VV))
+    eu, ev = E[1] * phase, E[2] * phase
+    hu, hv = H[1] * phase, H[2] * phase
+    p = float(np.sum((eu * np.conj(hv) - ev * np.conj(hu)).real) * dx * dx)
+    if abs(p) < 1e-300:
+        return None
+    sc = 1.0 / np.sqrt(abs(p))
+    m = Mode2D(freq=freq, beta=kn, dx=dx, eu=eu * sc, ev=ev * sc,
+               en=E[0] * phase * sc, hu=hu * sc, hv=hv * sc)
+    m.k_tangential = (ku, kv)
+    return m
+
+
+def mode_parity(prof: np.ndarray) -> float:
+    """Even/odd score of a profile about the cross-section midpoint:
+    +1 even, -1 odd (the role of MPB's parity constraints,
+    mpb.cpp:255 maxwell_set_parity)."""
+    flipped = prof[::-1] if prof.ndim == 1 else prof[::-1, :]
+    num = np.sum(np.real(np.conj(prof) * flipped))
+    den = np.sum(np.abs(prof) ** 2)
+    return float(num / max(den, 1e-300))
 
 
 def mode_overlap_vector(mode: "Mode2D", Eu: np.ndarray, Ev: np.ndarray,

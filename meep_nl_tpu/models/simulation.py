@@ -48,6 +48,20 @@ Metallic, Magnetic = "metal", "magnetic"
 
 
 @dataclasses.dataclass
+class DiffractedPlanewave:
+    """A diffraction-order band specification for
+    get_eigenmode_coefficients on a Bloch-periodic monitor
+    (python/simulation.py:2477 DiffractedPlanewave; diffractedplanewave
+    in src/mpb.cpp): the 'mode' is the analytic planewave of order `g`
+    (integer reciprocal-lattice triple), with `s`/`p` complex polarization
+    amplitudes defined relative to `axis`."""
+    g: Tuple[int, int, int] = (0, 0, 0)
+    axis: Any = None              # Vector3; default set per monitor normal
+    s: complex = 0.0
+    p: complex = 0.0
+
+
+@dataclasses.dataclass
 class Mirror:
     """Mirror-symmetry declaration (python/simulation.py Mirror;
     src/symmetry.cpp mirror_symmetry).  The cell is halved along
@@ -951,13 +965,37 @@ class Simulation:
                                               None, None, sel_u, sel_v)
         dA = self.gv.dx ** 2
         alpha = np.zeros((len(bands), len(freqs), 2), np.complex128)
+        from ..analysis.modes import planewave_mode_vector
+        int_bands = [b for b in bands
+                     if not isinstance(b, DiffractedPlanewave)]
+        us = (sel_u - sel_u[0]) * self.gv.dx
+        vs = (sel_v - sel_v[0]) * self.gv.dx
+        Lu, Lv = len(sel_u) * self.gv.dx, len(sel_v) * self.gv.dx
+        kp = tuple(_v3(self.k_point)) if self.k_point is not None \
+            else (0.0, 0.0, 0.0)
         for fi, f in enumerate(freqs):
             modes = solve_vector_modes(eps_u, eps_v, eps_n, self.gv.dx, f,
-                                       num_modes=max(bands))
+                                       num_modes=max(int_bands)) \
+                if int_bands else []
             for bi, band in enumerate(bands):
-                if len(modes) < band:
-                    continue
-                m = modes[band - 1]
+                if isinstance(band, DiffractedPlanewave):
+                    ku = 2 * np.pi * (kp[u_ax] + band.g[u_ax] / Lu)
+                    kv = 2 * np.pi * (kp[v_ax] + band.g[v_ax] / Lv)
+                    eps0 = float(np.median(eps_n))
+                    ax3 = tuple(_v3(band.axis)) if band.axis is not None \
+                        else tuple(1.0 if i == 2 else 0.0 for i in range(3))
+                    # rotate axis into the (n, u, v) frame
+                    axf = (ax3[n_ax], ax3[u_ax], ax3[v_ax])
+                    s_amp = band.s if (band.s or band.p) else 1.0
+                    m = planewave_mode_vector(f, eps0, ku, kv, us, vs,
+                                              self.gv.dx, s_amp, band.p,
+                                              axis=axf)
+                    if m is None:        # evanescent order
+                        continue
+                else:
+                    if len(modes) < band:
+                        continue
+                    m = modes[band - 1]
                 ap, am = mode_overlap_vector(
                     m, E_u[..., fi], E_v[..., fi],
                     H_u[..., fi], H_v[..., fi], dA)
@@ -1009,13 +1047,30 @@ class Simulation:
         eps_line = _scene._eps_of(idxm, self.geometry, self.default_material, 2)
         nfreq = len(freqs)
         alpha = np.zeros((len(bands), nfreq, 2), np.complex128)
+        from ..analysis.modes import planewave_mode_tm
+        ys_loc = ys - ys[0]
+        L_mon = len(ys) * self.gv.dx
+        kp_t = 0.0
+        if self.k_point is not None:
+            kp_t = tuple(_v3(self.k_point))[tang_ax]
         for bi, band in enumerate(bands):
             for fi, f in enumerate(freqs):
-                modes = solve_tm_modes(eps_line, self.gv.dx, f,
-                                       num_modes=band)
-                if len(modes) < band:
-                    continue
-                m = modes[band - 1]
+                if isinstance(band, DiffractedPlanewave):
+                    # diffraction order on a Bloch-periodic monitor: the
+                    # analytic planewave with ky = 2 pi (k_bloch + g/L)
+                    g_t = band.g[tang_ax]
+                    ky = 2 * np.pi * (kp_t + g_t / L_mon)
+                    eps0 = float(np.median(eps_line))
+                    m = planewave_mode_tm(f, eps0, ky, ys_loc, self.gv.dx,
+                                          dt=self.dt)
+                    if m is None:        # evanescent order
+                        continue
+                else:
+                    modes = solve_tm_modes(eps_line, self.gv.dx, f,
+                                           num_modes=band)
+                    if len(modes) < band:
+                        continue
+                    m = modes[band - 1]
                 ez = dE_raw[:, fi]
                 hy = dH[:, fi]
                 ap, am = mode_overlap_tm(m, ez, hy, self.gv.dx)
