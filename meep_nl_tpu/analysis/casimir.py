@@ -11,39 +11,46 @@ pulse runs -- one run per (surface point, field component): inject a
 delta-function current at x, record the same component at x -- and g(t)
 is a geometry-independent kernel.
 
-Kernel derivation (c = hbar = 1).  The vacuum correlation is
-<F_c^2>(w) = (1/pi) Im[w^2 G(x,x;w)] with G the Green function of
-(curl curl - w^2 eps).  An FDTD current pulse J measures
-Gamma_hat(w) = i w G, so the force integrand is Im[-i w Gamma_hat(w)]
-and
+Kernel (c = hbar = 1; Rodriguez/McCauley et al., PRA 80, 012115 (2009)).
+The vacuum kernel is g(t) = 1/(pi t^2), whose slow 1/t^2 tail is
+accelerated by running in a globally dissipative medium with D
+conductivity sigma (eps_eff(xi) = 1 + i sigma/xi keeps w(0) = 0 so the
+deformed frequency contour w(xi) = xi sqrt(1 + i sigma/xi) starts at the
+origin with no boundary term).  The frequency-domain kernel is then
 
-    g(t) = (1/pi) Im[-i int_0^inf dw  w e^{i w t}] = 1/(pi t^2).
+    dg(xi) = -i xi sqrt(1 + i sigma/xi) (1 + sigma/(2 xi))
 
-The 1/t^2 tail converges slowly, so (as in the reference) the runs can
-instead be performed in a globally dissipative medium with D conductivity
-sigma (eps_eff(xi) = 1 + i sigma/xi; mu untouched -- this choice keeps
-w(0) = 0 so the frequency contour w(xi) = xi sqrt(1 + i sigma/xi) starts
-at the origin and no boundary term appears).  In that medium the E and H
-pulse responses analytically continue the vacuum Green function with
-DIFFERENT source factors ((curlcurl - w^2)E = i xi J but
-(curlcurl - w^2)H = i(xi + i sigma) K), so the kernel differs per field
-type; rotating xi onto the imaginary axis (xi = i u) gives the real,
-exponentially convergent quadratures
+whose Fourier transform make_casimir_g() evaluates the reference's way
+(casimir.cpp:56 make_casimir_gfunc): subtract the analytically
+transformable singular parts (sigma - i xi) + (eps0/2) sqrt(i sigma^3/xi),
+FFT the smooth remainder numerically, and add the singular transforms
+2i[(1/t^2 + sigma/t)/(2 pi) + (eps0/4) sqrt(sigma^3/(pi t))] back in
+closed form.  H-field correlations are sampled at (n - 1/2) dt, so the
+H kernel carries a tshift = -dt/2 phase.  The force assembly is
+F = sum_t dt Im[g(t)] Gamma(t) for real pulse responses Gamma
+(scheme/casimir.scm:182).
 
-    g_E(t) = (1/pi) int_0^inf du e^{-u t} (u + sigma/2) sqrt((u+sigma)/u)
-    g_H(t) = (1/pi) int_0^inf du e^{-u t} (u + sigma/2) sqrt(u/(u+sigma))
+For systems translation-invariant in one direction, the integral over
+that direction's wavevector collapses analytically: solve the kz = 0
+(lower-dimensional) system and use the modified kernel
 
-both reducing to 1/(pi t^2) at sigma = 0.  The t -> 0 divergence is the
-geometry-independent bulk vacuum pressure: it cancels exactly between the
-two sides of each surface.
+    g_kz(t) = i/(2 pi) [2/t^3 + 3 sigma/(2 t^2) + sigma^2/(2 t)]
+
+(casimir.cpp:300 make_casimir_gfunc_kz), with the H kernel shifted by
++dt.  The t -> 0 divergence is the geometry-independent bulk vacuum
+pressure: it cancels exactly between the two sides of each surface.
 
 Validation (test_casimir.py, 1D parallel plates vs exact -pi/(24 a^2)):
-sigma = 0 converges to 3% (res 20, mirror eps 1e6) with the correct
-1/a^2 scaling.  The sigma > 0 acceleration currently carries an O(sigma)
-bias (ratio 0.90 at sigma=0.25, 0.84 at sigma=0.5): the continuum kernels
-above ignore the discrete Yee dispersion, which the reference corrects by
-building g from the discrete-time transform (casimir.cpp make_casimir_g);
-planned refinement.  Use sigma = 0 for quantitative results.
+sigma = 0 converges to 2-3% (res 20, mirror eps 1e6) with the correct
+1/a^2 scaling.  KNOWN LIMITATION: the sigma > 0 acceleration retains a
++19%/+24% overestimate at sigma = 0.25/0.5 that is INDEPENDENT of
+resolution (res 20 == res 40 to 4 digits), PML thickness, vacuum
+subtraction, and kernel time alignment -- i.e. a continuum-level mismatch
+between this kernel and the scattered response in the dissipative runs
+that replacing the round-1 per-field-type contour quadratures (which
+erred -10%/-16% the other way) did not resolve.  Quantitative results
+should use sigma = 0, whose 1/t^2 (1D) and 1/t^3 (kz-invariant 2D) tails
+converge well within ordinary run lengths.
 """
 
 from __future__ import annotations
@@ -53,31 +60,82 @@ from typing import Callable, Dict, Optional, Sequence, Tuple
 import numpy as np
 
 
-def casimir_g(tvec: np.ndarray, sigma: float = 0.0, ft: str = "e",
-              n_quad: int = 3000) -> np.ndarray:
-    """The Casimir time kernel g(t) (t > 0) for runs in a medium with
-    global D conductivity `sigma` (0 = vacuum runs); `ft` = 'e' or 'h'
-    selects the field-type kernel (see module docstring)."""
+def make_casimir_g(T: float, dt: float, sigma: float = 0.0, ft: str = "e",
+                   Tfft: Optional[float] = None) -> np.ndarray:
+    """Complex Casimir kernel g[n] at times n dt (+ the H half-step shift)
+    for runs in a medium with global D conductivity `sigma`
+    (casimir.cpp:56 make_casimir_gfunc; see module docstring).  Pair with
+    real pulse responses as F = sum_n dt Im(g[n]) Gamma[n]."""
+    tshift = 0.0 if ft in ("e", "d") else -0.5 * dt
+    T = T + 5 * dt
+    if Tfft is None or Tfft <= T:
+        Tfft = max(T * 400, 4000.0)
+    N = int(np.ceil(T / dt))
+    t = np.arange(1, N) * dt + tshift
+    eps0 = 1.0
+
+    # the reference's remainder tends to the CONSTANT -sigma(1+i)/2 as
+    # xi -> inf (incomplete subtraction), which rings at the FFT Nyquist;
+    # subtract it too and add its transform C i/(pi t) back in closed form
+    C = -sigma * (1 + 1j) / 2
+
+    def smooth_part(Nfft):
+        i = np.arange(1, Nfft // 2)
+        xi = 2 * np.pi * i / (Nfft * dt)
+        dg = np.zeros(Nfft, complex)
+        # smooth remainder: kernel minus analytically-transformable parts
+        dg[1:Nfft // 2] = ((-1j * xi) * np.sqrt(1 + 1j * sigma / xi)
+                           * (1 + 0.5 * sigma / xi)
+                           - ((sigma - 1j * xi)
+                              + 0.5 * eps0 * np.sqrt(1j * sigma ** 3 / xi))
+                           - C)
+        dg[0] = -sigma
+        if tshift != 0.0:
+            dg[1:Nfft // 2] *= np.exp(1j * xi * tshift)
+        # FFTW BACKWARD = unnormalized inverse
+        return np.fft.ifft(dg)[:N] * Nfft / (Nfft * dt)
+
+    # the xi^-1/2 endpoint converges like Nfft^-1/2: Richardson-extrapolate
+    # from Nfft and 4 Nfft (2 g_4N - g_N removes the leading term)
+    Nfft = int(np.ceil(Tfft / dt))
+    dgt = 2.0 * smooth_part(4 * Nfft) - smooth_part(Nfft)
+    g = np.zeros(N, complex)
+    g[1:] = 2.0 * (dgt[1:N]
+                   + 1j * ((1 / t ** 2 + sigma / t) / (2 * np.pi)
+                           + 0.25 * eps0 * np.sqrt(sigma ** 3 / (t * np.pi)))
+                   + C * 1j / (2 * np.pi * t))
+    return g
+
+
+def make_casimir_g_kz(T: float, dt: float, sigma: float = 0.0,
+                      ft: str = "e") -> np.ndarray:
+    """Kernel for systems translation-invariant in one direction: solve the
+    kz = 0 lower-dimensional system and integrate with this g instead
+    (casimir.cpp:300 make_casimir_gfunc_kz; closed form)."""
+    tshift = 0.0 if ft in ("e", "d") else dt
+    T = T + 5 * dt
+    N = int(np.ceil(T / dt))
+    g = np.zeros(N, complex)
+    t = np.arange(1, N) * dt + tshift
+    g[1:] = (1j / (2 * np.pi)) * (2.0 / t ** 3 + 1.5 * sigma / t ** 2
+                                  + 0.5 * sigma ** 2 / t)
+    return g
+
+
+def casimir_g(tvec: np.ndarray, sigma: float = 0.0, ft: str = "e") -> np.ndarray:
+    """Im g(t) sampled at arbitrary times (vacuum closed form at sigma=0;
+    FFT-built kernel interpolated otherwise).  Prefer make_casimir_g for
+    step-aligned series."""
     t = np.asarray(tvec, np.float64)
     out = np.zeros_like(t)
     m = t > 0
     if sigma == 0.0:
         out[m] = 1.0 / (np.pi * t[m] ** 2)
         return out
-    tmin = float(t[m].min())
-    u_max = 60.0 / tmin
-    # u = v^2 regularizes the u^{-1/2} endpoint of the E kernel
-    v, wq = np.polynomial.legendre.leggauss(n_quad)
-    vmax = np.sqrt(u_max)
-    v = 0.5 * (v + 1.0) * vmax
-    wq = wq * 0.5 * vmax
-    u = v * v
-    du = 2.0 * v * wq
-    if ft == "e":
-        pref = (u + sigma / 2.0) * np.sqrt((u + sigma) / u)
-    else:
-        pref = (u + sigma / 2.0) * np.sqrt(u / (u + sigma))
-    out[m] = (pref * du) @ np.exp(-np.outer(u, t[m])) / np.pi
+    dt = float(np.min(np.diff(np.unique(np.concatenate([[0.0], t[m]])))))
+    g = make_casimir_g(float(t[m].max()) + 2 * dt, dt, sigma, ft)
+    tg = np.arange(len(g)) * dt + (0.0 if ft in ("e", "d") else -0.5 * dt)
+    out[m] = np.interp(t[m], tg[1:], g[1:].imag)
     return out
 
 
@@ -94,19 +152,36 @@ def _stress_weight(comp: str, force_dir: str, normal_dir: str,
     return 0.5 * eps if comp[1] == force_dir else -0.5 * eps
 
 
+def _set_global_sigma(sim, sigma: float, ft: str) -> None:
+    """Apply the global Casimir dissipation: D conductivity for E-source
+    runs, B conductivity for H-source runs (scheme/casimir.scm:144-149
+    global-D/B-conductivity switch) — the kernel's analytic continuation
+    pairs eps(xi) with E responses and mu(xi) with H responses."""
+    if sigma == 0.0:
+        return
+    import dataclasses as dc
+
+    def mod(m):
+        if ft == "e":
+            return dc.replace(m, D_conductivity=sigma, B_conductivity=0.0)
+        return dc.replace(m, B_conductivity=sigma, D_conductivity=0.0)
+
+    sim.default_material = mod(sim.default_material)
+    for g in sim.geometry:
+        g.material = mod(g.material)
+
+
 def correlation_run(sim_factory: Callable, comp: str, pt, T: float,
                     sigma: float = 0.0) -> Tuple[np.ndarray, float]:
     """One pulse run: inject a delta current of `comp` at `pt`, record the
     same component there every step (in-scan FieldProbe, no host sync).
-    Returns (Gamma(t), dt) with t = (n+1) dt."""
+    Returns (Gamma(t), dt) with t = (n+1) dt.  When sigma > 0 the global
+    dissipation is injected per field type (D for E runs, B for H runs)."""
     import meep_nl_tpu as mp
     from ..models.run_control import FieldProbe
 
     sim = sim_factory()
-    # NOTE: when sigma > 0 the caller's sim_factory must set the global
-    # dissipation itself (D_conductivity = sigma on default_material AND
-    # every geometry material; B_conductivity stays 0); sigma here is
-    # only documentation of the kernel pairing.
+    _set_global_sigma(sim, sigma, comp[0])
     dt = sim.dt
     src_time = mp.CustomSource(
         func=lambda t, dt=dt: (1.0 / dt) if t < dt else 0.0,
@@ -116,6 +191,148 @@ def correlation_run(sim_factory: Callable, comp: str, pt, T: float,
     probe = FieldProbe(comp, pt)
     sim.run(probe, until=T)
     return np.real(np.asarray(probe.data, np.complex128)), dt
+
+
+def _dct_sites(sim, comp: str, center, size, m: int):
+    """(indices, weights) of component `comp`'s sites on a line segment,
+    weighted by the m-th normalized cosine harmonic times the line measure
+    (casimir.cpp stress_chunkloop: cos(m pi (u-u0)/L) * loop weight * dV,
+    coefficient sqrt((m==0 ? 1 : 2)/L))."""
+    from ..models.simulation import _volume_sites, _vec_to_axes
+    gv = sim.gv
+    c_ax = _vec_to_axes(gv, center)
+    s_ax = _vec_to_axes(gv, size)
+    slices, w = _volume_sites(gv, comp, c_ax, s_ax)
+    # extended (tangent) axis: the one with nonzero extent
+    ext = [ax for ax in range(gv.ndim) if s_ax[ax] > gv.dx * 0.5]
+    wfull = np.asarray(w, np.float64).copy()
+    norm = 1.0
+    for ax in ext:
+        L = s_ax[ax]
+        u0 = c_ax[ax] - L / 2
+        coords = gv.comp_coords(comp, ax)[slices[ax]]
+        cosw = np.cos(m * np.pi * (coords - u0) / L)
+        shape = [1] * wfull.ndim
+        shape[ax] = len(coords)
+        wfull = wfull * cosw.reshape(shape)
+        norm *= np.sqrt((1.0 if m == 0 else 2.0) / L) * gv.dx
+    idx = np.stack(np.meshgrid(*[np.arange(s.start, s.stop) for s in slices],
+                               indexing="ij"), -1).reshape(-1, gv.ndim)
+    return idx, (wfull * norm).ravel()
+
+
+def casimir_force_contrib(sim_factory: Callable, force_dir: str, center,
+                          size, outward: int, source_comp: str, m: int,
+                          T: float, sigma: float = 0.0,
+                          kz_invariant: bool = True,
+                          vacuum_ref: bool = True,
+                          t_cut: float = 0.0) -> float:
+    """One (side, source component, cosine harmonic) contribution to the
+    Casimir force: inject a delta pulse of `source_comp` with the m-th
+    cosine amplitude pattern over the side, record the DCT-weighted stress
+    integrand every step, and contract with the kernel
+    (scheme/casimir.scm:114 casimir-force-contrib +
+    casimir_stress_dct_integral's term table, casimir.cpp:225-240)."""
+    import meep_nl_tpu as mp
+    from ..models.run_control import WeightedProbe
+
+    ft = source_comp[0]
+    dsource = source_comp[1]
+    # normal direction: the zero-extent in-plane direction of the side
+    sz = _v3c(size)
+    dn = "x" if sz[0] == 0 else "y"
+    if force_dir != dn and dsource != dn:
+        return 0.0
+    if force_dir != dn:                 # force-source off-diagonal term
+        dmeas, coef = force_dir, 1.0
+    elif dsource == dn:                 # +source-source/2 diagonal
+        dmeas, coef = dsource, 0.5
+    else:                               # -source-source/2 diagonal
+        dmeas, coef = dsource, -0.5
+    meas_comp = ft + dmeas
+
+    def one_run(strip_geometry):
+        sim = sim_factory()
+        if strip_geometry:
+            sim.geometry = []
+        _set_global_sigma(sim, sigma, ft)
+        dt = sim.dt
+        # m-th cosine source pattern over the side, delta pulse in time
+        L = max(sz[0], sz[1])
+        du = "x" if sz[0] > 0 else "y"
+        Nu = np.sqrt((1.0 if m == 0 else 2.0) / L)
+        ui = {"x": 0, "y": 1}[du]
+
+        def amp(p):                     # p is relative to the source center
+            u = (p[ui] if not hasattr(p, "x") else (p.x, p.y, p.z)[ui])
+            return Nu * np.cos(m * np.pi * (u + L / 2) / L)
+
+        src_time = mp.CustomSource(
+            func=lambda t, dt=dt: (1.0 / dt) if t < dt else 0.0,
+            end_time=2 * dt)
+        sim.sources = list(sim.sources) + [
+            mp.Source(src_time, component=source_comp, center=center,
+                      size=size, amp_func=amp)]
+        idx, ws = _dct_sites(sim, meas_comp, center, size, m)
+        probe = WeightedProbe(meas_comp, idx, ws)
+        sim.run(probe, until=T)
+        return np.real(np.asarray(probe.data, np.complex128)), dt
+
+    gam, dt = one_run(False)
+    if vacuum_ref:
+        # subtract the geometry-free response: removes the divergent bulk
+        # vacuum pressure (and any boundary artifact) from each side
+        # BEFORE the surface sum, instead of relying on its cancellation
+        # between opposite sides (the t->0 cancellation note in the
+        # module docstring, done per-probe)
+        gam_vac, _ = one_run(True)
+        gam = gam - gam_vac
+    if t_cut > 0:
+        # causality window: after vacuum subtraction the net response is
+        # identically zero until the first scattered signal arrives
+        # (2 x the surface-to-body distance); before that, only fp32
+        # roundoff remains, amplified by the kernel's t->0 divergence
+        n_cut = int(t_cut / dt)
+        gam = gam.copy()
+        gam[:n_cut] = 0.0
+    gfn = make_casimir_g_kz if kz_invariant else make_casimir_g
+    g = gfn((len(gam) + 2) * dt, dt, sigma, ft=ft)
+    gi = g[1:len(gam) + 1].imag
+    return float(outward) * coef * float(np.sum(gi * gam) * dt)
+
+
+def casimir_force_2d(sim_factory: Callable, force_dir: str,
+                     sides: Sequence[Tuple], T: float = 40.0,
+                     sigma: float = 0.0, n_max: int = 6,
+                     kz_invariant: bool = True,
+                     source_comps: Optional[Sequence[str]] = None,
+                     vacuum_ref: bool = True, t_cut: float = 0.0) -> float:
+    """Casimir force along `force_dir` on a body enclosed by `sides` in a
+    2D simulation; per unit length in the invariant z direction when
+    `kz_invariant` (the kz-integral collapses onto the kz=0 runs with the
+    g_kz kernel, casimir.cpp:295-318).
+
+    `sides` is a list of (center, size, outward_sign) line segments
+    (size zero along each side's normal).  One FDTD pulse run per
+    (side, source component, harmonic); harmonics converge exponentially
+    in m for smooth surfaces."""
+    if source_comps is None:
+        source_comps = ("ex", "ey", "ez", "hx", "hy", "hz")
+    total = 0.0
+    for (center, size, outward) in sides:
+        for sc in source_comps:
+            for m in range(n_max):
+                total += casimir_force_contrib(
+                    sim_factory, force_dir, center, size, outward, sc, m,
+                    T, sigma, kz_invariant, vacuum_ref, t_cut)
+    return total
+
+
+def _v3c(v) -> Tuple[float, float, float]:
+    if hasattr(v, "x"):
+        return (v.x, v.y, v.z)
+    t = tuple(v) + (0.0, 0.0, 0.0)
+    return t[:3]
 
 
 def casimir_force_1d(sim_factory: Callable, z_surfaces: Sequence[float],
@@ -140,8 +357,8 @@ def casimir_force_1d(sim_factory: Callable, z_surfaces: Sequence[float],
         for comp in components:
             gam, dt = correlation_run(
                 sim_factory, comp, mp.Vector3(0, 0, zs), T, sigma)
-            ts = (np.arange(len(gam)) + 1) * dt
-            g = casimir_g(ts, sigma, ft=comp[0])
+            g = make_casimir_g((len(gam) + 2) * dt, dt, sigma, ft=comp[0])
+            gi = g[1:len(gam) + 1].imag     # gam[k] is the field at (k+1) dt
             w = _stress_weight(comp, "z", "z")
-            total += nrm * w * float(np.sum(g * gam) * dt)
+            total += nrm * w * float(np.sum(gi * gam) * dt)
     return total

@@ -1,8 +1,10 @@
 """Waveguide eigenmode solver (the MPB replacement; reference src/mpb.cpp).
 
-Solves for guided modes on a 1D cross-section of a 2D simulation (and the
-scalar/vector 2D cross-sections of 3D, round 2) with a frequency-domain
-finite-difference eigenproblem, used for:
+Solves for guided modes on a 1D cross-section of a 2D simulation
+(solve_tm_modes) and full-vector modes on 2D cross-sections of 3D cells
+(solve_vector_modes), plus analytic diffracted-planewave 'modes' for
+periodic monitors (planewave_mode_tm / planewave_mode_vector), with a
+frequency-domain finite-difference eigenproblem, used for:
   * eigenmode sources (fields::add_eigenmode_source, mpb.cpp:830): equivalent
     currents J = n x H, M = -n x E of the mode profile;
   * mode decomposition / S-parameters
@@ -237,20 +239,14 @@ def planewave_mode_tm(freq: float, eps: float, ky: float, ys: np.ndarray,
         if s2 <= 0 or s2 > 1:   # evanescent, or beyond the lattice Nyquist
             return None
         beta = float(w * (dt / dx) * np.sqrt(s2) / swt)
-        # the monitor collapses E and H onto the plane by a (1/2, 1/2)
-        # average of the two adjacent x-planes; a planewave loses
-        # cos(kx dx/2) per field.  Boost the measurement kernel to undo it.
-        kx = 2 * np.arcsin(np.sqrt(s2)) / dx
-        meas_boost = 1.0 / np.cos(kx * dx / 2)
     else:
         b2 = eps * w * w - ky * ky
         if b2 <= 0:
             return None
         beta = float(np.sqrt(b2))
-        meas_boost = 1.0
     prof = np.exp(1j * ky * ys).astype(np.complex128)
     p = (beta / w) * np.sum(np.abs(prof) ** 2) * dx
-    prof = prof * (meas_boost / np.sqrt(abs(p)))
+    prof = prof / np.sqrt(abs(p))
     m = Mode1D(freq=freq, beta=beta, y=ys, ez=prof, hz=None)
     m.k_tangential = ky
     return m
@@ -295,6 +291,16 @@ def planewave_mode_vector(freq: float, eps: float, ku: float, kv: float,
                en=E[0] * phase * sc, hu=hu * sc, hv=hv * sc)
     m.k_tangential = (ku, kv)
     return m
+
+
+def monitor_average_boost(beta: float, dx: float) -> float:
+    """Undo the flux monitor's two-plane (1/2, 1/2) normal-axis field
+    average: a mode with propagation constant beta loses cos(beta dx/2)
+    per field in the overlap (but NOT in the flux, whose E H* products
+    are plane-local before summing).  Applied to a+- at extraction
+    (measured: 3D fundamental-mode attribution 0.92 -> 0.96+ at res 16)."""
+    x = min(abs(beta) * dx / 2, 1.2)
+    return 1.0 / np.cos(x)
 
 
 def mode_parity(prof: np.ndarray) -> float:

@@ -160,6 +160,18 @@ class FieldProbe:
         pass
 
 
+class WeightedProbe(FieldProbe):
+    """In-scan weighted-sum sampler: records sum_i w_i f_c(site_i) every
+    step (the per-step surface integral of the Casimir stress-tensor
+    method, casimir.cpp stress_chunkloop).  `indices` is an (npts, ndim)
+    int array of component-grid indices, `weights` the matching reals."""
+
+    def __init__(self, c, indices, weights):
+        super().__init__(c, None)
+        self.indices = np.asarray(indices, np.int32)
+        self.weights = np.asarray(weights)
+
+
 def _is_collector(x) -> bool:
     return hasattr(x, "_collect") and hasattr(x, "c") and hasattr(x, "pt")
 

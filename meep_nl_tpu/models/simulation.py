@@ -100,7 +100,9 @@ class PML:
 @dataclasses.dataclass
 class Absorber(PML):
     """Scalar-conductivity absorber fallback (reference: absorber.cpp via
-    meepgeom); implemented as D/B conductivity ramp in round 2."""
+    meepgeom): a quadratic D+B conductivity ramp instead of uPML, for
+    regions where PML fails (e.g. backed by dispersive media); applied by
+    _apply_absorbers, validated in test_absorber_timing.py."""
 
 
 @dataclasses.dataclass
@@ -521,6 +523,8 @@ class Simulation:
                         continue
                     side = +1
                 if isinstance(bl, Absorber):
+                    if side != bl.side:
+                        bl = dataclasses.replace(bl, side=side)
                     absorbers.append((d, bl))
                 else:
                     pmls.append(PMLSpec(d, bl.thickness, side=side,
@@ -770,10 +774,28 @@ class Simulation:
         idxm = _scene._material_at(pts, self.geometry, self.default_material)
         eps_line = _scene._eps_of(idxm, self.geometry, self.default_material, 2)
         fcen = src.frequency
-        modes = solve_tm_modes(eps_line, gv.dx, fcen, num_modes=mode_band)
-        if len(modes) < mode_band:
-            raise ValueError(f"only {len(modes)} guided modes found")
-        m = modes[mode_band - 1]
+        if isinstance(mode_band, DiffractedPlanewave):
+            # oblique planewave injection (the reference's
+            # add_eigenmode_source with a DiffractedPlanewave band):
+            # the analytic order-g planewave of the Bloch-periodic cell
+            from ..analysis.modes import planewave_mode_tm
+            g_t = mode_band.g[tang_ax]
+            kp_t = tuple(_v3(self.k_point))[tang_ax] \
+                if self.k_point is not None else 0.0
+            L_mon = len(sel) * gv.dx
+            ky = 2 * np.pi * (kp_t + g_t / L_mon)
+            eps0 = float(np.median(eps_line))
+            ys_loc = (ycoords[sel] - ycoords[sel[0]])
+            m = planewave_mode_tm(fcen, eps0, ky, ys_loc, gv.dx, dt=self.dt)
+            if m is None:
+                raise ValueError("requested diffraction order is evanescent "
+                                 "at the source frequency")
+        else:
+            modes = solve_tm_modes(eps_line, gv.dx, fcen,
+                                   num_modes=mode_band)
+            if len(modes) < mode_band:
+                raise ValueError(f"only {len(modes)} guided modes found")
+            m = modes[mode_band - 1]
         w = 2 * np.pi * fcen
         sgn = 1.0 if direction > 0 else -1.0
         # J_z and M_y with relative sign chosen so the +normal launch
@@ -999,8 +1021,10 @@ class Simulation:
                 ap, am = mode_overlap_vector(
                     m, E_u[..., fi], E_v[..., fi],
                     H_u[..., fi], H_v[..., fi], dA)
-                alpha[bi, fi, 0] = ap
-                alpha[bi, fi, 1] = am
+                from ..analysis.modes import monitor_average_boost
+                boost = monitor_average_boost(m.beta, self.gv.dx)
+                alpha[bi, fi, 0] = ap * boost
+                alpha[bi, fi, 1] = am * boost
         return alpha
 
     def get_eigenmode_coefficients(self, flux_handle, bands,
@@ -1074,8 +1098,10 @@ class Simulation:
                 ez = dE_raw[:, fi]
                 hy = dH[:, fi]
                 ap, am = mode_overlap_tm(m, ez, hy, self.gv.dx)
-                alpha[bi, fi, 0] = ap
-                alpha[bi, fi, 1] = am
+                from ..analysis.modes import monitor_average_boost
+                boost = monitor_average_boost(m.beta, self.gv.dx)
+                alpha[bi, fi, 0] = ap * boost
+                alpha[bi, fi, 1] = am * boost
         return alpha
 
     def add_force(self, fcen, df, nfreq, *regions, decimation_factor=0):

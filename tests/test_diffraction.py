@@ -75,3 +75,29 @@ def test_mode_kdom_and_parity():
     odds = solve_tm_modes(eps, 1 / 20.0, 0.25, num_modes=1, parity="odd")
     assert odds and odds[0].parity == "odd"
     assert abs(odds[0].beta - modes[1].beta) < 1e-9
+
+
+def test_diffracted_planewave_source():
+    """add_eigenmode_source with a DiffractedPlanewave launches the
+    requested oblique order: downstream decomposition attributes the
+    power to g=+1, not g=0, and the launch is unidirectional."""
+    fcen = 1.5
+    sim = mp.Simulation(
+        cell_size=mp.Vector3(8, 1), resolution=20,
+        k_point=mp.Vector3(),
+        sources=[],
+        boundary_layers=[mp.PML(1.0, direction=mp.X)])
+    sim.add_eigenmode_source(
+        mp.GaussianSource(frequency=fcen, fwidth=0.2),
+        center=mp.Vector3(-2.5, 0), size=mp.Vector3(0, 1),
+        direction=+1, mode_band=mp.DiffractedPlanewave((0, 1, 0)))
+    fr = mp.FluxRegion(center=mp.Vector3(2.5, 0), size=mp.Vector3(0, 1))
+    flux = sim.add_flux(fcen, 0, 1, fr)
+    sim.run(until_after_sources=mp.stop_when_dft_decayed())
+    bands = [mp.DiffractedPlanewave((0, g, 0)) for g in (0, 1)]
+    alpha = sim.get_eigenmode_coefficients(flux, bands)
+    p0 = abs(alpha[0, 0, 0]) ** 2
+    p1 = abs(alpha[1, 0, 0]) ** 2
+    p1_back = abs(alpha[1, 0, 1]) ** 2
+    assert p1 > 50 * p0, (p1, p0)
+    assert p1 > 20 * p1_back, (p1, p1_back)
