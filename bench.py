@@ -65,7 +65,8 @@ def run_one():
                   and not os.environ.get("BENCH_SLAB")
                   and fdtd3d.supported(plan))
     if use_fdtd3d:
-        ker = fdtd3d.Fdtd3dKernel(plan)
+        bx_env = os.environ.get("BENCH_BX")
+        ker = fdtd3d.Fdtd3dKernel(plan, bx=int(bx_env) if bx_env else None)
         step0 = ker.make_step()
 
         def step(state, x, C):
