@@ -185,6 +185,52 @@ def _eigenmode_coefficient_3d(sim, flux_handle, band: int,
     return fn
 
 
+def near2far_fields(sim, n2f_handle, far_pts) -> Callable:
+    """Near2FarFields (objective.py:435): far fields at a list of points,
+    as a differentiable function of the DTFT dict.
+
+    The far field is a LINEAR map of the DTFT near-surface fields with
+    design-independent Green's-function weights (farfield_lowlevel,
+    near2far.cpp:340), so the weights — including the scipy Hankel
+    functions in 2D — are precomputed on the host and the traced
+    computation is a single complex contraction per surface.  This is the
+    native-differentiation analog of the reference building adjoint
+    sources from `near_sourcedata` (near2far.cpp:186, objective.py:497).
+
+    Returns fn(dfts) -> (n_far_pts, 6, nfreq) complex far fields
+    (Ex,Ey,Ez,Hx,Hy,Hz)."""
+    from ..analysis.near2far import green2d_w, green3d_w
+    from ..models.simulation import _vec_to_axes
+
+    sim.init_sim()
+    dim = sim.gv.dim
+    if dim not in ("2d", "3d"):
+        raise NotImplementedError("near2far_fields objective: 2D/3D only")
+    gw = green2d_w if dim == "2d" else green3d_w
+    freqs = np.asarray(n2f_handle.freqs)
+    pts = [np.asarray(_vec_to_axes(sim.gv, p), np.float64) for p in far_pts]
+
+    # host precompute: per surface, W (n_far, 6, nfreq, npts_surf)
+    weights = []
+    for surf in n2f_handle.surfaces:
+        W = np.stack([
+            np.stack([gw(x, f, 1.0, 1.0, surf.coords, surf.c0)
+                      for f in freqs], axis=1)      # (6, nfreq, npts)
+            for x in pts])                          # (n_far, 6, nfreq, npts)
+        weights.append((surf.dft_name, jnp.asarray(W)))
+
+    nfreq = len(freqs)
+
+    def fn(dfts: Dict[str, Any]):
+        EH = 0.0
+        for name, W in weights:
+            f0 = dfts[name].reshape(-1, nfreq)      # (npts, nfreq)
+            EH = EH + jnp.einsum("pcfs,sf->pcf", W, f0.astype(W.dtype))
+        return EH
+
+    return fn
+
+
 def ldos_objective(sim, ldos_handle=None) -> Callable:
     """LDOS (objective.py:545): differentiable LDOS spectrum from the
     work-done DTFT accumulators registered by add_ldos."""

@@ -21,11 +21,13 @@ import numpy as np
 from scipy.special import hankel1
 
 
-def green3d(x: np.ndarray, freq: float, eps: float, mu: float,
-            x0: np.ndarray, c0: str, f0: np.ndarray) -> np.ndarray:
-    """Fields (Ex,Ey,Ez,Hx,Hy,Hz) at x from point currents f0 of component
-    c0 at x0 (near2far.cpp:133).  x: (3,), x0: (npts,3), f0: (npts,),
-    returns (6,) summed over points."""
+def green3d_w(x: np.ndarray, freq: float, eps: float, mu: float,
+              x0: np.ndarray, c0: str) -> np.ndarray:
+    """Per-point far-field weights: (6, npts) such that the far fields at x
+    from currents f0 are `green3d_w(...) @ f0` — the linearity of the
+    Green's function made explicit so adjoint objectives can treat the
+    near-to-far transform as a constant contraction over the DTFT leaves
+    (the analog of near2far.cpp:340 farfield_lowlevel's per-point sum)."""
     rvec = x[None, :] - x0                      # (npts, 3)
     r = np.linalg.norm(rvec, axis=-1)
     rhat = rvec / r[:, None]
@@ -34,7 +36,7 @@ def green3d(x: np.ndarray, freq: float, eps: float, mu: float,
     ikr = 1j * k * r
     ikr2 = -(k * r) ** 2
     # J = -i w p  =>  divide by -i w relative to dipole-moment formulas
-    expfac = f0 * (k * n / (4 * np.pi * r)) * np.exp(1j * (k * r + np.pi / 2))
+    expfac = (k * n / (4 * np.pi * r)) * np.exp(1j * (k * r + np.pi / 2))
     Z = np.sqrt(mu / eps)
     p = np.zeros(3)
     p["xyz".index(c0[1])] = 1.0
@@ -43,23 +45,31 @@ def green3d(x: np.ndarray, freq: float, eps: float, mu: float,
     term1 = 1.0 - 1.0 / ikr + 1.0 / ikr2
     term2 = (-1.0 + 3.0 / ikr - 3.0 / ikr2) * pdotrhat
     term3 = 1.0 - 1.0 / ikr
-    EH = np.zeros(6, np.complex128)
+    EH = np.zeros((6, len(r)), np.complex128)
     if c0[0] == "e":
         ef = expfac / eps
         for d in range(3):
-            EH[d] = np.sum(ef * (term1 * p[d] + term2 * rhat[:, d]))
-            EH[3 + d] = np.sum(ef * term3 * rhatcrossp[:, d] / Z)
+            EH[d] = ef * (term1 * p[d] + term2 * rhat[:, d])
+            EH[3 + d] = ef * term3 * rhatcrossp[:, d] / Z
     else:
         ef = expfac / mu
         for d in range(3):
-            EH[d] = np.sum(-ef * term3 * rhatcrossp[:, d] * Z)
-            EH[3 + d] = np.sum(ef * (term1 * p[d] + term2 * rhat[:, d]))
+            EH[d] = -ef * term3 * rhatcrossp[:, d] * Z
+            EH[3 + d] = ef * (term1 * p[d] + term2 * rhat[:, d])
     return EH
 
 
-def green2d(x: np.ndarray, freq: float, eps: float, mu: float,
+def green3d(x: np.ndarray, freq: float, eps: float, mu: float,
             x0: np.ndarray, c0: str, f0: np.ndarray) -> np.ndarray:
-    """2D Green's function (near2far.cpp:208): x (2,), x0 (npts,2)."""
+    """Fields (Ex,Ey,Ez,Hx,Hy,Hz) at x from point currents f0 of component
+    c0 at x0 (near2far.cpp:133).  x: (3,), x0: (npts,3), f0: (npts,),
+    returns (6,) summed over points."""
+    return green3d_w(x, freq, eps, mu, x0, c0) @ f0
+
+
+def green2d_w(x: np.ndarray, freq: float, eps: float, mu: float,
+              x0: np.ndarray, c0: str) -> np.ndarray:
+    """Per-point 2D far-field weights (6, npts); see green3d_w."""
     rvec = x[None, :] - x0
     r = np.linalg.norm(rvec, axis=-1)
     rhat = rvec / r[:, None]
@@ -67,40 +77,46 @@ def green2d(x: np.ndarray, freq: float, eps: float, mu: float,
     k = omega * np.sqrt(eps * mu)
     kr = k * r
     Z = np.sqrt(mu / eps)
-    H0 = hankel1(0, kr) * f0
-    H1 = hankel1(1, kr) * f0
+    H0 = hankel1(0, kr)
+    H1 = hankel1(1, kr)
     ikH1 = 0.25j * k * H1
-    EH = np.zeros(6, np.complex128)
+    EH = np.zeros((6, len(r)), np.complex128)
     d0 = c0[1]
     if d0 == "z":
         if c0[0] == "e":     # Ez line current
-            EH[2] = np.sum((-0.25 * omega * mu) * H0)
-            EH[3] = np.sum(-rhat[:, 1] * ikH1)
-            EH[4] = np.sum(rhat[:, 0] * ikH1)
+            EH[2] = (-0.25 * omega * mu) * H0
+            EH[3] = -rhat[:, 1] * ikH1
+            EH[4] = rhat[:, 0] * ikH1
         else:                # Hz line current
-            EH[0] = np.sum(rhat[:, 1] * ikH1)
-            EH[1] = np.sum(-rhat[:, 0] * ikH1)
-            EH[5] = np.sum((-0.25 * omega * eps) * H0)
+            EH[0] = rhat[:, 1] * ikH1
+            EH[1] = -rhat[:, 0] * ikH1
+            EH[5] = (-0.25 * omega * eps) * H0
         return EH
     # in-plane current
-    H2 = hankel1(2, kr) * f0
+    H2 = hankel1(2, kr)
     p = np.zeros(2)
     p["xy".index(d0)] = 1.0
     pdotrhat = rhat @ p
     rhatcrossp = rhat[:, 0] * p[1] - rhat[:, 1] * p[0]
     if c0[0] == "e":
-        EH[0] = np.sum(-(rhat[:, 0] * (pdotrhat / r * 0.25 * Z)) * H1
-                       + (rhat[:, 1] * (rhatcrossp * omega * mu * 0.125)) * (H0 - H2))
-        EH[1] = np.sum(-(rhat[:, 1] * (pdotrhat / r * 0.25 * Z)) * H1
-                       - (rhat[:, 0] * (rhatcrossp * omega * mu * 0.125)) * (H0 - H2))
-        EH[5] = np.sum(-rhatcrossp * ikH1)
+        EH[0] = (-(rhat[:, 0] * (pdotrhat / r * 0.25 * Z)) * H1
+                 + (rhat[:, 1] * (rhatcrossp * omega * mu * 0.125)) * (H0 - H2))
+        EH[1] = (-(rhat[:, 1] * (pdotrhat / r * 0.25 * Z)) * H1
+                 - (rhat[:, 0] * (rhatcrossp * omega * mu * 0.125)) * (H0 - H2))
+        EH[5] = -rhatcrossp * ikH1
     else:
-        EH[2] = np.sum(rhatcrossp * ikH1)
-        EH[3] = np.sum(-(rhat[:, 0] * (pdotrhat / r * 0.25 / Z)) * H1
-                       + (rhat[:, 1] * (rhatcrossp * omega * eps * 0.125)) * (H0 - H2))
-        EH[4] = np.sum(-(rhat[:, 1] * (pdotrhat / r * 0.25 / Z)) * H1
-                       - (rhat[:, 0] * (rhatcrossp * omega * eps * 0.125)) * (H0 - H2))
+        EH[2] = rhatcrossp * ikH1
+        EH[3] = (-(rhat[:, 0] * (pdotrhat / r * 0.25 / Z)) * H1
+                 + (rhat[:, 1] * (rhatcrossp * omega * eps * 0.125)) * (H0 - H2))
+        EH[4] = (-(rhat[:, 1] * (pdotrhat / r * 0.25 / Z)) * H1
+                 - (rhat[:, 0] * (rhatcrossp * omega * eps * 0.125)) * (H0 - H2))
     return EH
+
+
+def green2d(x: np.ndarray, freq: float, eps: float, mu: float,
+            x0: np.ndarray, c0: str, f0: np.ndarray) -> np.ndarray:
+    """2D Green's function (near2far.cpp:208): x (2,), x0 (npts,2)."""
+    return green2d_w(x, freq, eps, mu, x0, c0) @ f0
 
 
 # equivalent-current mapping for a plane with normal nd (near2far.cpp:584-637):

@@ -103,6 +103,68 @@ def test_fourier_fields_objective():
     assert abs(g[1, 2] - fd) <= 0.08 * max(abs(fd), 1e-6)
 
 
+def test_near2far_objective_matches_host_farfield():
+    """The differentiable near2far objective's weights must reproduce the
+    host get_farfield path exactly (same Green's functions, fp32 dfts)."""
+    from meep_nl_tpu.adjoint.objectives import near2far_fields
+
+    fcen = 0.6
+    sim = mp.Simulation(
+        cell_size=mp.Vector3(6, 4), resolution=10,
+        geometry=[mp.Block(size=mp.Vector3(1, 1, mp.inf),
+                           material=mp.Medium(epsilon=6.0))],
+        sources=[mp.Source(mp.GaussianSource(frequency=fcen, fwidth=0.2),
+                           component=mp.Ez, center=mp.Vector3(-2.0, 0),
+                           size=mp.Vector3(0, 2))],
+        boundary_layers=[mp.PML(1.0)])
+    n2f = sim.add_near2far(fcen, 0.1, 3,
+                           mp.Near2FarRegion(center=mp.Vector3(2.0, 0),
+                                             size=mp.Vector3(0, 2)))
+    far_pts = [mp.Vector3(30.0, 4.0), mp.Vector3(25.0, -10.0)]
+    fn = near2far_fields(sim, n2f, far_pts)
+    sim.run(until=40.0)
+    EH = np.asarray(fn(sim._state["dft"]))
+    for i, p in enumerate(far_pts):
+        ref = sim.get_farfield(n2f, p)
+        np.testing.assert_allclose(EH[i], ref, rtol=2e-5,
+                                   atol=2e-5 * np.abs(ref).max())
+
+
+def test_near2far_objective_gradient():
+    """d|E_far|^2/drho through the time loop vs finite differences
+    (the Near2FarFields inverse-design setting, objective.py:435)."""
+    from meep_nl_tpu.adjoint.objectives import near2far_fields
+
+    fcen = 0.6
+    sim = mp.Simulation(
+        cell_size=mp.Vector3(6, 4), resolution=10,
+        geometry=[mp.Block(size=mp.Vector3(2, 2, mp.inf),
+                           material=mp.Medium(epsilon=6.0))],
+        sources=[mp.Source(mp.GaussianSource(frequency=fcen, fwidth=0.2),
+                           component=mp.Ez, center=mp.Vector3(-2.0, 0),
+                           size=mp.Vector3(0, 2))],
+        boundary_layers=[mp.PML(1.0)])
+    n2f = sim.add_near2far(fcen, 0.0, 1,
+                           mp.Near2FarRegion(center=mp.Vector3(2.0, 0),
+                                             size=mp.Vector3(0, 2)))
+    fldfn = near2far_fields(sim, n2f, [mp.Vector3(40.0, 0.0)])
+
+    def objective(dfts):
+        EH = fldfn(dfts)
+        return jnp.sum(jnp.abs(EH[:, 2, :]) ** 2)   # |Ez_far|^2
+
+    dr = DesignRegion(DesignVariables(shape=(4, 4), eps_min=1.0,
+                                      eps_max=9.0),
+                      center=[0.0, 0.0], size=[2.0, 2.0])
+    opt = OptimizationProblem(simulation=sim, objective=objective,
+                              design_regions=[dr], run_time=25.0)
+    rho = jnp.full((4, 4), 0.5, jnp.float32)
+    f0, (g,) = opt(rho)
+    assert np.isfinite(f0) and f0 > 0
+    fd = opt.calculate_fd_gradient(np.asarray(rho), (1, 2), drho=1e-3)
+    assert abs(g[1, 2] - fd) <= 0.08 * max(abs(fd), 1e-6), (float(g[1, 2]), fd)
+
+
 def test_connectivity_penalty():
     """Connectivity constraint (adjoint/connectivity.py; reference
     python/adjoint/connectivity.py): connected designs ~0, disconnected
