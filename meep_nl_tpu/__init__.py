@@ -30,7 +30,8 @@ from .models.simulation import (Simulation, PML, Absorber, FluxRegion,
                                 Low, High, Metallic, Magnetic, Mirror,
                                 DiffractedPlanewave)
 from .analysis.harminv import Harminv, harminv
-from .analysis.bands import ModeSolver, retrieve_gap
+from .analysis.bands import ModeSolver, ModeSolver3D, retrieve_gap
+from .analysis.mpb_data import MPBData
 
 inf = float("inf")
 

@@ -117,6 +117,36 @@ class ModeSolver:
         self.all_freqs = np.array(out)
         return self.all_freqs
 
+    def get_epsilon(self) -> np.ndarray:
+        """Unit-cell epsilon grid (for MPBData / plotting)."""
+        return self._eps_grid()
+
+    def get_efield_tm(self, k_index: int, band: int,
+                      n: Optional[int] = None) -> np.ndarray:
+        """Real-space Ez Bloch field (n, n) of one TM band, intra-cell
+        phase included (the role of mode_solver.get_efield +
+        MPBData.convert; fields here are synthesized directly from the
+        planewave coefficients)."""
+        from scipy.linalg import eigh
+        if not hasattr(self, "_g"):
+            self._setup()
+        k = self.k_points[k_index]
+        kv = tuple(k) if not hasattr(k, "x") else (k.x, k.y, k.z)
+        kx, ky = self._kg(kv)
+        A = np.diag(kx ** 2 + ky ** 2).astype(complex)
+        w2, V = eigh(A, self._B_eps)
+        v = V[:, band - 1]                       # Ez(G) coefficients
+        n = n or int(self.resolution)
+        acc = np.zeros((n, n), complex)
+        for (gi, gj), c in zip(self._g, v):
+            # half-pixel shift: samples sit at f = (i + 0.5)/n
+            acc[gi % n, gj % n] += c * np.exp(1j * np.pi * (gi + gj) / n)
+        u = np.fft.ifftn(acc) * n * n            # sum_g v_g e^{2pi i g.f}
+        f = (np.arange(n) + 0.5) / n
+        ph = np.exp(2j * np.pi * (float(kv[0]) * f[:, None]
+                                  + float(kv[1]) * f[None, :]))
+        return u * ph
+
     def run_te(self) -> np.ndarray:
         """TE bands; returns (n_k, num_bands) frequencies in c/a units."""
         from scipy.linalg import eigh
@@ -322,6 +352,60 @@ class ModeSolver3D:
             self.zparities.append(np.array(zp))
         self.all_freqs = np.array(out)
         return self.all_freqs
+
+    def get_epsilon(self, n: Optional[int] = None) -> np.ndarray:
+        """Unit-cell epsilon grid (n,n,n) for MPBData / plotting."""
+        return self._eps_grid(n or int(self.resolution))
+
+    def _synth(self, vecs: np.ndarray, kv, n: int) -> np.ndarray:
+        """sum_g V_g e^{2 pi i g.f} on an (n,n,n,3) fractional grid with
+        intra-cell Bloch phase; samples at f = (i + 0.5)/n."""
+        acc = np.zeros((n, n, n, 3), complex)
+        for (gi, gj, gk), v in zip(self._g, vecs):
+            ph = np.exp(1j * np.pi * (gi + gj + gk) / n)
+            acc[gi % n, gj % n, gk % n] += v * ph
+        u = np.fft.ifftn(acc, axes=(0, 1, 2)) * n ** 3
+        f = (np.arange(n) + 0.5) / n
+        kf = np.asarray(kv, np.float64)
+        ph = np.exp(2j * np.pi * (kf[0] * f[:, None, None]
+                                  + kf[1] * f[None, :, None]
+                                  + kf[2] * f[None, None, :]))
+        return u * ph[..., None]
+
+    def get_hfield(self, k_index: int, band: int,
+                   n: Optional[int] = None) -> np.ndarray:
+        """Real-space H Bloch field (n,n,n,3), CARTESIAN components,
+        intra-cell phase included (mode_solver get_hfield role)."""
+        self._setup() if not hasattr(self, "_g") else None
+        k = self.k_points[k_index]
+        kv = (k.x, k.y, k.z) if hasattr(k, "x") else tuple(k)
+        freqs, V, K, mag, e1, e2 = self._solve_k(kv, want_vectors=True)
+        h = V[:, band - 1].reshape(len(K), 2)
+        Hvec = h[:, 0:1] * e1 + h[:, 1:2] * e2
+        return self._synth(Hvec, kv, n or int(self.resolution))
+
+    def get_dfield(self, k_index: int, band: int,
+                   n: Optional[int] = None) -> np.ndarray:
+        """Real-space D Bloch field (n,n,n,3): D_G ~ -(k+G) x H_G / w
+        (Maxwell, planewave basis)."""
+        self._setup() if not hasattr(self, "_g") else None
+        k = self.k_points[k_index]
+        kv = (k.x, k.y, k.z) if hasattr(k, "x") else tuple(k)
+        freqs, V, K, mag, e1, e2 = self._solve_k(kv, want_vectors=True)
+        h = V[:, band - 1].reshape(len(K), 2)
+        Hvec = h[:, 0:1] * e1 + h[:, 1:2] * e2
+        w = max(2 * np.pi * freqs[band - 1], 1e-12)
+        Dvec = -np.cross(K, Hvec) / w
+        return self._synth(Dvec, kv, n or int(self.resolution))
+
+    def get_efield(self, k_index: int, band: int,
+                   n: Optional[int] = None) -> np.ndarray:
+        """Real-space E field: D divided pointwise by the scalar epsilon
+        grid (adequate for visualization; exact away from interfaces)."""
+        n = n or int(self.resolution)
+        D = self.get_dfield(k_index, band, n)
+        eps = self._eps_grid(n)
+        return D / eps[..., None]
 
     def compute_group_velocities(self, dk: float = 1e-3) -> np.ndarray:
         """dw/dk (Cartesian, units of c) per k point and band by central
