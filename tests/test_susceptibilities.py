@@ -2,6 +2,7 @@
 (test_faraday_rotation.py pattern; susceptibility.cpp:317,445)."""
 
 import numpy as np
+import pytest
 
 import meep_nl_tpu as mp
 
@@ -69,9 +70,10 @@ def test_faraday_rotation():
 
 
 def test_bfast_stable_and_off_by_default():
-    """BFAST aux recurrence (step_generic.cpp:339): stable at large scaled-k
-    and exactly inert when k=0.  (Quantitative oblique-incidence validation:
-    tests/test_bfast.py.)"""
+    """BFAST (step_generic.cpp:339): exactly inert when k=0, and a HARD
+    error for single-partner component sets (2D TM) where the flip-flop
+    recurrence is outside the stable envelope.  (Quantitative 3D
+    oblique-incidence validation: tests/test_bfast.py.)"""
     def run(bk):
         cour = 0.5 if bk is None or not any(tuple(bk)) else \
             (1 - max(abs(v) for v in tuple(bk))) / np.sqrt(2)
@@ -87,8 +89,9 @@ def test_bfast_stable_and_off_by_default():
         return np.asarray(sim.fields_state["f"]["ez"])
 
     e0 = run(None)
-    ek = run(mp.Vector3(0.5, 0, 0))
-    assert np.all(np.isfinite(np.abs(ek)))
-    assert np.abs(ek).max() < 1e3  # no blow-up at large k
     ez0 = run(mp.Vector3(0, 0, 0))
     np.testing.assert_array_equal(np.asarray(ez0), e0)  # k=0 inert
+    # 2D TM has single-partner curls along x: BFAST must refuse, not
+    # silently drop the s*dH/dt term (the round-1 silent narrowing)
+    with pytest.raises(ValueError, match="single partner"):
+        run(mp.Vector3(0.5, 0, 0))
