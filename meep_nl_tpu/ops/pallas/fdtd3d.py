@@ -749,6 +749,44 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str):
 # ---------------------------------------------------------------------------
 
 
+
+def compute_halos(L, bx, halo_keys, state, C):
+    """E_eff planes at x = bx, 2bx, ..., X (zero past the end) for the
+    forward x-differences — strided slices, ~1/bx of a traversal per
+    haloed component.  Shared by the 1-step and 2-step-fused kernels."""
+    halos = {}
+    for ec in halo_keys:
+        spec = L.eh_by_ec[ec]
+        d = state[spec.dc]
+        planes = d[bx::bx]                       # x = bx .. < X
+        if spec.has_u:
+            planes = planes * C[f"{ec}:u"][bx::bx]
+        if ec in L.eh_store:
+            ax, lor, hir = L.eh_store[ec]
+            if ax == 0:
+                # (not reachable in 3D: halo comps ey/ez store on y/z)
+                gidx = np.arange(bx, L.S[0], bx)
+                for side, (a, b) in (("lo", lor), ("hi", hir)):
+                    if b <= a:
+                        continue
+                    arr = state[L.key("eh", ec, side)]
+                    sel = (gidx >= a) & (gidx < b)
+                    if sel.any():
+                        planes = planes.at[np.nonzero(sel)[0]].set(
+                            arr[gidx[sel] - a])
+            else:
+                for side, (a, b) in (("lo", lor), ("hi", hir)):
+                    if b <= a:
+                        continue
+                    arr = state[L.key("eh", ec, side)]
+                    sl = [slice(None)] * 3
+                    sl[ax] = slice(a, b)
+                    planes = planes.at[tuple(sl)].set(arr[bx::bx])
+        zero = jnp.zeros((1,) + planes.shape[1:], planes.dtype)
+        halos[ec] = jnp.concatenate([planes, zero], axis=0)
+    return halos
+
+
 class Fdtd3dKernel:
     """Compiled fused-step driver for one plan."""
 
@@ -779,38 +817,7 @@ class Fdtd3dKernel:
         """E_eff planes at x = bx, 2bx, ..., X (zero past the end) for the
         forward x-differences — strided slices, ~1/bx of a traversal per
         haloed component."""
-        L, bx = self.L, self.bx
-        halos = {}
-        for ec in self.halo_keys:
-            spec = L.eh_by_ec[ec]
-            d = state[spec.dc]
-            planes = d[bx::bx]                       # x = bx .. < X
-            if spec.has_u:
-                planes = planes * C[f"{ec}:u"][bx::bx]
-            if ec in L.eh_store:
-                ax, lor, hir = L.eh_store[ec]
-                if ax == 0:
-                    # (not reachable in 3D: halo comps ey/ez store on y/z)
-                    gidx = np.arange(bx, L.S[0], bx)
-                    for side, (a, b) in (("lo", lor), ("hi", hir)):
-                        if b <= a:
-                            continue
-                        arr = state[L.key("eh", ec, side)]
-                        sel = (gidx >= a) & (gidx < b)
-                        if sel.any():
-                            planes = planes.at[np.nonzero(sel)[0]].set(
-                                arr[gidx[sel] - a])
-                else:
-                    for side, (a, b) in (("lo", lor), ("hi", hir)):
-                        if b <= a:
-                            continue
-                        arr = state[L.key("eh", ec, side)]
-                        sl = [slice(None)] * 3
-                        sl[ax] = slice(a, b)
-                        planes = planes.at[tuple(sl)].set(arr[bx::bx])
-            zero = jnp.zeros((1,) + planes.shape[1:], planes.dtype)
-            halos[ec] = jnp.concatenate([planes, zero], axis=0)
-        return halos
+        return compute_halos(self.L, self.bx, self.halo_keys, state, C)
 
     def make_step(self):
         """(state, x_t, C) -> state, same shape as stepper.step.make_step."""
