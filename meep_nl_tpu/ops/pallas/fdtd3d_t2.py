@@ -1,0 +1,919 @@
+"""Two-step temporally-fused FDTD kernel (Mosaic/Pallas): the 1-step
+kernel (fdtd3d.py) is HBM-streaming-bound at ~12 array traversals per
+step; fusing TWO timesteps into one pass over the grid halves the
+bytes/cell/step (read D,B once, advance t and t+1 in VMEM, write once).
+
+Schedule (skewed temporal blocking over the sequential x-block grid):
+at grid iteration i, run step-1 on block i (results held in VMEM
+scratch), then step-2 on block i-1 from scratch.  The only cross-block
+dependency of step-2 is the first x-plane of block i's post-step-1
+E_eff (for the forward difference) — available in-register the same
+iteration.  Outputs trail inputs by one block; H_eff carry planes for
+the backward differences thread through scratch exactly like the 1-step
+kernel's carry, one per step.
+
+Cross-call pipeline: the lo-edge call runs step-1 one block PAST its
+x-compact range (into the first interior block) so the handoff package
+between calls — post-step-1 D,B, E_eff, y/z-compact aux, both carry
+planes — never contains x-compact aux; structural divergence between
+identity chains and sigma chains is confined to the small edge calls
+(jnp.where on the iteration index).
+
+State layout, coefficients, and the supported envelope are IDENTICAL to
+fdtd3d.py (same _Layout); this module only changes the schedule.  Extra
+restrictions: no mu dispersion on H (step-2's trailing block would need
+the full mu-inv), and at least one interior block between the x-PML
+slabs.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import fdtd3d as F1
+from .fdtd3d import _Layout, _full_slice, _cdiv, compute_halos
+
+
+def _pick_bx(plan, requested=None) -> int:
+    """Smaller blocks than the 1-step kernel: the pipeline holds the
+    previous block's full post-step-1 package in VMEM scratch."""
+    S = tuple(plan.storage_shape or plan.gv.shape)
+    if requested:
+        return requested
+    plane = S[1] * S[2] * 4
+    bx = 8
+    while bx > 1 and (64 * bx * plane > 90 * 2 ** 20 or S[0] % bx):
+        bx //= 2
+    return bx
+
+
+def supported(plan, bx: int = None) -> bool:
+    bx = _pick_bx(plan, bx)
+    if not F1.supported(plan, bx):
+        return False
+    for s in plan.eh_specs_h:
+        if s.has_u:
+            return False
+    L = _Layout(plan, bx)
+    if L.nblk < 2:
+        return False
+    if L.lo_blocks > 0 and L.lo_blocks + 1 > L.hi_block0:
+        return False
+    if L.hi_block0 < L.nblk and L.hi_block0 < 1:
+        return False
+    return True
+
+
+def _plane_lists(plan, c):
+    planes: Tuple[List[int], List[int], List[int]] = ([], [], [])
+    for ax, i in plan.mask_planes.get(c, []):
+        planes[ax].append(int(i))
+    return planes
+
+
+def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
+                 first: bool, last: bool, s1_xn: Any, s2_x0: Any):
+    """One fused-2-step pallas call: step-1 on blocks [b0, b1), step-2 on
+    blocks [b0-1, b1-1) (+ block b1-1 itself when `last`, via one extra
+    iteration).
+
+    edge_side: which x-compact arrays are present ('lo'/'hi'/'').
+    s1_xn: step-1 blocks with iteration index < s1_xn use the x-compact
+        sigma chains ('lo' call: lo_blocks; 'hi': n1; else 0).
+    s2_x0: step-2 iterations >= s2_x0 use the x-compact chains
+        ('lo': 1 (all that run); 'hi': 1; else a big number)."""
+    plan = L.plan
+    bx, S = L.bx, L.S
+    Y, Z = S[1], S[2]
+    dtype = plan.dtype
+    dtdx = plan.courant
+    dt = plan.dt
+    n1 = b1 - b0
+    grid = n1 + (1 if last else 0)
+    curls_b = list(plan.curl_specs_b)
+    curls_d = list(plan.curl_specs_d)
+    ehs_h = list(plan.eh_specs_h)
+    ehs_e = list(plan.eh_specs_e)
+    nblk = L.nblk
+
+    def s1map(i):
+        return jnp.minimum(i, n1 - 1) + b0
+
+    def s2map(i):
+        return (jnp.maximum(i - 1, 0) if first else i - 1) + b0
+
+    # ---- source jobs per step --------------------------------------------
+    def jobs_in(x_lo, x_hi):
+        out = []
+        for si, s in enumerate(plan.sources):
+            dc = ("d" if s.component[0] == "e" else "b") + s.component[1]
+            pts = []
+            idxs = np.asarray(s.indices)
+            amps = np.asarray(s.amps)
+            for k in range(len(idxs)):
+                ix = int(idxs[k][0])
+                if x_lo <= ix < x_hi:
+                    pts.append(((ix, int(idxs[k][1]), int(idxs[k][2])),
+                                float(np.real(amps[k])),
+                                float(np.imag(amps[k]))))
+            if pts:
+                out.append((f"src{si}:cur_re", f"src{si}:cur_im", dc, pts))
+        return out
+
+    src_jobs1 = jobs_in(b0 * bx, b1 * bx)
+    s2_hi_blk = b1 if last else b1 - 1
+    src_jobs2 = jobs_in(max(b0 - 1, 0) * bx, s2_hi_blk * bx)
+
+    # ---- ordered operand tables ------------------------------------------
+    in_entries: List[Tuple[str, str, Any]] = []
+    out_entries: List[Tuple[str, str, Any]] = []
+    aliases: Dict[int, int] = {}
+
+    def add_state(key, in_spec, out_spec):
+        in_entries.append(("state", key, in_spec))
+        aliases[len(in_entries) - 1] = len(out_entries)
+        out_entries.append(("state", key, out_spec))
+
+    def blk_in():
+        return pl.BlockSpec((bx, Y, Z), lambda i: (s1map(i), 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def blk_out():
+        return pl.BlockSpec((bx, Y, Z), lambda i: (s2map(i), 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    for s in curls_b + curls_d:
+        add_state(s.c, blk_in(), blk_out())
+
+    # compact aux: x-compacts only on the matching edge side; y/z everywhere
+    x_here: Dict[str, str] = {}
+    for kind, store in (("fu", L.fu), ("eh", L.eh_store)):
+        for c, (ax, lor, hir) in store.items():
+            if ax == 0:
+                rng = lor if edge_side == "lo" else hir
+                if edge_side not in ("lo", "hi") or rng[1] <= rng[0]:
+                    continue
+                key = L.key(kind, c, edge_side)
+                a = rng[0]
+                base = a // bx
+                cnt = (rng[1] - a) // bx
+                in_spec = pl.BlockSpec(
+                    (bx, Y, Z),
+                    lambda i, base=base, cnt=cnt: (
+                        jnp.clip(s1map(i) - base, 0, cnt - 1), 0, 0),
+                    memory_space=pltpu.VMEM)
+                out_spec = pl.BlockSpec(
+                    (bx, Y, Z),
+                    lambda i, base=base, cnt=cnt: (
+                        jnp.clip(s2map(i) - base, 0, cnt - 1), 0, 0),
+                    memory_space=pltpu.VMEM)
+                x_here[f"{kind}:{c}"] = key
+                add_state(key, in_spec, out_spec)
+            else:
+                for side, (a, b) in (("lo", lor), ("hi", hir)):
+                    if b <= a:
+                        continue
+                    key = L.key(kind, c, side)
+                    shp = [bx, Y, Z]
+                    shp[ax] = b - a
+                    in_spec = pl.BlockSpec(tuple(shp),
+                                           lambda i: (s1map(i), 0, 0),
+                                           memory_space=pltpu.VMEM)
+                    out_spec = pl.BlockSpec(tuple(shp),
+                                            lambda i: (s2map(i), 0, 0),
+                                            memory_space=pltpu.VMEM)
+                    add_state(key, in_spec, out_spec)
+
+    # halo planes (old E_eff at (g+1)*bx) for step-1's forward x-diffs
+    halo_keys: List[str] = []
+    for s in curls_b:
+        for g, a in ((s.g_plus, s.plus_axis), (s.g_minus, s.minus_axis)):
+            if g is not None and a == 0 and g not in halo_keys:
+                halo_keys.append(g)
+    for g in halo_keys:
+        in_entries.append(("halo", g,
+                           pl.BlockSpec((1, Y, Z), lambda i: (s1map(i), 0, 0),
+                                        memory_space=pltpu.VMEM)))
+
+    carry_keys: List[str] = []
+    for s in curls_d:
+        for g, a in ((s.g_plus, s.plus_axis), (s.g_minus, s.minus_axis)):
+            if g is not None and a == 0 and g not in carry_keys:
+                carry_keys.append(g)
+
+    # coefficient arrays: x-blocked ones get @s1 and @s2 entries
+    C0 = plan.coefs
+    coef_keys: List[str] = []
+
+    def want_coef(k):
+        if k in C0 and k not in coef_keys:
+            coef_keys.append(k)
+
+    for s in curls_b + curls_d:
+        if s.dsig_axis is not None:
+            for nm in ("sig", "kap", "siginv"):
+                want_coef(f"{s.c}:{nm}")
+        if s.dsigu_axis is not None:
+            for nm in ("sigu", "kapu", "siginvu"):
+                want_coef(f"{s.c}:{nm}")
+    for s in ehs_h + ehs_e:
+        if s.has_u:
+            want_coef(f"{s.ec}:u")
+        if s.dsigw_axis is not None:
+            want_coef(f"{s.ec}:kapw")
+            want_coef(f"{s.ec}:sigw")
+
+    xblocked: Dict[str, bool] = {}
+    for k in coef_keys:
+        arr = C0[k]
+        if arr.ndim == 3 and arr.shape == tuple(S):
+            # full-grid (only u): step-1 needs the full block; step-2 only
+            # needs slab pieces (below)
+            xblocked[k] = True
+            in_entries.append(("coef1", k, pl.BlockSpec(
+                (bx, Y, Z), lambda i: (s1map(i), 0, 0),
+                memory_space=pltpu.VMEM)))
+        elif arr.ndim == 3 and arr.shape[0] == S[0]:
+            xblocked[k] = True
+            shp = (bx,) + tuple(arr.shape[1:])
+            in_entries.append(("coef1", k, pl.BlockSpec(
+                shp, lambda i: (s1map(i), 0, 0), memory_space=pltpu.VMEM)))
+            in_entries.append(("coef2", k, pl.BlockSpec(
+                shp, lambda i: (s2map(i), 0, 0), memory_space=pltpu.VMEM)))
+        else:
+            xblocked[k] = False
+            in_entries.append(("coef", k, pl.BlockSpec(
+                tuple(arr.shape), lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM)))
+
+    # host-pre-sliced y/z slab pieces of broadcast coefficient vectors
+    # (block-independent -> shared by both steps)
+    coefslab_slices: Dict[str, Tuple[str, Tuple[Any, ...]]] = {}
+
+    def want_coefslab(key, ax, side, a, b):
+        arr = C0[key]
+        name = f"{key}@{side}"
+        if name in coefslab_slices:
+            return
+        sl = [slice(None)] * 3
+        if arr.shape[ax] > 1:
+            sl[ax] = slice(a, b)
+        shp = tuple(b - a if (i == ax and arr.shape[ax] > 1)
+                    else arr.shape[i] for i in range(3))
+        coefslab_slices[name] = (key, tuple(sl))
+        in_entries.append(("coefslab", name,
+                           pl.BlockSpec(shp, lambda i: (0, 0, 0),
+                                        memory_space=pltpu.VMEM)))
+
+    for s in curls_b + curls_d:
+        if s.dsigu_axis in (1, 2):
+            ax = s.dsigu_axis
+            _, lor, hir = L.fu[s.c]
+            for side, (a, b) in (("lo", lor), ("hi", hir)):
+                if b > a:
+                    for nm in ("sigu", "kapu", "siginvu"):
+                        want_coefslab(f"{s.c}:{nm}", ax, side, a, b)
+    for s in ehs_h + ehs_e:
+        if s.dsigw_axis in (1, 2):
+            ax = s.dsigw_axis
+            _, lor, hir = L.eh_store[s.ec]
+            for side, (a, b) in (("lo", lor), ("hi", hir)):
+                if b > a:
+                    for nm in ("kapw", "sigw"):
+                        want_coefslab(f"{s.ec}:{nm}", ax, side, a, b)
+
+    # u slab pieces for step-2's stored-E updates: y/z slabs blocked at the
+    # step-2 block; x-compact range pieces on edge calls
+    uslab_slices: Dict[str, Tuple[str, Tuple[Any, ...]]] = {}
+    for s in ehs_e:
+        if not s.has_u or s.ec not in L.eh_store:
+            continue
+        ax, lor, hir = L.eh_store[s.ec]
+        uk = f"{s.ec}:u"
+        if ax == 0:
+            rng = lor if edge_side == "lo" else hir
+            if edge_side in ("lo", "hi") and rng[1] > rng[0]:
+                name = f"{uk}@x{edge_side}"
+                a = rng[0]
+                base, cnt = a // bx, (rng[1] - a) // bx
+                uslab_slices[name] = (uk, _full_slice(0, slice(rng[0],
+                                                               rng[1])))
+                in_entries.append(("uslab", name, pl.BlockSpec(
+                    (bx, Y, Z),
+                    lambda i, base=base, cnt=cnt: (
+                        jnp.clip(s2map(i) - base, 0, cnt - 1), 0, 0),
+                    memory_space=pltpu.VMEM)))
+        else:
+            for side, (a, b) in (("lo", lor), ("hi", hir)):
+                if b <= a:
+                    continue
+                name = f"{uk}@{side}"
+                shp = [bx, Y, Z]
+                shp[ax] = b - a
+                uslab_slices[name] = (uk, _full_slice(ax, slice(a, b)))
+                in_entries.append(("uslab", name, pl.BlockSpec(
+                    tuple(shp), lambda i: (s2map(i), 0, 0),
+                    memory_space=pltpu.VMEM)))
+
+    # per-step source waveform scalars: (2, 1) rows = (step-1, step-2)
+    xs_keys: List[str] = []
+    for (kre, kim, dc, pts) in src_jobs1 + src_jobs2:
+        for kk in (kre, kim):
+            if kk not in xs_keys:
+                xs_keys.append(kk)
+    for kk in xs_keys:
+        in_entries.append(("xs", kk,
+                           pl.BlockSpec((2, 1), lambda i: (0, 0),
+                                        memory_space=pltpu.SMEM)))
+
+    # ---- cross-call package ----------------------------------------------
+    pkg_names: List[Tuple[str, Tuple[int, ...]]] = []
+    for s in curls_d:
+        pkg_names.append((f"d1:{s.c}", (bx, Y, Z)))
+    for s in curls_b:
+        pkg_names.append((f"b1:{s.c}", (bx, Y, Z)))
+    for s in ehs_e:
+        pkg_names.append((f"e1:{s.ec}", (bx, Y, Z)))
+    yz_aux_keys: List[Tuple[str, Tuple[int, ...]]] = []
+    for kind, store in (("fu", L.fu), ("eh", L.eh_store)):
+        for c, (ax, lor, hir) in store.items():
+            if ax == 0:
+                continue
+            for side, (a, b) in (("lo", lor), ("hi", hir)):
+                if b > a:
+                    shp = [bx, Y, Z]
+                    shp[ax] = b - a
+                    yz_aux_keys.append((L.key(kind, c, side), tuple(shp)))
+    for k, shp in yz_aux_keys:
+        pkg_names.append((f"aux1:{k}", shp))
+    for g in carry_keys:
+        pkg_names.append((f"c1:{g}", (1, Y, Z)))
+        pkg_names.append((f"c2:{g}", (1, Y, Z)))
+
+    if not first:
+        for name, shp in pkg_names:
+            in_entries.append(("pkg", name, pl.BlockSpec(
+                shp, lambda i: (0,) * len(shp), memory_space=pltpu.VMEM)))
+    if not last:
+        for name, shp in pkg_names:
+            out_entries.append(("pkgo", name, pl.BlockSpec(
+                shp, lambda i: (0,) * len(shp), memory_space=pltpu.VMEM)))
+
+    # scratch: previous block's post-step-1 package + x-compact aux + carries
+    scratch_entries: List[Tuple[str, Tuple[int, ...]]] = list(pkg_names)
+    for fullkey, key in x_here.items():
+        scratch_entries.append((f"xaux1:{key}", (bx, Y, Z)))
+
+    n_in = len(in_entries)
+    mask_info = {c: _plane_lists(plan, c)
+                 for c in [s.c for s in curls_b + curls_d]}
+
+    def sel(pred, a, b):
+        if pred is True:
+            return a
+        if pred is False:
+            return b
+        return jnp.where(pred, a, b)
+
+    # ---------------- kernel body -----------------------------------------
+    def kernel(*refs):
+        ins = refs[:n_in]
+        outs = refs[n_in:n_in + len(out_entries)]
+        scratch = refs[n_in + len(out_entries):]
+        byname: Dict[Tuple[str, str], Any] = {}
+        for (tag, key, _), r in zip(in_entries, ins):
+            byname[(tag, key)] = r
+        outname: Dict[Tuple[str, str], Any] = {}
+        for (tag, key, _), r in zip(out_entries, outs):
+            outname[(tag, key)] = r
+        sc = {name: r for (name, _), r in zip(scratch_entries, scratch)}
+
+        i = pl.program_id(0)
+        ok2 = (i >= 1) if first else True
+        xsel1 = False if s1_xn == 0 else (i < s1_xn)
+        if s2_x0 is None:
+            xsel2 = False
+        elif s2_x0 == "all":
+            xsel2 = True
+        else:
+            xsel2 = (i >= s2_x0)
+
+        if first:
+            @pl.when(i == 0)
+            def _():
+                for g in carry_keys:
+                    sc[f"c1:{g}"][...] = jnp.zeros((1, Y, Z), dtype)
+                    sc[f"c2:{g}"][...] = jnp.zeros((1, Y, Z), dtype)
+        else:
+            @pl.when(i == 0)
+            def _():
+                for name, _shp in pkg_names:
+                    sc[name][...] = byname[("pkg", name)][...]
+
+        # snapshot the previous block's package BEFORE step-1 overwrites it
+        prev = {name: sc[name][...] for name, _shp in pkg_names}
+        for _fk, key in x_here.items():
+            prev[f"xaux1:{key}"] = sc[f"xaux1:{key}"][...]
+
+        def coef1(k):
+            return byname[("coef1" if xblocked[k] else "coef", k)][...]
+
+        def coef2(k):
+            return byname[("coef2" if xblocked[k] else "coef", k)][...]
+
+        def shift_yz(a, axis, by):
+            pad = [(0, 0)] * 3
+            slc = [slice(None)] * 3
+            if by > 0:
+                pad[axis] = (0, by)
+                slc[axis] = slice(by, None)
+            else:
+                pad[axis] = (-by, 0)
+                slc[axis] = slice(None, by)
+            return jnp.pad(a[tuple(slc)], pad)
+
+        def apply_mask(c, val, gx0):
+            xpl, ypl, zpl = mask_info[c]
+            if xpl:
+                xg = gx0 + jax.lax.broadcasted_iota(jnp.int32, (bx, 1, 1), 0)
+                alive = jnp.ones((bx, 1, 1), jnp.bool_)
+                for p in xpl:
+                    alive = alive & (xg != p)
+                val = jnp.where(alive, val, 0.0)
+            for axplanes, axis in ((ypl, 1), (zpl, 2)):
+                if axplanes:
+                    shp = [1, 1, 1]
+                    shp[axis] = val.shape[axis]
+                    ii = jax.lax.broadcasted_iota(jnp.int32, tuple(shp), axis)
+                    alive = jnp.ones(tuple(shp), jnp.bool_)
+                    for p in axplanes:
+                        alive = alive & (ii != p)
+                    val = jnp.where(alive, val, 0.0)
+            return val
+
+        def add_sources(new_f, jobs, xs_row, gx0):
+            for (kre, kim, dc, pts) in jobs:
+                if dc not in new_f:
+                    continue
+                w_re = byname[("xs", kre)][xs_row, 0]
+                w_im = byname[("xs", kim)][xs_row, 0]
+                add = None
+                for ((ix, iy, iz), a_re, a_im) in pts:
+                    amp = (w_re * a_re - w_im * a_im) * dt
+                    one = ((gx0 + jax.lax.broadcasted_iota(
+                        jnp.int32, (bx, 1, 1), 0) == ix)
+                        & (jax.lax.broadcasted_iota(
+                            jnp.int32, (1, Y, 1), 1) == iy)
+                        & (jax.lax.broadcasted_iota(
+                            jnp.int32, (1, 1, Z), 2) == iz))
+                    term = jnp.where(one, -amp, 0.0).astype(dtype)
+                    add = term if add is None else add + term
+                new_f[dc] = new_f[dc] + add
+            return new_f
+
+        def curl_half(curls, g_eff, x_nb, is_d, gx0, coefr, f_old_get,
+                      aux_get, aux_put, xsel, jobs, xs_row):
+            """One curl half-step.  aux_get/aux_put route fu slab reads and
+            writes (step-1 -> scratch, step-2 -> outputs)."""
+            sgn = 1.0 if is_d else -1.0
+            new_f: Dict[str, Any] = {}
+            for s in curls:
+                c = s.c
+                f_old = f_old_get(c)
+
+                def diff(gname, axis):
+                    garr = g_eff[gname]
+                    if axis == 0:
+                        if is_d:
+                            shifted = jnp.concatenate(
+                                [x_nb[gname], garr[:-1]], axis=0)
+                            return garr - shifted
+                        shifted = jnp.concatenate(
+                            [garr[1:], x_nb[gname]], axis=0)
+                        return shifted - garr
+                    if is_d:
+                        return garr - shift_yz(garr, axis, -1)
+                    return shift_yz(garr, axis, +1) - garr
+
+                total = None
+                if s.g_plus is not None:
+                    total = diff(s.g_plus, s.plus_axis)
+                if s.g_minus is not None:
+                    t2 = diff(s.g_minus, s.minus_axis)
+                    total = -t2 if total is None else total - t2
+                dfl = sgn * dtdx * total
+
+                def chain1(gval, dflv):
+                    if s.dsig_axis is None:
+                        return gval + dflv
+                    return ((coefr(f"{c}:kap") - coefr(f"{c}:sig")) * gval
+                            + dflv) * coefr(f"{c}:siginv")
+
+                if s.dsigu_axis is None:
+                    f_new = chain1(f_old, dfl)
+                elif s.dsigu_axis == 0:
+                    key = x_here.get(f"fu:{c}")
+                    plain = chain1(f_old, dfl)
+                    if key is None:
+                        f_new = plain
+                    else:
+                        ku = coefr(f"{c}:kapu")
+                        su = coefr(f"{c}:sigu")
+                        siu = coefr(f"{c}:siginvu")
+                        fu_old = aux_get(key, True)
+                        fu_new = chain1(fu_old, dfl)
+                        aux_put(key, True, fu_new, xsel)
+                        f_x = siu * ((ku - su) * f_old + fu_new - fu_old)
+                        f_new = sel(xsel, f_x, plain)
+                else:
+                    ax = s.dsigu_axis
+                    _, lor, hir = L.fu[c]
+                    a_lo, b_lo = lor
+                    a_hi, b_hi = hir
+                    pieces = []
+
+                    def chain2(fseg, dseg, key, side):
+                        ku = byname[("coefslab", f"{c}:kapu@{side}")][...]
+                        su = byname[("coefslab", f"{c}:sigu@{side}")][...]
+                        siu = byname[("coefslab",
+                                      f"{c}:siginvu@{side}")][...]
+                        fu_old = aux_get(key, False)
+                        fu_new = chain1(fu_old, dseg)
+                        aux_put(key, False, fu_new, True)
+                        return siu * ((ku - su) * fseg + fu_new - fu_old)
+
+                    if b_lo > a_lo:
+                        slq = _full_slice(ax, slice(a_lo, b_lo))
+                        pieces.append(chain2(f_old[slq], dfl[slq],
+                                             L.key("fu", c, "lo"), "lo"))
+                    mid = _full_slice(ax, slice(b_lo, a_hi))
+                    pieces.append(chain1(f_old[mid], dfl[mid]))
+                    if b_hi > a_hi:
+                        slq = _full_slice(ax, slice(a_hi, b_hi))
+                        pieces.append(chain2(f_old[slq], dfl[slq],
+                                             L.key("fu", c, "hi"), "hi"))
+                    f_new = jnp.concatenate(pieces, axis=ax) \
+                        if len(pieces) > 1 else pieces[0]
+                new_f[c] = apply_mask(c, f_new, gx0)
+            return add_sources(new_f, jobs, xs_row, gx0)
+
+        def eh_full(ehs, new_f, lin_old_get, aux_get, aux_put, coefr,
+                    u_get, xsel):
+            """E/H from the W chains with full-block lin available; returns
+            the effective fields (stored slabs overlaid)."""
+            eff: Dict[str, Any] = {}
+            for s in ehs:
+                ec, dc_ = s.ec, s.dc
+                u = u_get(ec)
+                d_new = new_f[dc_]
+                lin_new = d_new * u if u is not None else d_new
+                if ec not in L.eh_store:
+                    eff[ec] = lin_new
+                    continue
+                ax, lor, hir = L.eh_store[ec]
+                d_old = lin_old_get(dc_)
+                lin_old = d_old * u if u is not None else d_old
+                if ax == 0:
+                    key = x_here.get(f"eh:{ec}")
+                    if key is None:
+                        eff[ec] = lin_new
+                        continue
+                    kw = coefr(f"{ec}:kapw")
+                    sw = coefr(f"{ec}:sigw")
+                    e_old = aux_get(key, True)
+                    e_new = e_old + (kw + sw) * lin_new - (kw - sw) * lin_old
+                    aux_put(key, True, e_new, xsel)
+                    eff[ec] = sel(xsel, e_new, lin_new)
+                    continue
+                a_lo, b_lo = lor
+                a_hi, b_hi = hir
+                pieces = []
+
+                def wseg(key, sl, side):
+                    kw = byname[("coefslab", f"{ec}:kapw@{side}")][...]
+                    sw = byname[("coefslab", f"{ec}:sigw@{side}")][...]
+                    slq = _full_slice(ax, sl)
+                    e_old = aux_get(key, False)
+                    e_new = e_old + (kw + sw) * lin_new[slq] \
+                        - (kw - sw) * lin_old[slq]
+                    aux_put(key, False, e_new, True)
+                    return e_new
+
+                if b_lo > a_lo:
+                    pieces.append(wseg(L.key("eh", ec, "lo"),
+                                       slice(a_lo, b_lo), "lo"))
+                pieces.append(lin_new[_full_slice(ax, slice(b_lo, a_hi))])
+                if b_hi > a_hi:
+                    pieces.append(wseg(L.key("eh", ec, "hi"),
+                                       slice(a_hi, b_hi), "hi"))
+                eff[ec] = jnp.concatenate(pieces, axis=ax) \
+                    if len(pieces) > 1 else pieces[0]
+            return eff
+
+        # ================= STEP 1 on block s1map(i) =======================
+        gx1 = s1map(i) * bx
+
+        def aux_get1(key, is_x):
+            return byname[("state", key)][...]
+
+        def aux_put1(key, is_x, val, pred):
+            sc[("xaux1:" if is_x else "aux1:") + key][...] = val
+
+        def f_old1(c):
+            return byname[("state", c)][...]
+
+        def u1(ec):
+            spec = L.eh_by_ec[ec]
+            return coef1(f"{ec}:u") if spec.has_u else None
+
+        e_eff_old = {}
+        for s in ehs_e:
+            d_old = byname[("state", s.dc)][...]
+            u = u1(s.ec)
+            lin = d_old * u if u is not None else d_old
+            if s.ec not in L.eh_store:
+                e_eff_old[s.ec] = lin
+                continue
+            ax, lor, hir = L.eh_store[s.ec]
+            if ax == 0:
+                key = x_here.get(f"eh:{s.ec}")
+                e_eff_old[s.ec] = lin if key is None else \
+                    sel(xsel1, byname[("state", key)][...], lin)
+                continue
+            a_lo, b_lo = lor
+            a_hi, b_hi = hir
+            pieces = []
+            if b_lo > a_lo:
+                pieces.append(byname[("state", L.key("eh", s.ec, "lo"))][...])
+            pieces.append(lin[_full_slice(ax, slice(b_lo, a_hi))])
+            if b_hi > a_hi:
+                pieces.append(byname[("state", L.key("eh", s.ec, "hi"))][...])
+            e_eff_old[s.ec] = jnp.concatenate(pieces, axis=ax) \
+                if len(pieces) > 1 else pieces[0]
+
+        halo_pl = {g: byname[("halo", g)][...] for g in halo_keys}
+        new_b1 = curl_half(curls_b, e_eff_old, halo_pl, False, gx1, coef1,
+                           f_old1, aux_get1, aux_put1, xsel1, src_jobs1, 0)
+        h1_eff = eh_full(ehs_h, new_b1, f_old1, aux_get1, aux_put1, coef1,
+                         lambda ec: None, xsel1)
+        c1_prev = {g: sc[f"c1:{g}"][...] for g in carry_keys}
+        for g in carry_keys:
+            sc[f"c1:{g}"][...] = h1_eff[g][bx - 1:bx]
+        new_d1 = curl_half(curls_d, h1_eff, c1_prev, True, gx1, coef1,
+                           f_old1, aux_get1, aux_put1, xsel1, src_jobs1, 0)
+        e1_eff = eh_full(ehs_e, new_d1, f_old1, aux_get1, aux_put1, coef1,
+                         u1, xsel1)
+        for s in curls_d:
+            sc[f"d1:{s.c}"][...] = new_d1[s.c]
+        for s in curls_b:
+            sc[f"b1:{s.c}"][...] = new_b1[s.c]
+        for s in ehs_e:
+            sc[f"e1:{s.ec}"][...] = e1_eff[s.ec]
+
+        # ================= STEP 2 on block s2map(i) =======================
+        gx2 = s2map(i) * bx
+        zero_pl = jnp.zeros((1, Y, Z), dtype)
+        e1_first = {ec: (e1_eff[ec][0:1] if not last
+                         else sel(i < n1, e1_eff[ec][0:1], zero_pl))
+                    for ec in e1_eff}
+
+        def aux_get2(key, is_x):
+            return prev[("xaux1:" if is_x else "aux1:") + key]
+
+        def aux_put2(key, is_x, val, pred):
+            if pred is False:
+                return
+            if pred is True:
+                p = ok2
+            elif ok2 is True:
+                p = pred
+            else:
+                p = pred & ok2
+            if p is True:
+                outname[("state", key)][...] = val
+            else:
+                @pl.when(p)
+                def _(key=key, val=val):
+                    outname[("state", key)][...] = val
+
+        def f_old2_d(c):
+            return prev[f"d1:{c}"]
+
+        def f_old2_b(c):
+            return prev[f"b1:{c}"]
+
+        e1p_eff = {s.ec: prev[f"e1:{s.ec}"] for s in ehs_e}
+        new_b2 = curl_half(curls_b, e1p_eff, e1_first, False, gx2, coef2,
+                           f_old2_b, aux_get2, aux_put2, xsel2, src_jobs2, 1)
+        h2_eff = eh_full(ehs_h, new_b2, f_old2_b, aux_get2, aux_put2, coef2,
+                         lambda ec: None, xsel2)
+        c2_prev = {g: prev[f"c2:{g}"] for g in carry_keys}
+        for g in carry_keys:
+            v = h2_eff[g][bx - 1:bx]
+            if first:
+                v = sel(i == 0, zero_pl, v)
+            sc[f"c2:{g}"][...] = v
+        new_d2 = curl_half(curls_d, h2_eff, c2_prev, True, gx2, coef2,
+                           f_old2_d, aux_get2, aux_put2, xsel2, src_jobs2, 1)
+
+        # stored-E slabs at step-2: lin = u_slab * D, u from slab pieces
+        for s in ehs_e:
+            if s.ec not in L.eh_store:
+                continue
+            ax, lor, hir = L.eh_store[s.ec]
+            d2 = new_d2[s.dc]
+            d1 = prev[f"d1:{s.dc}"]
+            if ax == 0:
+                key = x_here.get(f"eh:{s.ec}")
+                if key is None:
+                    continue
+                useg = byname[("uslab", f"{s.ec}:u@x{edge_side}")][...] \
+                    if s.has_u else None
+                lin2 = d2 * useg if useg is not None else d2
+                lin1 = d1 * useg if useg is not None else d1
+                kw = coef2(f"{s.ec}:kapw")
+                sw = coef2(f"{s.ec}:sigw")
+                e_new = prev[f"xaux1:{key}"] + (kw + sw) * lin2 \
+                    - (kw - sw) * lin1
+                aux_put2(key, True, e_new, xsel2)
+                continue
+            for side, (a, b) in (("lo", lor), ("hi", hir)):
+                if b <= a:
+                    continue
+                key = L.key("eh", s.ec, side)
+                slq = _full_slice(ax, slice(a, b))
+                useg = byname[("uslab", f"{s.ec}:u@{side}")][...] \
+                    if s.has_u else None
+                l2 = d2[slq] * useg if useg is not None else d2[slq]
+                l1 = d1[slq] * useg if useg is not None else d1[slq]
+                kw = byname[("coefslab", f"{s.ec}:kapw@{side}")][...]
+                sw = byname[("coefslab", f"{s.ec}:sigw@{side}")][...]
+                e_new = prev[f"aux1:{key}"] + (kw + sw) * l2 - (kw - sw) * l1
+                aux_put2(key, False, e_new, True)
+
+        for c, v in {**new_b2, **new_d2}.items():
+            if ok2 is True:
+                outname[("state", c)][...] = v
+            else:
+                @pl.when(ok2)
+                def _(c=c, v=v):
+                    outname[("state", c)][...] = v
+
+        if not last:
+            @pl.when(i == grid - 1)
+            def _():
+                for name, _shp in pkg_names:
+                    outname[("pkgo", name)][...] = sc[name][...]
+
+    # ---------------- wrapper ----------------------------------------------
+    in_specs = [spec for (_, _, spec) in in_entries]
+    out_specs = [spec for (_, _, spec) in out_entries]
+    pkg_shapes = dict(pkg_names)
+
+    def run_call(state, halos, pkg_in, C, xscal):
+        args = []
+        for (tag, key, _) in in_entries:
+            if tag == "state":
+                args.append(state[key])
+            elif tag == "halo":
+                args.append(halos[key])
+            elif tag in ("coef", "coef1", "coef2"):
+                args.append(C[key])
+            elif tag == "coefslab":
+                ckey, sl = coefslab_slices[key]
+                args.append(C[ckey][sl])
+            elif tag == "uslab":
+                ckey, sl = uslab_slices[key]
+                args.append(C[ckey][sl])
+            elif tag == "pkg":
+                args.append(pkg_in[key])
+            else:                                   # xs
+                args.append(xscal[key])
+        out_shapes = []
+        for (tag, key, _) in out_entries:
+            if tag == "pkgo":
+                out_shapes.append(jax.ShapeDtypeStruct(pkg_shapes[key],
+                                                       dtype))
+            else:
+                out_shapes.append(jax.ShapeDtypeStruct(
+                    tuple(state[key].shape), state[key].dtype))
+        outs = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            input_output_aliases=aliases,
+            scratch_shapes=[pltpu.VMEM(shp, dtype)
+                            for (_n, shp) in scratch_entries],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=120 * 1024 * 1024),
+            interpret=bool(int(os.environ.get("MNT_PALLAS_INTERPRET", "0"))),
+        )(*args)
+        new_state = dict(state)
+        pkg_out = {}
+        for (tag, key, _), v in zip(out_entries, outs):
+            if tag == "pkgo":
+                pkg_out[key] = v
+            else:
+                new_state[key] = v
+        return new_state, pkg_out
+
+    run_call.halo_keys = halo_keys
+    run_call.xs_keys = xs_keys
+    run_call.pkg_names = pkg_names
+    return run_call
+
+
+# ---------------------------------------------------------------------------
+# public driver
+# ---------------------------------------------------------------------------
+
+
+class Fdtd3dT2Kernel:
+    """Two-step fused driver; compact state layout identical to
+    Fdtd3dKernel (fdtd3d.py), so conversion helpers are shared."""
+
+    def __init__(self, plan, bx: int = None):
+        bx = _pick_bx(plan, bx)
+        if not supported(plan, bx):
+            raise ValueError("plan outside the fdtd3d_t2 kernel envelope")
+        self.plan = plan
+        self.bx = bx
+        self.L = _Layout(plan, bx)
+        L = self.L
+        lo, hi0, nblk = L.lo_blocks, L.hi_block0, L.nblk
+        segs = []                   # (b0, b1, side, s1_xn, s2_x0)
+        if lo > 0:
+            segs.append((0, lo + 1, "lo", lo, "all"))
+        mid0 = lo + 1 if lo > 0 else 0
+        if mid0 < hi0:
+            segs.append((mid0, hi0, "", 0, None))
+        if hi0 < nblk:
+            segs.append((hi0, nblk, "hi", nblk - hi0, 1))
+        calls = []
+        for k, (b0, b1, side, s1_xn, s2_x0) in enumerate(segs):
+            calls.append(_build_call2(L, b0, b1, side, k == 0,
+                                      k == len(segs) - 1, s1_xn, s2_x0))
+        self.calls = calls
+        self.halo_keys = sorted({g for c in calls for g in c.halo_keys})
+        self.xs_keys = sorted({k for c in calls for k in c.xs_keys})
+        # 1-step companion: state init/conversion + odd-step residue
+        self._k1 = F1.Fdtd3dKernel(plan, bx)
+
+    def init_state(self):
+        return self.L.init_state(self.plan.dtype)
+
+    def make_fused_step(self):
+        """(state, x_pair, C) -> state advanced TWO steps; x_pair leaves
+        carry a leading dim of 2 (the two steps' source scalars)."""
+        def step2(state, x_pair, C):
+            halos = compute_halos(self.L, self.bx, self.halo_keys, state, C)
+            xscal = {k: jnp.asarray(x_pair[k],
+                                    self.plan.dtype).reshape(2, 1)
+                     for k in self.xs_keys}
+            pkg: Dict[str, Any] = {}
+            for call in self.calls:
+                state, pkg = call(state, halos, pkg, C, xscal)
+            return {**state, "t": state["t"] + 2}
+
+        return step2
+
+    def run(self, state, nsteps: int, t0: int = 0, unroll: int = 2):
+        from ...stepper.step import build_xs
+        npair = nsteps // 2
+        rem = nsteps - 2 * npair
+        step2 = self.make_fused_step()
+        if npair:
+            xs_all = build_xs(self.plan, 2 * npair, t0)
+            xs = {k: np.asarray(v).reshape((npair, 2) + v.shape[1:])
+                  for k, v in xs_all.items() if k in self.xs_keys}
+
+            def runner(state, xs, C):
+                def body(carry, x):
+                    return step2(carry, x, C), None
+                state, _ = jax.lax.scan(
+                    body, state, xs, length=npair,
+                    unroll=unroll if npair % unroll == 0 else 1)
+                return state
+
+            state = jax.jit(runner)(state, xs, self.plan.coefs)
+        if rem:
+            state = self._k1.run(state, rem, t0=t0 + 2 * npair, unroll=1)
+        return state
+
+    def to_full(self, state, C=None):
+        return self._k1.to_full(state, C)
+
+    def from_full(self, full):
+        return self._k1.from_full(full)
+
+

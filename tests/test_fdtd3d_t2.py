@@ -1,0 +1,71 @@
+"""Exactness of the 2-step temporally-fused kernel (ops/pallas/fdtd3d_t2)
+vs the jnp stepper, across the supported envelope (interpret mode; the
+compiled path is exercised on the TPU by bench.py)."""
+
+import os
+
+os.environ["MNT_PALLAS_INTERPRET"] = "1"
+
+import numpy as np
+import pytest
+
+from meep_nl_tpu.stepper.step import init_state, run
+from meep_nl_tpu.ops.pallas import fdtd3d_t2
+
+from test_fdtd3d_kernel import _plan
+
+
+def _compare(plan, nsteps=20, bx=8, atol=2e-6):
+    assert fdtd3d_t2.supported(plan, bx), "plan must be inside the envelope"
+    ker = fdtd3d_t2.Fdtd3dT2Kernel(plan, bx)
+    st_k = ker.run(ker.init_state(), nsteps)
+    full_k = ker.to_full(st_k)
+    st_j = run(plan, init_state(plan), nsteps)
+    scale = max(float(np.max(np.abs(np.asarray(v))))
+                for v in st_j["f"].values())
+    assert scale > 0
+    for c in st_j["f"]:
+        np.testing.assert_allclose(np.asarray(full_k["f"][c]),
+                                   np.asarray(st_j["f"][c]),
+                                   atol=atol * scale, err_msg=f"f[{c}]")
+    for c in st_j["f_u"]:
+        np.testing.assert_allclose(np.asarray(full_k["f_u"][c]),
+                                   np.asarray(st_j["f_u"][c]),
+                                   atol=atol * scale, err_msg=f"f_u[{c}]")
+    for c in st_j["f_w"]:
+        np.testing.assert_allclose(np.asarray(full_k["f_w"][c]),
+                                   np.asarray(st_j["f_w"][c]),
+                                   atol=atol * scale, err_msg=f"f_w[{c}]")
+    assert int(full_k["t"]) == int(st_j["t"])
+
+
+def test_vacuum_upml_all_axes():
+    """Full 3-call pipeline: lo-edge (+1 interior block), mid, hi-edge."""
+    _compare(_plan("xyz"))
+
+
+def test_vacuum_upml_yz_only():
+    """Single first+last call with the extra step-2 iteration."""
+    _compare(_plan("yz"))
+
+
+def test_vacuum_upml_x_only():
+    _compare(_plan("x"))
+
+
+def test_vacuum_no_pml():
+    _compare(_plan(""))
+
+
+def test_eps_slab_upml():
+    """Inhomogeneous chi1inv: step-2 reads u only on the stored-E slabs."""
+    _compare(_plan("xyz", with_eps=True))
+
+
+def test_odd_steps_residue():
+    """Odd step counts finish with one 1-step-kernel residue step."""
+    _compare(_plan("xyz"), nsteps=21)
+
+
+def test_longer_run_stability():
+    _compare(_plan("xyz"), nsteps=60, atol=5e-6)
