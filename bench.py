@@ -57,30 +57,40 @@ def run_one():
     if os.environ.get("BENCH_SLAB"):
         plan.slab_store = True
 
-    # fused Pallas kernel (ops/pallas/fdtd3d.py): the production path for
-    # this envelope; BENCH_JNP=1 measures the jnp stepper instead
-    from meep_nl_tpu.ops.pallas import fdtd3d
-    use_fdtd3d = (not os.environ.get("BENCH_JNP")
-                  and not os.environ.get("BENCH_PALLAS")
-                  and not os.environ.get("BENCH_SLAB")
-                  and fdtd3d.supported(plan))
-    if use_fdtd3d:
-        bx_env = os.environ.get("BENCH_BX")
-        ker = fdtd3d.Fdtd3dKernel(plan, bx=int(bx_env) if bx_env else None)
+    # fused Pallas kernels: the 2-step temporally-fused kernel
+    # (ops/pallas/fdtd3d_t2.py) is the production path for this envelope
+    # (half the HBM bytes/cell/step); BENCH_T1=1 forces the 1-step kernel,
+    # BENCH_JNP=1 the jnp stepper
+    from meep_nl_tpu.ops.pallas import fdtd3d, fdtd3d_t2
+    bx_env = os.environ.get("BENCH_BX")
+    bxv = int(bx_env) if bx_env else None
+    plain = (not os.environ.get("BENCH_JNP")
+             and not os.environ.get("BENCH_PALLAS")
+             and not os.environ.get("BENCH_SLAB"))
+    use_t2 = (plain and not os.environ.get("BENCH_T1") and steps % 2 == 0
+              and fdtd3d_t2.supported(plan, bxv))
+    use_fdtd3d = plain and not use_t2 and fdtd3d.supported(plan, bxv)
+    pair = 1
+    if use_t2:
+        ker = fdtd3d_t2.Fdtd3dT2Kernel(plan, bx=bxv)
+        step0 = ker.make_fused_step()
+        pair = 2
+        unroll = 2
+    elif use_fdtd3d:
+        ker = fdtd3d.Fdtd3dKernel(plan, bx=bxv)
         step0 = ker.make_step()
-
-        def step(state, x, C):
-            return step0(state, x, C)
+        unroll = 4
     else:
         ker = None
-        step = make_step(plan)
+        step0 = make_step(plan)
+        # unroll=4 measured +7% on the TPU (1.05 -> 1.12 GCells/s at
+        # 128^3): better HBM pipelining across step boundaries
+        unroll = 4
 
     def run_block(state, xs, C):
         def body(carry, x):
-            return step(carry, x, C), None
-        # unroll=4 measured +7% on the TPU (1.05 -> 1.12 GCells/s at 128^3):
-        # better HBM pipelining across step boundaries
-        state, _ = jax.lax.scan(body, state, xs, unroll=4)
+            return step0(carry, x, C), None
+        state, _ = jax.lax.scan(body, state, xs, unroll=unroll)
         return state
 
     state = ker.init_state() if ker is not None else init_state(plan)
@@ -89,6 +99,11 @@ def run_one():
     if ker is not None:
         xs = {k: v for k, v in xs.items() if k in ker.xs_keys}
         xs2 = {k: v for k, v in xs2.items() if k in ker.xs_keys}
+    if pair == 2:
+        xs = {k: np.asarray(v).reshape((steps // 2, 2) + v.shape[1:])
+              for k, v in xs.items()}
+        xs2 = {k: np.asarray(v).reshape((steps // 2, 2) + v.shape[1:])
+               for k, v in xs2.items()}
     C = plan.coefs
 
     def fence(state):
@@ -127,7 +142,8 @@ def run_one():
         "vs_baseline": round(gcells / baseline, 3),
         "grid": [cx, cy, cz],
         "steps": steps,
-        "kernel": "fdtd3d" if ker is not None else "jnp",
+        "kernel": ("fdtd3d_t2" if pair == 2 else
+                   "fdtd3d" if ker is not None else "jnp"),
     }))
 
 
