@@ -226,7 +226,8 @@ def casimir_force_contrib(sim_factory: Callable, force_dir: str, center,
                           T: float, sigma: float = 0.0,
                           kz_invariant: bool = True,
                           vacuum_ref: bool = True,
-                          t_cut: float = 0.0) -> float:
+                          t_cut: float = 0.0,
+                          ref_factory: Optional[Callable] = None) -> float:
     """One (side, source component, cosine harmonic) contribution to the
     Casimir force: inject a delta pulse of `source_comp` with the m-th
     cosine amplitude pattern over the side, record the DCT-weighted stress
@@ -252,9 +253,18 @@ def casimir_force_contrib(sim_factory: Callable, force_dir: str, center,
     meas_comp = ft + dmeas
 
     def one_run(strip_geometry):
-        sim = sim_factory()
-        if strip_geometry:
-            sim.geometry = []
+        if strip_geometry and ref_factory is not None:
+            # reference-style vacuum subtraction (Casimir_Forces.md
+            # "Vacuum Subtraction"): the reference configuration keeps the
+            # ENCLOSED body (removing only the others), so the body's own
+            # finite-resolution self-force artifact — which does NOT vanish
+            # for staircased surfaces — cancels in the difference, not just
+            # the bulk vacuum term
+            sim = ref_factory()
+        else:
+            sim = sim_factory()
+            if strip_geometry:
+                sim.geometry = []
         _set_global_sigma(sim, sigma, ft)
         dt = sim.dt
         # m-th cosine source pattern over the side, delta pulse in time
@@ -306,7 +316,8 @@ def casimir_force_2d(sim_factory: Callable, force_dir: str,
                      sigma: float = 0.0, n_max: int = 6,
                      kz_invariant: bool = True,
                      source_comps: Optional[Sequence[str]] = None,
-                     vacuum_ref: bool = True, t_cut: float = 0.0) -> float:
+                     vacuum_ref: bool = True, t_cut: float = 0.0,
+                     ref_factory: Optional[Callable] = None) -> float:
     """Casimir force along `force_dir` on a body enclosed by `sides` in a
     2D simulation; per unit length in the invariant z direction when
     `kz_invariant` (the kz-integral collapses onto the kz=0 runs with the
@@ -324,7 +335,8 @@ def casimir_force_2d(sim_factory: Callable, force_dir: str,
             for m in range(n_max):
                 total += casimir_force_contrib(
                     sim_factory, force_dir, center, size, outward, sc, m,
-                    T, sigma, kz_invariant, vacuum_ref, t_cut)
+                    T, sigma, kz_invariant, vacuum_ref, t_cut,
+                    ref_factory=ref_factory)
     return total
 
 

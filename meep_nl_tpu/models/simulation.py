@@ -169,6 +169,7 @@ class Simulation:
                  m: float = 0,
                  bfast_scaled_k=None,
                  use_pallas: bool = False,
+                 use_fused: bool = False,
                  slab_store: bool = False,
                  epsilon_input_file: str = None,
                  symmetries: Sequence = (),
@@ -189,6 +190,7 @@ class Simulation:
         self.m = m
         self.bfast_scaled_k = bfast_scaled_k
         self.use_pallas = use_pallas
+        self.use_fused = use_fused
         self.slab_store = slab_store
         self.epsilon_input_file = epsilon_input_file
         self.dtype = dtype
@@ -1413,6 +1415,16 @@ class Simulation:
             for k in series:
                 series[k].append(np.asarray(ys[k]))
         else:
+            if self.use_fused:
+                # hybrid production path: fused Mosaic kernel between DFT
+                # sample steps, one jnp step on each sample step (exact:
+                # build_xs zeroes the phase rows off-sample)
+                from ..ops.pallas.hybrid import hybrid_run
+                out = hybrid_run(self._plan, self._state, nsteps, self._t)
+                if out is not None:
+                    self._state = out
+                    self._t += nsteps
+                    return
             self._state = S.run(self._plan, self._state, nsteps, t0=self._t)
         self._t += nsteps
 

@@ -1,0 +1,154 @@
+"""Hybrid production run path: fused Mosaic kernel stretches between DFT
+sample steps, one jnp step ON each sample step.
+
+`build_xs` zeroes every monitor's phase rows on non-sample steps (the
+automatic Nyquist decimation, dft.cpp:195-216), so skipping the jnp
+DFT/monitor machinery on those steps is EXACT: the run is split into
+uniform cycles of `d` steps — (d-1) steps through the 2-step temporally
+fused kernel (fdtd3d_t2) on the compact D/B state, then one jnp step
+(which performs the DTFT accumulation, centered-grid averaging, source
+injection, etc.) landing exactly on the sample step.  Compact<->full
+state conversions ride inside the same jit'd scan.
+
+Speedup over the pure jnp path grows with the decimation interval
+(~2x at d=4 on the v5e bench chip); falls back to the jnp path whenever
+the plan is outside the kernel envelope or the sample steps are not
+uniformly spaced.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _sample_steps(plan, xs, nsteps: int) -> np.ndarray:
+    """Steps whose xs rows carry a nonzero DFT phase (host-side)."""
+    active = np.zeros(nsteps, bool)
+    for mi, _m in enumerate(plan.dfts):
+        kre, kim = f"dft{mi}:ph_re", f"dft{mi}:ph_im"
+        if kre not in xs:
+            continue
+        mag = (np.abs(np.asarray(xs[kre])).sum(axis=tuple(
+            range(1, np.asarray(xs[kre]).ndim)))
+            + np.abs(np.asarray(xs[kim])).sum(axis=tuple(
+                range(1, np.asarray(xs[kim]).ndim))))
+        active |= mag > 0
+    return active
+
+
+def _get_kernel(plan):
+    ker = getattr(plan, "_t2_kernel", None)
+    if ker is None:
+        from .fdtd3d_t2 import Fdtd3dT2Kernel
+        ker = Fdtd3dT2Kernel(plan)
+        plan._t2_kernel = ker
+    return ker
+
+
+def hybrid_applicable(plan) -> bool:
+    from . import fdtd3d_t2
+    return fdtd3d_t2.supported(plan)
+
+
+def hybrid_run(plan, state: Dict[str, Any], nsteps: int, t0: int
+               ) -> Optional[Dict[str, Any]]:
+    """Advance the FULL jnp state by nsteps via the hybrid path.
+    Returns None when the cycle structure doesn't apply (caller falls
+    back to the jnp path)."""
+    from ...stepper.step import build_xs, make_step
+
+    if not hybrid_applicable(plan) or nsteps < 4:
+        return None
+    # the kernel's compact<->full conversions produce slab-semantic aux
+    # state (f_u/f_w zero outside the true-sigma ranges); the jnp steps in
+    # the cycle must use the slab-local path, which never reads outside
+    # those ranges (equivalence: test_slab_opt)
+    plan.slab_opt = True
+    xs_all = build_xs(plan, nsteps, t0)
+    active = _sample_steps(plan, xs_all, nsteps)
+    idx = np.nonzero(active)[0]
+    ker = _get_kernel(plan)
+    C = plan.coefs
+
+    if len(idx) == 0:
+        # no sampling at all in this stretch: fully fused
+        comp = ker.from_full(state)
+        comp = ker.run(comp, nsteps, t0=t0)
+        full = ker.to_full(comp, C)
+        return {**state, **{k: full[k] for k in ("f", "f_u", "f_w")},
+                "t": full["t"]}
+
+    gaps = np.diff(idx)
+    if len(gaps) and len(set(gaps.tolist())) != 1:
+        return None
+    d = int(gaps[0]) if len(gaps) else nsteps - int(idx[0])
+    if d < 3:
+        return None                      # no room for a fused stretch
+    a0 = int(idx[0])
+    prefix = a0 + 1 - d if a0 + 1 >= d else a0 + 1
+    ncyc = (nsteps - prefix) // d
+    suffix = nsteps - prefix - ncyc * d
+    if ncyc < 1:
+        return None
+
+    jstep = make_step(plan)
+    step2 = ker.make_fused_step()
+    step1 = ker._k1.make_step()
+    npair = (d - 1) // 2
+    rem = (d - 1) % 2
+
+    from ...stepper.step import run as jnp_run
+    t = t0
+    if prefix:
+        state = jnp_run(plan, state, prefix, t0=t)
+        t += prefix
+
+    xs_cyc_full = build_xs(plan, ncyc * d, t)
+    xs_cyc = {k: np.asarray(v).reshape((ncyc, d) + np.asarray(v).shape[1:])
+              for k, v in xs_cyc_full.items()}
+    kxs = set(ker.xs_keys) | set(ker._k1.xs_keys)
+
+    def runner(full_state, xs, C):
+        comp0 = ker.from_full(full_state)
+        aux = {k: v for k, v in full_state.items()
+               if k not in ("f", "f_u", "f_w", "f_cond", "t")}
+
+        def body(carry, xc):
+            comp, dft = carry
+            for j in range(npair):
+                xp = {k: xc[k][2 * j:2 * j + 2] for k in xc if k in kxs}
+                comp = step2(comp, xp, C)
+            if rem:
+                x1 = {k: xc[k][d - 2] for k in xc if k in kxs}
+                comp = step1(comp, x1, C)
+            full = ker.to_full(comp, C)
+            full["dft"] = dft
+            for k, v in aux.items():
+                if k not in full:
+                    full[k] = v
+            x_last = {k: xc[k][d - 1] for k in xc}
+            full = jstep(full, x_last, C)
+            dft = full["dft"]
+            comp = ker.from_full(full)
+            return (comp, dft), None
+
+        (comp, dft), _ = jax.lax.scan(body, (comp0, full_state["dft"]),
+                                      xs, length=ncyc)
+        full = ker.to_full(comp, C)
+        full["dft"] = dft
+        for k, v in aux.items():
+            if k not in full:
+                full[k] = v
+        return full
+
+    out = jax.jit(runner)(state, xs_cyc, C)
+    state = {**state, **{k: out[k] for k in ("f", "f_u", "f_w", "dft")},
+             "t": out["t"]}
+    t += ncyc * d
+    if suffix:
+        state = jnp_run(plan, state, suffix, t0=t)
+    return state

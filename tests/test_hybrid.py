@@ -1,0 +1,59 @@
+"""Hybrid production run path (ops/pallas/hybrid.py): fused-kernel
+stretches between DFT sample steps must reproduce the pure-jnp path —
+fields to fp32 roundoff and DTFT flux to the same tolerance."""
+
+import os
+
+os.environ["MNT_PALLAS_INTERPRET"] = "1"
+
+import numpy as np
+import pytest
+
+import meep_nl_tpu as mp
+
+
+def _sim(use_fused):
+    fcen = 1.0
+    sim = mp.Simulation(
+        cell_size=mp.Vector3(4.0, 2.0, 2.0), resolution=8,
+        sources=[mp.Source(mp.GaussianSource(frequency=fcen, fwidth=0.4),
+                           component=mp.Ez, center=mp.Vector3(-1.2, 0, 0))],
+        boundary_layers=[mp.PML(0.5)],
+        use_fused=use_fused)
+    flux = sim.add_flux(fcen, 0.2, 3,
+                        mp.FluxRegion(center=mp.Vector3(1.2, 0, 0),
+                                      size=mp.Vector3(0, 1.0, 1.0)))
+    return sim, flux
+
+
+def test_hybrid_matches_jnp_path():
+    sim_j, flux_j = _sim(False)
+    sim_j.run(until=6.0)
+    sim_h, flux_h = _sim(True)
+    sim_h.run(until=6.0)
+
+    ez_j = sim_j.get_array(mp.Ez)
+    ez_h = sim_h.get_array(mp.Ez)
+    scale = np.abs(ez_j).max()
+    assert scale > 0
+    np.testing.assert_allclose(ez_h, ez_j, atol=5e-6 * scale)
+
+    fj = np.asarray(sim_j.get_fluxes(flux_j))
+    fh = np.asarray(sim_h.get_fluxes(flux_h))
+    np.testing.assert_allclose(fh, fj, rtol=1e-4,
+                               atol=1e-6 * np.abs(fj).max())
+
+
+def test_hybrid_no_monitors_fully_fused():
+    sim_j, _ = _sim(False)
+    sim_h, _ = _sim(True)
+    # drop the monitors: the whole stretch runs through the fused kernel
+    sim_j._handles.clear(); sim_j._dft_specs.clear()
+    sim_h._handles.clear(); sim_h._dft_specs.clear()
+    sim_j.run(until=4.0)
+    sim_h.run(until=4.0)
+    ez_j = sim_j.get_array(mp.Ez)
+    ez_h = sim_h.get_array(mp.Ez)
+    scale = np.abs(ez_j).max()
+    assert scale > 0
+    np.testing.assert_allclose(ez_h, ez_j, atol=5e-6 * scale)
