@@ -1515,8 +1515,10 @@ class Simulation:
     def get_field_point(self, component, pt) -> complex:
         self.init_sim()
         pts = self.gv.interp_weights(component, _vec_to_axes(self.gv, pt))
-        arr = np.asarray(self._state["f"][component])
-        return sum(w * arr[idx] for idx, w in pts)
+        arr = self._state["f"][component]
+        # index on-device, transfer scalars only: the axon TPU tunnel
+        # supports scalar d2h reads but not full-array device_get
+        return sum(w * complex(arr[idx]) for idx, w in pts)
 
     @property
     def fields_state(self):

@@ -25,18 +25,14 @@ import jax
 import jax.numpy as jnp
 
 
-def _sample_steps(plan, xs, nsteps: int) -> np.ndarray:
-    """Steps whose xs rows carry a nonzero DFT phase (host-side)."""
+def _sample_steps(plan, t0: int, nsteps: int) -> np.ndarray:
+    """Steps whose xs rows carry a nonzero DFT phase.  Mirrors build_xs's
+    decimation rule ((step+1) % decimation == 0) in closed form — no
+    device reads (the axon tunnel only supports scalar d2h)."""
+    steps = t0 + np.arange(nsteps)
     active = np.zeros(nsteps, bool)
-    for mi, _m in enumerate(plan.dfts):
-        kre, kim = f"dft{mi}:ph_re", f"dft{mi}:ph_im"
-        if kre not in xs:
-            continue
-        mag = (np.abs(np.asarray(xs[kre])).sum(axis=tuple(
-            range(1, np.asarray(xs[kre]).ndim)))
-            + np.abs(np.asarray(xs[kim])).sum(axis=tuple(
-                range(1, np.asarray(xs[kim]).ndim))))
-        active |= mag > 0
+    for m in plan.dfts:
+        active |= ((steps + 1) % max(int(m.decimation), 1)) == 0
     return active
 
 
@@ -68,8 +64,7 @@ def hybrid_run(plan, state: Dict[str, Any], nsteps: int, t0: int
     # the cycle must use the slab-local path, which never reads outside
     # those ranges (equivalence: test_slab_opt)
     plan.slab_opt = True
-    xs_all = build_xs(plan, nsteps, t0)
-    active = _sample_steps(plan, xs_all, nsteps)
+    active = _sample_steps(plan, t0, nsteps)
     idx = np.nonzero(active)[0]
     ker = _get_kernel(plan)
     C = plan.coefs
@@ -95,9 +90,6 @@ def hybrid_run(plan, state: Dict[str, Any], nsteps: int, t0: int
     if ncyc < 1:
         return None
 
-    jstep = make_step(plan)
-    step2 = ker.make_fused_step()
-    step1 = ker._k1.make_step()
     npair = (d - 1) // 2
     rem = (d - 1) % 2
 
@@ -110,42 +102,52 @@ def hybrid_run(plan, state: Dict[str, Any], nsteps: int, t0: int
     xs_cyc_full = build_xs(plan, ncyc * d, t)
     xs_cyc = {k: np.asarray(v).reshape((ncyc, d) + np.asarray(v).shape[1:])
               for k, v in xs_cyc_full.items()}
-    kxs = set(ker.xs_keys) | set(ker._k1.xs_keys)
 
-    def runner(full_state, xs, C):
-        comp0 = ker.from_full(full_state)
-        aux = {k: v for k, v in full_state.items()
-               if k not in ("f", "f_u", "f_w", "f_cond", "t")}
+    cache = getattr(plan, "_hybrid_cache", None)
+    if cache is None:
+        cache = plan._hybrid_cache = {}
+    runner_c = cache.get((d, ncyc))
+    if runner_c is None:
+        jstep = make_step(plan)
+        step2 = ker.make_fused_step()
+        step1 = ker._k1.make_step()
+        kxs = set(ker.xs_keys) | set(ker._k1.xs_keys)
 
-        def body(carry, xc):
-            comp, dft = carry
-            for j in range(npair):
-                xp = {k: xc[k][2 * j:2 * j + 2] for k in xc if k in kxs}
-                comp = step2(comp, xp, C)
-            if rem:
-                x1 = {k: xc[k][d - 2] for k in xc if k in kxs}
-                comp = step1(comp, x1, C)
+        def runner(full_state, xs, C):
+            comp0 = ker.from_full(full_state)
+            aux = {k: v for k, v in full_state.items()
+                   if k not in ("f", "f_u", "f_w", "f_cond", "t")}
+
+            def body(carry, xc):
+                comp, dft = carry
+                for j in range(npair):
+                    xp = {k: xc[k][2 * j:2 * j + 2] for k in xc if k in kxs}
+                    comp = step2(comp, xp, C)
+                if rem:
+                    x1 = {k: xc[k][d - 2] for k in xc if k in kxs}
+                    comp = step1(comp, x1, C)
+                full = ker.to_full(comp, C)
+                full["dft"] = dft
+                for k, v in aux.items():
+                    if k not in full:
+                        full[k] = v
+                x_last = {k: xc[k][d - 1] for k in xc}
+                full = jstep(full, x_last, C)
+                dft = full["dft"]
+                comp = ker.from_full(full)
+                return (comp, dft), None
+
+            (comp, dft), _ = jax.lax.scan(body, (comp0, full_state["dft"]),
+                                          xs, length=ncyc)
             full = ker.to_full(comp, C)
             full["dft"] = dft
             for k, v in aux.items():
                 if k not in full:
                     full[k] = v
-            x_last = {k: xc[k][d - 1] for k in xc}
-            full = jstep(full, x_last, C)
-            dft = full["dft"]
-            comp = ker.from_full(full)
-            return (comp, dft), None
+            return full
 
-        (comp, dft), _ = jax.lax.scan(body, (comp0, full_state["dft"]),
-                                      xs, length=ncyc)
-        full = ker.to_full(comp, C)
-        full["dft"] = dft
-        for k, v in aux.items():
-            if k not in full:
-                full[k] = v
-        return full
-
-    out = jax.jit(runner)(state, xs_cyc, C)
+        runner_c = cache[(d, ncyc)] = jax.jit(runner)
+    out = runner_c(state, xs_cyc, C)
     state = {**state, **{k: out[k] for k in ("f", "f_u", "f_w", "dft")},
              "t": out["t"]}
     t += ncyc * d

@@ -1179,27 +1179,40 @@ def run(plan: Plan, state: Dict[str, Any], nsteps: int,
     of get_field time series feeding Harminv, bands.cpp/monitor.cpp); when
     given, returns (state, {name: (nsteps,) series}).
     """
-    step = make_step(plan)
     if t0 is None:
         t0 = int(state["t"])
     xs = build_xs(plan, nsteps, t0)
-    pidx = {p.name: jnp.asarray(p.indices, jnp.int32) for p in probes}
-    pw = {p.name: jnp.asarray(p.weights) for p in probes}
 
-    def runner(state, xs, C):
-        def body(carry, x):
-            ns = step(carry, x, C)
-            out = {p.name: jnp.sum(ns["f"][p.component][tuple(pidx[p.name].T)]
-                                   * pw[p.name])
-                   for p in probes}
-            return ns, out
-        # unroll=4: +7% on TPU (HBM pipelining across step boundaries)
-        state, ys = jax.lax.scan(body, state, xs, length=nsteps,
-                                 unroll=4 if nsteps % 4 == 0 else 1)
-        return state, ys
+    # cache the jitted runner per (nsteps, probes) on the plan: repeated
+    # block runs (at_every, stop-condition polling) reuse one executable
+    # instead of retracing a fresh closure — also required on the axon TPU
+    # tunnel, which fails compiles issued after a device-to-host read
+    cache = getattr(plan, "_run_cache", None)
+    if cache is None:
+        cache = plan._run_cache = {}
+    key = (nsteps, jit, tuple(p.name for p in probes))
+    runner = cache.get(key)
+    if runner is None:
+        step = make_step(plan)
+        pidx = {p.name: jnp.asarray(p.indices, jnp.int32) for p in probes}
+        pw = {p.name: jnp.asarray(p.weights) for p in probes}
 
-    if jit:
-        runner = jax.jit(runner)
+        def runner(state, xs, C):
+            def body(carry, x):
+                ns = step(carry, x, C)
+                out = {p.name: jnp.sum(
+                    ns["f"][p.component][tuple(pidx[p.name].T)]
+                    * pw[p.name])
+                    for p in probes}
+                return ns, out
+            # unroll=4: +7% on TPU (HBM pipelining across step boundaries)
+            state, ys = jax.lax.scan(body, state, xs, length=nsteps,
+                                     unroll=4 if nsteps % 4 == 0 else 1)
+            return state, ys
+
+        if jit:
+            runner = jax.jit(runner)
+        cache[key] = runner
     state, ys = runner(state, xs, plan.coefs)
     if probes:
         return state, ys

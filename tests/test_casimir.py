@@ -85,6 +85,63 @@ def test_parallel_plates_scaling():
     assert abs(ratio - 2.25) < 0.15, ratio
 
 
+@pytest.mark.slow
+def test_parallel_plates_2d_kz():
+    """Quantitative 2D gate: force per unit length between two finite
+    metal plates via the kz-invariant kernel with BODY-reference vacuum
+    subtraction (Casimir_Forces.md 'Vacuum Subtraction').  Checks
+    attraction, gap-side dominance, geometric harmonic convergence, and
+    magnitude against the proximity-force approximation
+    F/L = -pi^2 w / (240 a^4) (finite-width PFA overestimates by
+    ~10-20%; harmonic truncation at m<7 leaves ~20% more)."""
+    from meep_nl_tpu.analysis.casimir import casimir_force_contrib
+
+    res = 12
+    w, t, gap = 3.0, 0.5, 0.5
+    buf, dpml = 1.0, 0.75
+    cellv = mp.Vector3(w + 2 * (buf + dpml), gap + 2 * t + 2 * (buf + dpml))
+
+    def fac(both):
+        mat = mp.Medium(epsilon=1e6)
+        g = [mp.Block(center=mp.Vector3(0, +(gap + t) / 2),
+                      size=mp.Vector3(w, t, mp.inf), material=mat)]
+        if both:
+            g.append(mp.Block(center=mp.Vector3(0, -(gap + t) / 2),
+                              size=mp.Vector3(w, t, mp.inf), material=mat))
+        return lambda g=g: mp.Simulation(
+            cell_size=cellv, resolution=res, geometry=list(g),
+            boundary_layers=[mp.PML(dpml)], eps_averaging=False)
+
+    margin = 2.0 / res
+    yb = gap / 2 - margin
+    yt = gap / 2 + t + margin
+    hw = w / 2 + margin
+    bot = (mp.Vector3(0, yb), mp.Vector3(2 * hw, 0), -1)
+    top = (mp.Vector3(0, yt), mp.Vector3(2 * hw, 0), +1)
+    T = 10.0
+    comps = ("ex", "ey", "ez", "hx", "hy", "hz")
+
+    terms = []
+    for m in range(7):
+        cm = sum(casimir_force_contrib(fac(True), "y", *bot, sc, m, T,
+                                       kz_invariant=True,
+                                       ref_factory=fac(False))
+                 for sc in comps)
+        terms.append(cm)
+    F_bot = sum(terms)
+    # far side: self-force cancelled by the body reference -> tiny
+    F_top = sum(casimir_force_contrib(fac(True), "y", *top, sc, m, T,
+                                      kz_invariant=True,
+                                      ref_factory=fac(False))
+                for sc in comps for m in range(2))
+    pfa = -np.pi ** 2 * w / (240 * gap ** 4)
+    assert F_bot < 0, F_bot                              # attraction
+    assert abs(F_top) < 0.05 * abs(F_bot), (F_top, F_bot)
+    # geometric harmonic decay (smooth vacuum-subtracted correlation)
+    assert abs(terms[6]) < 0.55 * abs(terms[3]), terms
+    assert 0.5 < F_bot / pfa < 1.05, (F_bot, pfa)
+
+
 def test_force_contrib_2d_smoke():
     """2D Casimir machinery plumbing: a single (side, component, harmonic)
     contribution runs end-to-end (cosine source pattern, DCT-weighted
