@@ -13,6 +13,8 @@ from typing import Any, Callable, Dict, Sequence
 import numpy as np
 import jax.numpy as jnp
 
+from ..stepper.step import dft_view as _dv
+
 
 def fourier_fields(sim, dft_handle, component: str) -> Callable:
     """FourierFields (objective.py:308): the raw DTFT array of one
@@ -21,7 +23,7 @@ def fourier_fields(sim, dft_handle, component: str) -> Callable:
     key = f"{name}:{component}"
 
     def fn(dfts: Dict[str, Any]):
-        return dfts[key]
+        return _dv(dfts[key])
 
     return fn
 
@@ -87,8 +89,8 @@ def eigenmode_coefficient(sim, flux_handle, band: int = 1,
     w_n_j = jnp.asarray(w_n)
 
     def fn(dfts: Dict[str, Any]):
-        dE = dfts[key_e]          # (n_t, n_n, nf) or (n_n, n_t, nf)
-        dH = dfts[key_h]
+        dE = _dv(dfts[key_e])     # (n_t, n_n, nf) or (n_n, n_t, nf)
+        dH = _dv(dfts[key_h])
         dE_p = jnp.sum(dE, axis=norm_pos) / scale
         ez = (dE_p / w_t_j[:, None]) * w_t_mask[:, None]
         hy = jnp.tensordot(w_n_j, jnp.moveaxis(dH, norm_pos, 0), axes=1)
@@ -172,9 +174,9 @@ def _eigenmode_coefficient_3d(sim, flux_handle, band: int,
         return E, H
 
     def fn(dfts: Dict[str, Any]):
-        E_u, H_v = plane(dfts[f"{name}:0:e0"], dfts[f"{name}:0:h0"],
+        E_u, H_v = plane(_dv(dfts[f"{name}:0:e0"]), _dv(dfts[f"{name}:0:h0"]),
                          pair_meta[0])
-        E_v, H_u = plane(dfts[f"{name}:0:e1"], dfts[f"{name}:0:h1"],
+        E_v, H_u = plane(_dv(dfts[f"{name}:0:e1"]), _dv(dfts[f"{name}:0:h1"]),
                          pair_meta[1])
         c1 = jnp.sum(jnp.conj(eu) * H_v - jnp.conj(ev) * H_u,
                      axis=(0, 1)) * dA
@@ -224,7 +226,7 @@ def near2far_fields(sim, n2f_handle, far_pts) -> Callable:
     def fn(dfts: Dict[str, Any]):
         EH = 0.0
         for name, W in weights:
-            f0 = dfts[name].reshape(-1, nfreq)      # (npts, nfreq)
+            f0 = _dv(dfts[name]).reshape(-1, nfreq)  # (npts, nfreq)
             EH = EH + jnp.einsum("pcfs,sf->pcf", W, f0.astype(W.dtype))
         return EH
 
@@ -245,7 +247,7 @@ def ldos_objective(sim, ldos_handle=None) -> Callable:
     def fn(dfts: Dict[str, Any]):
         total = 0.0
         for k in keys:
-            d = dfts[k]
+            d = _dv(dfts[k])
             total = total + jnp.sum(jnp.real(d.reshape(-1, d.shape[-1])),
                                     axis=0)
         return total

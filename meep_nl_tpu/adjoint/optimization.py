@@ -103,7 +103,9 @@ class OptimizationProblem:
                 coefs = dr.apply(rho, coefs, self.plan)
             state = run_differentiable(self.plan, self.nsteps, coefs,
                                        block=self.block)
-            return self.objective(state["dft"])
+            from ..stepper.step import dft_view
+            return self.objective({k: dft_view(v)
+                                   for k, v in state["dft"].items()})
 
         self._J = jax.jit(J)
         self._vg = jax.jit(jax.value_and_grad(J, argnums=tuple(

@@ -157,7 +157,8 @@ def farfield(surfaces: Sequence[Near2FarSurface], state, freqs,
     nfreq = len(freqs)
     EH = np.zeros((6, nfreq), np.complex128)
     for surf in surfaces:
-        dft = np.asarray(state["dft"][surf.dft_name])
+        from ..stepper.step import dft_view
+        dft = np.asarray(dft_view(np.asarray(state["dft"][surf.dft_name])))
         flat = dft.reshape(-1, nfreq)
         for i, f in enumerate(freqs):
             EH[:, i] += green(x, f, eps, mu, surf.coords, surf.c0, flat[:, i])

@@ -44,9 +44,10 @@ def save_dft_hdf5(sim, handle, fname: str):
     import h5py
 
     with h5py.File(fname, "w") as f:
+        from ..stepper.step import dft_view
         for key, arr in sim.fields_state["dft"].items():
             if key.startswith(handle.name):
-                a = np.asarray(arr)
+                a = np.asarray(dft_view(np.asarray(arr)))
                 f.create_dataset(key + ".r", data=a.real)
                 f.create_dataset(key + ".i", data=a.imag)
 
@@ -60,6 +61,7 @@ def load_dft_hdf5(sim, handle, fname: str):
     with h5py.File(fname, "r") as f:
         for key in list(dft):
             if key.startswith(handle.name) and key + ".r" in f:
-                dft[key] = jnp.asarray(np.asarray(f[key + ".r"])
-                                       + 1j * np.asarray(f[key + ".i"]))
+                dft[key] = jnp.asarray(np.stack(
+                    [np.asarray(f[key + ".r"]), np.asarray(f[key + ".i"])],
+                    axis=-1).astype(np.asarray(dft[key]).dtype))
     sim._state = {**sim._state, "dft": dft}

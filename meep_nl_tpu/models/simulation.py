@@ -25,6 +25,11 @@ from ..stepper import monitors as M
 from ..stepper.plan import (DftSpec, MaterialSpec, PMLSpec, SrcVolSpec,
                             compile_plan)
 from ..stepper import step as S
+
+
+def _dview(arr) -> "np.ndarray":
+    """Host complex view of a real-pair DFT accumulator."""
+    return np.asarray(S.dft_view(np.asarray(arr)))
 from . import scene
 from .geom import Medium, Vector3, _v3
 from .source import Source, SourceTime
@@ -960,8 +965,8 @@ class Simulation:
         u_ax, v_ax = (n_ax + 1) % 3, (n_ax + 2) % 3
 
         def plane(key_e, key_h):
-            dE = np.asarray(self._state["dft"][key_e])
-            dH = np.asarray(self._state["dft"][key_h])
+            dE = _dview(self._state["dft"][key_e])
+            dH = _dview(self._state["dft"][key_h])
             spec = next(s for s in self._plan.dfts if s.name == key_e)
             wgt = spec.weights
             w_t = wgt.sum(axis=n_ax)
@@ -1043,8 +1048,8 @@ class Simulation:
         # normal x the live pair is (ez, hy) at index 1 with scale -1
         key_e = f"{flux_handle.name}:0:e1"
         key_h = f"{flux_handle.name}:0:h1"
-        dE = np.asarray(self._state["dft"][key_e])   # includes -dV weights
-        dH = np.asarray(self._state["dft"][key_h])
+        dE = _dview(self._state["dft"][key_e])   # includes -dV weights
+        dH = _dview(self._state["dft"][key_h])
         spec_e = next(mspec for mspec in self._plan.dfts
                       if mspec.name == key_e)
         wgt = spec_e.weights
@@ -1167,7 +1172,7 @@ class Simulation:
             key = f"{self._ldos_name}:{si}"
             if key not in self._state["dft"]:
                 continue
-            Fdft = np.asarray(self._state["dft"][key]).reshape(-1, len(freqs)).sum(0)
+            Fdft = _dview(self._state["dft"][key]).reshape(-1, len(freqs)).sum(0)
             # current spectrum at the same convention (dt/sqrt(2pi) sum)
             tt = (steps + 0.5) * dt
             cur = np.asarray([s.src_time.current(t, dt) for t in tt])
@@ -1234,7 +1239,7 @@ class Simulation:
         self._state = {**self._state, "dft": dft}
 
     def get_dft_array(self, handle, component, num_freq=None):
-        arr = np.asarray(self._state["dft"][f"{handle.name}:{component}"])
+        arr = _dview(self._state["dft"][f"{handle.name}:{component}"])
         if num_freq is not None:
             return arr[..., num_freq]
         return arr

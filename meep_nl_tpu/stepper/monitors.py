@@ -20,6 +20,12 @@ from ..core import grid as G
 from .plan import DftSpec, Plan
 
 
+
+def _dv(arr) -> np.ndarray:
+    """Host complex view of a (real-pair) DFT accumulator."""
+    from .step import dft_view
+    return np.asarray(dft_view(np.asarray(arr)))
+
 def _axis_weights(gv: G.GridVolume, axis: int, lo: float, hi: float
                   ) -> Tuple[int, int, np.ndarray]:
     """Integration/interpolation weights along one axis of the centered grid.
@@ -192,8 +198,8 @@ def get_flux(plan: Plan, state, name: str) -> np.ndarray:
         ekey, hkey = f"{name}:e{i}", f"{name}:h{i}"
         if ekey not in state["dft"]:
             continue
-        dE = np.asarray(state["dft"][ekey])
-        dH = np.asarray(state["dft"][hkey])
+        dE = _dv(state["dft"][ekey])
+        dH = _dv(state["dft"][hkey])
         f = np.real(dE * np.conj(dH))
         f = f.reshape(-1, f.shape[-1]).sum(axis=0)
         out = f if out is None else out + f
@@ -237,8 +243,8 @@ def get_energy(plan: Plan, state, name: str, which: str = "total") -> np.ndarray
         if fts is not None and c[0] != fts:
             continue
         pair = ("d" if c[0] == "e" else "b") + c[1]
-        dF = np.asarray(state["dft"][key])
-        dG = np.asarray(state["dft"][f"{name}:{pair}"])
+        dF = _dv(state["dft"][key])
+        dG = _dv(state["dft"][f"{name}:{pair}"])
         v = 0.5 * np.real(np.conj(dF) * dG)
         v = v.reshape(-1, v.shape[-1]).sum(axis=0)
         out = v if out is None else out + v
@@ -350,12 +356,12 @@ def get_force(plan: Plan, state, name: str) -> np.ndarray:
     for ft in ("e", "h"):
         k1, k2 = f"{name}:od1:{ft}", f"{name}:od2:{ft}"
         if k1 in state["dft"]:
-            a = np.asarray(state["dft"][k1])
-            b = np.asarray(state["dft"][k2])
+            a = _dv(state["dft"][k1])
+            b = _dv(state["dft"][k2])
             acc(np.real(np.conj(a) * b).reshape(-1, a.shape[-1]).sum(0))
     for key in state["dft"]:
         if key.startswith(f"{name}:diag:"):
-            a = np.asarray(state["dft"][key])
+            a = _dv(state["dft"][key])
             spec = next(s for s in plan.dfts if s.name == key)
             # scale was folded into the accumulation linearly; |a|^2 carries
             # scale^2, so divide one factor out and reapply its sign

@@ -157,8 +157,12 @@ def init_state(plan: Plan, _slab_ok: bool = True) -> Dict[str, Any]:
     dft = {}
     for m in plan.dfts:
         ext = tuple(b - a for a, b in m.region)
-        dft[m.name] = jnp.zeros(ext + (len(m.freqs),), dtype=jnp.complex64
-                                if plan.dtype != np.float64 else jnp.complex128)
+        # real (re, im) pair storage: the axon TPU tunnel has NO complex
+        # compute support, so the in-scan accumulators and their updates
+        # stay entirely real; consumers go through dft_view()
+        dft[m.name] = jnp.zeros(ext + (len(m.freqs), 2),
+                                dtype=jnp.float32
+                                if plan.dtype != np.float64 else jnp.float64)
 
     out = {"f": f, "f_u": f_u, "f_cond": f_cond, "f_w": f_w,
            "pol": pol, "dft": dft, "t": jnp.zeros((), jnp.int32)}
@@ -955,6 +959,21 @@ def _centered_avg(plan: Plan, c: str, arr: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def dft_view(arr):
+    """Complex view of a real-pair DFT accumulator (..., nfreq, 2); a
+    complex array passes through unchanged (host-side convenience)."""
+    import numpy as _np
+    if _np.iscomplexobj(arr):
+        return arr
+    return arr[..., 0] + 1j * arr[..., 1]
+
+
+def dft_store(c, dtype=None):
+    """Inverse of dft_view: complex -> real-pair (..., nfreq, 2)."""
+    out = jnp.stack([jnp.real(c), jnp.imag(c)], axis=-1)
+    return out.astype(dtype) if dtype is not None else out
+
+
 def _dft_update(plan: Plan, C: Dict[str, Any], state: Dict[str, Any],
                 xs: Dict[str, Any]) -> Dict[str, Any]:
     dft = dict(state["dft"])
@@ -969,9 +988,19 @@ def _dft_update(plan: Plan, C: Dict[str, Any], state: Dict[str, Any],
         sl = tuple(slice(a, b) for a, b in m.region)
         fv = favg[sl]
         w = C[f"dft{mi}:w"]
-        # (nfreq,) phase recombined from real tables (tunnel workaround)
-        ph = xs[key] + 1j * xs[f"dft{mi}:ph_im"]
-        dft[m.name] = dft[m.name] + (w * fv)[..., None] * ph
+        # fully-REAL accumulation (the axon TPU tunnel has no complex
+        # compute): acc_re += Re(w fv) ph_re - Im(w fv) ph_im, etc.
+        phr = xs[key]
+        phi = xs[f"dft{mi}:ph_im"]
+        c = w * fv
+        if jnp.iscomplexobj(c):
+            cr, ci = jnp.real(c), jnp.imag(c)
+            dre = cr[..., None] * phr - ci[..., None] * phi
+            dim = cr[..., None] * phi + ci[..., None] * phr
+        else:
+            dre = c[..., None] * phr
+            dim = c[..., None] * phi
+        dft[m.name] = dft[m.name] + jnp.stack([dre, dim], axis=-1)
     return {**state, "dft": dft}
 
 
