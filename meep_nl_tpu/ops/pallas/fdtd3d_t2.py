@@ -289,6 +289,53 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                     for nm in ("kapw", "sigw"):
                         want_coefslab(f"{s.ec}:{nm}", ax, side, a, b)
 
+    # piecewise dsig chains: the sigma/kappa chain is the identity outside
+    # its slabs, so the 3-multiply chain runs only there — pre-sliced coef
+    # pieces for y/z axes; x chains are skipped statically when this call's
+    # whole x-range lies in the identity region
+    dsig_mode: Dict[str, Any] = {}
+    for s in curls_b + curls_d:
+        c = s.c
+        if s.dsig_axis is None:
+            dsig_mode[c] = ("none",)
+            continue
+        ax = s.dsig_axis
+        lo_n, hi_n = s.dsig_slabs if s.dsig_slabs is not None else (0, 0)
+        if ax == 0:
+            x0 = max(b0 - 1, 0) * bx
+            x1 = b1 * bx
+            nsx = L.n_sites[0]
+            if lo_n + hi_n == 0 or (x0 >= lo_n and x1 <= nsx - hi_n):
+                dsig_mode[c] = ("plain",)
+            else:
+                dsig_mode[c] = ("x",)
+            continue
+        nax = L.n_sites[ax]
+        Sax = S[ax]
+        if ax != 1:
+            # lane-axis (z) segment concats would need 128-aligned pieces;
+            # not worth it — keep the full chain there
+            dsig_mode[c] = ("full", ax)
+            continue
+        # sublane axis: 8-align the segment boundaries (Mosaic relayouts
+        # of offset concat pieces crash the compiler); expanding the
+        # chain into the identity region is exact (kap=1, sig=0)
+        lo_al = -(-lo_n // 8) * 8
+        hi0_al = ((nax - hi_n) // 8) * 8
+        segs = []
+        if lo_n > 0:
+            segs.append(("lo", 0, lo_al))
+            for nm in ("sig", "kap", "siginv"):
+                want_coefslab(f"{c}:{nm}", ax, "dlo", 0, lo_al)
+        if hi_n > 0:
+            segs.append(("hi", hi0_al, Sax))
+            for nm in ("sig", "kap", "siginv"):
+                want_coefslab(f"{c}:{nm}", ax, "dhi", hi0_al, Sax)
+        if not segs or hi0_al <= lo_al:
+            dsig_mode[c] = ("full", ax)     # slabs cover everything
+        else:
+            dsig_mode[c] = ("pieces", ax, lo_al, hi0_al, segs)
+
     # u slab pieces for step-2's stored-E updates: y/z slabs blocked at the
     # step-2 block; x-compact range pieces on edge calls
     uslab_slices: Dict[str, Tuple[str, Tuple[Any, ...]]] = {}
@@ -510,11 +557,35 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                     total = -t2 if total is None else total - t2
                 dfl = sgn * dtdx * total
 
+                # piecewise dsig chain: identity (g + d) outside the sigma
+                # slabs, the 3-multiply chain only inside them
+                mode = dsig_mode[c]
+
                 def chain1(gval, dflv):
-                    if s.dsig_axis is None:
+                    if mode[0] in ("none", "plain"):
                         return gval + dflv
-                    return ((coefr(f"{c}:kap") - coefr(f"{c}:sig")) * gval
-                            + dflv) * coefr(f"{c}:siginv")
+                    if mode[0] in ("x", "full"):
+                        return ((coefr(f"{c}:kap") - coefr(f"{c}:sig"))
+                                * gval + dflv) * coefr(f"{c}:siginv")
+                    _, dax, lo_n, hi0, segs = mode
+                    seg_by = {nm2: (a2, b2) for nm2, a2, b2 in segs}
+                    pieces = []
+
+                    def seg_chain(side, a2, b2):
+                        slq = _full_slice(dax, slice(a2, b2))
+                        kp = byname[("coefslab", f"{c}:kap@d{side}")][...]
+                        sg = byname[("coefslab", f"{c}:sig@d{side}")][...]
+                        si = byname[("coefslab",
+                                     f"{c}:siginv@d{side}")][...]
+                        return ((kp - sg) * gval[slq] + dflv[slq]) * si
+
+                    if "lo" in seg_by:
+                        pieces.append(seg_chain("lo", *seg_by["lo"]))
+                    midq = _full_slice(dax, slice(lo_n, hi0))
+                    pieces.append(gval[midq] + dflv[midq])
+                    if "hi" in seg_by:
+                        pieces.append(seg_chain("hi", *seg_by["hi"]))
+                    return jnp.concatenate(pieces, axis=dax)
 
                 if s.dsigu_axis is None:
                     f_new = chain1(f_old, dfl)

@@ -54,7 +54,10 @@ def test_eigenmode_coefficient_3d_gradient_vs_fd():
     f0, (g,) = opt(jnp.asarray(rho, jnp.float32))
     assert np.isfinite(f0) and f0 > 0
     for idx in [(1, 1), (2, 3)]:
-        fd = opt.calculate_fd_gradient(rho, idx, drho=3e-3)
+        # drho balances fp32 objective roundoff (~1e-7 relative) against
+        # truncation; 6e-3 keeps the central-difference noise below the 1%
+        # gate for this ~1e-3-scale gradient
+        fd = opt.calculate_fd_gradient(rho, idx, drho=6e-3)
         assert abs(float(g[idx]) - fd) <= 0.01 * max(abs(fd), 1e-9), \
             (idx, float(g[idx]), fd)
 

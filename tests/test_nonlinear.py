@@ -34,7 +34,9 @@ def thg_amplitude(chi3_val, amp):
                         dfts=specs)
     st = init_state(plan)
     st = run(plan, st, int((src_t.last_time() + 20.0) / plan.dt))
-    d = np.asarray(st["dft"]["probe"]).reshape(-1, 2).sum(axis=0)
+    from meep_nl_tpu.stepper.step import dft_view
+    d = np.asarray(dft_view(np.asarray(st["dft"]["probe"])))
+    d = d.reshape(-1, 2).sum(axis=0)
     return np.abs(d)
 
 
