@@ -728,8 +728,13 @@ def compile_plan(
     # ------- dft monitors --------------------------------------------------------
     for mi, mspec in enumerate(dfts):
         w = np.asarray(mspec.weights)
-        put(f"dft{mi}:w", w,
-            as_dtype=(np.complex64 if np.iscomplexobj(w) else None))
+        if np.iscomplexobj(w):
+            # complex monitor weights (LDOS conj-source weights) ship as
+            # real pairs: the axon TPU tunnel has no complex compute
+            put(f"dft{mi}:wre", w.real)
+            put(f"dft{mi}:wim", w.imag)
+        else:
+            put(f"dft{mi}:w", w)
 
     return Plan(
         gv=gv, courant=courant, dtype=dtype, complex_fields=complex_fields,

@@ -987,19 +987,32 @@ def _dft_update(plan: Plan, C: Dict[str, Any], state: Dict[str, Any],
             favg = state["f"][m.component]
         sl = tuple(slice(a, b) for a, b in m.region)
         fv = favg[sl]
-        w = C[f"dft{mi}:w"]
         # fully-REAL accumulation (the axon TPU tunnel has no complex
-        # compute): acc_re += Re(w fv) ph_re - Im(w fv) ph_im, etc.
+        # compute): c = w*fv expanded into (cr, ci) real parts, then
+        # acc_re += cr ph_re - ci ph_im, acc_im += cr ph_im + ci ph_re
         phr = xs[key]
         phi = xs[f"dft{mi}:ph_im"]
-        c = w * fv
-        if jnp.iscomplexobj(c):
-            cr, ci = jnp.real(c), jnp.imag(c)
-            dre = cr[..., None] * phr - ci[..., None] * phi
-            dim = cr[..., None] * phi + ci[..., None] * phr
+        wi = None
+        if f"dft{mi}:w" in C:
+            wr = C[f"dft{mi}:w"]
         else:
-            dre = c[..., None] * phr
-            dim = c[..., None] * phi
+            wr = C[f"dft{mi}:wre"]
+            wi = C[f"dft{mi}:wim"]
+        if jnp.iscomplexobj(fv):
+            fr, fi = jnp.real(fv), jnp.imag(fv)
+        else:
+            fr, fi = fv, None
+        cr = wr * fr
+        ci = wr * fi if fi is not None else None
+        if wi is not None:
+            if fi is not None:
+                cr = cr - wi * fi
+            ci = (ci + wi * fr) if ci is not None else wi * fr
+        dre = cr[..., None] * phr
+        dim = cr[..., None] * phi
+        if ci is not None:
+            dre = dre - ci[..., None] * phi
+            dim = dim + ci[..., None] * phr
         dft[m.name] = dft[m.name] + jnp.stack([dre, dim], axis=-1)
     return {**state, "dft": dft}
 
