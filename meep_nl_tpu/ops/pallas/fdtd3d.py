@@ -134,12 +134,21 @@ def _bc_slice(arr, ax, sl):
 
 
 class _Layout:
-    """Static description of the compact-state layout for one plan."""
+    """Static description of the compact-state layout for one plan.
 
-    def __init__(self, plan, bx: int):
+    z_full: store LANE-axis (z) aux arrays full-width instead of
+    slab-compact.  Sub-tile lane slices and concatenates trigger Mosaic
+    vector relayouts that dominate the z-PML cost (README perf notes);
+    full-width z-aux trades ~14 B/cell/step of HBM traffic for
+    relayout-free lane arithmetic (identity-region rows keep the
+    inductive invariants fu == f and E == lin, so the widened ranges are
+    exact)."""
+
+    def __init__(self, plan, bx: int, z_full: bool = False):
         gv = plan.gv
         self.plan = plan
         self.bx = bx
+        self.z_full = z_full
         self.S = tuple(plan.storage_shape or gv.shape)
         self.nblk = self.S[0] // bx
         self.n_sites = tuple(gv.num[a] + 1 for a in range(3))
@@ -192,6 +201,11 @@ class _Layout:
             raw_clip = (ax, lor, (hir[0], min(hir[1], self.n_sites[ax])))
             (self.fu_raw if kind == "fu" else self.eh_raw)[c] = raw_clip
             lor, hir = unify(ax, lor, hir)
+            if z_full and ax == 2:
+                # widen the z slabs to the whole lane axis: lo covers
+                # everything, hi empties; downstream piece logic then
+                # emits full-width relayout-free ops
+                lor, hir = (0, self.S[2]), (self.S[2], self.S[2])
             (self.fu if kind == "fu" else self.eh_store)[c] = (ax, lor, hir)
 
     def _raw_ranges(self, ax, lo, hi):
@@ -500,7 +514,8 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str):
             pieces = []
             if b_lo > a_lo:
                 pieces.append(byname[("state", L.key("eh", ec, "lo"))][...])
-            pieces.append(lin[_full_slice(ax, slice(b_lo, a_hi))])
+            if a_hi > b_lo:
+                pieces.append(lin[_full_slice(ax, slice(b_lo, a_hi))])
             if b_hi > a_hi:
                 pieces.append(byname[("state", L.key("eh", ec, "hi"))][...])
             return jnp.concatenate(pieces, axis=ax) if len(pieces) > 1 \
@@ -584,9 +599,11 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str):
                                 f_old[_full_slice(ax, sl)],
                                 byname[("state", L.key("fu", c, "lo"))][...],
                                 L.key("fu", c, "lo"), sl, "lo"))
-                        mid = slice(b_lo, a_hi)
-                        pieces.append(chain1(f_old[_full_slice(ax, mid)],
-                                             dfl[_full_slice(ax, mid)]))
+                        if a_hi > b_lo:
+                            mid = slice(b_lo, a_hi)
+                            pieces.append(chain1(
+                                f_old[_full_slice(ax, mid)],
+                                dfl[_full_slice(ax, mid)]))
                         if b_hi > a_hi:
                             sl = slice(a_hi, b_hi)
                             pieces.append(chain2(
@@ -658,8 +675,9 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str):
                     if b_lo > a_lo:
                         pieces.append(wseg(L.key("eh", ec, "lo"),
                                            slice(a_lo, b_lo), "lo"))
-                    pieces.append(lin_new[_full_slice(ax,
-                                                      slice(b_lo, a_hi))])
+                    if a_hi > b_lo:
+                        pieces.append(lin_new[_full_slice(
+                            ax, slice(b_lo, a_hi))])
                     if b_hi > a_hi:
                         pieces.append(wseg(L.key("eh", ec, "hi"),
                                            slice(a_hi, b_hi), "hi"))
@@ -790,13 +808,13 @@ def compute_halos(L, bx, halo_keys, state, C):
 class Fdtd3dKernel:
     """Compiled fused-step driver for one plan."""
 
-    def __init__(self, plan, bx: int = None):
+    def __init__(self, plan, bx: int = None, z_full: bool = False):
         bx = _pick_bx(plan, bx)
         if not supported(plan, bx):
             raise ValueError("plan outside the fdtd3d kernel envelope")
         self.plan = plan
         self.bx = bx
-        self.L = _Layout(plan, bx)
+        self.L = _Layout(plan, bx, z_full=z_full)
         L = self.L
         calls = []
         if L.lo_blocks > 0:
@@ -882,12 +900,18 @@ class Fdtd3dKernel:
             # path never touches f_u there); compact padding rows carry
             # fu == f and are dropped
             fu = jnp.zeros_like(state[s.c])
-            for (a, b), (ar, br), side in ((lor, lor_r, "lo"),
-                                           (hir, hir_r, "hi")):
-                if br > ar:
-                    comp = state[L.key("fu", s.c, side)]
-                    fu = fu.at[_full_slice(ax, slice(ar, br))].set(
-                        comp[_full_slice(ax, slice(ar - a, br - a))])
+            for (ar, br) in (lor_r, hir_r):
+                if br <= ar:
+                    continue
+                # the stored side CONTAINING this raw range (with z_full
+                # the widened lo array holds both raw slabs)
+                if lor[0] <= ar and br <= lor[1]:
+                    side, base = "lo", lor[0]
+                else:
+                    side, base = "hi", hir[0]
+                comp = state[L.key("fu", s.c, side)]
+                fu = fu.at[_full_slice(ax, slice(ar, br))].set(
+                    comp[_full_slice(ax, slice(ar - base, br - base))])
             f_u[s.c] = fu
         f_w: Dict[str, Any] = {}
         for s in L.ehs:

@@ -624,8 +624,9 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                         slq = _full_slice(ax, slice(a_lo, b_lo))
                         pieces.append(chain2(f_old[slq], dfl[slq],
                                              L.key("fu", c, "lo"), "lo"))
-                    mid = _full_slice(ax, slice(b_lo, a_hi))
-                    pieces.append(chain1(f_old[mid], dfl[mid]))
+                    if a_hi > b_lo:
+                        mid = _full_slice(ax, slice(b_lo, a_hi))
+                        pieces.append(chain1(f_old[mid], dfl[mid]))
                     if b_hi > a_hi:
                         slq = _full_slice(ax, slice(a_hi, b_hi))
                         pieces.append(chain2(f_old[slq], dfl[slq],
@@ -680,7 +681,9 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                 if b_lo > a_lo:
                     pieces.append(wseg(L.key("eh", ec, "lo"),
                                        slice(a_lo, b_lo), "lo"))
-                pieces.append(lin_new[_full_slice(ax, slice(b_lo, a_hi))])
+                if a_hi > b_lo:
+                    pieces.append(lin_new[_full_slice(ax,
+                                                      slice(b_lo, a_hi))])
                 if b_hi > a_hi:
                     pieces.append(wseg(L.key("eh", ec, "hi"),
                                        slice(a_hi, b_hi), "hi"))
@@ -723,7 +726,8 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
             pieces = []
             if b_lo > a_lo:
                 pieces.append(byname[("state", L.key("eh", s.ec, "lo"))][...])
-            pieces.append(lin[_full_slice(ax, slice(b_lo, a_hi))])
+            if a_hi > b_lo:
+                pieces.append(lin[_full_slice(ax, slice(b_lo, a_hi))])
             if b_hi > a_hi:
                 pieces.append(byname[("state", L.key("eh", s.ec, "hi"))][...])
             e_eff_old[s.ec] = jnp.concatenate(pieces, axis=ax) \
@@ -913,13 +917,19 @@ class Fdtd3dT2Kernel:
     """Two-step fused driver; compact state layout identical to
     Fdtd3dKernel (fdtd3d.py), so conversion helpers are shared."""
 
-    def __init__(self, plan, bx: int = None):
+    def __init__(self, plan, bx: int = None, z_full: bool = None):
         bx = _pick_bx(plan, bx)
         if not supported(plan, bx):
             raise ValueError("plan outside the fdtd3d_t2 kernel envelope")
+        if z_full is None:
+            # default ON: trades ~14 B/cell/step of z-aux HBM traffic for
+            # relayout-free lane arithmetic — measured 10.15 -> 11.46
+            # GCells/s at 255^3 3D-uPML (MNT_T2_ZFULL=0 restores
+            # slab-compact z storage)
+            z_full = bool(int(os.environ.get("MNT_T2_ZFULL", "1")))
         self.plan = plan
         self.bx = bx
-        self.L = _Layout(plan, bx)
+        self.L = _Layout(plan, bx, z_full=z_full)
         L = self.L
         lo, hi0, nblk = L.lo_blocks, L.hi_block0, L.nblk
         segs = []                   # (b0, b1, side, s1_xn, s2_x0)
@@ -938,7 +948,7 @@ class Fdtd3dT2Kernel:
         self.halo_keys = sorted({g for c in calls for g in c.halo_keys})
         self.xs_keys = sorted({k for c in calls for k in c.xs_keys})
         # 1-step companion: state init/conversion + odd-step residue
-        self._k1 = F1.Fdtd3dKernel(plan, bx)
+        self._k1 = F1.Fdtd3dKernel(plan, bx, z_full=z_full)
 
     def init_state(self):
         return self.L.init_state(self.plan.dtype)
