@@ -54,7 +54,7 @@ def _pick_bx(plan, requested=None) -> int:
     return bx
 
 
-def supported(plan, bx: int = None) -> bool:
+def supported(plan, bx: int = None, depth: int = 2) -> bool:
     bx = _pick_bx(plan, bx)
     if not F1.supported(plan, bx):
         return False
@@ -62,11 +62,11 @@ def supported(plan, bx: int = None) -> bool:
         if s.has_u:
             return False
     L = _Layout(plan, bx)
-    if L.nblk < 2:
+    if L.nblk < depth:
         return False
-    if L.lo_blocks > 0 and L.lo_blocks + 1 > L.hi_block0:
+    if L.lo_blocks > 0 and L.lo_blocks + depth - 1 > L.hi_block0:
         return False
-    if L.hi_block0 < L.nblk and L.hi_block0 < 1:
+    if L.hi_block0 < L.nblk and L.hi_block0 < depth - 1:
         return False
     return True
 
@@ -79,7 +79,8 @@ def _plane_lists(plan, c):
 
 
 def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
-                 first: bool, last: bool, s1_xn: Any, s2_x0: Any):
+                 first: bool, last: bool, s1_xn: Any, s2_x0: Any,
+                 depth: int = 2):
     """One fused-2-step pallas call: step-1 on blocks [b0, b1), step-2 on
     blocks [b0-1, b1-1) (+ block b1-1 itself when `last`, via one extra
     iteration).
@@ -96,7 +97,7 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
     dtdx = plan.courant
     dt = plan.dt
     n1 = b1 - b0
-    grid = n1 + (1 if last else 0)
+    grid = n1 + (depth - 1 if last else 0)
     curls_b = list(plan.curl_specs_b)
     curls_d = list(plan.curl_specs_d)
     ehs_h = list(plan.eh_specs_h)
@@ -108,6 +109,12 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
 
     def s2map(i):
         return (jnp.maximum(i - 1, 0) if first else i - 1) + b0
+
+    def s3map(i):
+        return (jnp.maximum(i - 2, 0) if first else i - 2) + b0
+
+    # the FINAL stage owns the outputs
+    sKmap = s3map if depth == 3 else s2map
 
     # ---- source jobs per step --------------------------------------------
     def jobs_in(x_lo, x_hi):
@@ -128,8 +135,11 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
         return out
 
     src_jobs1 = jobs_in(b0 * bx, b1 * bx)
-    s2_hi_blk = b1 if last else b1 - 1
+    s2_hi_blk = b1 if (last and depth == 2) else b1 - 1
     src_jobs2 = jobs_in(max(b0 - 1, 0) * bx, s2_hi_blk * bx)
+    s3_hi_blk = b1 if last else b1 - 2
+    src_jobs3 = jobs_in(max(b0 - 2, 0) * bx, s3_hi_blk * bx) \
+        if depth == 3 else []
 
     # ---- ordered operand tables ------------------------------------------
     in_entries: List[Tuple[str, str, Any]] = []
@@ -146,7 +156,7 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                             memory_space=pltpu.VMEM)
 
     def blk_out():
-        return pl.BlockSpec((bx, Y, Z), lambda i: (s2map(i), 0, 0),
+        return pl.BlockSpec((bx, Y, Z), lambda i: (sKmap(i), 0, 0),
                             memory_space=pltpu.VMEM)
 
     for s in curls_b + curls_d:
@@ -172,7 +182,7 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                 out_spec = pl.BlockSpec(
                     (bx, Y, Z),
                     lambda i, base=base, cnt=cnt: (
-                        jnp.clip(s2map(i) - base, 0, cnt - 1), 0, 0),
+                        jnp.clip(sKmap(i) - base, 0, cnt - 1), 0, 0),
                     memory_space=pltpu.VMEM)
                 x_here[f"{kind}:{c}"] = key
                 add_state(key, in_spec, out_spec)
@@ -187,7 +197,7 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                                            lambda i: (s1map(i), 0, 0),
                                            memory_space=pltpu.VMEM)
                     out_spec = pl.BlockSpec(tuple(shp),
-                                            lambda i: (s2map(i), 0, 0),
+                                            lambda i: (sKmap(i), 0, 0),
                                             memory_space=pltpu.VMEM)
                     add_state(key, in_spec, out_spec)
 
@@ -234,12 +244,17 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
     for k in coef_keys:
         arr = C0[k]
         if arr.ndim == 3 and arr.shape == tuple(S):
-            # full-grid (only u): step-1 needs the full block; step-2 only
-            # needs slab pieces (below)
+            # full-grid (only u): non-final stages need the full block at
+            # their own block (they assemble E_eff for the next stage);
+            # the FINAL stage only needs slab pieces (below)
             xblocked[k] = True
             in_entries.append(("coef1", k, pl.BlockSpec(
                 (bx, Y, Z), lambda i: (s1map(i), 0, 0),
                 memory_space=pltpu.VMEM)))
+            if depth == 3:
+                in_entries.append(("coef2", k, pl.BlockSpec(
+                    (bx, Y, Z), lambda i: (s2map(i), 0, 0),
+                    memory_space=pltpu.VMEM)))
         elif arr.ndim == 3 and arr.shape[0] == S[0]:
             xblocked[k] = True
             shp = (bx,) + tuple(arr.shape[1:])
@@ -247,6 +262,10 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                 shp, lambda i: (s1map(i), 0, 0), memory_space=pltpu.VMEM)))
             in_entries.append(("coef2", k, pl.BlockSpec(
                 shp, lambda i: (s2map(i), 0, 0), memory_space=pltpu.VMEM)))
+            if depth == 3:
+                in_entries.append(("coef3", k, pl.BlockSpec(
+                    shp, lambda i: (s3map(i), 0, 0),
+                    memory_space=pltpu.VMEM)))
         else:
             xblocked[k] = False
             in_entries.append(("coef", k, pl.BlockSpec(
@@ -355,7 +374,7 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                 in_entries.append(("uslab", name, pl.BlockSpec(
                     (bx, Y, Z),
                     lambda i, base=base, cnt=cnt: (
-                        jnp.clip(s2map(i) - base, 0, cnt - 1), 0, 0),
+                        jnp.clip(sKmap(i) - base, 0, cnt - 1), 0, 0),
                     memory_space=pltpu.VMEM)))
         else:
             for side, (a, b) in (("lo", lor), ("hi", hir)):
@@ -366,18 +385,18 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                 shp[ax] = b - a
                 uslab_slices[name] = (uk, _full_slice(ax, slice(a, b)))
                 in_entries.append(("uslab", name, pl.BlockSpec(
-                    tuple(shp), lambda i: (s2map(i), 0, 0),
+                    tuple(shp), lambda i: (sKmap(i), 0, 0),
                     memory_space=pltpu.VMEM)))
 
     # per-step source waveform scalars: (2, 1) rows = (step-1, step-2)
     xs_keys: List[str] = []
-    for (kre, kim, dc, pts) in src_jobs1 + src_jobs2:
+    for (kre, kim, dc, pts) in src_jobs1 + src_jobs2 + src_jobs3:
         for kk in (kre, kim):
             if kk not in xs_keys:
                 xs_keys.append(kk)
     for kk in xs_keys:
         in_entries.append(("xs", kk,
-                           pl.BlockSpec((2, 1), lambda i: (0, 0),
+                           pl.BlockSpec((depth, 1), lambda i: (0, 0),
                                         memory_space=pltpu.SMEM)))
 
     # ---- cross-call package ----------------------------------------------
@@ -400,9 +419,20 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                     yz_aux_keys.append((L.key(kind, c, side), tuple(shp)))
     for k, shp in yz_aux_keys:
         pkg_names.append((f"aux1:{k}", shp))
+    if depth == 3:
+        for s_ in curls_d:
+            pkg_names.append((f"d2:{s_.c}", (bx, Y, Z)))
+        for s_ in curls_b:
+            pkg_names.append((f"b2:{s_.c}", (bx, Y, Z)))
+        for s_ in ehs_e:
+            pkg_names.append((f"e2:{s_.ec}", (bx, Y, Z)))
+        for k, shp in yz_aux_keys:
+            pkg_names.append((f"aux2:{k}", shp))
     for g in carry_keys:
         pkg_names.append((f"c1:{g}", (1, Y, Z)))
         pkg_names.append((f"c2:{g}", (1, Y, Z)))
+        if depth == 3:
+            pkg_names.append((f"c3:{g}", (1, Y, Z)))
 
     if not first:
         for name, shp in pkg_names:
@@ -417,6 +447,8 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
     scratch_entries: List[Tuple[str, Tuple[int, ...]]] = list(pkg_names)
     for fullkey, key in x_here.items():
         scratch_entries.append((f"xaux1:{key}", (bx, Y, Z)))
+        if depth == 3:
+            scratch_entries.append((f"xaux2:{key}", (bx, Y, Z)))
 
     n_in = len(in_entries)
     mask_info = {c: _plane_lists(plan, c)
@@ -451,6 +483,21 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
             xsel2 = True
         else:
             xsel2 = (i >= s2_x0)
+        if depth == 3:
+            # middle stage's block can overrun into the interior (the lo
+            # call runs step-1 depth-1 blocks past its x-compact range)
+            if edge_side == "lo":
+                xsel2m = (i - 1 < s1_xn)
+            elif edge_side == "hi":
+                xsel2m = (i >= 1)
+            else:
+                xsel2m = False
+            if s2_x0 is None:
+                xsel3 = False
+            elif s2_x0 == "all":
+                xsel3 = True
+            else:
+                xsel3 = (i >= s2_x0 + 1)
 
         if first:
             @pl.when(i == 0)
@@ -458,22 +505,29 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                 for g in carry_keys:
                     sc[f"c1:{g}"][...] = jnp.zeros((1, Y, Z), dtype)
                     sc[f"c2:{g}"][...] = jnp.zeros((1, Y, Z), dtype)
+                    if depth == 3:
+                        sc[f"c3:{g}"][...] = jnp.zeros((1, Y, Z), dtype)
         else:
             @pl.when(i == 0)
             def _():
                 for name, _shp in pkg_names:
                     sc[name][...] = byname[("pkg", name)][...]
 
-        # snapshot the previous block's package BEFORE step-1 overwrites it
+        # snapshot ALL trailing-block packages BEFORE any stage overwrites
         prev = {name: sc[name][...] for name, _shp in pkg_names}
         for _fk, key in x_here.items():
             prev[f"xaux1:{key}"] = sc[f"xaux1:{key}"][...]
+            if depth == 3:
+                prev[f"xaux2:{key}"] = sc[f"xaux2:{key}"][...]
 
         def coef1(k):
             return byname[("coef1" if xblocked[k] else "coef", k)][...]
 
         def coef2(k):
             return byname[("coef2" if xblocked[k] else "coef", k)][...]
+
+        def coef3(k):
+            return byname[("coef3" if xblocked[k] else "coef", k)][...]
 
         def shift_yz(a, axis, by):
             pad = [(0, 0)] * 3
@@ -752,31 +806,15 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
         for s in ehs_e:
             sc[f"e1:{s.ec}"][...] = e1_eff[s.ec]
 
-        # ================= STEP 2 on block s2map(i) =======================
-        gx2 = s2map(i) * bx
         zero_pl = jnp.zeros((1, Y, Z), dtype)
+        # stage-1 produced e1_eff for block s1map(i); its first plane is the
+        # forward halo of the NEXT stage (zero past the last real block)
         e1_first = {ec: (e1_eff[ec][0:1] if not last
                          else sel(i < n1, e1_eff[ec][0:1], zero_pl))
                     for ec in e1_eff}
 
         def aux_get2(key, is_x):
             return prev[("xaux1:" if is_x else "aux1:") + key]
-
-        def aux_put2(key, is_x, val, pred):
-            if pred is False:
-                return
-            if pred is True:
-                p = ok2
-            elif ok2 is True:
-                p = pred
-            else:
-                p = pred & ok2
-            if p is True:
-                outname[("state", key)][...] = val
-            else:
-                @pl.when(p)
-                def _(key=key, val=val):
-                    outname[("state", key)][...] = val
 
         def f_old2_d(c):
             return prev[f"d1:{c}"]
@@ -785,26 +823,115 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
             return prev[f"b1:{c}"]
 
         e1p_eff = {s.ec: prev[f"e1:{s.ec}"] for s in ehs_e}
-        new_b2 = curl_half(curls_b, e1p_eff, e1_first, False, gx2, coef2,
-                           f_old2_b, aux_get2, aux_put2, xsel2, src_jobs2, 1)
-        h2_eff = eh_full(ehs_h, new_b2, f_old2_b, aux_get2, aux_put2, coef2,
-                         lambda ec: None, xsel2)
-        c2_prev = {g: prev[f"c2:{g}"] for g in carry_keys}
-        for g in carry_keys:
-            v = h2_eff[g][bx - 1:bx]
-            if first:
-                v = sel(i == 0, zero_pl, v)
-            sc[f"c2:{g}"][...] = v
-        new_d2 = curl_half(curls_d, h2_eff, c2_prev, True, gx2, coef2,
-                           f_old2_d, aux_get2, aux_put2, xsel2, src_jobs2, 1)
 
-        # stored-E slabs at step-2: lin = u_slab * D, u from slab pieces
+        if depth == 3:
+            # ========== MIDDLE STAGE (step 2) on block s2map(i) ==========
+            # destination = the P2 scratch package; assembles e2_eff (full
+            # u at this stage's block) for the final stage's forward halo
+            gx2m = s2map(i) * bx
+
+            def aux_put2sc(key, is_x, val, pred):
+                sc[("xaux2:" if is_x else "aux2:") + key][...] = val
+
+            def u2(ec):
+                spec_ = L.eh_by_ec[ec]
+                return byname[("coef2", f"{ec}:u")][...] \
+                    if spec_.has_u else None
+
+            new_b2 = curl_half(curls_b, e1p_eff, e1_first, False, gx2m,
+                               coef2, f_old2_b, aux_get2, aux_put2sc,
+                               xsel2m, src_jobs2, 1)
+            h2_eff = eh_full(ehs_h, new_b2, f_old2_b, aux_get2, aux_put2sc,
+                             coef2, lambda ec: None, xsel2m)
+            c2_prev = {g: prev[f"c2:{g}"] for g in carry_keys}
+            for g in carry_keys:
+                v = h2_eff[g][bx - 1:bx]
+                if first:
+                    v = sel(i == 0, zero_pl, v)
+                sc[f"c2:{g}"][...] = v
+            new_d2 = curl_half(curls_d, h2_eff, c2_prev, True, gx2m, coef2,
+                               f_old2_d, aux_get2, aux_put2sc, xsel2m,
+                               src_jobs2, 1)
+            e2_eff = eh_full(ehs_e, new_d2, f_old2_d, aux_get2, aux_put2sc,
+                             coef2, u2, xsel2m)
+            for s_ in curls_d:
+                sc[f"d2:{s_.c}"][...] = new_d2[s_.c]
+            for s_ in curls_b:
+                sc[f"b2:{s_.c}"][...] = new_b2[s_.c]
+            for s_ in ehs_e:
+                sc[f"e2:{s_.ec}"][...] = e2_eff[s_.ec]
+
+        # ================= FINAL STAGE =================================
+        if depth == 3:
+            FP, FA, FX = "2", "aux2:", "xaux2:"
+            FC = "c3"
+            coefF = coef3
+            okF = (i >= 2) if first else True
+            xselF = xsel3
+            rowF, jobsF = 2, src_jobs3
+            gx2 = s3map(i) * bx
+            eF_first = {ec: (e2_eff[ec][0:1] if not last
+                             else sel(i < n1 + 1, e2_eff[ec][0:1],
+                                      zero_pl))
+                        for ec in e2_eff}
+            czero = (i <= 1)
+        else:
+            FP, FA, FX = "1", "aux1:", "xaux1:"
+            FC = "c2"
+            coefF = coef2
+            okF = ok2
+            xselF = xsel2
+            rowF, jobsF = 1, src_jobs2
+            gx2 = s2map(i) * bx
+            eF_first = e1_first
+            czero = (i == 0)
+
+        def aux_getF(key, is_x):
+            return prev[(FX if is_x else FA) + key]
+
+        def aux_put2(key, is_x, val, pred):
+            if pred is False:
+                return
+            if pred is True:
+                p = okF
+            elif okF is True:
+                p = pred
+            else:
+                p = pred & okF
+            if p is True:
+                outname[("state", key)][...] = val
+            else:
+                @pl.when(p)
+                def _(key=key, val=val):
+                    outname[("state", key)][...] = val
+
+        def f_oldF_d(c):
+            return prev[f"d{FP}:{c}"]
+
+        def f_oldF_b(c):
+            return prev[f"b{FP}:{c}"]
+
+        eFp_eff = {s.ec: prev[f"e{FP}:{s.ec}"] for s in ehs_e}
+        new_bF = curl_half(curls_b, eFp_eff, eF_first, False, gx2, coefF,
+                           f_oldF_b, aux_getF, aux_put2, xselF, jobsF, rowF)
+        hF_eff = eh_full(ehs_h, new_bF, f_oldF_b, aux_getF, aux_put2, coefF,
+                         lambda ec: None, xselF)
+        cF_prev = {g: prev[f"{FC}:{g}"] for g in carry_keys}
+        for g in carry_keys:
+            v = hF_eff[g][bx - 1:bx]
+            if first:
+                v = sel(czero, zero_pl, v)
+            sc[f"{FC}:{g}"][...] = v
+        new_dF = curl_half(curls_d, hF_eff, cF_prev, True, gx2, coefF,
+                           f_oldF_d, aux_getF, aux_put2, xselF, jobsF, rowF)
+
+        # stored-E slabs at the final stage: lin = u_slab * D (slab pieces)
         for s in ehs_e:
             if s.ec not in L.eh_store:
                 continue
             ax, lor, hir = L.eh_store[s.ec]
-            d2 = new_d2[s.dc]
-            d1 = prev[f"d1:{s.dc}"]
+            d2 = new_dF[s.dc]
+            d1 = prev[f"d{FP}:{s.dc}"]
             if ax == 0:
                 key = x_here.get(f"eh:{s.ec}")
                 if key is None:
@@ -813,11 +940,11 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                     if s.has_u else None
                 lin2 = d2 * useg if useg is not None else d2
                 lin1 = d1 * useg if useg is not None else d1
-                kw = coef2(f"{s.ec}:kapw")
-                sw = coef2(f"{s.ec}:sigw")
-                e_new = prev[f"xaux1:{key}"] + (kw + sw) * lin2 \
+                kw = coefF(f"{s.ec}:kapw")
+                sw = coefF(f"{s.ec}:sigw")
+                e_new = prev[f"{FX}{key}"] + (kw + sw) * lin2 \
                     - (kw - sw) * lin1
-                aux_put2(key, True, e_new, xsel2)
+                aux_put2(key, True, e_new, xselF)
                 continue
             for side, (a, b) in (("lo", lor), ("hi", hir)):
                 if b <= a:
@@ -830,14 +957,14 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                 l1 = d1[slq] * useg if useg is not None else d1[slq]
                 kw = byname[("coefslab", f"{s.ec}:kapw@{side}")][...]
                 sw = byname[("coefslab", f"{s.ec}:sigw@{side}")][...]
-                e_new = prev[f"aux1:{key}"] + (kw + sw) * l2 - (kw - sw) * l1
+                e_new = prev[f"{FA}{key}"] + (kw + sw) * l2 - (kw - sw) * l1
                 aux_put2(key, False, e_new, True)
 
-        for c, v in {**new_b2, **new_d2}.items():
-            if ok2 is True:
+        for c, v in {**new_bF, **new_dF}.items():
+            if okF is True:
                 outname[("state", c)][...] = v
             else:
-                @pl.when(ok2)
+                @pl.when(okF)
                 def _(c=c, v=v):
                     outname[("state", c)][...] = v
 
@@ -859,7 +986,7 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                 args.append(state[key])
             elif tag == "halo":
                 args.append(halos[key])
-            elif tag in ("coef", "coef1", "coef2"):
+            elif tag in ("coef", "coef1", "coef2", "coef3"):
                 args.append(C[key])
             elif tag == "coefslab":
                 ckey, sl = coefslab_slices[key]
@@ -917,10 +1044,14 @@ class Fdtd3dT2Kernel:
     """Two-step fused driver; compact state layout identical to
     Fdtd3dKernel (fdtd3d.py), so conversion helpers are shared."""
 
-    def __init__(self, plan, bx: int = None, z_full: bool = None):
+    def __init__(self, plan, bx: int = None, z_full: bool = None,
+                 depth: int = None):
+        if depth is None:
+            depth = int(os.environ.get("MNT_T2_DEPTH", "2"))
         bx = _pick_bx(plan, bx)
-        if not supported(plan, bx):
+        if not supported(plan, bx, depth=depth):
             raise ValueError("plan outside the fdtd3d_t2 kernel envelope")
+        self.depth = depth
         if z_full is None:
             # default ON: trades ~14 B/cell/step of z-aux HBM traffic for
             # relayout-free lane arithmetic — measured 10.15 -> 11.46
@@ -934,8 +1065,8 @@ class Fdtd3dT2Kernel:
         lo, hi0, nblk = L.lo_blocks, L.hi_block0, L.nblk
         segs = []                   # (b0, b1, side, s1_xn, s2_x0)
         if lo > 0:
-            segs.append((0, lo + 1, "lo", lo, "all"))
-        mid0 = lo + 1 if lo > 0 else 0
+            segs.append((0, lo + depth - 1, "lo", lo, "all"))
+        mid0 = lo + depth - 1 if lo > 0 else 0
         if mid0 < hi0:
             segs.append((mid0, hi0, "", 0, None))
         if hi0 < nblk:
@@ -943,7 +1074,8 @@ class Fdtd3dT2Kernel:
         calls = []
         for k, (b0, b1, side, s1_xn, s2_x0) in enumerate(segs):
             calls.append(_build_call2(L, b0, b1, side, k == 0,
-                                      k == len(segs) - 1, s1_xn, s2_x0))
+                                      k == len(segs) - 1, s1_xn, s2_x0,
+                                      depth=depth))
         self.calls = calls
         self.halo_keys = sorted({g for c in calls for g in c.halo_keys})
         self.xs_keys = sorted({k for c in calls for k in c.xs_keys})
@@ -954,28 +1086,31 @@ class Fdtd3dT2Kernel:
         return self.L.init_state(self.plan.dtype)
 
     def make_fused_step(self):
-        """(state, x_pair, C) -> state advanced TWO steps; x_pair leaves
-        carry a leading dim of 2 (the two steps' source scalars)."""
+        """(state, x_rows, C) -> state advanced `depth` steps; x_rows
+        leaves carry a leading dim of `depth` (per-step source scalars)."""
+        depth = self.depth
+
         def step2(state, x_pair, C):
             halos = compute_halos(self.L, self.bx, self.halo_keys, state, C)
             xscal = {k: jnp.asarray(x_pair[k],
-                                    self.plan.dtype).reshape(2, 1)
+                                    self.plan.dtype).reshape(depth, 1)
                      for k in self.xs_keys}
             pkg: Dict[str, Any] = {}
             for call in self.calls:
                 state, pkg = call(state, halos, pkg, C, xscal)
-            return {**state, "t": state["t"] + 2}
+            return {**state, "t": state["t"] + depth}
 
         return step2
 
     def run(self, state, nsteps: int, t0: int = 0, unroll: int = 2):
         from ...stepper.step import build_xs
-        npair = nsteps // 2
-        rem = nsteps - 2 * npair
+        depth = self.depth
+        npair = nsteps // depth
+        rem = nsteps - depth * npair
         step2 = self.make_fused_step()
         if npair:
-            xs_all = build_xs(self.plan, 2 * npair, t0)
-            xs = {k: np.asarray(v).reshape((npair, 2) + v.shape[1:])
+            xs_all = build_xs(self.plan, depth * npair, t0)
+            xs = {k: np.asarray(v).reshape((npair, depth) + v.shape[1:])
                   for k, v in xs_all.items() if k in self.xs_keys}
 
             def runner(state, xs, C):
@@ -988,7 +1123,8 @@ class Fdtd3dT2Kernel:
 
             state = jax.jit(runner)(state, xs, self.plan.coefs)
         if rem:
-            state = self._k1.run(state, rem, t0=t0 + 2 * npair, unroll=1)
+            state = self._k1.run(state, rem, t0=t0 + depth * npair,
+                                 unroll=1)
         return state
 
     def to_full(self, state, C=None):

@@ -69,3 +69,30 @@ def test_odd_steps_residue():
 
 def test_longer_run_stability():
     _compare(_plan("xyz"), nsteps=60, atol=5e-6)
+
+
+def _compare_depth3(plan, nsteps, atol=2e-6):
+    assert fdtd3d_t2.supported(plan, 8, depth=3)
+    ker = fdtd3d_t2.Fdtd3dT2Kernel(plan, 8, depth=3)
+    st_k = ker.run(ker.init_state(), nsteps)
+    full_k = ker.to_full(st_k)
+    st_j = run(plan, init_state(plan), nsteps)
+    scale = max(float(np.max(np.abs(np.asarray(v))))
+                for v in st_j["f"].values())
+    assert scale > 0
+    for c in st_j["f"]:
+        np.testing.assert_allclose(np.asarray(full_k["f"][c]),
+                                   np.asarray(st_j["f"][c]),
+                                   atol=atol * scale, err_msg=f"f[{c}]")
+    assert int(full_k["t"]) == int(st_j["t"])
+
+
+def test_depth3_xyz_pml():
+    """Three-stage pipeline (stage-2 middle package): needs depth-1
+    interior blocks past the lo x-compact range."""
+    _compare_depth3(_plan("xyz", cells=(40, 16, 16)), nsteps=21)
+
+
+def test_depth3_eps():
+    _compare_depth3(_plan("xyz", cells=(40, 16, 16), with_eps=True),
+                    nsteps=18)
