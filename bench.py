@@ -67,14 +67,16 @@ def run_one():
     plain = (not os.environ.get("BENCH_JNP")
              and not os.environ.get("BENCH_PALLAS")
              and not os.environ.get("BENCH_SLAB"))
-    use_t2 = (plain and not os.environ.get("BENCH_T1") and steps % 2 == 0
-              and fdtd3d_t2.supported(plan, bxv))
+    depth = int(os.environ.get("MNT_T2_DEPTH", "2"))
+    use_t2 = (plain and not os.environ.get("BENCH_T1")
+              and steps % depth == 0
+              and fdtd3d_t2.supported(plan, bxv, depth=depth))
     use_fdtd3d = plain and not use_t2 and fdtd3d.supported(plan, bxv)
     pair = 1
     if use_t2:
-        ker = fdtd3d_t2.Fdtd3dT2Kernel(plan, bx=bxv)
+        ker = fdtd3d_t2.Fdtd3dT2Kernel(plan, bx=bxv, depth=depth)
         step0 = ker.make_fused_step()
-        pair = 2
+        pair = ker.depth
         unroll = 2
     elif use_fdtd3d:
         ker = fdtd3d.Fdtd3dKernel(plan, bx=bxv)
@@ -99,10 +101,10 @@ def run_one():
     if ker is not None:
         xs = {k: v for k, v in xs.items() if k in ker.xs_keys}
         xs2 = {k: v for k, v in xs2.items() if k in ker.xs_keys}
-    if pair == 2:
-        xs = {k: np.asarray(v).reshape((steps // 2, 2) + v.shape[1:])
+    if pair > 1:
+        xs = {k: np.asarray(v).reshape((steps // pair, pair) + v.shape[1:])
               for k, v in xs.items()}
-        xs2 = {k: np.asarray(v).reshape((steps // 2, 2) + v.shape[1:])
+        xs2 = {k: np.asarray(v).reshape((steps // pair, pair) + v.shape[1:])
                for k, v in xs2.items()}
     C = plan.coefs
 
@@ -142,7 +144,7 @@ def run_one():
         "vs_baseline": round(gcells / baseline, 3),
         "grid": [cx, cy, cz],
         "steps": steps,
-        "kernel": ("fdtd3d_t2" if pair == 2 else
+        "kernel": (f"fdtd3d_t{pair}" if pair > 1 else
                    "fdtd3d" if ker is not None else "jnp"),
     }))
 

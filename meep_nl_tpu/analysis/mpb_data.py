@@ -56,10 +56,18 @@ class MPBData:
         self.resolution = resolution
 
     def convert(self, arr: np.ndarray,
-                kpoint: Optional[Sequence[float]] = None) -> np.ndarray:
+                kpoint: Optional[Sequence[float]] = None,
+                vector: Optional[bool] = None) -> np.ndarray:
+        """Tile/phase a unit-cell grid.  `vector=None` auto-detects a
+        trailing component axis from the shape, which is ambiguous for a
+        genuine 3D scalar grid with nz == 3 (or any (n, m, 3) scalar
+        slab) — pass vector=False/True explicitly to override."""
         arr = np.asarray(arr)
-        vector = arr.ndim >= 2 and arr.shape[-1] == 3 and \
-            arr.ndim - 1 in (2, 3) and arr.shape[0] != 3
+        if vector is None:
+            vector = arr.ndim >= 2 and arr.shape[-1] == 3 and \
+                arr.ndim - 1 in (2, 3) and arr.shape[0] != 3
+        else:
+            vector = bool(vector)
         ndim = arr.ndim - 1 if vector else arr.ndim
         if ndim not in (2, 3):
             raise ValueError(f"expected a 2D/3D unit-cell grid, got shape "

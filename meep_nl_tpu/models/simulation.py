@@ -338,19 +338,60 @@ class Simulation:
         for ax, d, phase in self._mirrors:
             c = list(_v3(s.center))
             i = slot[d] if self.dim != "1d" else 2
+            sz = list(_v3(s.size)) if getattr(s, "size", None) is not None \
+                else [0.0, 0.0, 0.0]
+            # straddle check applies on BOTH sides of the plane: a source
+            # centered in the retained half whose extent crosses the plane
+            # would be silently clipped by the grid otherwise
+            if abs(c[i]) > 1e-12 and sz[i] > 2 * abs(c[i]) + 1e-12:
+                raise ValueError(
+                    f"source straddles the {d} mirror plane "
+                    "asymmetrically; place it in the retained half "
+                    "(or symmetrically about the plane)")
             if c[i] < -1e-12:
-                sz = list(_v3(s.size)) if getattr(s, "size", None) is not None \
-                    else [0.0, 0.0, 0.0]
-                if sz[i] > 2 * abs(c[i]):
-                    raise ValueError(
-                        f"source straddles the {d} mirror plane "
-                        "asymmetrically; place it in the retained half "
-                        "(or symmetrically about the plane)")
                 c[i] = -c[i]
                 sign = phase * _mirror_parity(s.component, d)
                 s = dc.replace(s, center=Vector3(*c),
                                amplitude=s.amplitude * sign)
         return s
+
+    def _fold_region(self, center, size, parity_fn):
+        """Fold a DFT monitor region on a mirrored cell onto the retained
+        half, returning (center, size, factor).
+
+        `parity_fn(d)` is the parity of the monitored *product* quantity
+        under the mirror in direction `d` (cf. symmetry-aware
+        loop_in_chunks in the reference, src/loop_in_chunks.cpp): a region
+        symmetric about the plane is clipped to the retained half with its
+        dropped-half contribution absorbed into `factor = 1 + parity`; a
+        region entirely in the dropped half maps to its image with
+        `factor = parity`.  Asymmetric straddles raise — they cannot be
+        represented on the half-grid."""
+        center = list(center)
+        size = list(size)
+        factor = 1.0
+        for ax, d, phase in self._mirrors:
+            if d not in self.gv.axes:
+                continue
+            i = self.gv.axes.index(d)
+            lo = center[i] - 0.5 * size[i]
+            hi = center[i] + 0.5 * size[i]
+            if lo >= -1e-9:
+                continue                      # retained half: unchanged
+            par = parity_fn(d)
+            if hi <= 1e-9:                    # entirely in the dropped half
+                center[i] = -center[i]
+                factor *= par
+            elif abs(center[i]) < 1e-9:       # symmetric about the plane
+                center[i] = 0.5 * hi
+                size[i] = hi
+                factor *= (1.0 + par)
+            else:
+                raise ValueError(
+                    f"DFT region straddles the {d} mirror plane "
+                    "asymmetrically; use a symmetric region or place it "
+                    "in one half of the cell")
+        return center, size, factor
 
     def _build_sources(self, live_e, live_h) -> List[SrcVolSpec]:
         from .source import IndexedSource
@@ -635,8 +676,13 @@ class Simulation:
                 normal = zero_axes[0] if zero_axes else self.gv.axes[0]
             live_cs = self._live_components()
             live = live_cs[0] + live_cs[1]
+            # flux density S_n is even under a mirror with n != d, odd for
+            # n == d (Poynting vector transforms as a vector)
+            center, size, fac = self._fold_region(
+                center, size, lambda dd: 1.0 if dd != normal else -1.0)
             specs += M.flux_specs(self.gv, f"{name}:{ri}", normal, center,
-                                  size, freqs, weight=reg.weight, live=live,
+                                  size, freqs, weight=reg.weight * fac,
+                                  live=live,
                                   decimation=self._resolve_decimation(decimation_factor, freqs))
         self._dft_specs += specs
         h = _FluxHandle(name, freqs)
@@ -678,6 +724,17 @@ class Simulation:
                 zero_axes = [self.gv.axes[i] for i, sz in enumerate(size)
                              if sz == 0]
                 normal = zero_axes[0]
+            if self._mirrors:
+                # folding a near-surface needs image Green's sources, not a
+                # scalar weight; reject rather than return half the fields
+                for _, d, _ in self._mirrors:
+                    if d in self.gv.axes:
+                        i = self.gv.axes.index(d)
+                        if center[i] - 0.5 * size[i] < -1e-9:
+                            raise ValueError(
+                                f"near2far region extends into the dropped "
+                                f"half of the {d}-mirrored cell; place the "
+                                "near surface in the retained half")
             specs, surfs = M.near2far_specs(self.gv, f"{name}:{ri}", normal,
                                             center, size, freqs,
                                             weight=reg.weight, live=live)
@@ -1128,9 +1185,16 @@ class Simulation:
                          if sz == 0]
             normal = zero_axes[0]
             fd = reg.direction or normal
+            # stress tensor T_fn transforms as a rank-2 tensor: parity
+            # (-1)^{[f==d] + [n==d]} under a mirror in d
+            center, size, fac = self._fold_region(
+                center, size,
+                lambda dd: (-1.0 if fd == dd else 1.0)
+                * (-1.0 if normal == dd else 1.0))
             self._dft_specs += M.force_specs(self.gv, f"{name}:{ri}", fd,
                                              normal, center, size, freqs,
-                                             weight=reg.weight, live=live)
+                                             weight=reg.weight * fac,
+                                             live=live)
         h = _FluxHandle(name, freqs)
         h._nregions = len(regions)
         self._handles.append(h)
@@ -1193,8 +1257,10 @@ class Simulation:
         s_ax = _vec_to_axes(self.gv, region.size if region.size is not None
                             else Vector3())
         live = sum(self._live_components(), [])
+        # energy density u = (E*.D + H*.B)/2 is even under any mirror
+        c_ax, s_ax, fac = self._fold_region(c_ax, s_ax, lambda dd: 1.0)
         self._dft_specs += M.energy_specs(self.gv, name, c_ax, s_ax, freqs,
-                                          live=live,
+                                          live=live, weight=fac,
                                           decimation=self._resolve_decimation(decimation_factor, freqs))
         h = _FluxHandle(name, freqs)
         self._handles.append(h)

@@ -209,10 +209,12 @@ def get_flux(plan: Plan, state, name: str) -> np.ndarray:
 # energy-density pairs: E with D, H with B (dft.cpp:657-687 dft_energy)
 def energy_specs(gv: G.GridVolume, name: str, center, size, freqs,
                  live: Optional[Sequence[str]] = None,
-                 decimation: int = 1) -> List[DftSpec]:
+                 decimation: int = 1, weight: float = 1.0) -> List[DftSpec]:
     """DTFT specs for u(w) = 1/2 Re(E* . D) + 1/2 Re(H* . B) over a volume
-    (add_dft_energy; dft.cpp:689 total)."""
+    (add_dft_energy; dft.cpp:689 total).  `weight` scales the assembled
+    energy linearly (mirror-fold factor)."""
     region, w_full, dv = volume_region_weights(gv, center, size)
+    dv = dv * weight
     freqs = np.asarray(freqs, dtype=np.float64)
     ones = np.ones_like(w_full)
     specs = []

@@ -21,6 +21,7 @@ function is scan- and grad-compatible.
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import math
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -1232,7 +1233,14 @@ def run(plan: Plan, state: Dict[str, Any], nsteps: int,
     cache = getattr(plan, "_run_cache", None)
     if cache is None:
         cache = plan._run_cache = {}
-    key = (nsteps, jit, tuple(p.name for p in probes))
+    # probe identity (component + index/weight content) must be part of the
+    # key: names are auto-generated ('hm{i}') so two different collectors on
+    # the same Simulation would otherwise collide on a cached closure
+    key = (nsteps, jit, tuple(
+        (p.name, p.component,
+         hashlib.sha1(np.ascontiguousarray(p.indices).tobytes()
+                      + np.ascontiguousarray(p.weights).tobytes()).hexdigest())
+        for p in probes))
     runner = cache.get(key)
     if runner is None:
         step = make_step(plan)

@@ -86,3 +86,60 @@ def test_mirror_straddling_source_rejected():
                                size=mp.Vector3(0, 4))],
             symmetries=[mp.Mirror(mp.Y, phase=-1)])
         sim.init_sim()
+
+
+def test_mirror_straddling_source_rejected_retained_side():
+    """Straddle check must fire for a source centered in the RETAINED half
+    whose extent crosses the plane (would be silently clipped otherwise)."""
+    with pytest.raises(ValueError, match="straddles"):
+        sim = mp.Simulation(
+            cell_size=mp.Vector3(8, 8), resolution=10,
+            sources=[mp.Source(mp.GaussianSource(frequency=0.5, fwidth=0.2),
+                               component=mp.Ez, center=mp.Vector3(0, +0.5),
+                               size=mp.Vector3(0, 4))],
+            symmetries=[mp.Mirror(mp.Y, phase=-1)])
+        sim.init_sim()
+
+
+def _flux_sim(sym, phase, flux_center, flux_size, normal=None, until=12):
+    # with a declared mirror, only ONE member of each source pair is given
+    # (the image is implied by the symmetry, as in the reference)
+    if sym:
+        srcs = [mp.Source(mp.GaussianSource(frequency=0.5, fwidth=0.2),
+                          component=mp.Ez, center=mp.Vector3(-1.0, 0.8))]
+    else:
+        srcs = [mp.Source(mp.GaussianSource(frequency=0.5, fwidth=0.2),
+                          component=mp.Ez, center=mp.Vector3(-1.0, 0.8)),
+                mp.Source(mp.GaussianSource(frequency=0.5, fwidth=0.2),
+                          component=mp.Ez, center=mp.Vector3(-1.0, -0.8),
+                          amplitude=phase)]
+    sim = mp.Simulation(
+        cell_size=mp.Vector3(8, 8), resolution=10,
+        sources=srcs, boundary_layers=[mp.PML(1.0)],
+        symmetries=[mp.Mirror(mp.Y, phase=phase)] if sym else [])
+    fr = mp.FluxRegion(center=flux_center, size=flux_size, direction=normal)
+    h = sim.add_flux(0.5, 0.2, 3, fr)
+    sim.run(until=until)
+    return np.asarray(sim.get_fluxes(h))
+
+
+def test_mirror_flux_full_region_matches_full_cell():
+    """A full-height flux plane crossing the mirror must return the FULL
+    integral (clip + double), matching the unmirrored run (the reference's
+    symmetry-aware loop_in_chunks; ADVICE r2 medium)."""
+    full = _flux_sim(False, -1, mp.Vector3(2.0, 0), mp.Vector3(0, 6))
+    half = _flux_sim(True, -1, mp.Vector3(2.0, 0), mp.Vector3(0, 6))
+    assert np.allclose(full, half, rtol=1e-4, atol=1e-12 + 1e-6 * np.abs(full).max())
+
+
+def test_mirror_flux_dropped_half_region():
+    """A flux region entirely in the dropped half maps to its image with
+    the flux-parity sign (+1 for normal != mirror axis)."""
+    full = _flux_sim(False, -1, mp.Vector3(2.0, -1.5), mp.Vector3(0, 2))
+    half = _flux_sim(True, -1, mp.Vector3(2.0, -1.5), mp.Vector3(0, 2))
+    assert np.allclose(full, half, rtol=1e-4, atol=1e-12 + 1e-6 * np.abs(full).max())
+
+
+def test_mirror_flux_asymmetric_straddle_rejected():
+    with pytest.raises(ValueError, match="straddles"):
+        _flux_sim(True, -1, mp.Vector3(2.0, -0.5), mp.Vector3(0, 3))
