@@ -43,14 +43,41 @@ def run_one():
     # traffic, a free 1.5x loss).  The metric counts the true cells.
     cx, cy, cz = nx - 1, ny - 1, nz - 1
     gv = G.GridVolume.create("3d", [cx / res, cy / res, cz / res], res)
+    mat_mode = bool(os.environ.get("BENCH_MAT"))
     src_t = mnt.GaussianSource(frequency=1.0, fwidth=0.5)
-    pts = gv.interp_weights("ez", [0.0, 0.0, 0.0])
+    # material mode: source off-center, outside the NL ball (+1 stencil)
+    src_x = (cx / res) * 0.35 if mat_mode else 0.0
+    pts = gv.interp_weights("ez", [src_x, 0.0, 0.0])
     idx = np.array([p for p, w in pts], np.int32)
     amps = np.array([w for p, w in pts], np.complex128)
     src = SrcVolSpec("ez", idx, amps, src_t)
     pmls = [] if os.environ.get("BENCH_NOPML") else \
         [PMLSpec(d, 1.0) for d in ("x", "y", "z")]
-    plan = compile_plan(gv, MaterialSpec(chi1inv={}), pmls=pmls, sources=[src],
+    if mat_mode:
+        # the fork's flagship material class: eps=4 ball with a Lorentz
+        # pole + chi2-NR region (BASELINE configs 3-5 physics), sized like
+        # __graft_entry__._flagship_plan but at bench scale
+        from meep_nl_tpu.stepper.plan import PolSpec
+        shape = gv.shape
+        size = [cx / res, cy / res, cz / res]
+        xs_c, ys_c, zs_c = [gv.comp_coords("ez", ax) for ax in range(3)]
+        ctr = [0.5 * (c[0] + c[-1]) for c in (xs_c, ys_c, zs_c)]
+        XX, YY, ZZ = np.meshgrid(xs_c - ctr[0], ys_c - ctr[1], zs_c - ctr[2],
+                                 indexing="ij")
+        ball = XX ** 2 + YY ** 2 + ZZ ** 2 < (min(size) / 4) ** 2
+        eps = np.ones(shape)
+        eps[ball] = 4.0
+        chi1inv = {c: {c[1]: 1.0 / eps} for c in ("ex", "ey", "ez")}
+        pol = PolSpec(field_type="e", omega0=2.0, gamma=0.05,
+                      sigma={(c, c[1]): 0.2 * ball.astype(np.float64)
+                             for c in ("ex", "ey", "ez")})
+        c2 = np.zeros(shape)
+        c2[ball] = 0.05
+        mat = MaterialSpec(chi1inv=chi1inv, pols=[pol],
+                           nr_chi2={c: c2 for c in ("ex", "ey", "ez")})
+    else:
+        mat = MaterialSpec(chi1inv={})
+    plan = compile_plan(gv, mat, pmls=pmls, sources=[src],
                         pad_to_multiple=(8, 8, 128))
     if os.environ.get("BENCH_PALLAS"):
         plan.use_pallas = True
@@ -138,7 +165,8 @@ def run_one():
     gcells = cells * steps / dt_wall / 1e9
     baseline = 10.0  # GCells/s north star (BASELINE.json)
     print(json.dumps({
-        "metric": "yee_cell_updates_3d_pml_fp32",
+        "metric": ("yee_cell_updates_3d_pml_lorentz_nr_fp32" if mat_mode
+                   else "yee_cell_updates_3d_pml_fp32"),
         "value": round(gcells, 3),
         "unit": "GCells/s",
         "vs_baseline": round(gcells / baseline, 3),

@@ -501,11 +501,16 @@ class Simulation:
                 v3 = [0.0, 0.0, pt[0]]
             vals[mi] = func(Vector3(*v3))
         arr = self._state["f"][component]
-        out = np.zeros(arr.shape, np.complex128)
+        pair = self._plan.real_pair and arr.ndim == self.gv.ndim + 1
+        shp = arr.shape[1:] if pair else arr.shape
+        out = np.zeros(shp, np.complex128)
         out[tuple(slice(0, s) for s in vals.shape)] = vals
         if not self._plan.complex_fields:
             out = out.real
-        new = jnp.asarray(out, arr.dtype)
+        if pair:
+            new = jnp.asarray(np.stack([out.real, out.imag]), arr.dtype)
+        else:
+            new = jnp.asarray(out, arr.dtype)
         C = self._plan.coefs
         new = S._apply_mask(self._plan, C, component, new)
         f = {**self._state["f"], component: new}
@@ -615,6 +620,16 @@ class Simulation:
             boundaries=self._boundaries or None)
         self._plan.use_pallas = self.use_pallas
         self._plan.slab_store = self.slab_store
+        if self._plan.complex_fields:
+            # real-pair complex storage: mandatory off-CPU (the axon TPU
+            # has no complex compute); opt-in on CPU via MNT_REAL_PAIR=1,
+            # opt-out everywhere via MNT_COMPLEX_NATIVE=1
+            import os as _os
+            import jax as _jax
+            if _os.environ.get("MNT_COMPLEX_NATIVE") != "1" and (
+                    _jax.default_backend() != "cpu"
+                    or _os.environ.get("MNT_REAL_PAIR") == "1"):
+                self._plan.real_pair = True
         self._state = S.init_state(self._plan)
 
     # -------------------------------------------------------------- monitors
@@ -1484,7 +1499,11 @@ class Simulation:
             self._state, ys = S.run(self._plan, self._state, nsteps,
                                     t0=self._t, probes=probes)
             for k in series:
-                series[k].append(np.asarray(ys[k]))
+                arr = np.asarray(ys[k])
+                if self._plan.real_pair and arr.ndim == 2 \
+                        and arr.shape[-1] == 2:
+                    arr = arr[:, 0] + 1j * arr[:, 1]
+                series[k].append(arr)
         else:
             if self.use_fused:
                 # hybrid production path: fused Mosaic kernel between DFT
@@ -1529,7 +1548,7 @@ class Simulation:
         self.init_sim()
         if component == Dielectric:
             return self.get_epsilon()
-        arr = np.asarray(self._state["f"][component])
+        arr = self._field_np(component)
         # crop padded storage to the live grid
         arr = arr[tuple(slice(0, n + 1) for n in self.gv.num)]
         coords = [self.gv.comp_coords(component, ax)
@@ -1583,12 +1602,25 @@ class Simulation:
             return 1.0 / np.maximum(u, 1e-300)
         return np.ones(self.gv.shape)
 
+    def _field_np(self, c, state=None) -> np.ndarray:
+        """Host view of a field component, recombining the real-pair
+        channel axis into a complex array when plan.real_pair."""
+        st = state if state is not None else self._state
+        arr = np.asarray(st["f"][c])
+        if self._plan.real_pair and arr.ndim == self.gv.ndim + 1:
+            return arr[0] + 1j * arr[1]
+        return arr
+
     def get_field_point(self, component, pt) -> complex:
         self.init_sim()
         pts = self.gv.interp_weights(component, _vec_to_axes(self.gv, pt))
         arr = self._state["f"][component]
         # index on-device, transfer scalars only: the axon TPU tunnel
         # supports scalar d2h reads but not full-array device_get
+        if self._plan.real_pair and arr.ndim == self.gv.ndim + 1:
+            return sum(w * (complex(arr[(0,) + idx])
+                            + 1j * complex(arr[(1,) + idx]))
+                       for idx, w in pts)
         return sum(w * complex(arr[idx]) for idx, w in pts)
 
     @property
@@ -1611,8 +1643,8 @@ class Simulation:
         out = {}
         for c in self._state["f"]:
             if c[0] in "hb":
-                out[c] = 0.5 * (np.asarray(self._state["f"][c])
-                                + np.asarray(st2["f"][c]))
+                out[c] = 0.5 * (self._field_np(c)
+                                + self._field_np(c, st2))
         return out
 
     def _box_integral(self, comp_for_grid, values, center, size):
@@ -1638,10 +1670,8 @@ class Simulation:
             size = self.cell_size
         total = 0.0
         for s in self._plan.eh_specs_e:
-            e = self._centered(s.ec, np.real(np.asarray(
-                self._state["f"][s.ec])))
-            d = self._centered(s.dc, np.real(np.asarray(
-                self._state["f"][s.dc])))
+            e = self._centered(s.ec, np.real(self._field_np(s.ec)))
+            d = self._centered(s.dc, np.real(self._field_np(s.dc)))
             total += 0.5 * self._box_integral(s.ec, e * d, center, size)
         return total
 
@@ -1679,9 +1709,11 @@ class Simulation:
         f = self._state["f"]
 
         def get(c, bank):
-            if c in bank:
-                return self._centered(c, np.real(np.asarray(bank[c])))
-            return None
+            if c not in bank:
+                return None
+            if bank is f:
+                return self._centered(c, np.real(self._field_np(c)))
+            return self._centered(c, np.real(np.asarray(bank[c])))
 
         ep_, eq_ = get("e" + p, f), get("e" + q, f)
         hp_, hq_ = get("h" + p, hb), get("h" + q, hb)
@@ -1715,11 +1747,33 @@ class Simulation:
             if not freqs:
                 raise ValueError("solve_cw needs a source frequency")
             freq = freqs[0]
-        out = _solve(self._plan, freq, tol=tol, max_iters=maxiters)
+        out = _solve(self._cw_plan(), freq, tol=tol, max_iters=maxiters)
         for k in ("f", "f_u", "f_cond", "f_w", "pol"):
             if k in out:
-                self._state = {**self._state, k: out[k]}
+                self._state = {**self._state, k: self._pairify(out[k])}
         return out
+
+    def _cw_plan(self):
+        """Frequency-domain solves run complex-native (BiCGSTAB on the
+        complex step operator); hand them a complex-path plan copy when
+        the time-domain state is real-pair."""
+        if not self._plan.real_pair:
+            return self._plan
+        return dataclasses.replace(self._plan, real_pair=False)
+
+    def _pairify(self, tree):
+        """Convert complex arrays in a state subtree to the real-pair
+        channel layout of the time-domain state."""
+        if not self._plan.real_pair:
+            return tree
+        import jax
+
+        def conv(a):
+            if jnp.iscomplexobj(a):
+                return jnp.stack([jnp.real(a), jnp.imag(a)]).astype(
+                    self._plan.dtype)
+            return a
+        return jax.tree.map(conv, tree)
 
     def solve_eigfreq(self, freq=None, tol=1e-6, maxiters=12,
                       cwtol=1e-8, cwmaxiters=4000):
@@ -1737,9 +1791,9 @@ class Simulation:
             if not freqs:
                 raise ValueError("solve_eigfreq needs a guess frequency")
             freq = freqs[0]
-        out = _solve(self._plan, freq, eig_tol=tol, eig_iters=maxiters,
+        out = _solve(self._cw_plan(), freq, eig_tol=tol, eig_iters=maxiters,
                      cw_tol=cwtol, cw_iters=cwmaxiters)
-        self._state = {**self._state, **out["mode"]}
+        self._state = {**self._state, **self._pairify(out["mode"])}
         return out
 
     # ---------------------------------------------------------- checkpoint

@@ -47,6 +47,7 @@ nonlinearity / BFAST / Bloch periodicity / in-scan monitors.
 
 from __future__ import annotations
 
+import math
 import os
 from typing import Any, Dict, List, Tuple
 
@@ -56,36 +57,70 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...stepper.step import _nr_solve
+
 
 def _cdiv(a, b):
     return -(-a // b)
 
 
+def _has_disp(plan) -> bool:
+    return bool(plan.pol_specs_e or plan.pol_specs_h
+                or any(s.has_chi3 or s.has_nr
+                       for s in plan.eh_specs_e + plan.eh_specs_h))
+
+
 def _pick_bx(plan, requested=None) -> int:
     """Largest power-of-2 block depth that keeps the worst call's VMEM
     (~24 live full tiles x 2 revolving buffers) under ~85 MB of the v5e's
-    128 MB."""
+    128 MB.  Dispersive plans carry extra per-block tiles (P/PP/stored-E/
+    sigma/NL coefs), so their budget multiplier is higher."""
     S = tuple(plan.storage_shape or plan.gv.shape)
     if requested:
         return requested
     plane = S[1] * S[2] * 4
+    disp = _has_disp(plan)
+    tiles = 78 if disp else 48
     bx = 16
-    while bx > 1 and (48 * bx * plane > 85 * 2 ** 20 or S[0] % bx):
+    while bx > 1 and (tiles * bx * plane > 85 * 2 ** 20 or S[0] % bx):
         bx //= 2
+    if disp:
+        # block granularity interacts with the dispersive window (its
+        # x-range must clear the x-PML edge calls): degrade bx until the
+        # layout validates rather than falling all the way back to jnp
+        b = bx
+        while b >= 1:
+            try:
+                _Layout(plan, b)
+                return b
+            except ValueError:
+                b //= 2
     return bx
 
 
-def supported(plan, bx: int = None) -> bool:
+def supported(plan, bx: int = None, allow_disp: bool = True) -> bool:
     """Static envelope check (the analog of step_generic.cpp:82's case
-    split: this kernel is the fully-specialized hot case)."""
+    split: this kernel is the fully-specialized hot case).
+
+    The dispersive envelope (simple E-family Lorentzian ADEs,
+    susceptibility.cpp:188-260, plus the fork's chi2-Newton and chi3-Pade
+    branches, step_generic.cpp:546-815) is admitted when the material
+    support is x-interior and away from PML slabs — validated by
+    `_Layout`; `allow_disp=False` restores the round-2 linear-only
+    envelope (used by callers that haven't been taught the disp state)."""
     bx = _pick_bx(plan, bx)
     gv = plan.gv
     if gv.dim != "3d" or plan.complex_fields or plan.bfast_k is not None:
         return False
-    if plan.pol_specs_e or plan.pol_specs_h:
+    if plan.pol_specs_h:
         return False
-    if getattr(plan, "have_fmp_e", False) or getattr(plan, "have_fmp_h", False):
+    if not allow_disp and _has_disp(plan):
         return False
+    for p in plan.pol_specs_e:
+        if p.kind != "lorentzian" or p.noise_amp != 0.0:
+            return False
+        if any(d != c[1] for (c, d) in p.sigma):
+            return False                     # off-diagonal sigma rows
     if any(plan.periodic):
         return False
     if plan.m:
@@ -94,7 +129,9 @@ def supported(plan, bx: int = None) -> bool:
         if s.has_cond:
             return False
     for s in plan.eh_specs_e + plan.eh_specs_h:
-        if s.has_u1 or s.has_u2 or s.has_chi3 or s.has_nr:
+        if s.has_u1 or s.has_u2:
+            return False
+        if (s.has_chi3 or s.has_nr) and s.ec[0] != "e":
             return False
     for c, planes in (plan.mask_planes or {}).items():
         if planes is None:
@@ -191,6 +228,8 @@ class _Layout:
                 else (self.S[0], self.S[0])
             return lor2, hir2
 
+        self._disp_setup(plan, bx)
+
         self.fu: Dict[str, Tuple[int, Tuple[int, int], Tuple[int, int]]] = {}
         self.eh_store: Dict[str, Tuple[int, Tuple[int, int], Tuple[int, int]]] = {}
         # raw (unpadded, true-sigma) ranges, for exact jnp-state conversion:
@@ -207,6 +246,137 @@ class _Layout:
                 # emits full-width relayout-free ops
                 lor, hir = (0, self.S[2]), (self.S[2], self.S[2])
             (self.fu if kind == "fu" else self.eh_store)[c] = (ax, lor, hir)
+
+    def _disp_setup(self, plan, bx):
+        """Dispersive-envelope layout: the x-block range [db0, db1) holding
+        every pol-sigma / chi3 / chi2-NR support, the per-pol component
+        lists, and the NL partner stencil sets.  Raises ValueError when the
+        material layout cannot be specialized (caller falls back to jnp).
+
+        Invariants established here (the kernel relies on each):
+          * disp range is x-interior (inside the mid call, clear of the
+            x-PML edge calls);
+          * NL support (+1-site stencil reach) is clear of every true PML
+            sigma slab on all axes, of every masked plane, and of every
+            source point — so the redundant next-plane recompute may use
+            the plain interior update rule;
+          * NL support x-range is >= 1 site inside the disp range, so the
+            cross-call dmp carries/halos are never consumed."""
+        self.pol_entries: List[Tuple[int, Any, List[str]]] = []
+        self.nl_specs = [s for s in plan.eh_specs_e
+                         if s.has_chi3 or s.has_nr]
+        self.disp = None
+        if not plan.pol_specs_e and not self.nl_specs:
+            return
+        boxes = getattr(plan, "support_boxes", None)
+        if boxes is None:
+            raise ValueError("plan lacks support-box metadata")
+        xr: List[Tuple[int, int]] = []          # site ranges (pol: exact)
+        self.de_comps: List[str] = []
+        for pi, p in enumerate(plan.pol_specs_e):
+            comps = sorted({c for (c, d) in p.sigma})
+            for c in comps:
+                key = f"pol{pi}:{c}:{c[1]}"
+                if key not in boxes:
+                    raise ValueError(f"no support box for {key}")
+                b = boxes[key]
+                if b is not None:
+                    xr.append(b[0])
+                if c not in self.de_comps:
+                    self.de_comps.append(c)
+            self.pol_entries.append((pi, p, comps))
+        nl_boxes = []
+        for s in self.nl_specs:
+            keys = []
+            if s.has_chi3:
+                keys += [f"{s.ec}:chi3", f"{s.ec}:chi2"]
+            if s.has_nr:
+                keys += [f"{s.ec}:nrchi2"]
+            for key in keys:
+                if key not in boxes:
+                    raise ValueError(f"no support box for {key}")
+                b = boxes[key]
+                if b is None:
+                    continue
+                nl_boxes.append(b)
+                # NL stencils reach 1 site; widen the x-claim so the
+                # support sits >= 1 site inside the disp range
+                xr.append((b[0][0] - 1, b[0][1] + 1))
+            if s.ec not in self.de_comps:
+                self.de_comps.append(s.ec)
+            # NL corrections leak into partner components' stored E only
+            # via lin; partners themselves stay linear
+        if not xr:
+            # all supports empty: P stays identically zero and the NL
+            # selects never fire — treat the plan as linear
+            self.pol_entries = []
+            self.nl_specs = []
+            self.de_comps = []
+            return
+        x_lo = min(a for a, _ in xr)
+        x_hi = max(b for _, b in xr)
+        if x_lo < 0 or x_hi > self.S[0]:
+            raise ValueError("dispersive support touches the x boundary")
+        db0 = x_lo // bx
+        db1 = _cdiv(x_hi, bx)
+        self.db0, self.db1 = db0, db1
+
+        # NL stencil-safety checks
+        if nl_boxes:
+            # collect true per-axis sigma slab extents (raw site counts)
+            slab_lo = [0, 0, 0]
+            slab_hi = [0, 0, 0]
+
+            def claim(ax, slabs):
+                if ax is None or slabs is None:
+                    return
+                slab_lo[ax] = max(slab_lo[ax], slabs[0])
+                slab_hi[ax] = max(slab_hi[ax], slabs[1])
+
+            for s in plan.curl_specs_d + plan.curl_specs_b:
+                claim(s.dsig_axis, s.dsig_slabs)
+                claim(s.dsigu_axis, s.dsigu_slabs)
+            for s in plan.eh_specs_e + plan.eh_specs_h:
+                claim(s.dsigw_axis, s.dsigw_slabs)
+            for b in nl_boxes:
+                for ax in range(3):
+                    lo, hi = b[ax]
+                    if lo - 1 < slab_lo[ax] or \
+                            hi + 1 > self.n_sites[ax] - slab_hi[ax]:
+                        raise ValueError(
+                            "NL support (+1 stencil) reaches a PML slab "
+                            "or the grid boundary")
+                # masked planes inside the stencil reach
+                for c, planes in (plan.mask_planes or {}).items():
+                    for (ax, idx) in planes or []:
+                        lo, hi = b[ax]
+                        if lo - 1 <= idx < hi + 1:
+                            raise ValueError(
+                                "masked plane inside NL stencil reach")
+                # sources inside the stencil reach
+                for s in plan.sources:
+                    for pt in np.asarray(s.indices):
+                        if all(b[ax][0] - 1 <= int(pt[ax]) < b[ax][1] + 1
+                               for ax in range(3)):
+                            raise ValueError(
+                                "source point inside NL stencil reach")
+        # NL partner stencil sets: forward x-plane recompute needed for
+        # partners of specs whose own axis is x; backward carries for
+        # partners reached through an x-offset shift
+        self.nl_fwd: List[str] = []
+        self.nl_bwd: List[str] = []
+        for s in self.nl_specs:
+            for dc_k, ax_k in ((s.dc1, s.ax_1), (s.dc2, s.ax_2)):
+                if dc_k is None:
+                    continue
+                if s.ax_own == 0 and dc_k not in self.nl_fwd:
+                    self.nl_fwd.append(dc_k)
+                if ax_k == 0 and dc_k not in self.nl_bwd:
+                    self.nl_bwd.append(dc_k)
+        if db0 < self.lo_blocks or db1 > self.hi_block0 or db1 <= db0:
+            raise ValueError(
+                "dispersive x-range overlaps the x-PML edge calls")
+        self.disp = (db0, db1)
 
     def _raw_ranges(self, ax, lo, hi):
         """lo/hi slab SITE ranges along `ax`: [0, lo) and
@@ -230,8 +400,22 @@ class _Layout:
                         shp = list(S)
                         shp[ax] = b - a
                         st[f"{name}:{c}:{side}"] = jnp.zeros(tuple(shp), dtype)
+        if self.disp is not None:
+            db0, db1 = self.disp
+            dshape = ((db1 - db0) * self.bx, S[1], S[2])
+            for (pi, p, comps) in self.pol_entries:
+                for c in comps:
+                    st[f"p{pi}:{c}"] = jnp.zeros(dshape, dtype)
+                    st[f"pp{pi}:{c}"] = jnp.zeros(dshape, dtype)
+            for c in self.de_comps:
+                st[f"de:{c}"] = jnp.zeros(dshape, dtype)
         st["t"] = jnp.zeros((), jnp.int32)
         return st
+
+    def disp_range(self) -> Tuple[int, int]:
+        """Site range [a, b) of the dispersive x-window."""
+        db0, db1 = self.disp
+        return db0 * self.bx, db1 * self.bx
 
     @staticmethod
     def key(kind, c, side):
@@ -250,9 +434,11 @@ def _plane_lists(plan, c):
 # ---------------------------------------------------------------------------
 
 
-def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str):
+def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str,
+                disp: bool = False):
     """One pallas call covering global x-blocks [b0, b1).
-    edge_side: 'lo' | 'hi' | '' (interior)."""
+    edge_side: 'lo' | 'hi' | '' (interior); disp marks the dispersive
+    window call (Lorentz ADE + chi3/chi2-NR support, see _disp_setup)."""
     plan = L.plan
     bx, S = L.bx, L.S
     Y, Z = S[1], S[2]
@@ -263,6 +449,38 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str):
     curls_d = list(plan.curl_specs_d)
     ehs_h = list(plan.eh_specs_h)
     ehs_e = list(plan.eh_specs_e)
+
+    # ---- dispersive-call statics ------------------------------------------
+    de_set = set(L.de_comps) if disp else set()
+    pol_entries = L.pol_entries if disp else []
+    nl_specs = L.nl_specs if disp else []
+    nl_fwd = list(L.nl_fwd) if (disp and nl_specs) else []
+    nl_bwd = list(L.nl_bwd) if (disp and nl_specs) else []
+    # which components have a pol P to subtract (dc -> list of (pi, ec))
+    pol_by_dc: Dict[str, List[Tuple[int, str]]] = {}
+    for (pi, p, comps) in pol_entries:
+        for c in comps:
+            pol_by_dc.setdefault("d" + c[1], []).append((pi, c))
+    # redundant next-plane recompute structure (forward-x NL stencils):
+    # D curls for the forward partners, the H comps they difference, and
+    # the B curls producing those H comps
+    d_specs_fwd = [s for s in curls_d if s.c in nl_fwd]
+    h_for_fwd: List[str] = []
+    for s in d_specs_fwd:
+        for g in (s.g_plus, s.g_minus):
+            if g is not None and g not in h_for_fwd:
+                h_for_fwd.append(g)
+    b_specs_fwd = [s for s in curls_b if s.ec in h_for_fwd]
+    e_q_names: List[str] = []
+    e_q1_names: List[str] = []
+    for s in b_specs_fwd:
+        for g, a in ((s.g_plus, s.plus_axis), (s.g_minus, s.minus_axis)):
+            if g is None:
+                continue
+            if g not in e_q_names:
+                e_q_names.append(g)
+            if a == 0 and g not in e_q1_names:
+                e_q1_names.append(g)
 
     # which x-compact side (if any) each array contributes to this call
     def x_side_here(lor, hir):
@@ -333,6 +551,18 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str):
                                         memory_space=pltpu.VMEM)
                     add_state(key, spec)
 
+    # dispersive state: P/PP per pol component + stored-E over the window
+    # (all x-compact arrays starting at db0*bx == b0*bx for this call)
+    if disp:
+        disp_spec = pl.BlockSpec((bx, Y, Z), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        for (pi, p, comps) in pol_entries:
+            for c in comps:
+                add_state(f"p{pi}:{c}", disp_spec)
+                add_state(f"pp{pi}:{c}", disp_spec)
+        for c in L.de_comps:
+            add_state(f"de:{c}", disp_spec)
+
     # halo planes (E_eff at (g+1)*bx) for the B half's forward x-diffs
     halo_keys: List[str] = []
     for s in curls_b:
@@ -341,6 +571,30 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str):
                 halo_keys.append(g)
     for g in halo_keys:
         in_entries.append(("halo", g,
+                           pl.BlockSpec((1, Y, Z), lambda i: (i + b0, 0, 0),
+                                        memory_space=pltpu.VMEM)))
+
+    # NL redundant-plane halos (all prev-step data, host-precomputed with
+    # the same plane indexing as the regular halos: element j = plane
+    # (j+1)*bx [+1 for the e1 family])
+    nlh_keys: List[str] = []
+    if nl_fwd:
+        for g in e_q_names:
+            if g not in halo_keys:
+                nlh_keys.append(f"e0:{g}")
+        for g in e_q1_names:
+            nlh_keys.append(f"e1:{g}")
+        for s in b_specs_fwd:
+            nlh_keys.append(f"b0:{s.c}")
+        for s in d_specs_fwd:
+            nlh_keys.append(f"d0:{s.c}")
+            if s.c in pol_by_dc:
+                nlh_keys.append(f"ps:{s.c}")
+        for hc in h_for_fwd:
+            if f"{hc}:u" in plan.coefs:
+                nlh_keys.append(f"u:{hc}")
+    for k in nlh_keys:
+        in_entries.append(("nlh", k,
                            pl.BlockSpec((1, Y, Z), lambda i: (i + b0, 0, 0),
                                         memory_space=pltpu.VMEM)))
 
@@ -376,6 +630,16 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str):
         if s.dsigw_axis is not None:
             want_coef(f"{s.ec}:kapw")
             want_coef(f"{s.ec}:sigw")
+    for (pi, p, comps) in pol_entries:
+        for c in comps:
+            want_coef(f"pol{pi}:{c}:{c[1]}")
+    for s in nl_specs:
+        if s.has_chi3:
+            want_coef(f"{s.ec}:chi3")
+            want_coef(f"{s.ec}:chi2")
+        if s.has_nr:
+            want_coef(f"{s.ec}:nreps")
+            want_coef(f"{s.ec}:nrchi2")
     for k in coef_keys:
         arr = C0[k]
         if arr.ndim == 3 and arr.shape == tuple(S):
@@ -459,6 +723,8 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str):
         for (tag, key, _), r in zip(out_entries, outs):
             outname[(tag, key)] = r
         sc_carry = {g: scratch[k] for k, g in enumerate(carry_keys)}
+        sc_dmp = {dc: scratch[len(carry_keys) + k]
+                  for k, dc in enumerate(nl_bwd)}
 
         i = pl.program_id(0)
         gx0 = (i + b0) * bx
@@ -468,8 +734,21 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str):
             def _(g=g):
                 sc_carry[g][...] = byname[("carry", g)][...]
 
+        for dc in nl_bwd:
+            # NL backward-x carry: zero at the window's first block (the
+            # envelope keeps chi support >= 1 site inside, so the zero
+            # plane is never selected)
+            @pl.when(i == 0)
+            def _(dc=dc):
+                sc_dmp[dc][...] = jnp.zeros((1, Y, Z), dtype)
+
         def coef(k):
             return byname[("coef", k)][...]
+
+        # prev-step stored E over the dispersive window (read ONCE, before
+        # any aliased write): B-half E_eff, W-chain lin_old, and the NR
+        # Newton seed all use it
+        de_old = {c: byname[("state", f"de:{c}")][...] for c in de_set}
 
         def shift_yz(a, axis, by):
             pad = [(0, 0)] * 3
@@ -633,6 +912,49 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str):
                     add = term if add is None else add + term
                 new_f[dc] = new_f[dc] + add
 
+            # ---- dispersive D half: dmp = D_new - sum P, NL stencil
+            # machinery, pol ADE updates (the fork's update_eh/_pol path,
+            # susceptibility.cpp:188, step_generic.cpp:546-815) ----------
+            dmp: Dict[str, Any] = {}
+            dmp_next: Dict[str, Any] = {}
+            carry_dmp_prev: Dict[str, Any] = {}
+            lin_final: Dict[str, Any] = {}
+            if disp and is_d:
+                for s in ehs:
+                    v = new_f[s.dc]
+                    for (pi, cpc) in pol_by_dc.get(s.dc, []):
+                        v = v - byname[("state", f"p{pi}:{cpc}")][...]
+                    dmp[s.dc] = v
+                carry_dmp_prev = {dc: sc_dmp[dc][...] for dc in nl_bwd}
+                for dc in nl_bwd:
+                    sc_dmp[dc][...] = dmp[dc][bx - 1:bx]
+                if nl_fwd:
+                    dmp_next = nl_next_planes(g_eff)
+
+            def shift_dmp(dc_name, axis, by):
+                g = dmp[dc_name]
+                if axis == 0:
+                    if by > 0:
+                        return jnp.concatenate(
+                            [g[1:], dmp_next[dc_name]], axis=0)
+                    return jnp.concatenate(
+                        [carry_dmp_prev[dc_name], g[:-1]], axis=0)
+                return shift_yz(g, axis, by)
+
+            def sum4(dc_name, ax_own_, ax_off_):
+                """gs_2-style 4-neighbor sum of dmp (step_generic.cpp:740)
+                with cross-block x planes from the carry / redundant
+                next-plane machinery (sgn = +1: E family only)."""
+                g = dmp[dc_name]
+                g_s = shift_dmp(dc_name, ax_own_, +1)
+                g_x = shift_dmp(dc_name, ax_off_, -1)
+                if ax_off_ == 0:
+                    prv = shift_yz(carry_dmp_prev[dc_name], ax_own_, +1)
+                    g_sx = jnp.concatenate([prv, g_s[:-1]], axis=0)
+                else:
+                    g_sx = shift_yz(g_s, ax_off_, -1)
+                return g + g_s + g_x + g_sx
+
             # eh transform: stored-slab W chains + virtual u*D elsewhere.
             # All inputs are correctly masked (D/E share Yee sites), so no
             # second mask pass is needed.
@@ -640,14 +962,49 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str):
             for s in ehs:
                 ec, dc_ = s.ec, s.dc
                 u = coef(f"{ec}:u") if s.has_u else None
-                d_new = new_f[dc_]
+                d_new = dmp[dc_] if (disp and is_d) else new_f[dc_]
                 lin_new = d_new * u if u is not None else d_new
+                if disp and is_d and (s.has_chi3 or s.has_nr):
+                    gs = d_new
+                    u_nl = u if u is not None else 1.0
+                    if s.has_chi3:
+                        # Pade Kerr (calc_nonlinear_u, step_generic.cpp:546)
+                        Dsqr = gs * gs
+                        if s.dc1 is not None and s.ax_1 is not None:
+                            g1s = sum4(s.dc1, s.ax_own, s.ax_1)
+                            Dsqr = Dsqr + 0.0625 * (g1s * g1s)
+                        if s.dc2 is not None and s.ax_2 is not None:
+                            g2s = sum4(s.dc2, s.ax_own, s.ax_2)
+                            Dsqr = Dsqr + 0.0625 * (g2s * g2s)
+                        c2 = gs * coef(f"{ec}:chi2") * (u_nl * u_nl)
+                        c3 = Dsqr * coef(f"{ec}:chi3") * (u_nl * u_nl * u_nl)
+                        lin_new = lin_new * (1 + c2 + 2 * c3) \
+                            / (1 + 2 * c2 + 3 * c3)
+                    if s.has_nr:
+                        # chi2 Newton branch (newton_raphson.cpp:144);
+                        # seed = previous E (stored de window)
+                        g_1 = 0.25 * sum4(s.dc1, s.ax_own, s.ax_1) \
+                            if s.dc1 is not None else jnp.zeros_like(gs)
+                        g_2 = 0.25 * sum4(s.dc2, s.ax_own, s.ax_2) \
+                            if s.dc2 is not None else jnp.zeros_like(gs)
+                        epsv = coef(f"{ec}:nreps")
+                        chi2v = coef(f"{ec}:nrchi2")
+                        own, _, _ = _nr_solve(gs, g_1, g_2, epsv, chi2v,
+                                              de_old[ec], g_1 * u_nl,
+                                              g_2 * u_nl)
+                        lin_new = jnp.where(chi2v != 0, own, lin_new)
+                if disp and is_d and ec in de_set:
+                    outname[("state", f"de:{ec}")][...] = lin_new
+                    lin_final[ec] = lin_new
                 if ec not in L.eh_store:
                     eff_new[ec] = lin_new
                     continue
                 ax, lor, hir = L.eh_store[ec]
-                d_old = byname[("state", dc_)][...]
-                lin_old = d_old * u if u is not None else d_old
+                if disp and is_d and ec in de_set:
+                    lin_old = de_old[ec]
+                else:
+                    d_old = byname[("state", dc_)][...]
+                    lin_old = d_old * u if u is not None else d_old
 
                 def wseg(out_key, sl, side=None):
                     if side is None:      # x: blocked (bx,1,1) coefs
@@ -683,15 +1040,87 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str):
                                            slice(a_hi, b_hi), "hi"))
                     eff_new[ec] = jnp.concatenate(pieces, axis=ax) \
                         if len(pieces) > 1 else pieces[0]
+
+            # pol ADE leapfrog (susceptibility.cpp:188-260): drive = the
+            # final (NL-corrected) lin == fw of this step
+            if disp and is_d:
+                for (pi, p, comps) in pol_entries:
+                    w2pi = 2 * math.pi * p.omega0
+                    g2pi = 2 * math.pi * p.gamma
+                    omega0dtsqr = (w2pi * dt) ** 2
+                    g1inv = 1.0 / (1 + 0.5 * g2pi * dt)
+                    g1 = 1 - 0.5 * g2pi * dt
+                    denom = 0.0 if p.drude else omega0dtsqr
+                    for c in comps:
+                        sigv = coef(f"pol{pi}:{c}:{c[1]}")
+                        pcur = byname[("state", f"p{pi}:{c}")][...]
+                        ppcur = byname[("state", f"pp{pi}:{c}")][...]
+                        pnew = g1inv * (pcur * (2 - denom) - g1 * ppcur
+                                        + omega0dtsqr * sigv * lin_final[c])
+                        outname[("state", f"p{pi}:{c}")][...] = pnew
+                        outname[("state", f"pp{pi}:{c}")][...] = pcur
             return new_f, eff_new
+
+        def nl_next_planes(h_eff):
+            """dmp at this call's next-block plane q = gx0 + bx: an
+            interior-rule redundant recompute of D_new(q) - sum P(q) from
+            prev-step halo planes + this block's last H_new plane.  Valid
+            on the NL stencil columns by the _disp_setup invariants
+            (garbage elsewhere, masked out by the chi != 0 selects)."""
+            def nlh(k):
+                return byname[("nlh", k)][...]
+            e_q = {}
+            for g in e_q_names:
+                e_q[g] = byname[("halo", g)][...] if g in halo_keys \
+                    else nlh(f"e0:{g}")
+            h_new_q = {}
+            for s in b_specs_fwd:
+                def pdiff(gname, axis):
+                    if axis == 0:
+                        return nlh(f"e1:{gname}") - e_q[gname]
+                    return shift_yz(e_q[gname], axis, +1) - e_q[gname]
+                total = None
+                if s.g_plus is not None:
+                    total = pdiff(s.g_plus, s.plus_axis)
+                if s.g_minus is not None:
+                    t2 = pdiff(s.g_minus, s.minus_axis)
+                    total = -t2 if total is None else total - t2
+                b_new = nlh(f"b0:{s.c}") - dtdx * total
+                if f"{s.ec}:u" in plan.coefs:
+                    h_new_q[s.ec] = b_new * nlh(f"u:{s.ec}")
+                else:
+                    h_new_q[s.ec] = b_new
+            out = {}
+            for s in d_specs_fwd:
+                def pdiff(gname, axis):
+                    if axis == 0:
+                        return h_new_q[gname] - h_eff[gname][bx - 1:bx]
+                    return h_new_q[gname] \
+                        - shift_yz(h_new_q[gname], axis, -1)
+                total = None
+                if s.g_plus is not None:
+                    total = pdiff(s.g_plus, s.plus_axis)
+                if s.g_minus is not None:
+                    t2 = pdiff(s.g_minus, s.minus_axis)
+                    total = -t2 if total is None else total - t2
+                d_new_q = nlh(f"d0:{s.c}") + dtdx * total
+                if s.c in pol_by_dc:
+                    d_new_q = d_new_q - nlh(f"ps:{s.c}")
+                out[s.c] = d_new_q
+            return out
 
         # ---- B half: B <- -curl E_eff, H <- W-chain(B) ---------------------
         e_eff = {}
         for s in ehs_e:
-            d_old = byname[("state", s.dc)][...]
-            u = coef(f"{s.ec}:u") if s.has_u else None
-            e_eff[s.ec] = assemble_eff(s.ec,
-                                       d_old * u if u is not None else d_old)
+            if disp and s.ec in de_set:
+                # stored-E window: lin (incl. NL corrections) was written
+                # by the previous step's D half
+                base = de_old[s.ec]
+            else:
+                d_old = byname[("state", s.dc)][...]
+                u = coef(f"{s.ec}:u") if s.has_u else None
+                base = d_old * u if u is not None else d_old
+            e_eff[s.ec] = assemble_eff(s.ec, base)
         halo_planes = {g: byname[("halo", g)][...] for g in halo_keys}
         new_b, h_eff = half(curls_b, ehs_h, e_eff, halo_planes, is_d=False)
 
@@ -719,6 +1148,8 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str):
                 args.append(halos[key])
             elif tag == "carry":
                 args.append(carry_in[key])
+            elif tag == "nlh":
+                args.append(halos[key])
             elif tag == "coef":
                 args.append(C[key])
             elif tag == "coefslab":
@@ -741,7 +1172,8 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str):
             out_shape=out_shapes,
             input_output_aliases=aliases,
             scratch_shapes=[pltpu.VMEM((1, Y, Z), dtype)
-                            for _ in carry_keys],
+                            for _ in carry_keys]
+            + [pltpu.VMEM((1, Y, Z), dtype) for _ in nl_bwd],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
                 vmem_limit_bytes=110 * 1024 * 1024),
@@ -759,6 +1191,7 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str):
     run_call.halo_keys = halo_keys
     run_call.carry_keys = carry_keys
     run_call.xs_keys = xs_keys
+    run_call.nlh_keys = nlh_keys
     return run_call
 
 
@@ -766,6 +1199,19 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str):
 # public driver
 # ---------------------------------------------------------------------------
 
+
+
+def _de_overlay(L, bx, planes, state, ec, offset=0):
+    """Overlay the stored-E dispersive window onto strided halo planes
+    (element j = plane (j+1)*bx + offset)."""
+    if L.disp is None or ec not in getattr(L, "de_comps", []):
+        return planes
+    db0, db1 = L.disp
+    de = state[f"de:{ec}"][offset::bx]           # (db1-db0) planes
+    j0 = db0 - 1
+    if j0 >= 0:
+        return planes.at[j0:j0 + (db1 - db0)].set(de)
+    return planes.at[0:db1 - 1].set(de[1:])
 
 
 def compute_halos(L, bx, halo_keys, state, C):
@@ -779,6 +1225,7 @@ def compute_halos(L, bx, halo_keys, state, C):
         planes = d[bx::bx]                       # x = bx .. < X
         if spec.has_u:
             planes = planes * C[f"{ec}:u"][bx::bx]
+        planes = _de_overlay(L, bx, planes, state, ec)
         if ec in L.eh_store:
             ax, lor, hir = L.eh_store[ec]
             if ax == 0:
@@ -805,6 +1252,55 @@ def compute_halos(L, bx, halo_keys, state, C):
     return halos
 
 
+def compute_nl_halos(L, bx, nlh_keys, state, C):
+    """Host-precomputed planes for the NL redundant next-plane recompute
+    (all prev-step data; same indexing convention as compute_halos:
+    element j = plane (j+1)*bx, '+1' family at (j+1)*bx + 1)."""
+    out = {}
+    S0 = L.S[0]
+    nplanes = S0 // bx                           # incl. trailing zero plane
+
+    def with_zero(planes):
+        pad = nplanes - planes.shape[0]
+        if pad > 0:
+            z = jnp.zeros((pad,) + planes.shape[1:], planes.dtype)
+            planes = jnp.concatenate([planes, z], axis=0)
+        return planes
+
+    db0, db1 = L.disp
+    for key in nlh_keys:
+        kind, name = key.split(":", 1)
+        if kind in ("e0", "e1"):
+            off = 0 if kind == "e0" else 1
+            spec = L.eh_by_ec[name]
+            planes = state[spec.dc][bx + off::bx]
+            if spec.has_u:
+                planes = planes * C[f"{name}:u"][bx + off::bx]
+            planes = _de_overlay(L, bx, planes, state, name, offset=off)
+            # no W-slab overlay: these planes are only consumed on the NL
+            # stencil columns, which the envelope keeps slab-free
+            out[key] = with_zero(planes)
+        elif kind in ("b0", "d0"):
+            out[key] = with_zero(state[name][bx::bx])
+        elif kind == "ps":
+            ec = "e" + name[1]
+            tot = None
+            for (pi, p, comps) in L.pol_entries:
+                if ec in comps:
+                    v = state[f"p{pi}:{ec}"][0::bx]
+                    tot = v if tot is None else tot + v
+            planes = jnp.zeros((nplanes,) + tuple(L.S[1:]), tot.dtype)
+            j0 = db0 - 1
+            if j0 >= 0:
+                planes = planes.at[j0:j0 + (db1 - db0)].set(tot)
+            else:
+                planes = planes.at[0:db1 - 1].set(tot[1:])
+            out[key] = planes
+        elif kind == "u":
+            out[key] = with_zero(C[f"{name}:u"][bx::bx])
+    return out
+
+
 class Fdtd3dKernel:
     """Compiled fused-step driver for one plan."""
 
@@ -819,7 +1315,14 @@ class Fdtd3dKernel:
         calls = []
         if L.lo_blocks > 0:
             calls.append(_build_call(L, 0, L.lo_blocks, "lo"))
-        if L.hi_block0 > L.lo_blocks:
+        if L.disp is not None:
+            db0, db1 = L.disp
+            if db0 > L.lo_blocks:
+                calls.append(_build_call(L, L.lo_blocks, db0, ""))
+            calls.append(_build_call(L, db0, db1, "", disp=True))
+            if L.hi_block0 > db1:
+                calls.append(_build_call(L, db1, L.hi_block0, ""))
+        elif L.hi_block0 > L.lo_blocks:
             calls.append(_build_call(L, L.lo_blocks, L.hi_block0, ""))
         if L.hi_block0 < L.nblk:
             calls.append(_build_call(L, L.hi_block0, L.nblk, "hi"))
@@ -827,6 +1330,7 @@ class Fdtd3dKernel:
         self.halo_keys = sorted({g for c in calls for g in c.halo_keys})
         self.carry_keys = sorted({g for c in calls for g in c.carry_keys})
         self.xs_keys = sorted({k for c in calls for k in c.xs_keys})
+        self.nlh_keys = sorted({k for c in calls for k in c.nlh_keys})
 
     def init_state(self):
         return self.L.init_state(self.plan.dtype)
@@ -844,6 +1348,9 @@ class Fdtd3dKernel:
 
         def step(state, x_t, C):
             halos = self._halos(state, C)
+            if self.nlh_keys:
+                halos = {**halos, **compute_nl_halos(
+                    self.L, self.bx, self.nlh_keys, state, C)}
             carry = {g: jnp.zeros((1, Y, Z), dtype) for g in self.carry_keys}
             xscal = {k: jnp.asarray(x_t[k], dtype).reshape(1, 1)
                      for k in self.xs_keys}
@@ -877,12 +1384,16 @@ class Fdtd3dKernel:
         checkpointing, get_array) from the compact state."""
         plan, L = self.plan, self.L
         C = C if C is not None else plan.coefs
+        disp_rng = L.disp_range() if L.disp is not None else None
         f: Dict[str, Any] = {}
         for s in L.curls:
             f[s.c] = state[s.c]
         for s in L.ehs:
             d = state[s.dc]
             e = d * C[f"{s.ec}:u"] if s.has_u else d
+            if disp_rng is not None and s.ec in L.de_comps:
+                a, b = disp_rng
+                e = e.at[a:b].set(state[f"de:{s.ec}"])
             if s.ec in L.eh_store:
                 ax, lor, hir = L.eh_store[s.ec]
                 for side, (a, b) in (("lo", lor), ("hi", hir)):
@@ -914,13 +1425,23 @@ class Fdtd3dKernel:
                     comp[_full_slice(ax, slice(ar - base, br - base))])
             f_u[s.c] = fu
         f_w: Dict[str, Any] = {}
+        has_pols = bool(L.pol_entries)
         for s in L.ehs:
             if s.dsigw_axis is None:
                 continue
-            # fw == lin == u*D (step_generic.cpp:720); jnp slab_opt parity:
-            # zero outside the true-sigma_w ranges (never touched there)
+            # fw == lin (step_generic.cpp:720).  Without pols the jnp path
+            # keeps slab semantics (zero outside the true-sigma_w ranges);
+            # with pols the jnp _eh_update takes the full-f_w branch, so
+            # reconstruct lin everywhere: u*(D - sum PP) == u*D overlaid
+            # with the stored-E window (NL corrections included)
             d = state[s.dc]
             lin = d * C[f"{s.ec}:u"] if s.has_u else d
+            if disp_rng is not None and s.ec in L.de_comps:
+                a, b = disp_rng
+                lin = lin.at[a:b].set(state[f"de:{s.ec}"])
+            if has_pols and s.ec[0] == "e":
+                f_w[s.ec] = lin
+                continue
             ax, lor_r, hir_r = L.eh_raw[s.ec]
             fw = jnp.zeros_like(lin)
             for (ar, br) in (lor_r, hir_r):
@@ -928,8 +1449,17 @@ class Fdtd3dKernel:
                     sl = _full_slice(ax, slice(ar, br))
                     fw = fw.at[sl].set(lin[sl])
             f_w[s.ec] = fw
+        pol = []
+        for (pi, p, comps) in L.pol_entries:
+            a, b = disp_rng
+            entry = {"p": {}, "pp": {}}
+            for c in comps:
+                base = jnp.zeros(L.S, state[f"p{pi}:{c}"].dtype)
+                entry["p"][c] = base.at[a:b].set(state[f"p{pi}:{c}"])
+                entry["pp"][c] = base.at[a:b].set(state[f"pp{pi}:{c}"])
+            pol.append(entry)
         return {"f": f, "f_u": f_u, "f_cond": {}, "f_w": f_w,
-                "pol": [], "dft": {}, "t": state["t"]}
+                "pol": pol, "dft": {}, "t": state["t"]}
 
     def from_full(self, full):
         """Extract the compact state from a standard state dict."""
@@ -956,5 +1486,31 @@ class Fdtd3dKernel:
                     if b > a:
                         st[L.key(kind, c, side)] = \
                             base[_full_slice(ax, slice(a, b))]
+        if L.disp is not None:
+            a, b = L.disp_range()
+            C = self.plan.coefs
+            for (pi, p, comps) in L.pol_entries:
+                for c in comps:
+                    st[f"p{pi}:{c}"] = full["pol"][pi]["p"][c][a:b]
+                    st[f"pp{pi}:{c}"] = full["pol"][pi]["pp"][c][a:b]
+            for ec in L.de_comps:
+                spec = L.eh_by_ec[ec]
+                d = full["f"][spec.dc]
+                lin = d * C[f"{ec}:u"] if spec.has_u else d
+                # subtract the pre-update P generation (== current pp)
+                for (pi, p, comps) in L.pol_entries:
+                    if ec in comps:
+                        lin = lin - full["pol"][pi]["pp"][ec] \
+                            * (C[f"{ec}:u"] if spec.has_u else 1.0)
+                # NL sites: fw == E there (NL support excludes W slabs)
+                mask = None
+                if spec.has_nr:
+                    mask = C[f"{ec}:nrchi2"] != 0
+                if spec.has_chi3:
+                    m2 = C[f"{ec}:chi3"] != 0
+                    mask = m2 if mask is None else (mask | m2)
+                if mask is not None:
+                    lin = jnp.where(mask, full["f"][ec], lin)
+                st[f"de:{ec}"] = lin[a:b]
         st["t"] = full["t"]
         return st

@@ -56,7 +56,9 @@ def _pick_bx(plan, requested=None) -> int:
 
 def supported(plan, bx: int = None, depth: int = 2) -> bool:
     bx = _pick_bx(plan, bx)
-    if not F1.supported(plan, bx):
+    # the temporally-fused schedule has not been taught the dispersive
+    # (pol/chi3/NR) state; the 1-step kernel covers those plans
+    if not F1.supported(plan, bx, allow_disp=False):
         return False
     for s in plan.eh_specs_h:
         if s.has_u:

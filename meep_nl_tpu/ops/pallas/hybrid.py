@@ -37,17 +37,51 @@ def _sample_steps(plan, t0: int, nsteps: int) -> np.ndarray:
 
 
 def _get_kernel(plan):
+    """The fastest fused kernel covering this plan: the 2-step temporally
+    fused kernel for the linear envelope, the 1-step kernel for the
+    dispersive (Lorentz/chi3/NR) envelope."""
     ker = getattr(plan, "_t2_kernel", None)
     if ker is None:
-        from .fdtd3d_t2 import Fdtd3dT2Kernel
-        ker = Fdtd3dT2Kernel(plan)
+        from . import fdtd3d, fdtd3d_t2
+        if fdtd3d_t2.supported(plan):
+            ker = fdtd3d_t2.Fdtd3dT2Kernel(plan)
+        else:
+            ker = _K1Adapter(fdtd3d.Fdtd3dKernel(plan))
         plan._t2_kernel = ker
     return ker
 
 
+class _K1Adapter:
+    """Present the 1-step kernel through the 2-step interface the hybrid
+    cycle driver expects (a 'pair' is two sequential 1-step calls)."""
+
+    def __init__(self, k1):
+        self._k1 = k1
+        self.xs_keys = k1.xs_keys
+        self.depth = 2
+
+    def from_full(self, full):
+        return self._k1.from_full(full)
+
+    def to_full(self, comp, C=None):
+        return self._k1.to_full(comp, C)
+
+    def run(self, state, nsteps, t0=0):
+        return self._k1.run(state, nsteps, t0=t0)
+
+    def make_fused_step(self):
+        step1 = self._k1.make_step()
+
+        def step2(state, x_pair, C):
+            state = step1(state, {k: v[0] for k, v in x_pair.items()}, C)
+            return step1(state, {k: v[1] for k, v in x_pair.items()}, C)
+
+        return step2
+
+
 def hybrid_applicable(plan) -> bool:
-    from . import fdtd3d_t2
-    return fdtd3d_t2.supported(plan)
+    from . import fdtd3d, fdtd3d_t2
+    return fdtd3d_t2.supported(plan) or fdtd3d.supported(plan)
 
 
 def hybrid_run(plan, state: Dict[str, Any], nsteps: int, t0: int
@@ -74,8 +108,8 @@ def hybrid_run(plan, state: Dict[str, Any], nsteps: int, t0: int
         comp = ker.from_full(state)
         comp = ker.run(comp, nsteps, t0=t0)
         full = ker.to_full(comp, C)
-        return {**state, **{k: full[k] for k in ("f", "f_u", "f_w")},
-                "t": full["t"]}
+        keep = ["f", "f_u", "f_w"] + (["pol"] if full.get("pol") else [])
+        return {**state, **{k: full[k] for k in keep}, "t": full["t"]}
 
     gaps = np.diff(idx)
     if len(gaps) and len(set(gaps.tolist())) != 1:
@@ -148,8 +182,8 @@ def hybrid_run(plan, state: Dict[str, Any], nsteps: int, t0: int
 
         runner_c = cache[(d, ncyc)] = jax.jit(runner)
     out = runner_c(state, xs_cyc, C)
-    state = {**state, **{k: out[k] for k in ("f", "f_u", "f_w", "dft")},
-             "t": out["t"]}
+    keep = ["f", "f_u", "f_w", "dft"] + (["pol"] if out.get("pol") else [])
+    state = {**state, **{k: out[k] for k in keep}, "t": out["t"]}
     t += ncyc * d
     if suffix:
         state = jnp_run(plan, state, suffix, t0=t)

@@ -237,6 +237,17 @@ class Plan:
     #: on their sigma slabs, E/H are the only full arrays; silently falls
     #: back to the uniform path outside the supported envelope
     slab_store: bool = False
+    #: real-pair complex fields: store complex state as a leading (re, im)
+    #: channel axis of REAL arrays and keep every kernel in real
+    #: arithmetic (the reference's DOCMP unroll, fields.cpp).  Required on
+    #: the axon TPU backend, which has no complex compute; equivalent to
+    #: the complex path to roundoff (test_real_pair.py)
+    real_pair: bool = False
+    #: nonzero-support bounding boxes per material-coefficient key (pol
+    #: sigma rows, nrchi2, chi3/chi2), recorded at compile time so the
+    #: fused kernels can specialize without device reads: {key: ((lo,
+    #: hi), ...) per axis} or {key: None} for empty support
+    support_boxes: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
     @property
     def dt(self) -> float:
@@ -429,7 +440,14 @@ def compile_plan(
     coefs: Dict[str, Any] = {}
     mask_planes: Dict[str, Any] = {}
 
-    def put(key: str, arr, as_dtype=None, fill: str = "edge") -> str:
+    # per-axis bounding boxes of nonzero support, recorded at numpy stage
+    # for material coefficients the fused kernels specialize on (reading
+    # them back from device later would break the axon tunnel's
+    # no-compile-after-d2h rule)
+    support_boxes: Dict[str, Any] = {}
+
+    def put(key: str, arr, as_dtype=None, fill: str = "edge",
+            support: bool = False) -> str:
         arr = np.asarray(arr)
         if arr.shape == gv.shape:
             arr = _pad_full(arr, fill)
@@ -439,6 +457,13 @@ def compile_plan(
             pw = [(0, pad_amount[ax]) if arr.shape[ax] == gv.shape[ax] else (0, 0)
                   for ax in range(ndim)]
             arr = np.pad(arr, pw, mode="edge")
+        if support:
+            nz = np.nonzero(np.asarray(arr) != 0)
+            if len(nz[0]) == 0:
+                support_boxes[key] = None            # empty support
+            else:
+                support_boxes[key] = tuple(
+                    (int(ix.min()), int(ix.max()) + 1) for ix in nz)
         coefs[key] = jnp.asarray(arr, dtype=as_dtype or dtype)
         return key
 
@@ -659,10 +684,11 @@ def compile_plan(
             if u2 is not None:
                 put(f"{ec}:u2", u2)
             if chi3 is not None:
-                put(f"{ec}:chi3", chi3)
-                put(f"{ec}:chi2", chi2 if chi2 is not None else np.zeros(gv.shape))
+                put(f"{ec}:chi3", chi3, support=True)
+                put(f"{ec}:chi2", chi2 if chi2 is not None else np.zeros(gv.shape),
+                    support=True)
             if nr is not None:
-                put(f"{ec}:nrchi2", nr)
+                put(f"{ec}:nrchi2", nr, support=True)
                 # epsilon rows for the NR solve (inverse of diag chi1inv)
                 eps = 1.0 / u if u is not None else np.ones(gv.shape)
                 put(f"{ec}:nreps", eps)
@@ -705,7 +731,8 @@ def compile_plan(
     pol_h = [p for p in mat.pols if p.field_type == "h"]
     for pi, p in enumerate(mat.pols):
         for (c, d), arr in p.sigma.items():
-            put(f"pol{pi}:{c}:{d}", np.broadcast_to(arr, gv.shape), fill="zero")
+            put(f"pol{pi}:{c}:{d}", np.broadcast_to(arr, gv.shape),
+                fill="zero", support=True)
 
     have_fmp_e = bool(pol_e) or any(s.is_integrated and s.component[0] == "e"
                                     for s in sources)
@@ -747,7 +774,7 @@ def compile_plan(
         have_fmp_e=have_fmp_e, have_fmp_h=have_fmp_h,
         coefs=coefs, m=mm,
         bfast_k=tuple(bfast_scaled_k) if bfast_scaled_k is not None else None,
-        mask_planes=mask_planes)
+        mask_planes=mask_planes, support_boxes=support_boxes)
 
 
 def _infer_live(gv: G.GridVolume, mat: MaterialSpec, sources, dfts, ft: str

@@ -34,10 +34,29 @@ from ..ops.stencil import shift
 from .plan import Plan, CurlSpec, EhSpec, PolSpec, SrcVolSpec, DftSpec
 
 
+def _is_pair(plan: Plan) -> bool:
+    """Real-pair complex mode: complex fields stored as a leading (re, im)
+    channel axis, all compute in real arithmetic (the axon TPU tunnel has
+    no complex compute at all; cf. fields.cpp DOCMP loops, which the
+    reference unrolls the same way)."""
+    return bool(getattr(plan, "real_pair", False))
+
+
 def _sh(plan: Plan, arr, axis: int, by: int):
-    """Plan-bound shift: PEC zero-fill or Bloch wrap with the live extent."""
-    return shift(arr, axis, by, plan.periodic[axis], plan.bloch_phase[axis],
-                 nlive=plan.gv.num[axis])
+    """Plan-bound shift: PEC zero-fill or Bloch wrap with the live extent.
+
+    `axis` is the GRID axis; arrays may carry leading batch/channel dims
+    (the real-pair channel, multilevel transition stacks), offset here."""
+    off = arr.ndim - plan.gv.ndim
+    pair = _is_pair(plan) and off == 1
+    return shift(arr, axis + off, by, plan.periodic[axis],
+                 plan.bloch_phase[axis], nlive=plan.gv.num[axis], pair=pair)
+
+
+def _pair_cmul(arr, re: float, im: float):
+    """Multiply a channel-stacked pair by the complex scalar re + i*im."""
+    return jnp.stack([re * arr[0] - im * arr[1],
+                      im * arr[0] + re * arr[1]])
 
 
 def _apply_mask(plan: Plan, C: Dict[str, Any], c: str, arr):
@@ -54,11 +73,12 @@ def _apply_mask(plan: Plan, C: Dict[str, Any], c: str, arr):
     planes = plan.mask_planes.get(c) if plan.mask_planes else None
     if planes is None:
         return arr * C[f"mask:{c}"]
+    off = arr.ndim - plan.gv.ndim            # leading channel/batch dims
     if getattr(plan, "plane_masks", False):
         # thin dynamic-update-slices: opt-in (aliasing caveat above)
         for ax, i in planes:
             idx = [slice(None)] * arr.ndim
-            idx[ax] = i
+            idx[ax + off] = i
             arr = arr.at[tuple(idx)].set(0.0)
         return arr
     # default: per-axis iota-compare masks.  The alive vectors are 1D
@@ -70,13 +90,13 @@ def _apply_mask(plan: Plan, C: Dict[str, Any], c: str, arr):
     for ax, i in planes:
         by_ax.setdefault(ax, []).append(i)
     for ax, idxs in by_ax.items():
-        n = arr.shape[ax]
+        n = arr.shape[ax + off]
         io = jax.lax.iota(jnp.int32, n)
         alive = jnp.ones((n,), bool)
         for i in idxs:
             alive = alive & (io != i)
         shape = [1] * arr.ndim
-        shape[ax] = n
+        shape[ax + off] = n
         arr = arr * alive.reshape(shape).astype(arr.dtype)
     return arr
 
@@ -96,10 +116,28 @@ def init_state(plan: Plan, _slab_ok: bool = True) -> Dict[str, Any]:
         if slab_supported(plan):
             return init_state_slab(plan)
     gv = plan.gv
+    pair = _is_pair(plan) and plan.complex_fields
     fdtype = jnp.complex64 if plan.complex_fields else plan.dtype
     if plan.dtype == np.float64:
         fdtype = jnp.complex128 if plan.complex_fields else jnp.float64
-    shape = plan.storage_shape or gv.shape
+    base_shape = tuple(plan.storage_shape or gv.shape)
+    if pair:
+        # real-pair complex storage: leading (re, im) channel axis, real
+        # dtype — every kernel stays in real arithmetic (axon TPU has no
+        # complex compute; the reference's DOCMP unroll, fields.cpp)
+        fdtype = plan.dtype
+        shape = (2,) + base_shape
+        for p in plan.pol_specs_e + plan.pol_specs_h:
+            if p.kind == "multilevel":
+                raise NotImplementedError(
+                    "multilevel atoms with real-pair complex fields")
+        for s in plan.eh_specs_e + plan.eh_specs_h:
+            if s.has_chi3 or s.has_nr:
+                raise NotImplementedError(
+                    "nonlinear media require real fields (as in the "
+                    "reference)")
+    else:
+        shape = base_shape
 
     def zeros():
         return jnp.zeros(shape, dtype=fdtype)
@@ -226,8 +264,12 @@ def _curl(plan: Plan, spec: CurlSpec, f: Dict[str, Any],
     if spec.phi_comp is not None and plan.m != 0:
         # i*m/r phi-derivative term; the sign carries the curl slot and the
         # D/B orientation like the finite-difference terms
-        term = (1j * spec.phi_sign * sgn * dtdx) * C[f"{spec.c}:imr"] \
-            * f[spec.phi_comp]
+        if _is_pair(plan):
+            term = C[f"{spec.c}:imr"] * _pair_cmul(
+                f[spec.phi_comp], 0.0, spec.phi_sign * sgn * dtdx)
+        else:
+            term = (1j * spec.phi_sign * sgn * dtdx) * C[f"{spec.c}:imr"] \
+                * f[spec.phi_comp]
         out = out + term
     return out
 
@@ -266,7 +308,7 @@ def _curl_update(plan: Plan, C: Dict[str, Any], spec: CurlSpec,
     has_sigu = spec.dsigu_axis is not None
     has_cond = spec.has_cond
 
-    slab_ok = (plan.slab_opt and not has_cond
+    slab_ok = (plan.slab_opt and not has_cond and not _is_pair(plan)
                and (not has_sig or spec.dsig_slabs is not None)
                and (not has_sigu or spec.dsigu_slabs is not None)
                and (has_sig or has_sigu))
@@ -565,7 +607,8 @@ def _eh_update(plan: Plan, C: Dict[str, Any], spec: EhSpec,
     ft_key = "e" if ec[0] == "e" else "h"
     has_pols = bool(plan.pol_specs_e if ft_key == "e" else plan.pol_specs_h)
     slab_ok = (plan.slab_opt and spec.dsigw_axis is not None
-               and spec.dsigw_slabs is not None and not has_pols)
+               and spec.dsigw_slabs is not None and not has_pols
+               and not _is_pair(plan))
     if slab_ok:
         # outside the sigma_w slab E == u*D inductively (kappa_w=1,
         # sigma_w=0 makes the W chain copy lin); only the slabs need the
@@ -910,11 +953,17 @@ def _compute_fmp(plan: Plan, C: Dict[str, Any], ft: str,
                 continue
             w_re, w_im = xs[key], xs[f"src{si}:dip_im"]
             a_re, a_im = C[f"src{si}:amp_re"], C[f"src{si}:amp_im"]
+            idx = C[f"src{si}:idx"]
+            if _is_pair(plan):
+                fmp[dc] = fmp[dc].at[(0,) + tuple(idx.T)].add(
+                    -(w_re * a_re - w_im * a_im)) \
+                    .at[(1,) + tuple(idx.T)].add(
+                    -(w_re * a_im + w_im * a_re))
+                continue
             if plan.complex_fields:
                 contrib = (w_re + 1j * w_im) * (a_re + 1j * a_im)
             else:
                 contrib = w_re * a_re - w_im * a_im
-            idx = C[f"src{si}:idx"]
             fmp[dc] = fmp[dc].at[tuple(idx.T)].add(-contrib)
     return fmp
 
@@ -937,6 +986,16 @@ def _apply_sources(plan: Plan, C: Dict[str, Any], ft2: str,
             continue
         w_re, w_im = xs[key], xs[f"src{si}:cur_im"]
         a_re, a_im = C[f"src{si}:amp_re"], C[f"src{si}:amp_im"]
+        idx = C[f"src{si}:idx"]
+        if _is_pair(plan):
+            A_re = (w_re * a_re - w_im * a_im) * dt
+            A_im = (w_re * a_im + w_im * a_re) * dt
+            if f"src{si}:cndinv" in C:
+                cnd = C[f"src{si}:cndinv"]
+                A_re, A_im = A_re * cnd, A_im * cnd
+            f[dc] = f[dc].at[(0,) + tuple(idx.T)].add(-A_re) \
+                         .at[(1,) + tuple(idx.T)].add(-A_im)
+            continue
         if plan.complex_fields:
             A = (w_re + 1j * w_im) * (a_re + 1j * a_im) * dt
         else:
@@ -944,7 +1003,6 @@ def _apply_sources(plan: Plan, C: Dict[str, Any], ft2: str,
         if f"src{si}:cndinv" in C:
             A = A * C[f"src{si}:cndinv"]
         contrib = A
-        idx = C[f"src{si}:idx"]
         f[dc] = f[dc].at[tuple(idx.T)].add(-contrib)
     return {**state, "f": f}
 
@@ -987,7 +1045,10 @@ def _dft_update(plan: Plan, C: Dict[str, Any], state: Dict[str, Any],
         else:
             favg = state["f"][m.component]
         sl = tuple(slice(a, b) for a, b in m.region)
-        fv = favg[sl]
+        if favg.ndim > plan.gv.ndim:          # real-pair channel axis
+            fv = favg[(slice(None),) + sl]
+        else:
+            fv = favg[sl]
         # fully-REAL accumulation (the axon TPU tunnel has no complex
         # compute): c = w*fv expanded into (cr, ci) real parts, then
         # acc_re += cr ph_re - ci ph_im, acc_im += cr ph_im + ci ph_re
@@ -999,7 +1060,9 @@ def _dft_update(plan: Plan, C: Dict[str, Any], state: Dict[str, Any],
         else:
             wr = C[f"dft{mi}:wre"]
             wi = C[f"dft{mi}:wim"]
-        if jnp.iscomplexobj(fv):
+        if fv.ndim > len(m.region):           # real-pair (2, ...) slice
+            fr, fi = fv[0], fv[1]
+        elif jnp.iscomplexobj(fv):
             fr, fi = jnp.real(fv), jnp.imag(fv)
         else:
             fr, fi = fv, None
@@ -1035,13 +1098,15 @@ def _axis_specials(plan: Plan, C, ft2: str, state):
     f = dict(state["f"])
 
     def ring(arr, i=0):
-        idx = [slice(None)] * gv.ndim
-        idx[rax] = i
+        off = arr.ndim - gv.ndim
+        idx = [slice(None)] * arr.ndim
+        idx[rax + off] = i
         return arr[tuple(idx)]
 
     def set_ring(arr, val, i=0):
-        idx = [slice(None)] * gv.ndim
-        idx[rax] = i
+        off = arr.ndim - gv.ndim
+        idx = [slice(None)] * arr.ndim
+        idx[rax + off] = i
         return arr.at[tuple(idx)].set(val)
 
     # NOTE: the regular curl update already ran on ring 0 (with the radial
@@ -1061,7 +1126,10 @@ def _axis_specials(plan: Plan, C, ft2: str, state):
         if ft2 == "b" and "br" in f and "ez" in f:
             # -i m Ez/r at r=0 evaluated one ring in (step_db.cpp:356)
             ez1 = ring(f["ez"], 1)
-            new0 = ring(f["br"]) - 1j * plan.m * Cc * ez1
+            if _is_pair(plan):
+                new0 = ring(f["br"]) + _pair_cmul(ez1, 0.0, -plan.m * Cc)
+            else:
+                new0 = ring(f["br"]) - 1j * plan.m * Cc * ez1
             f["br"] = set_ring(f["br"], new0)
     else:
         return state
@@ -1245,15 +1313,30 @@ def run(plan: Plan, state: Dict[str, Any], nsteps: int,
     if runner is None:
         step = make_step(plan)
         pidx = {p.name: jnp.asarray(p.indices, jnp.int32) for p in probes}
-        pw = {p.name: jnp.asarray(p.weights) for p in probes}
+        pair_mode = _is_pair(plan) and plan.complex_fields
+        if pair_mode:
+            pwr = {p.name: jnp.asarray(np.real(p.weights), plan.dtype)
+                   for p in probes}
+            pwi = {p.name: jnp.asarray(np.imag(p.weights), plan.dtype)
+                   for p in probes}
+        else:
+            pw = {p.name: jnp.asarray(p.weights) for p in probes}
+
+        def probe_val(ns, p):
+            if pair_mode:
+                vals = ns["f"][p.component][
+                    (slice(None),) + tuple(pidx[p.name].T)]
+                fr, fi = vals[0], vals[1]
+                wr, wi = pwr[p.name], pwi[p.name]
+                return jnp.stack([jnp.sum(fr * wr - fi * wi),
+                                  jnp.sum(fr * wi + fi * wr)])
+            return jnp.sum(ns["f"][p.component][tuple(pidx[p.name].T)]
+                           * pw[p.name])
 
         def runner(state, xs, C):
             def body(carry, x):
                 ns = step(carry, x, C)
-                out = {p.name: jnp.sum(
-                    ns["f"][p.component][tuple(pidx[p.name].T)]
-                    * pw[p.name])
-                    for p in probes}
+                out = {p.name: probe_val(ns, p) for p in probes}
                 return ns, out
             # unroll=4: +7% on TPU (HBM pipelining across step boundaries)
             state, ys = jax.lax.scan(body, state, xs, length=nsteps,
