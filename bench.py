@@ -71,10 +71,12 @@ def run_one():
         pol = PolSpec(field_type="e", omega0=2.0, gamma=0.05,
                       sigma={(c, c[1]): 0.2 * ball.astype(np.float64)
                              for c in ("ex", "ey", "ez")})
-        c2 = np.zeros(shape)
-        c2[ball] = 0.05
-        mat = MaterialSpec(chi1inv=chi1inv, pols=[pol],
-                           nr_chi2={c: c2 for c in ("ex", "ey", "ez")})
+        nr = {}
+        if os.environ.get("BENCH_MAT") != "pol":   # "pol" = ADE only
+            c2 = np.zeros(shape)
+            c2[ball] = 0.05
+            nr = {c: c2 for c in ("ex", "ey", "ez")}
+        mat = MaterialSpec(chi1inv=chi1inv, pols=[pol], nr_chi2=nr)
     else:
         mat = MaterialSpec(chi1inv={})
     plan = compile_plan(gv, mat, pmls=pmls, sources=[src],

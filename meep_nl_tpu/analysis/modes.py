@@ -34,8 +34,9 @@ class Mode1D:
     beta: float               # propagation constant (along the normal)
     y: np.ndarray             # cross-section coordinates (E-field lattice)
     ez: Optional[np.ndarray]  # TM profile (normalized)
-    hz: Optional[np.ndarray]
+    hz: Optional[np.ndarray]  # TE profile (normalized)
     parity: str = ""
+    ey: Optional[np.ndarray] = None   # TE transverse E = (beta/w eps) hz
 
     @property
     def neff(self) -> float:
@@ -102,6 +103,78 @@ def solve_tm_modes(eps_line: np.ndarray, dx: float, freq: float,
         if len(out) >= num_modes:
             break
     return out
+
+
+def solve_te_modes(eps_line: np.ndarray, dx: float, freq: float,
+                   num_modes: int = 1, parity: str = "") -> List[Mode1D]:
+    """TE (Hz-polarized) guided modes of a 1D epsilon profile at `freq`
+    (the other parity of mpb.cpp:322's constrained solve; reference
+    maxwell_set_parity, mpb.cpp:255).
+
+    Generalized symmetric eigenproblem on the Hz lattice:
+        [-G^T diag(1/eps_edge) G + w^2 I] h = beta^2 diag(1/eps) h
+    with Dirichlet edges and edge 1/eps as the 2-point average of the
+    site values (the Yee placement of 1/eps at the Ex sites).  Mode
+    fields: Ey = (beta/(w eps)) Hz; normalized to unit monitor flux
+    (sum Re(Ey Hz*) dx = 1, no 1/2; dft.cpp:533)."""
+    n = len(eps_line)
+    w = 2 * np.pi * freq
+    eps_line = np.asarray(eps_line, np.float64)
+    inv_eps = 1.0 / eps_line
+    # edge (Ex-site) epsilon: Ex is TANGENTIAL to a y-normal interface,
+    # so the stable subpixel average is the arithmetic mean of eps
+    # (Kottke/meep tangential rule), inverted
+    inv_edge = 1.0 / (0.5 * (eps_line[:-1] + eps_line[1:]))
+    # ghost edges (Dirichlet): use the boundary site value
+    edge_lo = inv_eps[0]
+    edge_hi = inv_eps[-1]
+    main = np.empty(n)
+    main[0] = -(edge_lo + inv_edge[0]) / dx ** 2 + w ** 2
+    main[-1] = -(inv_edge[-1] + edge_hi) / dx ** 2 + w ** 2
+    if n > 2:
+        main[1:-1] = -(inv_edge[:-1] + inv_edge[1:]) / dx ** 2 + w ** 2
+    A = np.diag(main) + np.diag(inv_edge / dx ** 2, 1) \
+        + np.diag(inv_edge / dx ** 2, -1)
+    B = np.diag(inv_eps)
+    from scipy.linalg import eigh
+    vals, vecs = eigh(A, B)
+    order = np.argsort(vals)[::-1]
+    out: List[Mode1D] = []
+    eps_max = float(eps_line.max())
+    eps_clad = float(min(eps_line[0], eps_line[-1]))
+    for idx in order:
+        b2 = vals[idx]
+        if b2 <= w ** 2 * eps_clad + 1e-12 or b2 > w ** 2 * eps_max + 1e-9:
+            continue
+        beta = float(np.sqrt(b2))
+        prof = vecs[:, idx]
+        prof = prof * np.sign(prof[np.argmax(np.abs(prof))])
+        if parity:
+            sc = mode_parity(prof)
+            if (parity in ("even", "EVEN") and sc < 0.5) or \
+                    (parity in ("odd", "ODD") and sc > -0.5):
+                continue
+        # unit monitor flux: P = sum Ey Hz dx = (beta/w) sum h^2/eps dx
+        p = (beta / w) * np.sum(inv_eps * prof ** 2) * dx
+        prof = prof / np.sqrt(abs(p))
+        m = Mode1D(freq=freq, beta=beta, y=np.arange(n) * dx,
+                   ez=None, hz=prof,
+                   parity="even" if mode_parity(prof) > 0 else "odd")
+        m.ey = (beta / w) * inv_eps * prof
+        out.append(m)
+        if len(out) >= num_modes:
+            break
+    return out
+
+
+def mode_overlap_te(mode: Mode1D, ey_dft: np.ndarray, hz_dft: np.ndarray,
+                    dx: float) -> Tuple[complex, complex]:
+    """Forward/backward coefficients for TE (Hz) modes:
+        a+/- = (<Ey_m*, Hz> +/- <Hz_m*, Ey>)/2
+    (the flux pair (ey, hz) with +1 orientation, dft.cpp:604)."""
+    c1 = np.sum(np.conj(mode.ey) * hz_dft) * dx
+    c2 = np.sum(np.conj(mode.hz) * ey_dft) * dx
+    return 0.5 * (c1 + c2), 0.5 * (c1 - c2)
 
 
 @dataclasses.dataclass

@@ -119,14 +119,72 @@ def green2d(x: np.ndarray, freq: float, eps: float, mu: float,
     return green2d_w(x, freq, eps, mu, x0, c0) @ f0
 
 
+def greencyl_w(x: np.ndarray, freq: float, eps: float, mu: float,
+               x0: np.ndarray, c0: str, m: float,
+               tol: float = 1e-3) -> np.ndarray:
+    """Cylindrical far-field weights (6, npts) at the phi=0 plane
+    (near2far.cpp:279 greencyl): the 3D Green's function integrated over
+    the source ring with exp(i m phi) dependence, quadrature points
+    doubled until the L1 change is below `tol`.  The 2*pi*r factor lives
+    in the near-surface dV weights (near2far_specs), so the phi measure
+    here is dphi/(2*pi) * 2*pi = dphi as in the reference.
+
+    x: (2,) far point (r, z) evaluated at phi=0 -> 3D (r, 0, z);
+    x0: (npts, 2) source (r, z) ring centers; c0 in {er, ep, ez, hr, hp,
+    hz}."""
+    x3 = np.array([x[0], 0.0, x[1]])
+    r0 = x0[:, 0]
+    z0 = x0[:, 1]
+    d0 = c0[1]
+    ft = c0[0]
+    cx, cy, cz = ft + "x", ft + "y", ft + "z"
+
+    def quad_term(phi, dphi):
+        """Sum of rotated-source green3d weights at angles `phi`."""
+        acc = np.zeros((6, len(r0)), np.complex128)
+        for ph in phi:
+            c, s = np.cos(ph), np.sin(ph)
+            pts = np.stack([r0 * c, r0 * s, z0], axis=-1)
+            w = np.exp(1j * m * ph) * dphi
+            if d0 == "z":
+                acc += w * green3d_w(x3, freq, eps, mu, pts, cz)
+            elif d0 == "r":      # r_hat = c x_hat + s y_hat
+                acc += (w * c) * green3d_w(x3, freq, eps, mu, pts, cx)
+                acc += (w * s) * green3d_w(x3, freq, eps, mu, pts, cy)
+            else:                # p: phi_hat = c y_hat - s x_hat
+                acc += (w * -s) * green3d_w(x3, freq, eps, mu, pts, cx)
+                acc += (w * c) * green3d_w(x3, freq, eps, mu, pts, cy)
+        return acc
+
+    N0 = 16 + int(4 * abs(m))
+    ang = 2 * np.pi / N0
+    # measure = dphi/(2*pi): the 2*pi*r ring factor lives in the near
+    # weights, so the kernel is the phi-AVERAGE (the reference's
+    # dphi = 2/N0 halved before first use, i.e. 1/N)
+    EH = quad_term(np.arange(N0) * ang, 1.0 / N0)
+    N = N0
+    while N < 65536:
+        N *= 2
+        ang *= 0.5
+        # previous points keep their sums (halved measure); add odd points
+        EH_new = 0.5 * EH + quad_term((np.arange(1, N, 2)) * ang, 1.0 / N)
+        sumdiff = np.abs(EH - EH_new).sum()
+        sumabs = np.abs(EH_new).sum()
+        EH = EH_new
+        if sumdiff <= sumabs * tol:
+            break
+    return EH
+
+
 # equivalent-current mapping for a plane with normal nd (near2far.cpp:584-637):
 # transverse dirs fd in cyclic order; recorded component -> (c0, sign)
 _CYCLIC_FD = {"x": ("y", "z"), "y": ("z", "x"), "z": ("x", "y")}
+_CYCLIC_FD_CYL = {"r": ("p", "z"), "p": ("z", "r"), "z": ("r", "p")}
 
 
-def equivalence_terms(normal: str):
+def equivalence_terms(normal: str, dim: str = "3d"):
     """[(recorded_component, equivalent_source_component, sign), ...]"""
-    fd0, fd1 = _CYCLIC_FD[normal]
+    fd0, fd1 = (_CYCLIC_FD_CYL if dim == "cyl" else _CYCLIC_FD)[normal]
     out = []
     for i, ft in enumerate(("e", "h")):
         dual = "h" if ft == "e" else "e"
@@ -149,17 +207,45 @@ class Near2FarSurface:
 
 
 def farfield(surfaces: Sequence[Near2FarSurface], state, freqs,
-             x: Sequence[float], dim: str, eps: float = 1.0, mu: float = 1.0
-             ) -> np.ndarray:
-    """(6, nfreq) far fields at x (farfield_lowlevel, near2far.cpp:340)."""
-    green = green2d if dim == "2d" else green3d
+             x: Sequence[float], dim: str, eps: float = 1.0, mu: float = 1.0,
+             m: float = 0.0, periodic: Sequence = ()) -> np.ndarray:
+    """(6, nfreq) far fields at x (farfield_lowlevel, near2far.cpp:340).
+
+    `periodic` entries (axis_index, nper, phase_per_period, period)
+    replicate the near surface over 2*nper+1 lattice images with the
+    Bloch phase e^{i n k L} each (near2far.cpp:33-41, 370-380).
+    dim == 'cyl' integrates the ring sources via greencyl (m = azimuthal
+    number)."""
     x = np.asarray(x, np.float64)
     nfreq = len(freqs)
     EH = np.zeros((6, nfreq), np.complex128)
+
+    def images(coords, f0):
+        """Extend (coords, amplitudes) over the periodic image lattice."""
+        cs, fs = [coords], [f0]
+        for (ax, nper, kphase, period) in periodic:
+            cs2, fs2 = [], []
+            for n in range(-nper, nper + 1):
+                for c_, f_ in zip(cs, fs):
+                    cc = c_.copy()
+                    cc[:, ax] = cc[:, ax] + n * period
+                    cs2.append(cc)
+                    fs2.append(f_ * np.exp(1j * n * kphase))
+            cs, fs = cs2, fs2
+        return np.concatenate(cs, axis=0), np.concatenate(fs, axis=0)
+
     for surf in surfaces:
         from ..stepper.step import dft_view
         dft = np.asarray(dft_view(np.asarray(state["dft"][surf.dft_name])))
         flat = dft.reshape(-1, nfreq)
         for i, f in enumerate(freqs):
-            EH[:, i] += green(x, f, eps, mu, surf.coords, surf.c0, flat[:, i])
+            coords, f0 = images(surf.coords, flat[:, i]) if periodic \
+                else (surf.coords, flat[:, i])
+            if dim == "cyl":
+                EH[:, i] += greencyl_w(x, f, eps, mu, coords,
+                                       surf.c0, m) @ f0
+            elif dim == "2d":
+                EH[:, i] += green2d(x, f, eps, mu, coords, surf.c0, f0)
+            else:
+                EH[:, i] += green3d(x, f, eps, mu, coords, surf.c0, f0)
     return EH

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -126,6 +127,10 @@ class _N2FHandle:
     name: str
     freqs: np.ndarray
     surfaces: list
+    eps: float = 1.0          # ambient medium at the near surface
+    mu: float = 1.0
+    m: float = 0.0            # cylindrical azimuthal number
+    periodic: tuple = ()      # (axis, nper, phase_per_period, period)
 
 
 @dataclasses.dataclass
@@ -174,7 +179,7 @@ class Simulation:
                  m: float = 0,
                  bfast_scaled_k=None,
                  use_pallas: bool = False,
-                 use_fused: bool = False,
+                 use_fused: bool = True,
                  slab_store: bool = False,
                  epsilon_input_file: str = None,
                  symmetries: Sequence = (),
@@ -541,7 +546,8 @@ class Simulation:
         coords, w = self.get_array_metadata(component=cs[0], center=center,
                                             size=size)
         arrs = [np.asarray(self.get_array(component=c, center=center,
-                                          size=size)) for c in cs]
+                                          size=size, snap=True))
+                for c in cs]
         # staggered components have lattices differing by one site per
         # axis; crop everything (and the weights) to the common shape
         # (the reference instead interpolates to the centered grid)
@@ -721,15 +727,22 @@ class Simulation:
         self._handles.append(h)
         return h
 
-    def add_near2far(self, fcen, df, nfreq, *regions, decimation_factor=0):
+    def add_near2far(self, fcen, df, nfreq, *regions, decimation_factor=0,
+                     nperiods=1):
         """Record near-surface DTFTs for far-field transforms
-        (add_dft_near2far, near2far.cpp:558)."""
+        (add_dft_near2far, near2far.cpp:558).
+
+        nperiods > 1 on a Bloch-periodic cell sums 2*nperiods+1 lattice
+        images of the near surface (with the Bloch phase per period) in
+        the far-field transform (near2far.cpp:609-622 + :370-380), for
+        grating radiation patterns."""
         if self._plan is not None:
             raise RuntimeError("add monitors before the first run()")
         freqs = self._freqs(fcen, df, nfreq)
         name = f"n2f{len(self._handles)}"
         live = sum(self._live_components(), [])
         surfaces = []
+        periodic = []
         for ri, reg in enumerate(regions):
             center = _vec_to_axes(self.gv, reg.center)
             size = _vec_to_axes(self.gv, reg.size if reg.size is not None
@@ -755,7 +768,35 @@ class Simulation:
                                             weight=reg.weight, live=live)
             self._dft_specs += specs
             surfaces += surfs
-        h = _N2FHandle(name, freqs, surfaces)
+            # periodic image setup (near2far.cpp:609-622): a tangential
+            # direction qualifies when the cell is Bloch-periodic along
+            # it and the region spans the full cell width
+            if nperiods > 1:
+                per = self._periodic()
+                kv = _vec_to_axes(self.gv, _v3(self.k_point)) \
+                    if self.k_point is not None else [0.0] * self.gv.ndim
+                n_ax = self.gv.axes.index(normal)
+                for ax in range(self.gv.ndim):
+                    if ax == n_ax or not per[ax]:
+                        continue
+                    width = self.gv.num[ax] * self.gv.dx
+                    if size[ax] >= width - 1e-9:
+                        periodic.append(
+                            (ax, int(nperiods),
+                             2 * np.pi * kv[ax] * width, width))
+        # ambient medium at the first region's center (the reference
+        # requires a homogeneous surface medium, near2far.cpp:576)
+        eps_amb = 1.0
+        if regions:
+            c0r = _vec_to_axes(self.gv, regions[0].center)
+            pt = np.zeros((1, 3))
+            pt[0, :self.gv.ndim] = c0r
+            idxm = scene._material_at(pt, self.geometry,
+                                      self.default_material)
+            eps_amb = float(scene._eps_of(idxm, self.geometry,
+                                          self.default_material, 2)[0])
+        h = _N2FHandle(name, freqs, surfaces, eps=eps_amb,
+                       m=float(self.m or 0.0), periodic=tuple(periodic))
         self._handles.append(h)
         return h
 
@@ -765,7 +806,8 @@ class Simulation:
         from ..analysis.near2far import farfield
         x = _vec_to_axes(self.gv, pt)
         return farfield(handle.surfaces, self._state, handle.freqs, x,
-                        self.gv.dim)
+                        self.gv.dim, eps=handle.eps, mu=handle.mu,
+                        m=handle.m, periodic=handle.periodic)
 
     def get_farfields(self, handle, resolution, center=None, size=None):
         """Far fields on a grid (get_farfields_array, near2far.cpp:400)."""
@@ -787,7 +829,35 @@ class Simulation:
     def get_farfield_axes(self, handle, x_axes) -> np.ndarray:
         from ..analysis.near2far import farfield
         return farfield(handle.surfaces, self._state, handle.freqs, x_axes,
-                        self.gv.dim)
+                        self.gv.dim, eps=handle.eps, mu=handle.mu,
+                        m=handle.m, periodic=handle.periodic)
+
+    def near2far_flux(self, handle, direction, center=None, size=None,
+                      resolution=1.0):
+        """(nfreq,) Poynting flux through a far surface, from far fields
+        evaluated on a `resolution`-spaced grid over the volume
+        (dft_near2far::flux, near2far.cpp:506): trapezoid-free uniform
+        sum of Re(E x H*) . n times the grid cell area."""
+        d = direction if isinstance(direction, str) else "xyz"[direction]
+        EH = self.get_farfields(handle, resolution, center=center,
+                                size=size)             # (6, nfreq, ...)
+        pairs = {"x": ((1, 5), (2, 4)), "y": ((2, 3), (0, 5)),
+                 "z": ((0, 4), (1, 3))}[d]
+        nfreq = len(handle.freqs)
+        F = np.zeros(nfreq)
+        flat = EH.reshape(6, nfreq, -1)
+        for j, (ei, hi) in enumerate(pairs):
+            term = np.real(flat[ei] * np.conj(flat[hi])).sum(axis=-1)
+            F += term * (1 - 2 * j)
+        # uniform cell measure (near2far.cpp:543 semantics), using the
+        # same grid spacing as get_farfields
+        s_ax = _vec_to_axes(self.gv, size if size is not None else Vector3())
+        dV = 1.0
+        for ext in s_ax:
+            n = max(1, int(round(ext * resolution)) + 1)
+            if n > 1:
+                dV *= ext / (n - 1)
+        return F * dV
 
     def _plane_eps(self, n_ax: int, u_ax: int, v_ax: int, c_ax, lo, hi,
                    sel_u, sel_v):
@@ -817,14 +887,16 @@ class Simulation:
         return out["u"], out["v"], out["n"]
 
     def add_eigenmode_source(self, src, center, size, direction=+1,
-                             mode_band=1, amplitude=1.0):
+                             mode_band=1, amplitude=1.0, eig_parity=None):
         """Launch a waveguide eigenmode (add_eigenmode_source, mpb.cpp:830).
 
         Solves the cross-section eigenproblem at the source center frequency
-        (2D: TM tridiagonal; 3D: full-vector transverse-E FD, the MPB
-        replacement), then injects the equivalent currents J = n x H
-        (electric) and M = -n x E (magnetic) for a unidirectional launch.
-        `direction`: +1 = +normal."""
+        (2D: TM/TE tridiagonal per `eig_parity`; 3D: full-vector
+        transverse-E FD, the MPB replacement), then injects the equivalent
+        currents J = n x H (electric) and M = -n x E (magnetic) for a
+        unidirectional launch.  `direction`: +1 = +normal.
+        `eig_parity`: None/'TM' (Ez) or 'TE' (Hz) in 2D (the reference's
+        parity-constrained solve, mpb.cpp:322 + maxwell_set_parity)."""
         if self._plan is not None:
             raise RuntimeError("add sources before the first run()")
         from ..analysis.modes import solve_tm_modes
@@ -837,7 +909,11 @@ class Simulation:
                                                  amplitude)
         if gv.dim != "2d":
             raise NotImplementedError(
-                "eigenmode sources: 2d TM and 3d full-vector")
+                "eigenmode sources: 2d TM/TE and 3d full-vector")
+        if str(eig_parity).upper() == "TE":
+            return self._add_eigenmode_source_te(src, center, size,
+                                                 direction, mode_band,
+                                                 amplitude)
         c_ax = _vec_to_axes(gv, center)
         s_ax = _vec_to_axes(gv, size)
         norm_ax = 0 if s_ax[0] == 0 else 1
@@ -907,11 +983,70 @@ class Simulation:
         self._extra_srcs.append(SrcVolSpec("hy", idx_h, amps_h, src))
         return m
 
-    def get_eigenmode(self, frequency, center, size, band_num=1):
+    def _add_eigenmode_source_te(self, src, center, size, direction,
+                                 mode_band, amplitude):
+        """2D TE (Hz-polarized) eigenmode source: equivalence currents
+        J_y = -Hz_m, M_z = -sgn * Ey_m on the source line (the duality
+        image of the TM launch; mpb.cpp:830 with TE parity)."""
+        from ..analysis.modes import solve_te_modes
+        from . import scene as _scene
+        gv = self.gv
+        c_ax = _vec_to_axes(gv, center)
+        s_ax = _vec_to_axes(gv, size)
+        norm_ax = 0 if s_ax[0] == 0 else 1
+        tang_ax = 1 - norm_ax
+        # epsilon along the line at the Hz/Ey shared tangential lattice
+        # (both sit at half-integer tangential sites)
+        ycoords = gv.comp_coords("hz", tang_ax)
+        lo = c_ax[tang_ax] - s_ax[tang_ax] / 2
+        hi = c_ax[tang_ax] + s_ax[tang_ax] / 2
+        sel = np.where((ycoords >= lo - 1e-9) & (ycoords <= hi + 1e-9))[0]
+        pts = np.zeros((len(sel), 3))
+        pts[:, tang_ax] = ycoords[sel]
+        pts[:, norm_ax] = c_ax[norm_ax]
+        idxm = _scene._material_at(pts, self.geometry, self.default_material)
+        eps_line = _scene._eps_of(idxm, self.geometry,
+                                  self.default_material, 2)
+        fcen = src.frequency
+        modes = solve_te_modes(eps_line, gv.dx, fcen, num_modes=mode_band)
+        if len(modes) < mode_band:
+            raise ValueError(f"only {len(modes)} guided TE modes found")
+        m = modes[mode_band - 1]
+        sgn = 1.0 if direction > 0 else -1.0
+        e_tan = "e" + ("y" if tang_ax == 1 else "x")
+        jy = -m.hz
+        mz = -sgn * m.ey
+        self._extra_srcs = getattr(self, "_extra_srcs", [])
+        # electric current at the tangential-E sites on the line (same
+        # tangential lattice as the mode profile)
+        npts = len(sel)
+        idx_e = np.zeros((npts, 2), np.int32)
+        idx_e[:, tang_ax] = sel
+        xline = gv.comp_coords(e_tan, norm_ax)
+        ixe = int(np.argmin(np.abs(xline - c_ax[norm_ax])))
+        idx_e[:, norm_ax] = ixe
+        amps_e = (jy * amplitude * self.resolution).astype(np.complex128)
+        self._extra_srcs.append(SrcVolSpec(e_tan, idx_e, amps_e, src))
+        # magnetic current at Hz sites (staggered half cell along normal)
+        idx_list, amp_list = [], []
+        for k, yv in enumerate(ycoords[sel]):
+            pt = [0.0, 0.0]
+            pt[norm_ax] = c_ax[norm_ax]
+            pt[tang_ax] = yv
+            for gidx, wgt in gv.interp_weights("hz", pt):
+                idx_list.append(gidx)
+                amp_list.append(wgt * mz[k] * amplitude * self.resolution)
+        idx_h = np.array(idx_list, np.int32)
+        amps_h = np.array(amp_list, np.complex128)
+        self._extra_srcs.append(SrcVolSpec("hz", idx_h, amps_h, src))
+        return m
+
+    def get_eigenmode(self, frequency, center, size, band_num=1,
+                      eig_parity=None):
         """Solve for a waveguide eigenmode on a cross-section
-        (fields::get_eigenmode, mpb.cpp:322): returns the Mode1D (2D TM)
-        or Mode2D (3D full-vector) object with .freq/.beta/.neff and the
-        field profiles."""
+        (fields::get_eigenmode, mpb.cpp:322): returns the Mode1D (2D
+        TM/TE per eig_parity) or Mode2D (3D full-vector) object with
+        .freq/.beta/.neff and the field profiles."""
         gv = self.gv
         if gv.dim == "3d":
             from ..analysis.modes import solve_vector_modes
@@ -932,13 +1067,15 @@ class Simulation:
             modes = solve_vector_modes(eps_u, eps_v, eps_n, gv.dx,
                                        frequency, num_modes=band_num)
         elif gv.dim == "2d":
-            from ..analysis.modes import solve_tm_modes
+            from ..analysis.modes import solve_te_modes, solve_tm_modes
             from . import scene as _scene
+            te = str(eig_parity).upper() == "TE"
+            prof_c = "hz" if te else "ez"
             c_ax = _vec_to_axes(gv, center)
             s_ax = _vec_to_axes(gv, size)
             norm_ax = 0 if s_ax[0] == 0 else 1
             tang_ax = 1 - norm_ax
-            ycoords = gv.comp_coords("ez", tang_ax)
+            ycoords = gv.comp_coords(prof_c, tang_ax)
             lo = c_ax[tang_ax] - s_ax[tang_ax] / 2
             hi = c_ax[tang_ax] + s_ax[tang_ax] / 2
             sel = np.where((ycoords >= lo - 1e-9)
@@ -950,8 +1087,8 @@ class Simulation:
                                        self.default_material)
             eps = _scene._eps_of(idxm, self.geometry,
                                  self.default_material, 2)
-            modes = solve_tm_modes(eps, gv.dx, frequency,
-                                   num_modes=band_num)
+            solver = solve_te_modes if te else solve_tm_modes
+            modes = solver(eps, gv.dx, frequency, num_modes=band_num)
         else:
             raise NotImplementedError("get_eigenmode: 2d/3d")
         if len(modes) < band_num:
@@ -1107,19 +1244,24 @@ class Simulation:
         return alpha
 
     def get_eigenmode_coefficients(self, flux_handle, bands,
-                                   direction_normal="x"):
+                                   direction_normal="x", eig_parity=None):
         """S-parameter mode decomposition on a flux monitor
         (get_eigenmode_coefficients, mpb.cpp:925).  Returns alpha of shape
-        (len(bands), nfreq, 2) = forward/backward coefficients."""
+        (len(bands), nfreq, 2) = forward/backward coefficients.
+        eig_parity: None/'TM' uses the (ez, hy) pair, 'TE' the (ey, hz)
+        pair (parity-constrained solving, mpb.cpp:322)."""
         if self.gv.dim == "3d":
             return self._get_eigenmode_coefficients_3d(flux_handle, bands)
-        from ..analysis.modes import solve_tm_modes, mode_overlap_tm
+        from ..analysis.modes import (solve_te_modes, solve_tm_modes,
+                                      mode_overlap_te, mode_overlap_tm)
         from . import scene as _scene
+        te = str(eig_parity).upper() == "TE"
         freqs = flux_handle.freqs
-        # the flux monitor stores pair0 = (ex/ez..) per normal; for TM with
-        # normal x the live pair is (ez, hy) at index 1 with scale -1
-        key_e = f"{flux_handle.name}:0:e1"
-        key_h = f"{flux_handle.name}:0:h1"
+        # the flux monitor stores pair0 = (ey, hz) [TE] and pair1 =
+        # (ez, hy) [TM, scale -1] for normal x (dft.cpp:600-612)
+        pi_ = "0" if te else "1"
+        key_e = f"{flux_handle.name}:0:e{pi_}"
+        key_h = f"{flux_handle.name}:0:h{pi_}"
         dE = _dview(self._state["dft"][key_e])   # includes -dV weights
         dH = _dview(self._state["dft"][key_h])
         spec_e = next(mspec for mspec in self._plan.dfts
@@ -1161,6 +1303,9 @@ class Simulation:
                 if isinstance(band, DiffractedPlanewave):
                     # diffraction order on a Bloch-periodic monitor: the
                     # analytic planewave with ky = 2 pi (k_bloch + g/L)
+                    if te:
+                        raise NotImplementedError(
+                            "TE diffraction orders: use TM or 3D")
                     g_t = band.g[tang_ax]
                     ky = 2 * np.pi * (kp_t + g_t / L_mon)
                     eps0 = float(np.median(eps_line))
@@ -1169,14 +1314,18 @@ class Simulation:
                     if m is None:        # evanescent order
                         continue
                 else:
-                    modes = solve_tm_modes(eps_line, self.gv.dx, f,
-                                           num_modes=band)
+                    solver = solve_te_modes if te else solve_tm_modes
+                    modes = solver(eps_line, self.gv.dx, f,
+                                   num_modes=band)
                     if len(modes) < band:
                         continue
                     m = modes[band - 1]
-                ez = dE_raw[:, fi]
-                hy = dH[:, fi]
-                ap, am = mode_overlap_tm(m, ez, hy, self.gv.dx)
+                eF = dE_raw[:, fi]
+                hF = dH[:, fi]
+                if te:
+                    ap, am = mode_overlap_te(m, eF, hF, self.gv.dx)
+                else:
+                    ap, am = mode_overlap_tm(m, eF, hF, self.gv.dx)
                 from ..analysis.modes import monitor_average_boost
                 boost = monitor_average_boost(m.beta, self.gv.dx)
                 alpha[bi, fi, 0] = ap * boost
@@ -1404,10 +1553,19 @@ class Simulation:
             total_steps = None
 
         if not need_blocks:
-            # single fused scan (fast path)
+            # fast path: fused scans, but bounded block length so a
+            # diverging run aborts within one block instead of burning the
+            # whole budget (the reference checks EVERY step, step.cpp:138;
+            # the per-block plane-sum scalar read is the TPU-friendly
+            # equivalent — see _check_finite)
             if total_steps:
-                self._run_steps(total_steps, probes, series)
-                self._check_finite()
+                guard = int(os.environ.get("MNT_FINITE_BLOCK", "1024"))
+                done = 0
+                while done < total_steps:
+                    n = min(guard, total_steps - done)
+                    self._run_steps(n, probes, series)
+                    done += n
+                    self._check_finite()
             self._finish_collectors(sf, series)
             for fn in sf.end:
                 fn(self)
@@ -1542,9 +1700,20 @@ class Simulation:
     def meep_time(self) -> float:
         return self._t * self.dt
 
-    def get_array(self, component=None, center=None, size=None) -> np.ndarray:
+    def get_array(self, component=None, center=None, size=None,
+                  snap: bool = False) -> np.ndarray:
         """Dense array of a field component over a volume (array_slice.cpp
-        analog; round 1: component grid snapped, no Yee->centered interp)."""
+        get_array_slice analog).
+
+        Default (snap=False): the field is interpolated from its Yee sites
+        onto the cell's integer lattice (n+1 points per axis, both
+        boundaries included) exactly like the reference's array slices, so
+        point-by-point comparisons against Meep need no half-pixel
+        bookkeeping.  Along axes where the component sits at half-integer
+        Yee sites, values are 2-point averages with zero ghosts at the
+        boundaries (the dropped not-owned contribution, loop_in_chunks).
+
+        snap=True returns the raw component-lattice array (no interp)."""
         self.init_sim()
         if component == Dielectric:
             return self.get_epsilon()
@@ -1553,6 +1722,24 @@ class Simulation:
         arr = arr[tuple(slice(0, n + 1) for n in self.gv.num)]
         coords = [self.gv.comp_coords(component, ax)
                   for ax in range(self.gv.ndim)]
+        if not snap:
+            ys = G.yee_shift(component, self.gv.dim)
+            for ax, d in enumerate(self.gv.axes):
+                if ys.get(d, 0):
+                    # half-integer sites -> integer lattice: pairwise
+                    # average with zero ghosts at both ends
+                    pad = [(0, 0)] * arr.ndim
+                    pad[ax] = (1, 1)
+                    padded = np.pad(arr, pad)
+                    lo_sl = [slice(None)] * arr.ndim
+                    hi_sl = [slice(None)] * arr.ndim
+                    lo_sl[ax] = slice(0, -1)
+                    hi_sl[ax] = slice(1, None)
+                    arr = 0.5 * (padded[tuple(lo_sl)] + padded[tuple(hi_sl)])
+                    cs = coords[ax]
+                    coords[ax] = np.concatenate(
+                        [cs - 0.5 * self.gv.dx,
+                         [cs[-1] + 0.5 * self.gv.dx]])
         arr, coords = self._unfold(component, arr, coords)
         if center is None and size is None:
             return arr
@@ -1727,11 +1914,18 @@ class Simulation:
 
     def _check_finite(self):
         """Per-block NaN/Inf abort (step.cpp:138: the reference probes the
-        energy density at the cell center every step and aborts)."""
+        energy density at the cell center every step and aborts).
+
+        Sums one mid-plane of the first stepped component on-device and
+        reads back ONE scalar (the axon tunnel supports scalar d2h): any
+        NaN/Inf anywhere in the plane poisons the sum (Inf-Inf -> NaN),
+        so divergence is caught without a full-array transfer."""
         c = next(iter(self._state["f"]))
-        v = self.get_field_point(c, Vector3())
-        if not np.isfinite(complex(v).real) or not np.isfinite(
-                complex(v).imag):
+        arr = self._state["f"][c]
+        sl = [slice(None)] * arr.ndim
+        sl[arr.ndim - self.gv.ndim] = arr.shape[arr.ndim - self.gv.ndim] // 2
+        v = complex(jnp.sum(arr[tuple(sl)]))
+        if not (np.isfinite(v.real) and np.isfinite(v.imag)):
             raise RuntimeError(
                 "simulation fields are NaN or Inf (step.cpp:138 abort)")
 

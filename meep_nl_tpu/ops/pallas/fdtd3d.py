@@ -376,6 +376,22 @@ class _Layout:
         if db0 < self.lo_blocks or db1 > self.hi_block0 or db1 <= db0:
             raise ValueError(
                 "dispersive x-range overlaps the x-PML edge calls")
+        # y-window: the dispersive state (P/PP/stored-E) only needs the
+        # sublane rows carrying pol/NL support (+1 stencil margin),
+        # 8-aligned; everything outside is exactly linear (P == 0)
+        Y = self.S[1]
+        ylo, yhi = Y, 0
+        for b in (list(nl_boxes)
+                  + [boxes[f"pol{pi}:{c}:{c[1]}"]
+                     for (pi, p, comps) in self.pol_entries for c in comps
+                     if boxes[f"pol{pi}:{c}:{c[1]}"] is not None]):
+            ylo = min(ylo, b[1][0])
+            yhi = max(yhi, b[1][1])
+        ylo = max(0, ((ylo - 1) // 8) * 8)
+        yhi = min(Y, _cdiv(yhi + 1, 8) * 8)
+        if yhi - ylo >= Y - 8:
+            ylo, yhi = 0, Y                  # window ~full: keep it simple
+        self.win_y = (ylo, yhi)
         self.disp = (db0, db1)
 
     def _raw_ranges(self, ax, lo, hi):
@@ -402,7 +418,8 @@ class _Layout:
                         st[f"{name}:{c}:{side}"] = jnp.zeros(tuple(shp), dtype)
         if self.disp is not None:
             db0, db1 = self.disp
-            dshape = ((db1 - db0) * self.bx, S[1], S[2])
+            wy0, wy1 = self.win_y
+            dshape = ((db1 - db0) * self.bx, wy1 - wy0, S[2])
             for (pi, p, comps) in self.pol_entries:
                 for c in comps:
                     st[f"p{pi}:{c}"] = jnp.zeros(dshape, dtype)
@@ -452,6 +469,8 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str,
 
     # ---- dispersive-call statics ------------------------------------------
     de_set = set(L.de_comps) if disp else set()
+    wy0, wy1 = L.win_y if disp else (0, S[1])
+    Yw = wy1 - wy0
     pol_entries = L.pol_entries if disp else []
     nl_specs = L.nl_specs if disp else []
     nl_fwd = list(L.nl_fwd) if (disp and nl_specs) else []
@@ -554,7 +573,7 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str,
     # dispersive state: P/PP per pol component + stored-E over the window
     # (all x-compact arrays starting at db0*bx == b0*bx for this call)
     if disp:
-        disp_spec = pl.BlockSpec((bx, Y, Z), lambda i: (i, 0, 0),
+        disp_spec = pl.BlockSpec((bx, Yw, Z), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
         for (pi, p, comps) in pol_entries:
             for c in comps:
@@ -595,7 +614,7 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str,
                 nlh_keys.append(f"u:{hc}")
     for k in nlh_keys:
         in_entries.append(("nlh", k,
-                           pl.BlockSpec((1, Y, Z), lambda i: (i + b0, 0, 0),
+                           pl.BlockSpec((1, Yw, Z), lambda i: (i + b0, 0, 0),
                                         memory_space=pltpu.VMEM)))
 
     # carry-in planes (H_eff^new at b0*bx - 1) for the D half's backward diffs
@@ -740,14 +759,29 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str,
             # plane is never selected)
             @pl.when(i == 0)
             def _(dc=dc):
-                sc_dmp[dc][...] = jnp.zeros((1, Y, Z), dtype)
+                sc_dmp[dc][...] = jnp.zeros((1, Yw, Z), dtype)
 
         def coef(k):
             return byname[("coef", k)][...]
 
-        # prev-step stored E over the dispersive window (read ONCE, before
-        # any aliased write): B-half E_eff, W-chain lin_old, and the NR
-        # Newton seed all use it
+        def win(a):
+            """Restrict a full block to the dispersive y-window rows."""
+            return a[:, wy0:wy1, :]
+
+        def overlay_win(full, sub):
+            """Replace the y-window rows of a full block with `sub`."""
+            pieces = []
+            if wy0 > 0:
+                pieces.append(full[:, :wy0, :])
+            pieces.append(sub)
+            if wy1 < full.shape[1]:
+                pieces.append(full[:, wy1:, :])
+            return jnp.concatenate(pieces, axis=1) if len(pieces) > 1 \
+                else pieces[0]
+
+        # prev-step stored E over the dispersive (x, y)-window (read ONCE,
+        # before any aliased write): B-half E_eff, W-chain lin_old, and
+        # the NR Newton seed all use it
         de_old = {c: byname[("state", f"de:{c}")][...] for c in de_set}
 
         def shift_yz(a, axis, by):
@@ -920,8 +954,10 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str,
             carry_dmp_prev: Dict[str, Any] = {}
             lin_final: Dict[str, Any] = {}
             if disp and is_d:
+                # dmp lives on the (x, y) dispersive window only: outside
+                # it P == 0 identically, so dmp == D there
                 for s in ehs:
-                    v = new_f[s.dc]
+                    v = win(new_f[s.dc])
                     for (pi, cpc) in pol_by_dc.get(s.dc, []):
                         v = v - byname[("state", f"p{pi}:{cpc}")][...]
                     dmp[s.dc] = v
@@ -962,11 +998,15 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str,
             for s in ehs:
                 ec, dc_ = s.ec, s.dc
                 u = coef(f"{ec}:u") if s.has_u else None
-                d_new = dmp[dc_] if (disp and is_d) else new_f[dc_]
+                d_new = new_f[dc_]
                 lin_new = d_new * u if u is not None else d_new
-                if disp and is_d and (s.has_chi3 or s.has_nr):
-                    gs = d_new
-                    u_nl = u if u is not None else 1.0
+                if disp and is_d and ec in de_set:
+                    # window rows: lin = u*(D - P) + NL corrections, all
+                    # computed on the (bx, Yw, Z) sub-block only
+                    gs = dmp[dc_]
+                    u_w = win(u) if u is not None else None
+                    lin_sub = gs * u_w if u_w is not None else gs
+                    u_nl = u_w if u_w is not None else 1.0
                     if s.has_chi3:
                         # Pade Kerr (calc_nonlinear_u, step_generic.cpp:546)
                         Dsqr = gs * gs
@@ -976,9 +1016,10 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str,
                         if s.dc2 is not None and s.ax_2 is not None:
                             g2s = sum4(s.dc2, s.ax_own, s.ax_2)
                             Dsqr = Dsqr + 0.0625 * (g2s * g2s)
-                        c2 = gs * coef(f"{ec}:chi2") * (u_nl * u_nl)
-                        c3 = Dsqr * coef(f"{ec}:chi3") * (u_nl * u_nl * u_nl)
-                        lin_new = lin_new * (1 + c2 + 2 * c3) \
+                        c2 = gs * win(coef(f"{ec}:chi2")) * (u_nl * u_nl)
+                        c3 = Dsqr * win(coef(f"{ec}:chi3")) \
+                            * (u_nl * u_nl * u_nl)
+                        lin_sub = lin_sub * (1 + c2 + 2 * c3) \
                             / (1 + 2 * c2 + 3 * c3)
                     if s.has_nr:
                         # chi2 Newton branch (newton_raphson.cpp:144);
@@ -987,24 +1028,23 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str,
                             if s.dc1 is not None else jnp.zeros_like(gs)
                         g_2 = 0.25 * sum4(s.dc2, s.ax_own, s.ax_2) \
                             if s.dc2 is not None else jnp.zeros_like(gs)
-                        epsv = coef(f"{ec}:nreps")
-                        chi2v = coef(f"{ec}:nrchi2")
+                        epsv = win(coef(f"{ec}:nreps"))
+                        chi2v = win(coef(f"{ec}:nrchi2"))
                         own, _, _ = _nr_solve(gs, g_1, g_2, epsv, chi2v,
                                               de_old[ec], g_1 * u_nl,
                                               g_2 * u_nl)
-                        lin_new = jnp.where(chi2v != 0, own, lin_new)
-                if disp and is_d and ec in de_set:
-                    outname[("state", f"de:{ec}")][...] = lin_new
-                    lin_final[ec] = lin_new
+                        lin_sub = jnp.where(chi2v != 0, own, lin_sub)
+                    outname[("state", f"de:{ec}")][...] = lin_sub
+                    lin_final[ec] = lin_sub
+                    lin_new = overlay_win(lin_new, lin_sub)
                 if ec not in L.eh_store:
                     eff_new[ec] = lin_new
                     continue
                 ax, lor, hir = L.eh_store[ec]
+                d_old = byname[("state", dc_)][...]
+                lin_old = d_old * u if u is not None else d_old
                 if disp and is_d and ec in de_set:
-                    lin_old = de_old[ec]
-                else:
-                    d_old = byname[("state", dc_)][...]
-                    lin_old = d_old * u if u is not None else d_old
+                    lin_old = overlay_win(lin_old, de_old[ec])
 
                 def wseg(out_key, sl, side=None):
                     if side is None:      # x: blocked (bx,1,1) coefs
@@ -1052,7 +1092,7 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str,
                     g1 = 1 - 0.5 * g2pi * dt
                     denom = 0.0 if p.drude else omega0dtsqr
                     for c in comps:
-                        sigv = coef(f"pol{pi}:{c}:{c[1]}")
+                        sigv = win(coef(f"pol{pi}:{c}:{c[1]}"))
                         pcur = byname[("state", f"p{pi}:{c}")][...]
                         ppcur = byname[("state", f"pp{pi}:{c}")][...]
                         pnew = g1inv * (pcur * (2 - denom) - g1 * ppcur
@@ -1071,7 +1111,7 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str,
                 return byname[("nlh", k)][...]
             e_q = {}
             for g in e_q_names:
-                e_q[g] = byname[("halo", g)][...] if g in halo_keys \
+                e_q[g] = win(byname[("halo", g)][...]) if g in halo_keys \
                     else nlh(f"e0:{g}")
             h_new_q = {}
             for s in b_specs_fwd:
@@ -1094,7 +1134,8 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str,
             for s in d_specs_fwd:
                 def pdiff(gname, axis):
                     if axis == 0:
-                        return h_new_q[gname] - h_eff[gname][bx - 1:bx]
+                        return h_new_q[gname] \
+                            - win(h_eff[gname][bx - 1:bx])
                     return h_new_q[gname] \
                         - shift_yz(h_new_q[gname], axis, -1)
                 total = None
@@ -1112,14 +1153,13 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str,
         # ---- B half: B <- -curl E_eff, H <- W-chain(B) ---------------------
         e_eff = {}
         for s in ehs_e:
+            d_old = byname[("state", s.dc)][...]
+            u = coef(f"{s.ec}:u") if s.has_u else None
+            base = d_old * u if u is not None else d_old
             if disp and s.ec in de_set:
-                # stored-E window: lin (incl. NL corrections) was written
-                # by the previous step's D half
-                base = de_old[s.ec]
-            else:
-                d_old = byname[("state", s.dc)][...]
-                u = coef(f"{s.ec}:u") if s.has_u else None
-                base = d_old * u if u is not None else d_old
+                # stored-E window: lin (incl. NL corrections) written by
+                # the previous step's D half; exactly u*D outside
+                base = overlay_win(base, de_old[s.ec])
             e_eff[s.ec] = assemble_eff(s.ec, base)
         halo_planes = {g: byname[("halo", g)][...] for g in halo_keys}
         new_b, h_eff = half(curls_b, ehs_h, e_eff, halo_planes, is_d=False)
@@ -1173,7 +1213,7 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str,
             input_output_aliases=aliases,
             scratch_shapes=[pltpu.VMEM((1, Y, Z), dtype)
                             for _ in carry_keys]
-            + [pltpu.VMEM((1, Y, Z), dtype) for _ in nl_bwd],
+            + [pltpu.VMEM((1, Yw, Z), dtype) for _ in nl_bwd],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
                 vmem_limit_bytes=110 * 1024 * 1024),
@@ -1202,16 +1242,17 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str,
 
 
 def _de_overlay(L, bx, planes, state, ec, offset=0):
-    """Overlay the stored-E dispersive window onto strided halo planes
-    (element j = plane (j+1)*bx + offset)."""
+    """Overlay the stored-E dispersive (x, y)-window onto strided halo
+    planes (element j = plane (j+1)*bx + offset)."""
     if L.disp is None or ec not in getattr(L, "de_comps", []):
         return planes
     db0, db1 = L.disp
-    de = state[f"de:{ec}"][offset::bx]           # (db1-db0) planes
+    wy0, wy1 = L.win_y
+    de = state[f"de:{ec}"][offset::bx]           # (db1-db0) windowed planes
     j0 = db0 - 1
     if j0 >= 0:
-        return planes.at[j0:j0 + (db1 - db0)].set(de)
-    return planes.at[0:db1 - 1].set(de[1:])
+        return planes.at[j0:j0 + (db1 - db0), wy0:wy1, :].set(de)
+    return planes.at[0:db1 - 1, wy0:wy1, :].set(de[1:])
 
 
 def compute_halos(L, bx, halo_keys, state, C):
@@ -1259,8 +1300,10 @@ def compute_nl_halos(L, bx, nlh_keys, state, C):
     out = {}
     S0 = L.S[0]
     nplanes = S0 // bx                           # incl. trailing zero plane
+    wy0, wy1 = L.win_y
 
     def with_zero(planes):
+        planes = planes[:, wy0:wy1, :]           # y-window rows only
         pad = nplanes - planes.shape[0]
         if pad > 0:
             z = jnp.zeros((pad,) + planes.shape[1:], planes.dtype)
@@ -1287,9 +1330,9 @@ def compute_nl_halos(L, bx, nlh_keys, state, C):
             tot = None
             for (pi, p, comps) in L.pol_entries:
                 if ec in comps:
-                    v = state[f"p{pi}:{ec}"][0::bx]
+                    v = state[f"p{pi}:{ec}"][0::bx]   # already windowed
                     tot = v if tot is None else tot + v
-            planes = jnp.zeros((nplanes,) + tuple(L.S[1:]), tot.dtype)
+            planes = jnp.zeros((nplanes, wy1 - wy0, L.S[2]), tot.dtype)
             j0 = db0 - 1
             if j0 >= 0:
                 planes = planes.at[j0:j0 + (db1 - db0)].set(tot)
@@ -1385,6 +1428,7 @@ class Fdtd3dKernel:
         plan, L = self.plan, self.L
         C = C if C is not None else plan.coefs
         disp_rng = L.disp_range() if L.disp is not None else None
+        wy = L.win_y if L.disp is not None else None
         f: Dict[str, Any] = {}
         for s in L.curls:
             f[s.c] = state[s.c]
@@ -1393,7 +1437,7 @@ class Fdtd3dKernel:
             e = d * C[f"{s.ec}:u"] if s.has_u else d
             if disp_rng is not None and s.ec in L.de_comps:
                 a, b = disp_rng
-                e = e.at[a:b].set(state[f"de:{s.ec}"])
+                e = e.at[a:b, wy[0]:wy[1], :].set(state[f"de:{s.ec}"])
             if s.ec in L.eh_store:
                 ax, lor, hir = L.eh_store[s.ec]
                 for side, (a, b) in (("lo", lor), ("hi", hir)):
@@ -1438,7 +1482,7 @@ class Fdtd3dKernel:
             lin = d * C[f"{s.ec}:u"] if s.has_u else d
             if disp_rng is not None and s.ec in L.de_comps:
                 a, b = disp_rng
-                lin = lin.at[a:b].set(state[f"de:{s.ec}"])
+                lin = lin.at[a:b, wy[0]:wy[1], :].set(state[f"de:{s.ec}"])
             if has_pols and s.ec[0] == "e":
                 f_w[s.ec] = lin
                 continue
@@ -1455,8 +1499,10 @@ class Fdtd3dKernel:
             entry = {"p": {}, "pp": {}}
             for c in comps:
                 base = jnp.zeros(L.S, state[f"p{pi}:{c}"].dtype)
-                entry["p"][c] = base.at[a:b].set(state[f"p{pi}:{c}"])
-                entry["pp"][c] = base.at[a:b].set(state[f"pp{pi}:{c}"])
+                entry["p"][c] = base.at[a:b, wy[0]:wy[1], :].set(
+                    state[f"p{pi}:{c}"])
+                entry["pp"][c] = base.at[a:b, wy[0]:wy[1], :].set(
+                    state[f"pp{pi}:{c}"])
             pol.append(entry)
         return {"f": f, "f_u": f_u, "f_cond": {}, "f_w": f_w,
                 "pol": pol, "dft": {}, "t": state["t"]}
@@ -1488,11 +1534,14 @@ class Fdtd3dKernel:
                             base[_full_slice(ax, slice(a, b))]
         if L.disp is not None:
             a, b = L.disp_range()
+            wy0, wy1 = L.win_y
             C = self.plan.coefs
             for (pi, p, comps) in L.pol_entries:
                 for c in comps:
-                    st[f"p{pi}:{c}"] = full["pol"][pi]["p"][c][a:b]
-                    st[f"pp{pi}:{c}"] = full["pol"][pi]["pp"][c][a:b]
+                    st[f"p{pi}:{c}"] = \
+                        full["pol"][pi]["p"][c][a:b, wy0:wy1, :]
+                    st[f"pp{pi}:{c}"] = \
+                        full["pol"][pi]["pp"][c][a:b, wy0:wy1, :]
             for ec in L.de_comps:
                 spec = L.eh_by_ec[ec]
                 d = full["f"][spec.dc]
@@ -1511,6 +1560,6 @@ class Fdtd3dKernel:
                     mask = m2 if mask is None else (mask | m2)
                 if mask is not None:
                     lin = jnp.where(mask, full["f"][ec], lin)
-                st[f"de:{ec}"] = lin[a:b]
+                st[f"de:{ec}"] = lin[a:b, wy0:wy1, :]
         st["t"] = full["t"]
         return st

@@ -80,6 +80,12 @@ class _K1Adapter:
 
 
 def hybrid_applicable(plan) -> bool:
+    import os
+    import jax
+    # Mosaic kernels need a TPU backend (or explicit interpret mode)
+    if jax.default_backend() == "cpu" \
+            and not int(os.environ.get("MNT_PALLAS_INTERPRET", "0")):
+        return False
     from . import fdtd3d, fdtd3d_t2
     return fdtd3d_t2.supported(plan) or fdtd3d.supported(plan)
 

@@ -292,13 +292,19 @@ def near2far_specs(gv: G.GridVolume, name: str, normal: str, center, size,
     from ..analysis.near2far import equivalence_terms, Near2FarSurface
     freqs = np.asarray(freqs, np.float64)
     specs, surfaces = [], []
-    for c, c0, s in equivalence_terms(normal):
+    for c, c0, s in equivalence_terms(normal, gv.dim):
         if c not in list(gv.e_components) + list(gv.h_components):
             continue
         if live is not None and c not in live:
             continue
         region, w_full, dv, pts = comp_lattice_region_weights(gv, c, center,
                                                               size)
+        if gv.dim == "cyl":
+            # ring measure 2*pi*r: greencyl integrates dphi only
+            # (near2far.cpp:279 note)
+            rax = gv.axis_of("r")
+            w_full = w_full * (2 * np.pi * np.abs(
+                pts[:, rax].reshape(w_full.shape)))
         key = f"{name}:{c}"
         specs.append(DftSpec(name=key, component=c, region=region,
                              weights=w_full * dv, freqs=freqs,

@@ -112,6 +112,17 @@ def test_longer_run():
     _compare(_plan(with_pol=True, with_nr=True), nsteps=48, atol=5e-6)
 
 
+def test_partial_y_window():
+    """Tall-Y cell: the dispersive state's y-window is a strict subset of
+    the grid (exercises the windowed overlay/carry/halo paths)."""
+    plan = _plan(cells=(32, 64, 24), with_pol=True, with_nr=True)
+    from meep_nl_tpu.ops.pallas.fdtd3d import _Layout
+    L = _Layout(plan, 8)
+    wy0, wy1 = L.win_y
+    assert wy1 - wy0 < plan.storage_shape[1] - 8, (wy0, wy1)
+    _compare(plan, nsteps=20)
+
+
 def test_roundtrip_disp():
     plan = _plan(with_pol=True, with_nr=True)
     ker = fdtd3d.Fdtd3dKernel(plan, 8)
