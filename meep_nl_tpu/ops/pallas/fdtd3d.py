@@ -181,11 +181,20 @@ class _Layout:
     inductive invariants fu == f and E == lin, so the widened ranges are
     exact)."""
 
-    def __init__(self, plan, bx: int, z_full: bool = False):
+    def __init__(self, plan, bx: int, z_full: bool = False,
+                 x_uniform: bool = False):
+        """x_uniform: widen every x-compact aux range to the FULL x
+        extent, collapsing the lo/mid/hi call split into one uniform
+        call.  Identity-chain rows keep the inductive invariants, so the
+        widened storage is exact; costs ~4 extra full arrays of traffic
+        for xyz-PML plans, and buys an SPMD-uniform program — the
+        sharded (shard_map) kernel requires every shard to run the same
+        call structure."""
         gv = plan.gv
         self.plan = plan
         self.bx = bx
         self.z_full = z_full
+        self.x_uniform = x_uniform
         self.S = tuple(plan.storage_shape or gv.shape)
         self.nblk = self.S[0] // bx
         self.n_sites = tuple(gv.num[a] + 1 for a in range(3))
@@ -215,6 +224,12 @@ class _Layout:
                 lo_blocks = max(lo_blocks, _cdiv(lor[1], bx))
             if hir[1] > hir[0]:
                 hi_start = min(hi_start, (hir[0] // bx) * bx)
+        if x_uniform and any(ax == 0 and (lor[1] > lor[0] or hir[1] > hir[0])
+                             for (ax, lor, hir) in raw.values()):
+            # every x-compact array becomes full-x 'lo' storage; the
+            # whole grid is one uniform 'lo' call
+            lo_blocks = self.nblk
+            hi_start = self.S[0]
         self.lo_blocks = lo_blocks                    # blocks [0, lo_blocks)
         self.hi_block0 = hi_start // bx               # blocks [hi_block0, nblk)
         if self.lo_blocks > self.hi_block0:
@@ -223,6 +238,9 @@ class _Layout:
         def unify(ax, lor, hir):
             if ax != 0:
                 return lor, hir
+            if x_uniform and (lor[1] > lor[0] or hir[1] > hir[0]):
+                # full-x 'lo' storage holds both true slabs
+                return (0, self.S[0]), (self.S[0], self.S[0])
             lor2 = (0, lo_blocks * bx) if lor[1] > lor[0] else (0, 0)
             hir2 = (self.hi_block0 * bx, self.S[0]) if hir[1] > hir[0] \
                 else (self.S[0], self.S[0])
@@ -452,10 +470,16 @@ def _plane_lists(plan, c):
 
 
 def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str,
-                disp: bool = False):
+                disp: bool = False, dyn_xoff: bool = False,
+                with_sources: bool = True):
     """One pallas call covering global x-blocks [b0, b1).
     edge_side: 'lo' | 'hi' | '' (interior); disp marks the dispersive
-    window call (Lorentz ADE + chi3/chi2-NR support, see _disp_setup)."""
+    window call (Lorentz ADE + chi3/chi2-NR support, see _disp_setup).
+
+    dyn_xoff: add a scalar SMEM input 'xoff' (global x offset of this
+    shard) applied to the x-plane masks — the sharded SPMD kernel runs
+    the same program on every shard.  with_sources=False drops in-kernel
+    source injection (the sharded driver scatters sources outside)."""
     plan = L.plan
     bx, S = L.bx, L.S
     Y, Z = S[1], S[2]
@@ -511,7 +535,7 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str,
 
     # ---- source jobs whose points fall inside [b0*bx, b1*bx) -------------
     src_jobs = []
-    for si, s in enumerate(plan.sources):
+    for si, s in (enumerate(plan.sources) if with_sources else ()):
         dc = ("d" if s.component[0] == "e" else "b") + s.component[1]
         pts = []
         idxs = np.asarray(s.indices)
@@ -720,6 +744,11 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str,
         in_entries.append(("xs", kk,
                            pl.BlockSpec((1, 1), lambda i: (0, 0),
                                         memory_space=pltpu.SMEM)))
+    if dyn_xoff:
+        in_entries.append(("xs", "xoff",
+                           pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                        memory_space=pltpu.SMEM)))
+        xs_keys.append("xoff")
 
     for g in carry_keys:
         out_entries.append(("carry", g,
@@ -798,7 +827,8 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str,
         def apply_mask(c, val):
             xpl, ypl, zpl = mask_info[c]
             if xpl:
-                xg = gx0 + jax.lax.broadcasted_iota(jnp.int32, (bx, 1, 1), 0)
+                gx = gx0 + byname[("xs", "xoff")][0, 0] if dyn_xoff else gx0
+                xg = gx + jax.lax.broadcasted_iota(jnp.int32, (bx, 1, 1), 0)
                 alive = jnp.ones((bx, 1, 1), jnp.bool_)
                 for p in xpl:
                     alive = alive & (xg != p)
