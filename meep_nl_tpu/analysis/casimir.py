@@ -45,10 +45,19 @@ sigma = 0 converges to 2-3% (res 20, mirror eps 1e6) with the correct
 1/a^2 scaling.  KNOWN LIMITATION: the sigma > 0 acceleration retains a
 +19%/+24% overestimate at sigma = 0.25/0.5 that is INDEPENDENT of
 resolution (res 20 == res 40 to 4 digits), PML thickness, vacuum
-subtraction, and kernel time alignment -- i.e. a continuum-level mismatch
-between this kernel and the scattered response in the dissipative runs
-that replacing the round-1 per-field-type contour quadratures (which
-erred -10%/-16% the other way) did not resolve.  Quantitative results
+subtraction, and kernel time alignment.  Round-3 triage localized the
+mismatch to the DISSIPATIVE PULSE RESPONSES, not the kernel: holding the
+measured Gamma fixed and sweeping kernel variants on the 1D plates gives
+F/exact = {1.19, 1.29} for this kernel (real contour factor
+1 + sigma/2xi, as round 2 shipped), {3.0, 6.0} for the reference C++'s
+literal complex factor C(1.0, 0.5*sigma/xi) = 1 + i sigma/2xi
+(casimir.cpp:74), and {1.40, 1.78} for the bare -i w dw/dxi measure --
+no kernel is sigma-invariant against our Gamma.  The coincident-point
+response is distribution-like (discrete delta ringing carries the
+vacuum-stress content), so closed-form pointwise checks are
+inconclusive; the remaining suspect is the interplay of the dissipative
+response with the high-k (near-Nyquist) band where the discrete and
+continuum contours diverge.  Quantitative results
 should use sigma = 0, whose 1/t^2 (1D) and 1/t^3 (kz-invariant 2D) tails
 converge well within ordinary run lengths.
 """
