@@ -601,7 +601,7 @@ class Simulation:
             bloch_k = _vec_to_axes(self.gv, kv)
         if getattr(self, "_want_ldos", False):
             for si, sv in enumerate(srcs):
-                if sv.component[0] != "e":
+                if sv.component[0] not in "eh":
                     continue
                 idx = sv.indices
                 lo = idx.min(axis=0)
@@ -1309,6 +1309,15 @@ class Simulation:
                     g_t = band.g[tang_ax]
                     ky = 2 * np.pi * (kp_t + g_t / L_mon)
                     eps0 = float(np.median(eps_line))
+                    if float(eps_line.max()) > 1.01 * float(eps_line.min()):
+                        import warnings
+                        warnings.warn(
+                            "diffraction-order decomposition on a "
+                            "heterogeneous monitor line: the analytic "
+                            "planewave uses the median epsilon; place the "
+                            "monitor in a homogeneous output medium (the "
+                            "reference solves the layered-medium planewave "
+                            "via MPB, mpb.cpp:925)", stacklevel=2)
                     m = planewave_mode_tm(f, eps0, ky, ys_loc, self.gv.dx,
                                           dt=self.dt)
                     if m is None:        # evanescent order
@@ -1401,8 +1410,12 @@ class Simulation:
             if key not in self._state["dft"]:
                 continue
             Fdft = _dview(self._state["dft"][key]).reshape(-1, len(freqs)).sum(0)
-            # current spectrum at the same convention (dt/sqrt(2pi) sum)
-            tt = (steps + 0.5) * dt
+            # current spectrum at the same convention (dt/sqrt(2pi) sum);
+            # magnetic currents sample at n*dt (build_xs / step.cpp:64-106),
+            # electric at (n+0.5)*dt — dft_ldos::update handles any source
+            # component (dft_ldos.cpp:60-100)
+            is_h = s.component[0] == "h"
+            tt = (steps + (0.0 if is_h else 0.5)) * dt
             cur = np.asarray([s.src_time.current(t, dt) for t in tt])
             Jsum = float(np.sum(np.abs(np.asarray(s.amps))))
             for fi, f in enumerate(freqs):
