@@ -308,7 +308,13 @@ class Simulation:
         """Component closure from sources+monitors (fields::require_component)."""
         if self.force_all_components:
             return list(self.gv.e_components), list(self.gv.h_components)
-        need = {s.component for s in self.sources}
+        need = set()
+        for s in self.sources:
+            if getattr(s, "component", None) is None:
+                # exact Gaussian beam: drives all four tangential sheets
+                need |= set(self.gv.e_components) | set(self.gv.h_components)
+            else:
+                need.add(s.component)
         need |= {s.component for s in getattr(self, "_extra_srcs", [])}
         need |= {m.component for m in self._dft_specs}
         live = set(need)
@@ -398,11 +404,62 @@ class Simulation:
                     "in one half of the cell")
         return center, size, factor
 
+    def _expand_gaussian_beam(self, s) -> List:
+        """Exact Gaussian beam -> 4 equivalence-current sheet sources
+        K = n x H, N = -n x E with the complex-source-point beam fields
+        (fields::add_volume_source(gaussianbeam), sources.cpp:526-556)."""
+        from .source import Source as _Src, gaussian_beam_fields
+        f = s.frequency or getattr(s.src, "frequency", None)
+        if f is None:
+            raise ValueError("GaussianBeamSource needs a frequency")
+        sz = _v3(s.size if s.size is not None else Vector3())
+        live_dirs = [{"x": 0, "y": 1, "z": 2}[d] for d in self.gv.axes
+                     if d in "xyz"]
+        normal = next(i for i in live_dirs if sz[i] == 0)
+        def vec3(v, dtype=float):
+            v3 = _v3(v)
+            return np.array([v3.x, v3.y, v3.z], dtype)
+
+        x0 = vec3(s.beam_x0)                       # relative to center
+        kdir = vec3(s.beam_kdir)
+        if np.isscalar(s.beam_E0):
+            raise ValueError("exact GaussianBeamSource needs a "
+                             "polarization 3-vector beam_E0")
+        E0 = vec3(s.beam_E0, complex)
+
+        def beam_amp(row):
+            def amp(p):                  # p relative to the source center
+                pt = np.array([p.x, p.y, p.z], float) - x0
+                EH = gaussian_beam_fields(pt[None, :], np.zeros(3), kdir,
+                                          s.beam_w0, f, E0)
+                return complex(EH[row, 0])
+            return amp
+
+        np1, np2 = (normal + 1) % 3, (normal + 2) % 3
+        cE = ["ex", "ey", "ez"]
+        cH = ["hx", "hy", "hz"]
+        import dataclasses as dc
+        out = []
+        for comp, row, sgn in ((cE[np2], 3 + np1, +1.0),
+                               (cE[np1], 3 + np2, -1.0),
+                               (cH[np2], np1, -1.0),
+                               (cH[np1], np2, +1.0)):
+            out.append(_Src(src=s.src, component=comp, center=s.center,
+                            size=s.size, amplitude=s.amplitude * sgn,
+                            amp_func=beam_amp(row)))
+        return out
+
     def _build_sources(self, live_e, live_h) -> List[SrcVolSpec]:
-        from .source import IndexedSource
+        from .source import IndexedSource, GaussianBeamSource
         out = []
         gv = self.gv
+        sources = []
         for s in self.sources:
+            if isinstance(s, GaussianBeamSource) and s.component is None:
+                sources += self._expand_gaussian_beam(s)
+            else:
+                sources.append(s)
+        for s in sources:
             if self._mirrors and not isinstance(s, IndexedSource):
                 s = self._fold_source(s)
             comp = s.component
@@ -436,8 +493,13 @@ class Simulation:
                     gidx = tuple(b + i for b, i in zip(base, ind))
                     amp = s.amplitude * w
                     if s.amp_func is not None:
+                        # meep convention: amp_func receives the point
+                        # RELATIVE to the source center (python/source.py)
                         pt = _site_coord(gv, comp, gidx)
-                        amp = amp * s.amp_func(pt)
+                        c3 = _v3(s.center)
+                        rel = Vector3(pt.x - c3[0], pt.y - c3[1],
+                                      pt.z - c3[2])
+                        amp = amp * s.amp_func(rel)
                     idx_list.append(gidx)
                     amp_list.append(amp)
                 idx = np.array(idx_list, np.int32).reshape(-1, gv.ndim)

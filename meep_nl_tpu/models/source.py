@@ -170,23 +170,132 @@ class IndexedSource:
     amplitudes: Any                     # (npts,) complex
 
 
+def gaussian_beam_fields(pts: np.ndarray, x0, kdir, w0: float, freq: float,
+                         E0, eps: float = 1.0, mu: float = 1.0
+                         ) -> np.ndarray:
+    """Exact complex-source-point Gaussian-beam fields (6, npts) =
+    (Ex..Hz) at `pts` (npts, 3) — a numpy port of the reference's
+    gaussianbeam::get_fields (src/sources.cpp:557-660, meep.hpp:1707):
+    the multipole fields of a point source at the complex position
+    z -> z - i z_R, exact at any numerical aperture (the paraxial beam is
+    its small-NA limit).  E0 is the complex polarization 3-vector; the
+    real and imaginary parts drive two superposed linear polarizations
+    (the reference's rnorm/inorm split)."""
+    n = np.sqrt(eps * mu)
+    k = 2 * np.pi * freq * n
+    ZR = np.sqrt(mu / eps)
+    z0 = k * w0 * w0 / 2
+    kz0 = k * z0
+    pts = np.atleast_2d(np.asarray(pts, np.float64))
+    xrel = pts - np.asarray(x0, np.float64)[None, :]
+    zhat = np.asarray(kdir, np.float64)
+    zhat = zhat / np.linalg.norm(zhat)
+    rho = np.linalg.norm(np.cross(np.broadcast_to(zhat, xrel.shape), xrel),
+                         axis=-1)
+    zdot = xrel @ zhat
+
+    zc = zdot - 1j * z0
+    Rsq = rho * rho + zc * zc
+    R = np.sqrt(Rsq.astype(complex))
+    kR = k * R
+    kR2, kR3 = kR * kR, kR * kR * kR
+    big = np.abs(kR) > 1e-4
+    f = np.empty_like(kR)
+    g = np.empty_like(kR)
+    fmgbRsq = np.empty_like(kR)
+    # rescaled cos/sin for large imaginary kR (avoids overflow and keeps
+    # the e^{kz0} normalization finite; sources.cpp:575-585)
+    kRb = kR[big]
+    resc = np.abs(kRb.imag) > 30.0
+    coskR = np.where(resc,
+                     0.5 * (np.exp(1j * kRb.real) * np.exp(
+                         -(np.clip(kRb.imag, -700, 700) + kz0))
+                         + np.exp(-1j * kRb.real) * np.exp(
+                             np.clip(kRb.imag, -700, 700) - kz0)),
+                     np.cos(kRb))
+    sinkR = np.where(resc,
+                     -0.5j * (np.exp(1j * kRb.real) * np.exp(
+                         -(np.clip(kRb.imag, -700, 700) + kz0))
+                         - np.exp(-1j * kRb.real) * np.exp(
+                             np.clip(kRb.imag, -700, 700) - kz0)),
+                     np.sin(kRb))
+    f[big] = -3.0 * (coskR / kR2[big] - sinkR / kR3[big])
+    g[big] = 1.5 * (sinkR / kRb + coskR / kR2[big] - sinkR / kR3[big])
+    fmgbRsq[big] = (f[big] - g[big]) / Rsq[big]
+    sm = ~big
+    kR2s, kR4s = kR2[sm], kR2[sm] * kR2[sm]
+    f[sm] = kR4s / 280.0 - kR2s / 10.0 + 1.0
+    g[sm] = 3.0 * kR4s / 280.0 - kR2s / 5.0 + 1.0
+    fmgbRsq[sm] = (kR4s / 5040.0 - kR2s / 140.0 + 0.1) * (k * k)
+    i2fk = 0.5j * f * k
+    any_resc = bool(np.any(resc)) if kRb.size else False
+
+    E = np.zeros((3, len(pts)), complex)
+    H = np.zeros((3, len(pts)), complex)
+    E0 = np.asarray(E0, complex)
+
+    def add_pol(xvec, scale):
+        nrm = np.linalg.norm(xvec)
+        if nrm <= 1e-13:
+            return
+        xhat = xvec / nrm
+        yhat = np.cross(zhat, xhat)
+        xd = xrel @ xhat
+        yd = xrel @ yhat
+        gb_Ex = g + fmgbRsq * xd * xd + i2fk * zc
+        gb_Ey = fmgbRsq * xd * yd
+        gb_Ez = fmgbRsq * xd * zc - i2fk * xd
+        gb_Hx = np.zeros_like(gb_Ex)
+        gb_Hy = g + fmgbRsq * yd * yd + i2fk * zc
+        gb_Hz = fmgbRsq * yd * zc - i2fk * yd
+        for j in range(3):
+            E[j] += scale * nrm * (gb_Ex * xhat[j] + gb_Ey * yhat[j]
+                                   + gb_Ez * zhat[j])
+            H[j] += scale * nrm * (gb_Hx * xhat[j] + gb_Hy * yhat[j]
+                                   + gb_Hz * zhat[j])
+
+    add_pol(E0.real, 1.0)
+    add_pol(E0.imag, 1.0j)
+
+    if any_resc:
+        Eorig = 3.0 / (2 * kz0 ** 3) * (kz0 * (kz0 - 1)
+                                        + 0.5 * (1.0 - np.exp(-2.0 * kz0)))
+    else:
+        Eorig = 3.0 / (2 * kz0 ** 3) * (np.exp(kz0) * kz0 * (kz0 - 1)
+                                        + np.sinh(kz0))
+    out = np.zeros((6, len(pts)), complex)
+    out[:3] = E / Eorig
+    out[3:] = H / (Eorig * ZR)
+    return out
+
+
 @dataclasses.dataclass
 class GaussianBeamSource(Source):
     """Focused Gaussian beam launched from a source plane
     (python/source.py GaussianBeam3DSource/2D; reference meep.hpp:1707).
 
-    Implemented as an amplitude-function source: the transverse profile on
-    the source plane is the complex paraxial beam field
-        E(r) = w0/w(z) exp(-r^2/w(z)^2) exp(i k (z_f + r^2/(2 R)) + i Gouy)
-    evaluated at the plane's distance from the focus."""
+    With `component=None` (the meep-parity mode) the EXACT
+    complex-source-point beam fields are injected as the 4 equivalence
+    current sheets J = n x H, M = -n x E over the source plane
+    (fields::add_volume_source(gaussianbeam), sources.cpp:526-556) —
+    exact at any NA; `beam_E0` is then the complex polarization VECTOR.
+
+    With an explicit `component`, the legacy paraxial-envelope
+    amplitude-function source is used (scalar beam_E0)."""
+    component: Optional[str] = None                # None => exact beam
+    center: Sequence[float] = (0.0, 0.0, 0.0)
     beam_x0: Sequence[float] = (0.0, 0.0, 0.0)     # focus relative to center
     beam_kdir: Sequence[float] = (1.0, 0.0, 0.0)   # propagation direction
     beam_w0: float = 1.0                           # waist radius
-    beam_E0: complex = 1.0
+    beam_E0: Any = 1.0                             # scalar (legacy) | 3-vec
     frequency: Optional[float] = None
 
     def __post_init__(self):
         import math as _m
+        if self.component is None:
+            # exact-beam mode: expanded into equivalence-current sheets
+            # by Simulation._build_sources
+            return
         f = self.frequency or getattr(self.src, "frequency", None)
         if f is None:
             raise ValueError("GaussianBeamSource needs a frequency")

@@ -51,7 +51,9 @@ def test_gaussian_beam_focuses():
             mp.ContinuousSource(frequency=fcen, width=2.0),
             component=mp.Ez, center=mp.Vector3(-4.5, 0),
             size=mp.Vector3(0, 6),
-            beam_x0=(0.0, 0.0, 0.0), beam_kdir=(1, 0, 0), beam_w0=w0,
+            # beam_x0 is RELATIVE to the source center (meep convention,
+            # python/source.py): focus at the cell origin
+            beam_x0=(4.5, 0.0, 0.0), beam_kdir=(1, 0, 0), beam_w0=w0,
             frequency=fcen)],
         boundary_layers=[mp.PML(1.0)])
     sim.run(until=30)
