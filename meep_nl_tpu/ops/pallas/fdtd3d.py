@@ -108,10 +108,10 @@ def supported(plan, bx: int = None, allow_disp: bool = True) -> bool:
     support is x-interior and away from PML slabs — validated by
     `_Layout`; `allow_disp=False` restores the round-2 linear-only
     envelope (used by callers that haven't been taught the disp state)."""
-    bx = _pick_bx(plan, bx)
     gv = plan.gv
     if gv.dim != "3d" or plan.complex_fields or plan.bfast_k is not None:
         return False
+    bx = _pick_bx(plan, bx)
     if plan.pol_specs_h:
         return False
     if not allow_disp and _has_disp(plan):

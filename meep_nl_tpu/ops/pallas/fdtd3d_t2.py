@@ -55,6 +55,8 @@ def _pick_bx(plan, requested=None) -> int:
 
 
 def supported(plan, bx: int = None, depth: int = 2) -> bool:
+    if plan.gv.dim != "3d":
+        return False
     bx = _pick_bx(plan, bx)
     # the temporally-fused schedule has not been taught the dispersive
     # (pol/chi3/NR) state; the 1-step kernel covers those plans

@@ -82,10 +82,14 @@ class _K1Adapter:
 def hybrid_applicable(plan) -> bool:
     import os
     import jax
-    # Mosaic kernels need a TPU backend (or explicit interpret mode)
-    if jax.default_backend() == "cpu" \
-            and not int(os.environ.get("MNT_PALLAS_INTERPRET", "0")):
-        return False
+    # Mosaic kernels need a TPU backend.  On CPU the hybrid only engages
+    # with the EXPLICIT opt-in MNT_HYBRID_CPU=1 (which implies interpret
+    # mode) — NOT on MNT_PALLAS_INTERPRET, which kernel test modules
+    # export at import time and would leak into every test in a session.
+    if jax.default_backend() == "cpu":
+        if os.environ.get("MNT_HYBRID_CPU") != "1":
+            return False
+        os.environ.setdefault("MNT_PALLAS_INTERPRET", "1")
     from . import fdtd3d, fdtd3d_t2
     return fdtd3d_t2.supported(plan) or fdtd3d.supported(plan)
 

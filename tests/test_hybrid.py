@@ -12,6 +12,13 @@ import pytest
 import meep_nl_tpu as mp
 
 
+@pytest.fixture(autouse=True)
+def _hybrid_cpu_env(monkeypatch):
+    # explicit CPU opt-in for the hybrid, scoped to THESE tests only (a
+    # module-level env set would leak into every test of the session)
+    monkeypatch.setenv("MNT_HYBRID_CPU", "1")
+
+
 def _sim(use_fused):
     fcen = 1.0
     sim = mp.Simulation(
