@@ -685,7 +685,11 @@ class Simulation:
             live_e=live_e, live_h=live_h, m=self.m,
             bfast_scaled_k=(tuple(_v3(self.bfast_scaled_k))
                             if self.bfast_scaled_k is not None else None),
-            boundaries=self._boundaries or None)
+            boundaries=self._boundaries or None,
+            # sublane-align the x storage of 3D cells so the fused
+            # kernels get a usable block depth (dead rows are masked;
+            # prime site counts would otherwise force bx=1)
+            pad_to_multiple=((8, 1, 1) if self.gv.dim == "3d" else 1))
         self._plan.use_pallas = self.use_pallas
         self._plan.slab_store = self.slab_store
         if self._plan.complex_fields:

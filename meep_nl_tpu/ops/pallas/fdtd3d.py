@@ -140,6 +140,10 @@ def supported(plan, bx: int = None, allow_disp: bool = True) -> bool:
         if s.is_integrated:
             return False
     S = plan.storage_shape or gv.shape
+    if bx < 2:
+        # bx=1 degenerates the x-concat pieces to zero-width slices,
+        # which compiled Mosaic rejects (vector sizes must be positive)
+        return False
     if S[0] % bx or S[0] < 2 * bx:
         return False
     if S[1] * S[2] * 4 * bx > 4 * 1024 * 1024:   # tile must fit VMEM budget

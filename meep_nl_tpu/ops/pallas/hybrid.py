@@ -97,8 +97,26 @@ def hybrid_applicable(plan) -> bool:
 def hybrid_run(plan, state: Dict[str, Any], nsteps: int, t0: int
                ) -> Optional[Dict[str, Any]]:
     """Advance the FULL jnp state by nsteps via the hybrid path.
-    Returns None when the cycle structure doesn't apply (caller falls
-    back to the jnp path)."""
+    Returns None when the cycle structure doesn't apply OR the kernel
+    fails to build/compile for this plan (caller falls back to jnp —
+    the envelope checks are static, but Mosaic lowering can still
+    reject specific geometry/layout combinations)."""
+    if getattr(plan, "_hybrid_broken", False):
+        return None
+    try:
+        return _hybrid_run_inner(plan, state, nsteps, t0)
+    except Exception as e:                       # noqa: BLE001
+        import warnings
+        plan._hybrid_broken = True
+        warnings.warn(
+            "fused hybrid path failed to build for this plan "
+            f"({type(e).__name__}: {str(e)[:200]}); falling back to the "
+            "jnp stepper", stacklevel=2)
+        return None
+
+
+def _hybrid_run_inner(plan, state: Dict[str, Any], nsteps: int, t0: int
+                      ) -> Optional[Dict[str, Any]]:
     from ...stepper.step import build_xs, make_step
 
     if not hybrid_applicable(plan) or nsteps < 4:
