@@ -325,6 +325,33 @@ def planewave_mode_tm(freq: float, eps: float, ky: float, ys: np.ndarray,
     return m
 
 
+def planewave_mode_te(freq: float, eps: float, ky: float, ys: np.ndarray,
+                      dx: float, dt: Optional[float] = None
+                      ) -> Optional[Mode1D]:
+    """TE (Hz-polarized) analog of planewave_mode_tm: hz(y) = exp(i ky y)
+    with Ey = (beta/(w eps)) Hz, normalized to the monitor flux
+    convention sum Re(Ey Hz*) dx = 1; None for evanescent orders."""
+    w = 2 * np.pi * freq
+    if dt is not None:
+        swt = np.sin(w * dt / 2)
+        s2 = eps * (dx / dt) ** 2 * swt ** 2 - np.sin(ky * dx / 2) ** 2
+        if s2 <= 0 or s2 > 1:
+            return None
+        beta = float(w * (dt / dx) * np.sqrt(s2) / swt)
+    else:
+        b2 = eps * w * w - ky * ky
+        if b2 <= 0:
+            return None
+        beta = float(np.sqrt(b2))
+    prof = np.exp(1j * ky * ys).astype(np.complex128)
+    p = (beta / (w * eps)) * np.sum(np.abs(prof) ** 2) * dx
+    prof = prof / np.sqrt(abs(p))
+    m = Mode1D(freq=freq, beta=beta, y=ys, ez=None, hz=prof)
+    m.ey = (beta / (w * eps)) * prof
+    m.k_tangential = ky
+    return m
+
+
 def planewave_mode_vector(freq: float, eps: float, ku: float, kv: float,
                           us: np.ndarray, vs: np.ndarray, dx: float,
                           s_amp: complex = 1.0, p_amp: complex = 0.0,

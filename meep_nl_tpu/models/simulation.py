@@ -1369,9 +1369,6 @@ class Simulation:
                 if isinstance(band, DiffractedPlanewave):
                     # diffraction order on a Bloch-periodic monitor: the
                     # analytic planewave with ky = 2 pi (k_bloch + g/L)
-                    if te:
-                        raise NotImplementedError(
-                            "TE diffraction orders: use TM or 3D")
                     g_t = band.g[tang_ax]
                     ky = 2 * np.pi * (kp_t + g_t / L_mon)
                     eps0 = float(np.median(eps_line))
@@ -1384,8 +1381,13 @@ class Simulation:
                             "monitor in a homogeneous output medium (the "
                             "reference solves the layered-medium planewave "
                             "via MPB, mpb.cpp:925)", stacklevel=2)
-                    m = planewave_mode_tm(f, eps0, ky, ys_loc, self.gv.dx,
-                                          dt=self.dt)
+                    if te:
+                        from ..analysis.modes import planewave_mode_te
+                        m = planewave_mode_te(f, eps0, ky, ys_loc,
+                                              self.gv.dx, dt=self.dt)
+                    else:
+                        m = planewave_mode_tm(f, eps0, ky, ys_loc,
+                                              self.gv.dx, dt=self.dt)
                     if m is None:        # evanescent order
                         continue
                 else:

@@ -101,3 +101,27 @@ def test_diffracted_planewave_source():
     p1_back = abs(alpha[1, 0, 1]) ** 2
     assert p1 > 50 * p0, (p1, p0)
     assert p1 > 20 * p1_back, (p1, p1_back)
+
+
+def test_te_order0_equals_flux_empty():
+    """TE (Hz) polarization: the (0,0,0) order carries the full
+    transmitted flux on an empty periodic cell (planewave_mode_te +
+    the (ey, hz) flux pair)."""
+    fcen = 1.5
+    sim = mp.Simulation(
+        cell_size=mp.Vector3(8, 1), resolution=20,
+        k_point=mp.Vector3(),
+        sources=[mp.Source(mp.GaussianSource(frequency=fcen, fwidth=0.3),
+                           component=mp.Hz, center=mp.Vector3(-2.5, 0),
+                           size=mp.Vector3(0, 1))],
+        boundary_layers=[mp.PML(1.0, direction=mp.X)])
+    fr = mp.FluxRegion(center=mp.Vector3(2.5, 0), size=mp.Vector3(0, 1))
+    flux = sim.add_flux(fcen, 0.2, 3, fr)
+    sim.run(until_after_sources=mp.stop_when_dft_decayed())
+    bands = [mp.DiffractedPlanewave((0, 0, 0)),
+             mp.DiffractedPlanewave((0, 1, 0))]
+    alpha = sim.get_eigenmode_coefficients(flux, bands, eig_parity="TE")
+    P = np.asarray(sim.get_fluxes(flux))
+    p0 = np.abs(alpha[0, :, 0]) ** 2
+    np.testing.assert_allclose(p0, P, rtol=3e-2)
+    assert np.all(np.abs(alpha[1, :, 0]) ** 2 < 5e-3 * P)
