@@ -25,6 +25,15 @@ def run_one():
     """Single measurement at BENCH_GRID (invoked as a subprocess)."""
     import numpy as np
     import jax
+    # persistent compile cache: tunnel compile latency varies wildly
+    # (500s+ on bad days); repeated/driver runs reuse compiles when the
+    # backend supports it
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/mnt_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
 
     size_env = os.environ.get("BENCH_GRID", "128,128,128")
     nx, ny, nz = (int(s) for s in size_env.split(","))
@@ -156,7 +165,7 @@ def run_one():
     # timeout budget allows (compile time already consumed counts), and
     # keep the best (min time)
     deadline = _T_PROC + float(os.environ.get(
-        "BENCH_TIMEOUT", "420")) - 60.0
+        "BENCH_TIMEOUT", "540")) - 60.0
     while time.perf_counter() + dt_wall * 1.3 < deadline:
         t0 = time.perf_counter()
         state = run_c(state, xs, C)
@@ -186,7 +195,7 @@ def main():
     ladder = os.environ.get(
         "BENCH_LADDER",
         "256,256,256;192,192,192;128,128,128;96,96,96;64,64,64").split(";")
-    timeout = int(os.environ.get("BENCH_TIMEOUT", "420"))
+    timeout = int(os.environ.get("BENCH_TIMEOUT", "540"))
     for grid in ladder:
         env = dict(os.environ, BENCH_ONE="1", BENCH_GRID=grid)
         try:
