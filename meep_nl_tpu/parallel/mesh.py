@@ -126,9 +126,27 @@ def sharded_run_fn(plan: Plan, mesh: Mesh, nsteps: int):
     return jax.jit(runner)
 
 
-def sharded_run(plan: Plan, mesh: Mesh, state: Dict[str, Any], nsteps: int
-                ) -> Dict[str, Any]:
+def sharded_run(plan: Plan, mesh: Mesh, state: Dict[str, Any], nsteps: int,
+                prefer_fused: bool = True) -> Dict[str, Any]:
     t0 = int(jax.device_get(state["t"]))
+    # fast path: the per-shard Mosaic kernel with explicit halo/carry
+    # exchange (parallel/fused_mesh.py) when the plan and mesh fit its
+    # envelope and no in-scan DFT accumulation is needed (the fused path
+    # does not carry the DFT state)
+    if prefer_fused and len(mesh.axis_names) == 1 and not plan.dfts:
+        try:
+            from .fused_mesh import ShardedFdtd3d, sharded_supported
+            n = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            if sharded_supported(plan, n):
+                sk = ShardedFdtd3d(plan, mesh)
+                comp = sk.from_full(state)
+                comp = sk.run(comp, nsteps, t0=t0)
+                full = jax.jit(sk.to_full)(comp)
+                keep = ["f", "f_u", "f_w"]
+                return {**state, **{k: full[k] for k in keep},
+                        "t": full["t"]}
+        except Exception:                      # noqa: BLE001
+            pass                               # fall through to jnp SPMD
     xs = build_xs(plan, nsteps, t0)
     state = shard_state(plan, mesh, state)
     csh = coef_shardings(plan, mesh)

@@ -95,3 +95,21 @@ def test_envelope():
     plan = _plan("xyz")
     assert sharded_supported(plan, 4, 8)
     assert not sharded_supported(plan, 5, 8)   # 64 % 5 != 0
+
+
+def test_sharded_run_routes_to_fused():
+    """parallel/mesh.sharded_run auto-routes DFT-free plans inside the
+    fused envelope through the per-shard Mosaic kernel and matches the
+    jnp SPMD path."""
+    from meep_nl_tpu.stepper.step import init_state
+    plan = _plan("xyz")
+    mesh = PM.make_mesh(4, shape=(4,))
+    st_f = PM.sharded_run(plan, mesh, init_state(plan), 12)
+    st_j = PM.sharded_run(plan, mesh, init_state(plan), 12,
+                          prefer_fused=False)
+    scale = max(float(np.max(np.abs(np.asarray(v))))
+                for v in st_j["f"].values())
+    for c in st_j["f"]:
+        np.testing.assert_allclose(np.asarray(st_f["f"][c]),
+                                   np.asarray(st_j["f"][c]),
+                                   atol=3e-6 * scale, err_msg=c)
