@@ -41,25 +41,30 @@ that direction's wavevector collapses analytically: solve the kz = 0
 pressure: it cancels exactly between the two sides of each surface.
 
 Validation (test_casimir.py, 1D parallel plates vs exact -pi/(24 a^2)):
-sigma = 0 converges to 2-3% (res 20, mirror eps 1e6) with the correct
-1/a^2 scaling.  KNOWN LIMITATION: the sigma > 0 acceleration retains a
-+19%/+24% overestimate at sigma = 0.25/0.5 that is INDEPENDENT of
-resolution (res 20 == res 40 to 4 digits), PML thickness, vacuum
-subtraction, and kernel time alignment.  Round-3 triage localized the
-mismatch to the DISSIPATIVE PULSE RESPONSES, not the kernel: holding the
-measured Gamma fixed and sweeping kernel variants on the 1D plates gives
-F/exact = {1.19, 1.29} for this kernel (real contour factor
-1 + sigma/2xi, as round 2 shipped), {3.0, 6.0} for the reference C++'s
-literal complex factor C(1.0, 0.5*sigma/xi) = 1 + i sigma/2xi
-(casimir.cpp:74), and {1.40, 1.78} for the bare -i w dw/dxi measure --
-no kernel is sigma-invariant against our Gamma.  The coincident-point
-response is distribution-like (discrete delta ringing carries the
-vacuum-stress content), so closed-form pointwise checks are
-inconclusive; the remaining suspect is the interplay of the dissipative
-response with the high-k (near-Nyquist) band where the discrete and
-continuum contours diverge.  Quantitative results
-should use sigma = 0, whose 1/t^2 (1D) and 1/t^3 (kz-invariant 2D) tails
-converge well within ordinary run lengths.
+res 20, mirror eps 1e6 gives F/exact = {0.980, 0.999, 0.998} at
+sigma = {0, 0.25, 0.5} with T = 60, and the acceleration works as
+advertised: at T = 20 the dissipative runs hold {0.995, 0.992} while
+sigma = 0 truncates to 0.940.
+
+Rounds 2-3 shipped a +19%/+29% sigma bias that round 3's endgame traced
+to TWO stacked defects (partially cancelling, which is why no kernel
+variant alone was sigma-invariant):
+  1. A stepper ghost-charge bug: current sources were added to f but not
+     to the increment-coupled PML auxiliaries (f_cond / the sigu-chain
+     f_u), so the injected charge was never damped by the global
+     conductivity — the dissipative Gamma carried an undamped static
+     dipole.  Fixed in step._apply_sources; diagnosed by a PML vs
+     long-PEC-cell response diff (identical at sigma = 0, diverging at
+     the source step for sigma > 0).
+  2. The contour-measure factor: the correct kernel carries the COMPLEX
+     factor (1 + i sigma/2xi) (casimir.cpp:73) = -i w (dw/dxi)(w/xi) —
+     the dissipative-run response is Gamma_sigma(xi) =
+     (xi/w) Gamma_vac(w(xi)), so the measure needs the extra (w/xi).
+     Proven sigma-invariant by a numerically exact continuum image-sum
+     model of the 1D geometry (each mirror image contributes
+     (xi/w) e^{i w x}; only this kernel leaves the contraction
+     sigma-independent: {0.98, 0.99} vs {0.66, 0.53} for the round-2
+     real-factor variant).
 """
 
 from __future__ import annotations
@@ -83,21 +88,22 @@ def make_casimir_g(T: float, dt: float, sigma: float = 0.0, ft: str = "e",
     t = np.arange(1, N) * dt + tshift
     eps0 = 1.0
 
-    # the reference's remainder tends to the CONSTANT -sigma(1+i)/2 as
-    # xi -> inf (incomplete subtraction), which rings at the FFT Nyquist;
-    # subtract it too and add its transform C i/(pi t) back in closed form
-    C = -sigma * (1 + 1j) / 2
-
     def smooth_part(Nfft):
         i = np.arange(1, Nfft // 2)
         xi = 2 * np.pi * i / (Nfft * dt)
         dg = np.zeros(Nfft, complex)
-        # smooth remainder: kernel minus analytically-transformable parts
+        # smooth remainder: kernel minus analytically-transformable parts.
+        # The contour factor is the COMPLEX (1 + i sigma/2xi)
+        # (casimir.cpp:73 C(1.0, 0.5*sigma/xi)) = -i w (dw/dxi)(w/xi)
+        # with w(xi) = xi sqrt(1 + i sigma/xi): the dissipative-run
+        # response is Gamma_sigma(xi) = (xi/w) Gamma_vac(w(xi)), so the
+        # measure must carry the inverse (w/xi) on top of -i w dw/dxi.
+        # (Round 3 shipped the real factor 1 + sigma/2xi; the continuum
+        # image-sum model shows only the complex one is sigma-invariant.)
         dg[1:Nfft // 2] = ((-1j * xi) * np.sqrt(1 + 1j * sigma / xi)
-                           * (1 + 0.5 * sigma / xi)
+                           * (1 + 0.5j * sigma / xi)
                            - ((sigma - 1j * xi)
-                              + 0.5 * eps0 * np.sqrt(1j * sigma ** 3 / xi))
-                           - C)
+                              + 0.5 * eps0 * np.sqrt(1j * sigma ** 3 / xi)))
         dg[0] = -sigma
         if tshift != 0.0:
             dg[1:Nfft // 2] *= np.exp(1j * xi * tshift)
@@ -111,8 +117,7 @@ def make_casimir_g(T: float, dt: float, sigma: float = 0.0, ft: str = "e",
     g = np.zeros(N, complex)
     g[1:] = 2.0 * (dgt[1:N]
                    + 1j * ((1 / t ** 2 + sigma / t) / (2 * np.pi)
-                           + 0.25 * eps0 * np.sqrt(sigma ** 3 / (t * np.pi)))
-                   + C * 1j / (2 * np.pi * t))
+                           + 0.25 * eps0 * np.sqrt(sigma ** 3 / (t * np.pi))))
     return g
 
 

@@ -1250,7 +1250,8 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str,
             + [pltpu.VMEM((1, Yw, Z), dtype) for _ in nl_bwd],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
-                vmem_limit_bytes=110 * 1024 * 1024),
+                vmem_limit_bytes=int(os.environ.get(
+                    "MNT_VMEM_LIMIT_MB", "110")) * 1024 * 1024),
             interpret=bool(int(os.environ.get("MNT_PALLAS_INTERPRET", "0"))),
         )(*args)
         new_state = dict(state)

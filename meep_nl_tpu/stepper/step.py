@@ -971,8 +971,25 @@ def _compute_fmp(plan: Plan, C: Dict[str, Any], ft: str,
 def _apply_sources(plan: Plan, C: Dict[str, Any], ft2: str,
                    state: Dict[str, Any], xs: Dict[str, Any]) -> Dict[str, Any]:
     """Current sources into D/B: f -= current * dt [* cndinv]
-    (step.cpp:296-319)."""
+    (step.cpp:296-319).
+
+    When the component ALSO carries increment-coupled PML auxiliaries —
+    fcnd (step_generic.cpp:58-62) and/or the f_u sigu chain — the same
+    increment must go into them: unlike the reference, whose interior
+    chunks have no PML direction and update f directly, this stepper's
+    monolithic arrays run the aux chains everywhere whenever PML exists,
+    and f only receives the innermost aux's *increments*.  A source
+    added to f alone is then a charge the inner chain (and so the
+    conductivity) never sees — a static ghost dipole that corrupts every
+    conductive response; the Casimir sigma>0 bias came from exactly
+    this."""
     f = dict(state["f"])
+    f_cond = dict(state.get("f_cond", {}))
+    # f_u mirroring only matters (and only changes anything) where the
+    # inner chain is value-dependent in the interior, i.e. conductivity
+    cond_c = {s.c for s in plan.curl_specs_d + plan.curl_specs_b
+              if s.has_cond}
+    f_u = {k: v for k, v in state.get("f_u", {}).items() if k in cond_c}
     dt = plan.dt
     for si, s in enumerate(plan.sources):
         ftc = "d" if s.component[0] == "e" else "b"
@@ -993,6 +1010,10 @@ def _apply_sources(plan: Plan, C: Dict[str, Any], ft2: str,
             if f"src{si}:cndinv" in C:
                 cnd = C[f"src{si}:cndinv"]
                 A_re, A_im = A_re * cnd, A_im * cnd
+            for aux in (f_cond, f_u):
+                if dc in aux:
+                    aux[dc] = aux[dc].at[(0,) + tuple(idx.T)].add(-A_re) \
+                                     .at[(1,) + tuple(idx.T)].add(-A_im)
             f[dc] = f[dc].at[(0,) + tuple(idx.T)].add(-A_re) \
                          .at[(1,) + tuple(idx.T)].add(-A_im)
             continue
@@ -1004,7 +1025,15 @@ def _apply_sources(plan: Plan, C: Dict[str, Any], ft2: str,
             A = A * C[f"src{si}:cndinv"]
         contrib = A
         f[dc] = f[dc].at[tuple(idx.T)].add(-contrib)
-    return {**state, "f": f}
+        for aux in (f_cond, f_u):
+            if dc in aux:
+                aux[dc] = aux[dc].at[tuple(idx.T)].add(-contrib)
+    out = {**state, "f": f}
+    if f_cond:
+        out["f_cond"] = f_cond
+    if f_u:
+        out["f_u"] = {**state["f_u"], **f_u}
+    return out
 
 
 def _centered_avg(plan: Plan, c: str, arr: jnp.ndarray) -> jnp.ndarray:
