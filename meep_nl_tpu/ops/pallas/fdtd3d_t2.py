@@ -28,6 +28,7 @@ slabs.
 
 from __future__ import annotations
 
+import math
 import os
 from typing import Any, Dict, List, Tuple
 
@@ -37,30 +38,61 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...stepper.step import _nr_solve
+
 from . import fdtd3d as F1
-from .fdtd3d import _Layout, _full_slice, _cdiv, compute_halos
+from .fdtd3d import (_Layout, _full_slice, _cdiv, compute_halos,
+                     compute_nl_halos, _has_disp)
 
 
-def _pick_bx(plan, requested=None) -> int:
+def _disp_fits(plan, bx, depth) -> bool:
+    """The t2 schedule needs the disp window clear of the edge calls by
+    an extra depth-1 blocks (the window call's stage-1 over-run)."""
+    try:
+        L = _Layout(plan, bx)
+    except ValueError:
+        return False
+    if L.disp is None:
+        return True
+    db0, db1 = L.disp
+    mid0 = L.lo_blocks + (depth - 1 if L.lo_blocks > 0 else 0)
+    return db0 >= mid0 and db1 + depth - 1 <= L.hi_block0
+
+
+def _pick_bx(plan, requested=None, depth: int = 2) -> int:
     """Smaller blocks than the 1-step kernel: the pipeline holds the
-    previous block's full post-step-1 package in VMEM scratch."""
+    previous block's full post-step-1 package in VMEM scratch.
+    Dispersive plans carry extra per-block tiles (P/PP/de packages +
+    prev-iteration coef scratch), so their budget multiplier is higher
+    and the block granularity must let the disp window validate (finer
+    blocks clear the edge calls more easily)."""
     S = tuple(plan.storage_shape or plan.gv.shape)
     if requested:
         return requested
     plane = S[1] * S[2] * 4
+    disp = _has_disp(plan)
+    tiles = 96 if disp else 64
     bx = 8
-    while bx > 1 and (64 * bx * plane > 90 * 2 ** 20 or S[0] % bx):
+    while bx > 1 and (tiles * bx * plane > 90 * 2 ** 20 or S[0] % bx):
         bx //= 2
+    if disp:
+        b = bx
+        while b >= 2:
+            if S[0] % b == 0 and _disp_fits(plan, b, depth):
+                return b
+            b //= 2
     return bx
 
 
 def supported(plan, bx: int = None, depth: int = 2) -> bool:
     if plan.gv.dim != "3d":
         return False
-    bx = _pick_bx(plan, bx)
-    # the temporally-fused schedule has not been taught the dispersive
-    # (pol/chi3/NR) state; the 1-step kernel covers those plans
-    if not F1.supported(plan, bx, allow_disp=False):
+    bx = _pick_bx(plan, bx, depth)
+    disp = _has_disp(plan)
+    if disp and depth != 2:
+        # the 3-stage schedule has not been taught the dispersive state
+        return False
+    if not F1.supported(plan, bx):
         return False
     for s in plan.eh_specs_h:
         if s.has_u:
@@ -71,6 +103,8 @@ def supported(plan, bx: int = None, depth: int = 2) -> bool:
     if L.lo_blocks > 0 and L.lo_blocks + depth - 1 > L.hi_block0:
         return False
     if L.hi_block0 < L.nblk and L.hi_block0 < depth - 1:
+        return False
+    if L.disp is not None and not _disp_fits(plan, bx, depth):
         return False
     return True
 
@@ -84,7 +118,7 @@ def _plane_lists(plan, c):
 
 def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                  first: bool, last: bool, s1_xn: Any, s2_x0: Any,
-                 depth: int = 2):
+                 depth: int = 2, disp: bool = False):
     """One fused-2-step pallas call: step-1 on blocks [b0, b1), step-2 on
     blocks [b0-1, b1-1) (+ block b1-1 itself when `last`, via one extra
     iteration).
@@ -93,7 +127,15 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
     s1_xn: step-1 blocks with iteration index < s1_xn use the x-compact
         sigma chains ('lo' call: lo_blocks; 'hi': n1; else 0).
     s2_x0: step-2 iterations >= s2_x0 use the x-compact chains
-        ('lo': 1 (all that run); 'hi': 1; else a big number)."""
+        ('lo': 1 (all that run); 'hi': 1; else a big number).
+    disp: this call owns the dispersive window (Lorentz ADE + chi3 +
+        chi2-NR, _disp_setup): b0 == db0 and b1 == db1 + depth - 1, the
+        lo-edge pattern applied to the window — stage-1 runs depth-1
+        blocks past it so the cross-call package never carries disp
+        state.  Stage-1 uses host-precomputed prev-step NL halos for the
+        redundant next-plane recompute (as the 1-step kernel); stage-2
+        rebuilds its next plane EXACTLY from stage-1's in-register
+        results for the following block (no redundancy)."""
     plan = L.plan
     bx, S = L.bx, L.S
     Y, Z = S[1], S[2]
@@ -107,6 +149,37 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
     ehs_h = list(plan.eh_specs_h)
     ehs_e = list(plan.eh_specs_e)
     nblk = L.nblk
+
+    # ---- dispersive-call statics (mirrors fdtd3d._build_call) ------------
+    de_set = set(L.de_comps) if disp else set()
+    wy0, wy1 = L.win_y if disp else (0, S[1])
+    Yw = wy1 - wy0
+    pol_entries = L.pol_entries if disp else []
+    nl_specs = L.nl_specs if disp else []
+    nl_fwd = list(L.nl_fwd) if (disp and nl_specs) else []
+    nl_bwd = list(L.nl_bwd) if (disp and nl_specs) else []
+    nd = (L.disp[1] - L.disp[0]) if disp else 0      # window blocks
+    pol_by_dc: Dict[str, List[Tuple[int, str]]] = {}
+    for (pi, p, comps) in pol_entries:
+        for c in comps:
+            pol_by_dc.setdefault("d" + c[1], []).append((pi, c))
+    d_specs_fwd = [s for s in curls_d if s.c in nl_fwd]
+    h_for_fwd: List[str] = []
+    for s in d_specs_fwd:
+        for g in (s.g_plus, s.g_minus):
+            if g is not None and g not in h_for_fwd:
+                h_for_fwd.append(g)
+    b_specs_fwd = [s for s in curls_b if s.ec in h_for_fwd]
+    e_q_names: List[str] = []
+    e_q1_names: List[str] = []
+    for s in b_specs_fwd:
+        for g, a in ((s.g_plus, s.plus_axis), (s.g_minus, s.minus_axis)):
+            if g is None:
+                continue
+            if g not in e_q_names:
+                e_q_names.append(g)
+            if a == 0 and g not in e_q1_names:
+                e_q1_names.append(g)
 
     def s1map(i):
         return jnp.minimum(i, n1 - 1) + b0
@@ -205,6 +278,25 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                                             memory_space=pltpu.VMEM)
                     add_state(key, in_spec, out_spec)
 
+    # dispersive state: P/PP per pol component + stored-E over the
+    # window — x-compact arrays of nd blocks starting at b0; stage-1
+    # reads its own (clipped) block, the final stage writes (predicated)
+    if disp:
+        disp_in = pl.BlockSpec(
+            (bx, Yw, Z),
+            lambda i: (jnp.clip(s1map(i) - b0, 0, nd - 1), 0, 0),
+            memory_space=pltpu.VMEM)
+        disp_out = pl.BlockSpec(
+            (bx, Yw, Z),
+            lambda i: (jnp.clip(sKmap(i) - b0, 0, nd - 1), 0, 0),
+            memory_space=pltpu.VMEM)
+        for (pi, p, comps) in pol_entries:
+            for c in comps:
+                add_state(f"p{pi}:{c}", disp_in, disp_out)
+                add_state(f"pp{pi}:{c}", disp_in, disp_out)
+        for c in L.de_comps:
+            add_state(f"de:{c}", disp_in, disp_out)
+
     # halo planes (old E_eff at (g+1)*bx) for step-1's forward x-diffs
     halo_keys: List[str] = []
     for s in curls_b:
@@ -214,6 +306,30 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
     for g in halo_keys:
         in_entries.append(("halo", g,
                            pl.BlockSpec((1, Y, Z), lambda i: (s1map(i), 0, 0),
+                                        memory_space=pltpu.VMEM)))
+
+    # NL redundant-plane halos for STAGE 1 only (prev-step data,
+    # host-precomputed exactly as the 1-step kernel's; stage-2 needs none)
+    nlh_keys: List[str] = []
+    if nl_fwd:
+        for g in e_q_names:
+            if g not in halo_keys:
+                nlh_keys.append(f"e0:{g}")
+        for g in e_q1_names:
+            nlh_keys.append(f"e1:{g}")
+        for s in b_specs_fwd:
+            nlh_keys.append(f"b0:{s.c}")
+        for s in d_specs_fwd:
+            nlh_keys.append(f"d0:{s.c}")
+            if s.c in pol_by_dc:
+                nlh_keys.append(f"ps:{s.c}")
+        for hc in h_for_fwd:
+            if f"{hc}:u" in plan.coefs:
+                nlh_keys.append(f"u:{hc}")
+    for k in nlh_keys:
+        in_entries.append(("nlh", k,
+                           pl.BlockSpec((1, Yw, Z),
+                                        lambda i: (s1map(i), 0, 0),
                                         memory_space=pltpu.VMEM)))
 
     carry_keys: List[str] = []
@@ -243,6 +359,23 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
         if s.dsigw_axis is not None:
             want_coef(f"{s.ec}:kapw")
             want_coef(f"{s.ec}:sigw")
+    disp_coef_keys: List[str] = []
+    for (pi, p, comps) in pol_entries:
+        for c in comps:
+            k = f"pol{pi}:{c}:{c[1]}"
+            want_coef(k)
+            if k not in disp_coef_keys:
+                disp_coef_keys.append(k)
+    for s in nl_specs:
+        keys = []
+        if s.has_chi3:
+            keys += [f"{s.ec}:chi3", f"{s.ec}:chi2"]
+        if s.has_nr:
+            keys += [f"{s.ec}:nreps", f"{s.ec}:nrchi2"]
+        for k in keys:
+            want_coef(k)
+            if k not in disp_coef_keys:
+                disp_coef_keys.append(k)
 
     xblocked: Dict[str, bool] = {}
     for k in coef_keys:
@@ -454,6 +587,41 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
         if depth == 3:
             scratch_entries.append((f"xaux2:{key}", (bx, Y, Z)))
 
+    # dispersive scratch: stage-1's P/PP/de for the trailing block, per-
+    # stage dmp carries, and prev-iteration coef caches (stage-2's block
+    # is stage-1's previous block, so stage-1's coef reads double as
+    # stage-2's — saving a second HBM traversal of every disp coef)
+    cfw_keys: List[str] = []       # (bx, Yw, Z) window-coef caches
+    cfu_keys: List[str] = []       # (bx, Y, Z) full-u caches (de comps)
+    disp_snap: List[str] = []      # snapshotted before stage-1 overwrites
+    if disp:
+        for (pi, p, comps) in pol_entries:
+            for c in comps:
+                disp_snap += [f"p1:{pi}:{c}", f"pp1:{pi}:{c}"]
+        for ec in L.de_comps:
+            disp_snap.append(f"de1:{ec}")
+        for k in disp_coef_keys:
+            if C0[k].ndim == 3 and C0[k].shape == tuple(S):
+                cfw_keys.append(k)
+        for ec in L.de_comps:
+            s_ = L.eh_by_ec[ec]
+            if s_.has_u and C0[f"{ec}:u"].ndim == 3 \
+                    and C0[f"{ec}:u"].shape == tuple(S):
+                cfu_keys.append(f"{ec}:u")
+        for name in disp_snap:
+            scratch_entries.append((name, (bx, Yw, Z)))
+        for k in cfw_keys:
+            scratch_entries.append((f"cfw:{k}", (bx, Yw, Z)))
+        for k in cfu_keys:
+            scratch_entries.append((f"cfu:{k}", (bx, Y, Z)))
+        for dc in nl_bwd:
+            scratch_entries.append((f"dmp1:{dc}", (1, Yw, Z)))
+            scratch_entries.append((f"dmp2:{dc}", (1, Yw, Z)))
+    disp_zero: List[Tuple[str, Tuple[int, ...]]] = \
+        [(n, shp) for (n, shp) in scratch_entries
+         if n.split(":")[0] in ("p1", "pp1", "de1", "cfw", "cfu",
+                                "dmp1", "dmp2")]
+
     n_in = len(in_entries)
     mask_info = {c: _plane_lists(plan, c)
                  for c in [s.c for s in curls_b + curls_d]}
@@ -511,11 +679,15 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                     sc[f"c2:{g}"][...] = jnp.zeros((1, Y, Z), dtype)
                     if depth == 3:
                         sc[f"c3:{g}"][...] = jnp.zeros((1, Y, Z), dtype)
+                for name, shp in disp_zero:
+                    sc[name][...] = jnp.zeros(shp, dtype)
         else:
             @pl.when(i == 0)
             def _():
                 for name, _shp in pkg_names:
                     sc[name][...] = byname[("pkg", name)][...]
+                for name, shp in disp_zero:
+                    sc[name][...] = jnp.zeros(shp, dtype)
 
         # snapshot ALL trailing-block packages BEFORE any stage overwrites
         prev = {name: sc[name][...] for name, _shp in pkg_names}
@@ -523,6 +695,9 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
             prev[f"xaux1:{key}"] = sc[f"xaux1:{key}"][...]
             if depth == 3:
                 prev[f"xaux2:{key}"] = sc[f"xaux2:{key}"][...]
+        for name, _shp in disp_zero:
+            if not name.startswith("dmp"):       # dmp carries: in-order rw
+                prev[name] = sc[name][...]
 
         def coef1(k):
             return byname[("coef1" if xblocked[k] else "coef", k)][...]
@@ -543,6 +718,33 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                 pad[axis] = (-by, 0)
                 slc[axis] = slice(None, by)
             return jnp.pad(a[tuple(slc)], pad)
+
+        def win(a):
+            """Restrict a full block to the dispersive y-window rows."""
+            return a[:, wy0:wy1, :]
+
+        def overlay_win(full, sub):
+            """Replace the y-window rows of a full block with `sub`."""
+            pieces = []
+            if wy0 > 0:
+                pieces.append(full[:, :wy0, :])
+            pieces.append(sub)
+            if wy1 < full.shape[1]:
+                pieces.append(full[:, wy1:, :])
+            return jnp.concatenate(pieces, axis=1) if len(pieces) > 1 \
+                else pieces[0]
+
+        # dispersive stage predicates: dsel1 = stage-1's block is a
+        # window block; dselF = the final stage's block is (and the
+        # write is live at all)
+        if disp:
+            # disp implies depth == 2, so the final stage's ok is ok2
+            dsel1 = (s1map(i) - b0) < nd
+            jsF = sKmap(i) - b0
+            inwin = (jsF >= 0) & (jsF < nd)
+            dselF = inwin if ok2 is True else (inwin & ok2)
+        else:
+            dsel1 = dselF = False
 
         def apply_mask(c, val, gx0):
             xpl, ypl, zpl = mask_info[c]
@@ -695,21 +897,30 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
             return add_sources(new_f, jobs, xs_row, gx0)
 
         def eh_full(ehs, new_f, lin_old_get, aux_get, aux_put, coefr,
-                    u_get, xsel):
+                    u_get, xsel, ov_new=None, ov_old=None, ov_pred=True):
             """E/H from the W chains with full-block lin available; returns
-            the effective fields (stored slabs overlaid)."""
+            the effective fields (stored slabs overlaid).  ov_new/ov_old:
+            dispersive window values (per de comp) overlaid onto the
+            y-window rows of lin when ov_pred selects (the stage's block
+            is a window block)."""
             eff: Dict[str, Any] = {}
             for s in ehs:
                 ec, dc_ = s.ec, s.dc
                 u = u_get(ec)
                 d_new = new_f[dc_]
                 lin_new = d_new * u if u is not None else d_new
+                if ov_new and ec in ov_new:
+                    lin_new = overlay_win(
+                        lin_new, sel(ov_pred, ov_new[ec], win(lin_new)))
                 if ec not in L.eh_store:
                     eff[ec] = lin_new
                     continue
                 ax, lor, hir = L.eh_store[ec]
                 d_old = lin_old_get(dc_)
                 lin_old = d_old * u if u is not None else d_old
+                if ov_old and ec in ov_old:
+                    lin_old = overlay_win(
+                        lin_old, sel(ov_pred, ov_old[ec], win(lin_old)))
                 if ax == 0:
                     key = x_here.get(f"eh:{ec}")
                     if key is None:
@@ -749,6 +960,187 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                     if len(pieces) > 1 else pieces[0]
             return eff
 
+        # ---- dispersive D-half machinery (mirrors fdtd3d._build_call's
+        # disp section; see the _disp_setup invariants) -------------------
+        def disp_dhalf(new_f, p_get, pp_get, de_old, cwin, uwin,
+                       dmp_pref, dmp_next):
+            """One stage's dispersive D-half: dmp = D - sum P over the
+            window, NL (chi3 Pade / chi2-Newton) corrections, pol ADE
+            leapfrog.  Returns (lin_sub, pnew)."""
+            dmp = {}
+            for s in ehs_e:
+                v = win(new_f[s.dc])
+                for (pi2, cpc) in pol_by_dc.get(s.dc, []):
+                    v = v - p_get(pi2, cpc)
+                dmp[s.dc] = v
+            carry_prev = {dc: sc[f"{dmp_pref}:{dc}"][...] for dc in nl_bwd}
+            for dc in nl_bwd:
+                sc[f"{dmp_pref}:{dc}"][...] = dmp[dc][bx - 1:bx]
+
+            def shift_dmp(dc_name, axis, by):
+                g = dmp[dc_name]
+                if axis == 0:
+                    if by > 0:
+                        return jnp.concatenate(
+                            [g[1:], dmp_next[dc_name]], axis=0)
+                    return jnp.concatenate(
+                        [carry_prev[dc_name], g[:-1]], axis=0)
+                return shift_yz(g, axis, by)
+
+            def sum4(dc_name, ax_own_, ax_off_):
+                """gs_2-style 4-neighbor sum (step_generic.cpp:740)."""
+                g = dmp[dc_name]
+                g_s = shift_dmp(dc_name, ax_own_, +1)
+                g_x = shift_dmp(dc_name, ax_off_, -1)
+                if ax_off_ == 0:
+                    prv = shift_yz(carry_prev[dc_name], ax_own_, +1)
+                    g_sx = jnp.concatenate([prv, g_s[:-1]], axis=0)
+                else:
+                    g_sx = shift_yz(g_s, ax_off_, -1)
+                return g + g_s + g_x + g_sx
+
+            lin_sub: Dict[str, Any] = {}
+            for s in ehs_e:
+                ec, dc_ = s.ec, s.dc
+                if ec not in de_set:
+                    continue
+                gs = dmp[dc_]
+                u_w = uwin(ec)
+                l_s = gs * u_w if u_w is not None else gs
+                u_nl = u_w if u_w is not None else 1.0
+                if s.has_chi3:
+                    Dsqr = gs * gs
+                    if s.dc1 is not None and s.ax_1 is not None:
+                        g1s = sum4(s.dc1, s.ax_own, s.ax_1)
+                        Dsqr = Dsqr + 0.0625 * (g1s * g1s)
+                    if s.dc2 is not None and s.ax_2 is not None:
+                        g2s = sum4(s.dc2, s.ax_own, s.ax_2)
+                        Dsqr = Dsqr + 0.0625 * (g2s * g2s)
+                    c2 = gs * cwin(f"{ec}:chi2") * (u_nl * u_nl)
+                    c3 = Dsqr * cwin(f"{ec}:chi3") \
+                        * (u_nl * u_nl * u_nl)
+                    l_s = l_s * (1 + c2 + 2 * c3) / (1 + 2 * c2 + 3 * c3)
+                if s.has_nr:
+                    g_1 = 0.25 * sum4(s.dc1, s.ax_own, s.ax_1) \
+                        if s.dc1 is not None else jnp.zeros_like(gs)
+                    g_2 = 0.25 * sum4(s.dc2, s.ax_own, s.ax_2) \
+                        if s.dc2 is not None else jnp.zeros_like(gs)
+                    epsv = cwin(f"{ec}:nreps")
+                    chi2v = cwin(f"{ec}:nrchi2")
+                    own, _, _ = _nr_solve(gs, g_1, g_2, epsv, chi2v,
+                                          de_old[ec], g_1 * u_nl,
+                                          g_2 * u_nl)
+                    l_s = jnp.where(chi2v != 0, own, l_s)
+                lin_sub[ec] = l_s
+            pnew: Dict[Tuple[int, str], Any] = {}
+            for (pi2, p2, comps) in pol_entries:
+                w2pi = 2 * math.pi * p2.omega0
+                g2pi = 2 * math.pi * p2.gamma
+                omega0dtsqr = (w2pi * dt) ** 2
+                g1inv = 1.0 / (1 + 0.5 * g2pi * dt)
+                g1c = 1 - 0.5 * g2pi * dt
+                denom = 0.0 if p2.drude else omega0dtsqr
+                for c in comps:
+                    sigv = cwin(f"pol{pi2}:{c}:{c[1]}")
+                    pcur = p_get(pi2, c)
+                    ppcur = pp_get(pi2, c)
+                    pnew[(pi2, c)] = g1inv * (
+                        pcur * (2 - denom) - g1c * ppcur
+                        + omega0dtsqr * sigv * lin_sub[c])
+            return lin_sub, pnew
+
+        def nl_next1(h_eff):
+            """Stage-1's dmp at this call's next-block plane q = gx1 + bx:
+            interior-rule redundant recompute from host-precomputed
+            prev-step halo planes (valid on the NL stencil columns by the
+            _disp_setup invariants — garbage elsewhere, masked by the
+            chi != 0 selects)."""
+            def nlh(k):
+                return byname[("nlh", k)][...]
+            e_q = {}
+            for g in e_q_names:
+                e_q[g] = win(byname[("halo", g)][...]) if g in halo_keys \
+                    else nlh(f"e0:{g}")
+            h_new_q = {}
+            for s in b_specs_fwd:
+                def pdiff(gname, axis):
+                    if axis == 0:
+                        return nlh(f"e1:{gname}") - e_q[gname]
+                    return shift_yz(e_q[gname], axis, +1) - e_q[gname]
+                total = None
+                if s.g_plus is not None:
+                    total = pdiff(s.g_plus, s.plus_axis)
+                if s.g_minus is not None:
+                    tm = pdiff(s.g_minus, s.minus_axis)
+                    total = -tm if total is None else total - tm
+                b_new = nlh(f"b0:{s.c}") - dtdx * total
+                if f"{s.ec}:u" in plan.coefs:
+                    h_new_q[s.ec] = b_new * nlh(f"u:{s.ec}")
+                else:
+                    h_new_q[s.ec] = b_new
+            out = {}
+            for s in d_specs_fwd:
+                def pdiff(gname, axis):
+                    if axis == 0:
+                        return h_new_q[gname] \
+                            - win(h_eff[gname][bx - 1:bx])
+                    return h_new_q[gname] \
+                        - shift_yz(h_new_q[gname], axis, -1)
+                total = None
+                if s.g_plus is not None:
+                    total = pdiff(s.g_plus, s.plus_axis)
+                if s.g_minus is not None:
+                    tm = pdiff(s.g_minus, s.minus_axis)
+                    total = -tm if total is None else total - tm
+                d_new_q = nlh(f"d0:{s.c}") + dtdx * total
+                if s.c in pol_by_dc:
+                    d_new_q = d_new_q - nlh(f"ps:{s.c}")
+                out[s.c] = d_new_q
+            return out
+
+        def nl_next2(hF_eff, e1_eff, new_b1, new_d1, ps1_q):
+            """Stage-2's dmp at its next plane q = the first plane of
+            stage-1's CURRENT block — EXACT from this iteration's
+            in-register stage-1 results (no redundant recompute): the
+            forward-diff partner E1(q), E1(q+1) are e1_eff planes 0/1
+            (bx >= 2), B1(q)/D1(q)/sum-P1(q) stage-1 outputs, and the
+            backward-diff H2(q-1) is the stage-2 block's own last
+            plane."""
+            e_q = {g: win(e1_eff[g][0:1]) for g in e_q_names}
+            e_q1 = {g: win(e1_eff[g][1:2]) for g in e_q1_names}
+            h_new_q = {}
+            for s in b_specs_fwd:
+                def pdiff(gname, axis):
+                    if axis == 0:
+                        return e_q1[gname] - e_q[gname]
+                    return shift_yz(e_q[gname], axis, +1) - e_q[gname]
+                total = None
+                if s.g_plus is not None:
+                    total = pdiff(s.g_plus, s.plus_axis)
+                if s.g_minus is not None:
+                    tm = pdiff(s.g_minus, s.minus_axis)
+                    total = -tm if total is None else total - tm
+                h_new_q[s.ec] = win(new_b1[s.c][0:1]) - dtdx * total
+            out = {}
+            for s in d_specs_fwd:
+                def pdiff(gname, axis):
+                    if axis == 0:
+                        return h_new_q[gname] \
+                            - win(hF_eff[gname][bx - 1:bx])
+                    return h_new_q[gname] \
+                        - shift_yz(h_new_q[gname], axis, -1)
+                total = None
+                if s.g_plus is not None:
+                    total = pdiff(s.g_plus, s.plus_axis)
+                if s.g_minus is not None:
+                    tm = pdiff(s.g_minus, s.minus_axis)
+                    total = -tm if total is None else total - tm
+                d_new_q = win(new_d1[s.c][0:1]) + dtdx * total
+                if s.c in pol_by_dc:
+                    d_new_q = d_new_q - ps1_q[s.c]
+                out[s.c] = d_new_q
+            return out
+
         # ================= STEP 1 on block s1map(i) =======================
         gx1 = s1map(i) * bx
 
@@ -765,11 +1157,16 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
             spec = L.eh_by_ec[ec]
             return coef1(f"{ec}:u") if spec.has_u else None
 
+        de_old1 = {ec: byname[("state", f"de:{ec}")][...]
+                   for ec in de_set} if disp else {}
+
         e_eff_old = {}
         for s in ehs_e:
             d_old = byname[("state", s.dc)][...]
             u = u1(s.ec)
             lin = d_old * u if u is not None else d_old
+            if disp and s.ec in de_set:
+                lin = overlay_win(lin, sel(dsel1, de_old1[s.ec], win(lin)))
             if s.ec not in L.eh_store:
                 e_eff_old[s.ec] = lin
                 continue
@@ -801,8 +1198,53 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
             sc[f"c1:{g}"][...] = h1_eff[g][bx - 1:bx]
         new_d1 = curl_half(curls_d, h1_eff, c1_prev, True, gx1, coef1,
                            f_old1, aux_get1, aux_put1, xsel1, src_jobs1, 0)
+
+        lin_sub1 = pnew1 = None
+        ps1_q: Dict[str, Any] = {}
+        if disp:
+            def cwin1(k):
+                a = coef1(k)
+                return a[:, wy0:wy1, :] if a.shape[1] == Y else a
+
+            def uwin1(ec):
+                u = u1(ec)
+                if u is None:
+                    return None
+                return u[:, wy0:wy1, :] if u.shape[1] == Y else u
+
+            def p_get1(pi2, c):
+                return byname[("state", f"p{pi2}:{c}")][...]
+
+            def pp_get1(pi2, c):
+                return byname[("state", f"pp{pi2}:{c}")][...]
+
+            dmp_next1 = nl_next1(h1_eff) if nl_fwd else {}
+            lin_sub1, pnew1 = disp_dhalf(new_d1, p_get1, pp_get1, de_old1,
+                                         cwin1, uwin1, "dmp1", dmp_next1)
         e1_eff = eh_full(ehs_e, new_d1, f_old1, aux_get1, aux_put1, coef1,
-                         u1, xsel1)
+                         u1, xsel1, ov_new=lin_sub1, ov_old=de_old1 or None,
+                         ov_pred=dsel1)
+        if disp:
+            for (pi2, p2, comps) in pol_entries:
+                for c in comps:
+                    sc[f"p1:{pi2}:{c}"][...] = pnew1[(pi2, c)]
+                    sc[f"pp1:{pi2}:{c}"][...] = \
+                        byname[("state", f"p{pi2}:{c}")][...]
+            for ec in L.de_comps:
+                sc[f"de1:{ec}"][...] = lin_sub1[ec]
+            for k in cfw_keys:
+                a_ = coef1(k)
+                sc[f"cfw:{k}"][...] = \
+                    a_[:, wy0:wy1, :] if a_.shape[1] == Y else a_
+            for k in cfu_keys:
+                sc[f"cfu:{k}"][...] = coef1(k)
+            for dc2, lst in pol_by_dc.items():
+                tot = None
+                for (pi2, c2c) in lst:
+                    v = pnew1[(pi2, c2c)][0:1]
+                    tot = v if tot is None else tot + v
+                ps1_q[dc2] = sel(dsel1, tot,
+                                 jnp.zeros((1, Yw, Z), dtype))
         for s in curls_d:
             sc[f"d1:{s.c}"][...] = new_d1[s.c]
         for s in curls_b:
@@ -929,13 +1371,73 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
         new_dF = curl_half(curls_d, hF_eff, cF_prev, True, gx2, coefF,
                            f_oldF_d, aux_getF, aux_put2, xselF, jobsF, rowF)
 
-        # stored-E slabs at the final stage: lin = u_slab * D (slab pieces)
+        lin_sub2 = None
+        if disp:
+            def cwin2(k):
+                if k in cfw_keys:
+                    return prev[f"cfw:{k}"]
+                a = byname[("coef2" if xblocked[k] else "coef", k)][...]
+                return a[:, wy0:wy1, :] if a.shape[1] == Y else a
+
+            def uwin2(ec):
+                s_ = L.eh_by_ec[ec]
+                if not s_.has_u:
+                    return None
+                uk = f"{ec}:u"
+                if uk in cfu_keys:
+                    return win(prev[f"cfu:{uk}"])
+                a = byname[("coef2" if xblocked.get(uk) else "coef",
+                            uk)][...]
+                return a[:, wy0:wy1, :] if a.shape[1] == Y else a
+
+            def p_get2(pi2, c):
+                return prev[f"p1:{pi2}:{c}"]
+
+            def pp_get2(pi2, c):
+                return prev[f"pp1:{pi2}:{c}"]
+
+            de_old2 = {ec: prev[f"de1:{ec}"] for ec in de_set}
+            dmp_next2 = nl_next2(hF_eff, e1_eff, new_b1, new_d1, ps1_q) \
+                if nl_fwd else {}
+            lin_sub2, pnew2 = disp_dhalf(new_dF, p_get2, pp_get2, de_old2,
+                                         cwin2, uwin2, "dmp2", dmp_next2)
+
+            @pl.when(dselF)
+            def _():
+                for (pi2, p2, comps) in pol_entries:
+                    for c in comps:
+                        outname[("state", f"p{pi2}:{c}")][...] = \
+                            pnew2[(pi2, c)]
+                        outname[("state", f"pp{pi2}:{c}")][...] = \
+                            prev[f"p1:{pi2}:{c}"]
+                for ec in L.de_comps:
+                    outname[("state", f"de:{ec}")][...] = lin_sub2[ec]
+
+        # stored-E slabs at the final stage: lin = u_slab * D (slab pieces);
+        # de comps additionally need the dispersive window overlay, so
+        # their lin is built full-block (u from the prev-iteration cache)
+        # and selected against the plain path where the stage-2 block is
+        # not a window block
         for s in ehs_e:
             if s.ec not in L.eh_store:
                 continue
             ax, lor, hir = L.eh_store[s.ec]
             d2 = new_dF[s.dc]
             d1 = prev[f"d{FP}:{s.dc}"]
+            dispc = disp and s.ec in de_set
+            if dispc:
+                uk = f"{s.ec}:u"
+                if uk in cfu_keys:
+                    u_f = prev[f"cfu:{uk}"]
+                elif s.has_u:
+                    u_f = byname[("coef2" if xblocked.get(uk) else "coef",
+                                  uk)][...]
+                else:
+                    u_f = None
+                l2f = d2 * u_f if u_f is not None else d2
+                l1f = d1 * u_f if u_f is not None else d1
+                lin2f = overlay_win(l2f, lin_sub2[s.ec])
+                lin1f = overlay_win(l1f, prev[f"de1:{s.ec}"])
             if ax == 0:
                 key = x_here.get(f"eh:{s.ec}")
                 if key is None:
@@ -962,6 +1464,10 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                 kw = byname[("coefslab", f"{s.ec}:kapw@{side}")][...]
                 sw = byname[("coefslab", f"{s.ec}:sigw@{side}")][...]
                 e_new = prev[f"{FA}{key}"] + (kw + sw) * l2 - (kw - sw) * l1
+                if dispc:
+                    e_disp = prev[f"{FA}{key}"] \
+                        + (kw + sw) * lin2f[slq] - (kw - sw) * lin1f[slq]
+                    e_new = sel(dselF, e_disp, e_new)
                 aux_put2(key, False, e_new, True)
 
         for c, v in {**new_bF, **new_dF}.items():
@@ -988,7 +1494,7 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
         for (tag, key, _) in in_entries:
             if tag == "state":
                 args.append(state[key])
-            elif tag == "halo":
+            elif tag in ("halo", "nlh"):
                 args.append(halos[key])
             elif tag in ("coef", "coef1", "coef2", "coef3"):
                 args.append(C[key])
@@ -1034,6 +1540,7 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
         return new_state, pkg_out
 
     run_call.halo_keys = halo_keys
+    run_call.nlh_keys = nlh_keys
     run_call.xs_keys = xs_keys
     run_call.pkg_names = pkg_names
     return run_call
@@ -1052,7 +1559,7 @@ class Fdtd3dT2Kernel:
                  depth: int = None):
         if depth is None:
             depth = int(os.environ.get("MNT_T2_DEPTH", "2"))
-        bx = _pick_bx(plan, bx)
+        bx = _pick_bx(plan, bx, depth)
         if not supported(plan, bx, depth=depth):
             raise ValueError("plan outside the fdtd3d_t2 kernel envelope")
         self.depth = depth
@@ -1067,21 +1574,32 @@ class Fdtd3dT2Kernel:
         self.L = _Layout(plan, bx, z_full=z_full)
         L = self.L
         lo, hi0, nblk = L.lo_blocks, L.hi_block0, L.nblk
-        segs = []                   # (b0, b1, side, s1_xn, s2_x0)
+        segs = []                   # (b0, b1, side, s1_xn, s2_x0, disp)
         if lo > 0:
-            segs.append((0, lo + depth - 1, "lo", lo, "all"))
+            segs.append((0, lo + depth - 1, "lo", lo, "all", False))
         mid0 = lo + depth - 1 if lo > 0 else 0
-        if mid0 < hi0:
-            segs.append((mid0, hi0, "", 0, None))
+        if L.disp is not None:
+            # the disp call owns the window, with its stage-1 running
+            # depth-1 blocks past it (the lo-edge pattern applied to the
+            # window) so cross-call packages never carry disp state
+            db0, db1 = L.disp
+            if db0 > mid0:
+                segs.append((mid0, db0, "", 0, None, False))
+            segs.append((db0, db1 + depth - 1, "", 0, None, True))
+            if db1 + depth - 1 < hi0:
+                segs.append((db1 + depth - 1, hi0, "", 0, None, False))
+        elif mid0 < hi0:
+            segs.append((mid0, hi0, "", 0, None, False))
         if hi0 < nblk:
-            segs.append((hi0, nblk, "hi", nblk - hi0, 1))
+            segs.append((hi0, nblk, "hi", nblk - hi0, 1, False))
         calls = []
-        for k, (b0, b1, side, s1_xn, s2_x0) in enumerate(segs):
+        for k, (b0, b1, side, s1_xn, s2_x0, dsp) in enumerate(segs):
             calls.append(_build_call2(L, b0, b1, side, k == 0,
                                       k == len(segs) - 1, s1_xn, s2_x0,
-                                      depth=depth))
+                                      depth=depth, disp=dsp))
         self.calls = calls
         self.halo_keys = sorted({g for c in calls for g in c.halo_keys})
+        self.nlh_keys = sorted({k for c in calls for k in c.nlh_keys})
         self.xs_keys = sorted({k for c in calls for k in c.xs_keys})
         # 1-step companion: state init/conversion + odd-step residue
         self._k1 = F1.Fdtd3dKernel(plan, bx, z_full=z_full)
@@ -1096,6 +1614,9 @@ class Fdtd3dT2Kernel:
 
         def step2(state, x_pair, C):
             halos = compute_halos(self.L, self.bx, self.halo_keys, state, C)
+            if self.nlh_keys:
+                halos = {**halos, **compute_nl_halos(
+                    self.L, self.bx, self.nlh_keys, state, C)}
             xscal = {k: jnp.asarray(x_pair[k],
                                     self.plan.dtype).reshape(depth, 1)
                      for k in self.xs_keys}

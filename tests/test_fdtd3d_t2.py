@@ -96,3 +96,88 @@ def test_depth3_xyz_pml():
 def test_depth3_eps():
     _compare_depth3(_plan("xyz", cells=(40, 16, 16), with_eps=True),
                     nsteps=18)
+
+
+# ---------------------------------------------------------------------------
+# dispersive envelope through the 2-step schedule (round-3: the flagship
+# Lorentz/chi3/chi2-NR physics in the temporally-fused hot loop)
+# ---------------------------------------------------------------------------
+
+from test_fdtd3d_disp import _plan as _dplan
+
+
+def _compare_disp(plan, nsteps=20, atol=2e-6, check_pol=True):
+    assert fdtd3d_t2.supported(plan), "plan must be inside the t2 envelope"
+    ker = fdtd3d_t2.Fdtd3dT2Kernel(plan)
+    assert ker.L.disp is not None
+    st_k = ker.run(ker.init_state(), nsteps)
+    full_k = ker.to_full(st_k)
+    st_j = run(plan, init_state(plan), nsteps)
+    scale = max(float(np.max(np.abs(np.asarray(v))))
+                for v in st_j["f"].values())
+    assert scale > 0
+    for c in st_j["f"]:
+        np.testing.assert_allclose(np.asarray(full_k["f"][c]),
+                                   np.asarray(st_j["f"][c]),
+                                   atol=atol * scale, err_msg=f"f[{c}]")
+    if check_pol:
+        for pi in range(len(st_j["pol"])):
+            for c in st_j["pol"][pi]["p"]:
+                np.testing.assert_allclose(
+                    np.asarray(full_k["pol"][pi]["p"][c]),
+                    np.asarray(st_j["pol"][pi]["p"][c]),
+                    atol=atol * scale, err_msg=f"pol{pi}:p:{c}")
+    for c in st_j["f_w"]:
+        np.testing.assert_allclose(np.asarray(full_k["f_w"][c]),
+                                   np.asarray(st_j["f_w"][c]),
+                                   atol=atol * scale, err_msg=f"f_w[{c}]")
+
+
+def test_disp_lorentz_ball_t2():
+    _compare_disp(_dplan(with_pol=True))
+
+
+def test_disp_nr_chi2_ball_t2():
+    """chi2-Newton: exercises the stage-2 in-register next-plane rebuild."""
+    _compare_disp(_dplan(with_pol=False, with_nr=True))
+
+
+def test_disp_chi3_ball_t2():
+    _compare_disp(_dplan(with_pol=False, with_chi3=True))
+
+
+def test_disp_flagship_lorentz_nr_t2():
+    """The flagship combination (BASELINE configs 3-5 physics)."""
+    _compare_disp(_dplan(with_pol=True, with_nr=True))
+
+
+def test_disp_longer_run_t2():
+    _compare_disp(_dplan(with_pol=True, with_nr=True), nsteps=48, atol=5e-6)
+
+
+def test_disp_odd_steps_t2():
+    """Odd step counts finish with one 1-step-kernel residue step."""
+    _compare_disp(_dplan(with_pol=True, with_nr=True), nsteps=21)
+
+
+def test_disp_partial_y_window_t2():
+    plan = _dplan(cells=(32, 64, 24), with_pol=True, with_nr=True)
+    ker = fdtd3d_t2.Fdtd3dT2Kernel(plan)
+    wy0, wy1 = ker.L.win_y
+    assert wy1 - wy0 < plan.storage_shape[1] - 8, (wy0, wy1)
+    _compare_disp(plan)
+
+
+def test_disp_roundtrip_t2():
+    plan = _dplan(with_pol=True, with_nr=True)
+    ker = fdtd3d_t2.Fdtd3dT2Kernel(plan)
+    st = ker.run(ker.init_state(), 12)
+    st2 = ker.from_full(ker.to_full(st))
+    a = ker.to_full(ker.run(st, 10, t0=12))
+    b = ker.to_full(ker.run(st2, 10, t0=12))
+    scale = max(float(np.max(np.abs(np.asarray(v))))
+                for v in a["f"].values())
+    for c in a["f"]:
+        np.testing.assert_allclose(np.asarray(b["f"][c]),
+                                   np.asarray(a["f"][c]),
+                                   atol=1e-6 * scale, err_msg=c)
