@@ -71,7 +71,9 @@ def _pick_bx(plan, requested=None, depth: int = 2) -> int:
         return requested
     plane = S[1] * S[2] * 4
     disp = _has_disp(plan)
-    tiles = 96 if disp else 64
+    # depth 3 holds a second trailing-block package in VMEM (d2/b2/e2 +
+    # aux2): measured 255^3 fits at bx=2, overruns at bx=4
+    tiles = 96 if disp else (128 if depth == 3 else 64)
     bx = 8
     while bx > 1 and (tiles * bx * plane > 90 * 2 ** 20 or S[0] % bx):
         bx //= 2
@@ -223,9 +225,13 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
     out_entries: List[Tuple[str, str, Any]] = []
     aliases: Dict[int, int] = {}
 
-    def add_state(key, in_spec, out_spec):
+    noalias_x = depth == 3 and bool(int(os.environ.get(
+        "MNT_T2_NOALIAS_X", "0")))
+
+    def add_state(key, in_spec, out_spec, alias=True):
         in_entries.append(("state", key, in_spec))
-        aliases[len(in_entries) - 1] = len(out_entries)
+        if alias:
+            aliases[len(in_entries) - 1] = len(out_entries)
         out_entries.append(("state", key, out_spec))
 
     def blk_in():
@@ -262,7 +268,7 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                         jnp.clip(sKmap(i) - base, 0, cnt - 1), 0, 0),
                     memory_space=pltpu.VMEM)
                 x_here[f"{kind}:{c}"] = key
-                add_state(key, in_spec, out_spec)
+                add_state(key, in_spec, out_spec, alias=not noalias_x)
             else:
                 for side, (a, b) in (("lo", lor), ("hi", hir)):
                     if b <= a:
@@ -393,6 +399,16 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                     (bx, Y, Z), lambda i: (s2map(i), 0, 0),
                     memory_space=pltpu.VMEM)))
         elif arr.ndim == 3 and arr.shape[0] == S[0]:
+            if depth == 3 and bool(int(os.environ.get(
+                    "MNT_T2_XCOEF_DYN", "1"))):
+                # depth-3 triage: ship the whole (S0, 1, 1) profile once
+                # and dynamic-slice per stage in-kernel, instead of three
+                # block-indexed entries of the same operand
+                xblocked[k] = "dyn"
+                in_entries.append(("coef", k, pl.BlockSpec(
+                    tuple(arr.shape), lambda i: (0, 0, 0),
+                    memory_space=pltpu.VMEM)))
+                continue
             xblocked[k] = True
             shp = (bx,) + tuple(arr.shape[1:])
             in_entries.append(("coef1", k, pl.BlockSpec(
@@ -699,13 +715,22 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
             if not name.startswith("dmp"):       # dmp carries: in-order rw
                 prev[name] = sc[name][...]
 
+        def _dynblk(k, gblk):
+            return byname[("coef", k)][pl.ds(gblk * bx, bx), :, :]
+
         def coef1(k):
+            if xblocked[k] == "dyn":
+                return _dynblk(k, s1map(i))
             return byname[("coef1" if xblocked[k] else "coef", k)][...]
 
         def coef2(k):
+            if xblocked[k] == "dyn":
+                return _dynblk(k, s2map(i))
             return byname[("coef2" if xblocked[k] else "coef", k)][...]
 
         def coef3(k):
+            if xblocked[k] == "dyn":
+                return _dynblk(k, s3map(i))
             return byname[("coef3" if xblocked[k] else "coef", k)][...]
 
         def shift_yz(a, axis, by):
