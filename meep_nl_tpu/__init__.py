@@ -27,7 +27,7 @@ from .models.simulation import (Simulation, PML, Absorber, FluxRegion,
                                 Ex, Ey, Ez, Hx, Hy, Hz, Dx, Dy, Dz,
                                 Bx, By, Bz, Er, Ep, Hr, Hp, Dielectric,
                                 X, Y, Z, R, ALL,
-                                Low, High, Metallic, Magnetic, Mirror,
+                                Low, High, Metallic, Magnetic, Mirror, Rotate2,
                                 DiffractedPlanewave)
 from .analysis.harminv import Harminv, harminv
 from .analysis.bands import ModeSolver, ModeSolver3D, retrieve_gap

@@ -93,6 +93,31 @@ def _mirror_parity(comp: str, d: str) -> float:
 
 
 @dataclasses.dataclass
+class Rotate2:
+    """C2 rotational-symmetry declaration (python/simulation.py Rotate2;
+    vec.hpp:1189-1232 symmetry::rotate2).  The cell is halved along the
+    first axis perpendicular to `direction` (the rotation axis), with the
+    rotation-axis plane landing on a whole grid site (even cell count
+    required there).  Unlike Mirror there is no wall: the stepper's
+    backward differences across the fold read the C2 ghost
+    phase * parity * flip(plane) — under a proper rotation E and H
+    transform identically (+ for the component along `direction`,
+    - for the two perpendicular ones).
+
+    Sources given entirely in the dropped half fold onto their C2 image
+    (both perpendicular coordinates negated) with the transform sign;
+    get_array unfolds full requests.  Runs on the jnp stepper path (the
+    fused kernels decline rot2 plans).  Not supported with chi2/chi3
+    nonlinear media, cylindrical/BFAST runs, k_point, or in combination
+    with Mirror.  Centered-grid DFT rows exactly ON the fold plane carry
+    a half-pixel averaging error (the centered average does not see the
+    ghost); keep monitor regions off the plane x=0 when that row
+    matters."""
+    direction: str = "z"
+    phase: int = 1
+
+
+@dataclasses.dataclass
 class PML:
     """uPML boundary layer (python/simulation.py PML class)."""
     thickness: float
@@ -227,6 +252,7 @@ class Simulation:
         # mirror symmetries: halve the cell, put the right wall at the plane
         self.symmetries = list(symmetries)
         self._mirrors = []          # (axis_index, direction_letter, phase)
+        self._rot2 = None           # (fold_ax, flip_ax, w_letter, phase)
         origin = None
         if self.symmetries:
             if k_point is not None:
@@ -236,10 +262,42 @@ class Simulation:
             origin = [0.0 if (self.dim == "cyl" and d == "r")
                       else -s / 2 for d, s in zip(axes, size)]
             for sym in self.symmetries:
+                if isinstance(sym, Rotate2):
+                    if self.dim not in ("2d", "3d"):
+                        raise NotImplementedError(
+                            "Rotate2 needs a 2d/3d cartesian cell")
+                    w = sym.direction
+                    perp = [dd for dd in ("x", "y", "z") if dd != w]
+                    fold_d, flip_d = perp
+                    if fold_d not in axes or flip_d not in axes:
+                        raise ValueError(
+                            f"Rotate2({w}) needs both {fold_d} and "
+                            f"{flip_d} as grid axes")
+                    if self._mirrors or self._rot2 is not None:
+                        raise NotImplementedError(
+                            "Rotate2 combined with other symmetries is "
+                            "not supported")
+                    fax = axes.index(fold_d)
+                    n_full = int(round(size[fax] * self.resolution))
+                    if n_full % 2:
+                        raise ValueError(
+                            f"Rotate2({w}) needs an even cell count along "
+                            f"{fold_d} (have {n_full}) so the rotation "
+                            "axis lands on a whole grid site")
+                    size[fax] = size[fax] / 2
+                    origin[fax] = 0.0
+                    self._boundaries[(fold_d, "low")] = "none"
+                    self._rot2 = (fax, axes.index(flip_d), w,
+                                  int(sym.phase))
+                    continue
                 if not isinstance(sym, Mirror):
                     raise NotImplementedError(
-                        "only Mirror symmetries are supported (rotations "
-                        "deferred; see README symmetry row)")
+                        "only Mirror/Rotate2 symmetries are supported "
+                        "(rot4 deferred; see README symmetry row)")
+                if self._rot2 is not None:
+                    raise NotImplementedError(
+                        "Rotate2 combined with other symmetries is "
+                        "not supported")
                 d = sym.direction
                 if d not in axes:
                     raise ValueError(f"no grid axis {d} in {self.dim}")
@@ -343,6 +401,32 @@ class Simulation:
         (the symmetry projection of fields::add_volume_source under
         symmetry.cpp transforms)."""
         import dataclasses as dc
+        if self._rot2 is not None and hasattr(s, "center"):
+            fax, lax_, _w, phase = self._rot2
+            axes = self.gv.axes
+            c = list(_v3(s.center))
+            sz = list(_v3(s.size)) if getattr(s, "size", None) is not None \
+                else [0.0, 0.0, 0.0]
+            slot3 = {"x": 0, "y": 1, "z": 2}
+            i = slot3[axes[fax]]
+            j = slot3[axes[lax_]]
+            if c[i] - 0.5 * sz[i] < -1e-12 and c[i] + 0.5 * sz[i] > 1e-12:
+                # straddles the fold plane: only a C2-centered source can
+                # be represented by clipping (its dropped part's image IS
+                # the retained part)
+                if abs(c[i]) > 1e-12 or abs(c[j]) > 1e-12:
+                    raise ValueError(
+                        "source straddles the Rotate2 fold plane; center "
+                        "it on the rotation axis or place it in one half")
+                return s
+            if c[i] < -1e-12:
+                c[i], c[j] = -c[i], -c[j]
+                sign = phase \
+                    * _mirror_parity(s.component, axes[fax]) \
+                    * _mirror_parity(s.component, axes[lax_])
+                s = dc.replace(s, center=Vector3(*c),
+                               amplitude=s.amplitude * sign)
+            return s
         if not self._mirrors or not hasattr(s, "center"):
             return s
         slot = {"x": 0, "y": 1, "z": 2}
@@ -381,6 +465,38 @@ class Simulation:
         center = list(center)
         size = list(size)
         factor = 1.0
+        if self._rot2 is not None:
+            fax, lax_, _w, phase = self._rot2
+            axes = self.gv.axes
+            par = phase * parity_fn(axes[fax]) * parity_fn(axes[lax_])
+            i, j = fax, lax_
+            lo = center[i] - 0.5 * size[i]
+            hi = center[i] + 0.5 * size[i]
+            if lo >= -1e-9:
+                return center, size, factor
+            if hi <= 1e-9:                    # entirely in the dropped half
+                center[i] = -center[i]
+                center[j] = -center[j]
+                return center, size, factor * par
+            if abs(center[i]) < 1e-9 and abs(center[j]) < 1e-9:
+                # C2-centered: clip to the retained half; the dropped
+                # part's image is the retained footprint.  The fold plane
+                # lies midway between centered-lattice columns, so a clip
+                # at exactly 0 would strand the sub-pixel boundary weight
+                # on the dropped first column (loop_in_chunks.cpp:30-100
+                # w0^2/2 sliver): extend the edge to just inside -dx/2 so
+                # the first retained column keeps its interior weight —
+                # the dropped sliver is then exactly the image half the
+                # (1 + par) factor accounts for.
+                dx = self.gv.dx
+                lo2 = -0.5 * dx * (1.0 - 1e-6)
+                center[i] = 0.5 * (lo2 + hi)
+                size[i] = hi - lo2
+                return center, size, factor * (1.0 + par)
+            raise ValueError(
+                "DFT region straddles the Rotate2 fold plane "
+                "asymmetrically; center it on the rotation axis or place "
+                "it in one half of the cell")
         for ax, d, phase in self._mirrors:
             if d not in self.gv.axes:
                 continue
@@ -394,8 +510,17 @@ class Simulation:
                 center[i] = -center[i]
                 factor *= par
             elif abs(center[i]) < 1e-9:       # symmetric about the plane
-                center[i] = 0.5 * hi
-                size[i] = hi
+                lo2 = 0.0
+                if phase == -1:
+                    # whole-site plane alignment: the plane is midway
+                    # between centered columns — extend the edge to just
+                    # inside -dx/2 so the first retained column keeps its
+                    # interior weight (see the Rotate2 branch above); the
+                    # phase +1 half-offset alignment puts a column ON the
+                    # plane and is already exact with lo2 = 0
+                    lo2 = -0.5 * self.gv.dx * (1.0 - 1e-6)
+                center[i] = 0.5 * (lo2 + hi)
+                size[i] = hi - lo2
                 factor *= (1.0 + par)
             else:
                 raise ValueError(
@@ -460,7 +585,8 @@ class Simulation:
             else:
                 sources.append(s)
         for s in sources:
-            if self._mirrors and not isinstance(s, IndexedSource):
+            if (self._mirrors or self._rot2 is not None) \
+                    and not isinstance(s, IndexedSource):
                 s = self._fold_source(s)
             comp = s.component
             if isinstance(s, IndexedSource):
@@ -633,6 +759,9 @@ class Simulation:
         pmls = []
         absorbers = []
         mirror_dirs = {d for _, d, _ in self._mirrors}
+        if self._rot2 is not None:
+            # the folded axis keeps the rotation plane at its low side
+            mirror_dirs.add(self.gv.axes[self._rot2[0]])
         for bl in self.boundary_layers:
             dirs = list(self.gv.axes) if bl.direction == ALL else [bl.direction]
             for d in dirs:
@@ -686,10 +815,21 @@ class Simulation:
             bfast_scaled_k=(tuple(_v3(self.bfast_scaled_k))
                             if self.bfast_scaled_k is not None else None),
             boundaries=self._boundaries or None,
+            rot2=self._rot2,
             # sublane-align the x storage of 3D cells so the fused
             # kernels get a usable block depth (dead rows are masked;
             # prime site counts would otherwise force bx=1)
             pad_to_multiple=((8, 1, 1) if self.gv.dim == "3d" else 1))
+        if self._rot2 is not None:
+            p_ = self._plan
+            if any(s.has_chi3 or s.has_nr
+                   for s in p_.eh_specs_e + p_.eh_specs_h):
+                raise NotImplementedError(
+                    "Rotate2 with chi2/chi3 nonlinear media is not "
+                    "supported (the NL neighbor sums do not fold)")
+            if p_.bfast_k is not None or p_.m:
+                raise NotImplementedError(
+                    "Rotate2 with BFAST/cylindrical runs is not supported")
         self._plan.use_pallas = self.use_pallas
         self._plan.slab_store = self.slab_store
         if self._plan.complex_fields:
@@ -818,17 +958,20 @@ class Simulation:
                 zero_axes = [self.gv.axes[i] for i, sz in enumerate(size)
                              if sz == 0]
                 normal = zero_axes[0]
-            if self._mirrors:
+            if self._mirrors or self._rot2 is not None:
                 # folding a near-surface needs image Green's sources, not a
                 # scalar weight; reject rather than return half the fields
-                for _, d, _ in self._mirrors:
-                    if d in self.gv.axes:
-                        i = self.gv.axes.index(d)
-                        if center[i] - 0.5 * size[i] < -1e-9:
-                            raise ValueError(
-                                f"near2far region extends into the dropped "
-                                f"half of the {d}-mirrored cell; place the "
-                                "near surface in the retained half")
+                folded = [(self.gv.axes.index(d), d)
+                          for _, d, _ in self._mirrors if d in self.gv.axes]
+                if self._rot2 is not None:
+                    folded.append((self._rot2[0],
+                                   self.gv.axes[self._rot2[0]]))
+                for i, d in folded:
+                    if center[i] - 0.5 * size[i] < -1e-9:
+                        raise ValueError(
+                            f"near2far region extends into the dropped "
+                            f"half of the {d}-folded cell; place the "
+                            "near surface in the retained half")
             specs, surfs = M.near2far_specs(self.gv, f"{name}:{ri}", normal,
                                             center, size, freqs,
                                             weight=reg.weight, live=live)
@@ -1841,6 +1984,55 @@ class Simulation:
         phase * mirror_parity (symmetry.cpp transform applied in reverse).
         On-plane rows are shared; the grid's one below-plane ghost row
         (phase +1 alignment) is dropped."""
+        if self._rot2 is not None:
+            fax, lax_, _w, phase = self._rot2
+            axes = self.gv.axes
+            s = phase * _mirror_parity(component, axes[fax]) \
+                * _mirror_parity(component, axes[lax_])
+            ys_f = G.yee_shift(component, self.gv.dim).get(axes[fax], 0)
+            c_ax = coords[fax]
+            c_fl = coords[lax_]
+            # flip-axis entries beyond the symmetric live span (the
+            # centered-average phantom column at a dead high site) have
+            # no image inside the grid: reverse the symmetric span and
+            # zero the phantom rows
+            k_sym = int(np.sum(c_fl <= -c_fl[0] + 1e-9))
+
+            def flip_l(a):
+                out = np.zeros_like(a)
+                slk = [slice(None)] * a.ndim
+                slk[lax_] = slice(0, k_sym)
+                out[tuple(slk)] = np.flip(a[tuple(slk)], axis=lax_)
+                return out
+
+            pos = np.where(c_ax > 1e-12)[0]
+            onp = np.where(np.abs(c_ax) <= 1e-12)[0]
+            # the image may only reach down to the original low edge:
+            # exclude retained phantom columns past the live high edge
+            hi_x = self.gv.num[fax] * self.gv.dx
+            pos_im = pos[c_ax[pos] <= hi_x + 1e-9]
+            a_pos = np.take(arr, pos, axis=fax)
+            # f(-x, y) = s * f(x, -y): reflect in x AND flip the y rows
+            img = s * np.flip(flip_l(np.take(arr, pos_im, axis=fax)),
+                              axis=fax)
+            parts = [img]
+            cparts = [-np.flip(c_ax[pos_im])]
+            if len(onp):
+                a_on = np.take(arr, onp, axis=fax)
+                if ys_f:
+                    # fold-offset-1/2 component: the centered on-plane
+                    # column was averaged with a ZERO ghost; the true
+                    # ghost is the C2 image of the first half-site, so
+                    # the missing half is s * flip of what we have
+                    a_on = a_on + s * flip_l(a_on)
+                parts.append(a_on)
+                cparts.append(c_ax[onp])
+            parts.append(a_pos)
+            cparts.append(c_ax[pos])
+            arr = np.concatenate(parts, axis=fax)
+            coords = list(coords)
+            coords[fax] = np.concatenate(cparts)
+            return arr, coords
         for ax, d, phase in self._mirrors:
             s = phase * _mirror_parity(component, d)
             c_ax = coords[ax]

@@ -248,6 +248,12 @@ class Plan:
     #: fused kernels can specialize without device reads: {key: ((lo,
     #: hi), ...) per axis} or {key: None} for empty support
     support_boxes: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    #: C2 rotational symmetry fold (vec.hpp:1189-1232 rotate2): the cell
+    #: is halved along `fold_ax` with the rotation axis plane at site 0;
+    #: the stepper's backward differences across that plane read the C2
+    #: ghost parity * flip(plane, flip_ax).  (fold_ax, flip_ax,
+    #: w_letter, phase) or None
+    rot2: Optional[Tuple[Any, ...]] = None
 
     @property
     def dt(self) -> float:
@@ -348,6 +354,7 @@ def compile_plan(
     m: float = 0.0,
     bfast_scaled_k=None,
     boundaries=None,   # {(dir_letter, 'low'|'high'): 'metal'|'magnetic'}
+    rot2=None,         # (fold_ax, flip_ax, w_ax, phase) C2 fold (Plan.rot2)
 ) -> Plan:
     import jax.numpy as jnp
 
@@ -774,7 +781,8 @@ def compile_plan(
         have_fmp_e=have_fmp_e, have_fmp_h=have_fmp_h,
         coefs=coefs, m=mm,
         bfast_k=tuple(bfast_scaled_k) if bfast_scaled_k is not None else None,
-        mask_planes=mask_planes, support_boxes=support_boxes)
+        mask_planes=mask_planes, support_boxes=support_boxes,
+        rot2=tuple(rot2) if rot2 is not None else None)
 
 
 def _infer_live(gv: G.GridVolume, mat: MaterialSpec, sources, dfts, ft: str

@@ -77,6 +77,8 @@ def _scalar_u(plan: Plan, ec: str) -> Optional[float]:
 
 
 def slab_supported(plan: Plan) -> bool:
+    if getattr(plan, 'rot2', None) is not None:
+        return False
     if plan.gv.dim != "3d" or plan.bfast_k is not None:
         return False
     if plan.pol_specs_e or plan.pol_specs_h:

@@ -231,6 +231,37 @@ def plan_seed(plan) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _rot2_ghost(plan: Plan, g: jnp.ndarray, gname: str) -> jnp.ndarray:
+    """The C2-fold ghost plane for a backward difference across the
+    rotation-axis plane at fold-axis site 0 (vec.hpp:1189-1232 rotate2):
+
+        f_g(-x0, -y, .) = S_g * f_g(x0, -(-y), .)
+
+    with S_g = phase * (+1 if g points along the rotation axis else -1)
+    (proper rotation: E and H transform identically), x0 the reflected
+    source plane (index 1 for fold-offset-0 comps, 0 for offset-1/2),
+    and the flip running over the live flip-axis extent (offset-aware)."""
+    fold_ax, flip_ax, w_letter, phase = plan.rot2
+    gv = plan.gv
+    off = g.ndim - gv.ndim
+    ys = G.yee_shift(gname, gv.dim)
+    s = float(phase) * (1.0 if gname[1] == w_letter else -1.0)
+    k0 = 1 - ys[gv.axes[fold_ax]]        # reflected source plane index
+    axf, axl = fold_ax + off, flip_ax + off
+    sl = [slice(None)] * g.ndim
+    sl[axf] = slice(k0, k0 + 1)
+    plane = g[tuple(sl)]
+    nl = gv.num[flip_ax] + (1 if ys[gv.axes[flip_ax]] == 0 else 0)
+    liv = [slice(None)] * g.ndim
+    liv[axl] = slice(0, nl)
+    rev = jnp.flip(plane[tuple(liv)], axis=axl)
+    if plane.shape[axl] > nl:
+        pad = [(0, 0)] * g.ndim
+        pad[axl] = (0, plane.shape[axl] - nl)
+        rev = jnp.pad(rev, pad)
+    return s * rev
+
+
 def _curl(plan: Plan, spec: CurlSpec, f: Dict[str, Any],
           C: Optional[Dict[str, Any]] = None) -> jnp.ndarray:
     """dfl such that the no-PML update is f += dfl (step_generic.cpp:39-67).
@@ -243,9 +274,16 @@ def _curl(plan: Plan, spec: CurlSpec, f: Dict[str, Any],
     """
     dtdx = plan.courant
 
-    def diff(g, a):
+    def diff(g, a, gname=None):
         if spec.is_d:   # backward difference
-            return g - _sh(plan, g, a, -1)
+            sh = _sh(plan, g, a, -1)
+            if plan.rot2 is not None and a == plan.rot2[0] \
+                    and gname is not None:
+                off = g.ndim - plan.gv.ndim
+                osl = [slice(None)] * g.ndim
+                osl[a + off] = slice(0, 1)
+                sh = sh.at[tuple(osl)].set(_rot2_ghost(plan, g, gname))
+            return g - sh
         return _sh(plan, g, a, +1) - g  # forward difference
 
     sgn = 1.0 if spec.is_d else -1.0
@@ -256,9 +294,9 @@ def _curl(plan: Plan, spec: CurlSpec, f: Dict[str, Any],
             rg = C[f"{spec.c}:rg"] * f[spec.g_plus]
             total = C[f"{spec.c}:rfinv"] * diff(rg, spec.plus_axis)
         else:
-            total = diff(f[spec.g_plus], spec.plus_axis)
+            total = diff(f[spec.g_plus], spec.plus_axis, spec.g_plus)
     if spec.g_minus is not None:
-        t2 = diff(f[spec.g_minus], spec.minus_axis)
+        t2 = diff(f[spec.g_minus], spec.minus_axis, spec.g_minus)
         total = -t2 if total is None else total - t2
     out = 0.0 if total is None else sgn * dtdx * total
     if spec.phi_comp is not None and plan.m != 0:
