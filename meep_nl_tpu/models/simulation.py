@@ -772,6 +772,14 @@ class Simulation:
                     if side == -1:
                         continue
                     side = +1
+                if self.dim == "cyl" and d == "r":
+                    # r = 0 is the coordinate axis, not a boundary: an
+                    # r-low PML slab would absorb the interior around the
+                    # axis (structure.cpp:259 boundary_region::apply
+                    # never reaches r<0 sides)
+                    if side == -1:
+                        continue
+                    side = +1
                 if isinstance(bl, Absorber):
                     if side != bl.side:
                         bl = dataclasses.replace(bl, side=side)
