@@ -1,20 +1,23 @@
-"""Hybrid production run path: fused Mosaic kernel stretches between DFT
-sample steps, one jnp step ON each sample step.
+"""Hybrid production run path: ALL steps through the fused Mosaic
+kernel; DFT accumulation from a read-only full-state view on sample
+steps.
 
 `build_xs` zeroes every monitor's phase rows on non-sample steps (the
-automatic Nyquist decimation, dft.cpp:195-216), so skipping the jnp
-DFT/monitor machinery on those steps is EXACT: the run is split into
-uniform cycles of `d` steps — (d-1) steps through the 2-step temporally
-fused kernel (fdtd3d_t2) on the compact D/B state, then one jnp step
-(which performs the DTFT accumulation, centered-grid averaging, source
-injection, etc.) landing exactly on the sample step.  Compact<->full
-state conversions ride inside the same jit'd scan.
+automatic Nyquist decimation, dft.cpp:195-216), so the run splits into
+uniform cycles of `d` steps: all d advance through the temporally-fused
+kernel (fdtd3d_t2 / the 1-step dispersive kernel) on the compact D/B
+state, then the cycle's sample step accumulates its DTFT directly from
+`to_full(comp)` -- a pure read (u*D + stored-slab/disp-window overlays),
+no jnp stepper pass and no from_full: the compact state carries on
+unchanged.  Sampling the post-step state is exactly what the jnp
+stepper's in-step `_dft_update` sees (E at (t+1)dt, H at (t+1/2)dt).
 
-Speedup over the pure jnp path grows with the decimation interval
-(~2x at d=4 on the v5e bench chip); falls back to the jnp path whenever
-the plan is outside the kernel envelope or the sample steps are not
-uniformly spaced.
-"""
+Round-3 history: the first hybrid ran (d-1) fused steps + one full jnp
+step per cycle; that jnp step (~20 fused-step equivalents) dominated
+monitored runs.  The DFT-only sample view cuts the per-cycle overhead
+to ~one to_full read.  Falls back to the jnp path whenever the plan is
+outside the kernel envelope or the sample steps are not uniformly
+spaced."""
 
 from __future__ import annotations
 
@@ -43,8 +46,10 @@ def _get_kernel(plan):
     ker = getattr(plan, "_t2_kernel", None)
     if ker is None:
         from . import fdtd3d, fdtd3d_t2
-        if fdtd3d_t2.supported(plan):
-            ker = fdtd3d_t2.Fdtd3dT2Kernel(plan)
+        if fdtd3d_t2.supported(plan, depth=2):
+            # depth pinned to 2: the cycle driver consumes pair rows
+            # (an ambient MNT_T2_DEPTH=3 stays a bench.py concern)
+            ker = fdtd3d_t2.Fdtd3dT2Kernel(plan, depth=2)
         else:
             ker = _K1Adapter(fdtd3d.Fdtd3dKernel(plan))
         plan._t2_kernel = ker
@@ -143,7 +148,7 @@ def _hybrid_run_inner(plan, state: Dict[str, Any], nsteps: int, t0: int
     if len(gaps) and len(set(gaps.tolist())) != 1:
         return None
     d = int(gaps[0]) if len(gaps) else nsteps - int(idx[0])
-    if d < 3:
+    if d < 2:
         return None                      # no room for a fused stretch
     a0 = int(idx[0])
     prefix = a0 + 1 - d if a0 + 1 >= d else a0 + 1
@@ -152,10 +157,10 @@ def _hybrid_run_inner(plan, state: Dict[str, Any], nsteps: int, t0: int
     if ncyc < 1:
         return None
 
-    npair = (d - 1) // 2
-    rem = (d - 1) % 2
+    npair = d // 2
+    rem = d % 2
 
-    from ...stepper.step import run as jnp_run
+    from ...stepper.step import run as jnp_run, _dft_update
     t = t0
     if prefix:
         state = jnp_run(plan, state, prefix, t0=t)
@@ -170,7 +175,6 @@ def _hybrid_run_inner(plan, state: Dict[str, Any], nsteps: int, t0: int
         cache = plan._hybrid_cache = {}
     runner_c = cache.get((d, ncyc))
     if runner_c is None:
-        jstep = make_step(plan)
         step2 = ker.make_fused_step()
         step1 = ker._k1.make_step()
         kxs = set(ker.xs_keys) | set(ker._k1.xs_keys)
@@ -182,21 +186,19 @@ def _hybrid_run_inner(plan, state: Dict[str, Any], nsteps: int, t0: int
 
             def body(carry, xc):
                 comp, dft = carry
+                # ALL d steps fused; the cycle's last step is the sample
                 for j in range(npair):
                     xp = {k: xc[k][2 * j:2 * j + 2] for k in xc if k in kxs}
                     comp = step2(comp, xp, C)
                 if rem:
-                    x1 = {k: xc[k][d - 2] for k in xc if k in kxs}
+                    x1 = {k: xc[k][d - 1] for k in xc if k in kxs}
                     comp = step1(comp, x1, C)
+                # DFT-only sample from the read-only full view (E at
+                # (t+1)dt, H at (t+1/2)dt == the jnp in-step sampling)
                 full = ker.to_full(comp, C)
-                full["dft"] = dft
-                for k, v in aux.items():
-                    if k not in full:
-                        full[k] = v
                 x_last = {k: xc[k][d - 1] for k in xc}
-                full = jstep(full, x_last, C)
-                dft = full["dft"]
-                comp = ker.from_full(full)
+                dft = _dft_update(plan, C, {"f": full["f"], "dft": dft},
+                                  x_last)["dft"]
                 return (comp, dft), None
 
             (comp, dft), _ = jax.lax.scan(body, (comp0, full_state["dft"]),
