@@ -39,6 +39,31 @@ def _sample_steps(plan, t0: int, nsteps: int) -> np.ndarray:
     return active
 
 
+def cycle_structure(plan, t0: int, nsteps: int):
+    """Split a monitored stretch into (prefix, d, ncyc, suffix) uniform
+    decimation cycles whose last step is the DFT sample step, or None
+    when the sampling isn't uniformly spaced / there is no room for a
+    fused stretch.  Shared by the single-device hybrid and the sharded
+    hybrid (parallel/fused_mesh.sharded_hybrid_run)."""
+    active = _sample_steps(plan, t0, nsteps)
+    idx = np.nonzero(active)[0]
+    if len(idx) == 0:
+        return None                      # caller: fully fused, no cycles
+    gaps = np.diff(idx)
+    if len(gaps) and len(set(gaps.tolist())) != 1:
+        return None
+    d = int(gaps[0]) if len(gaps) else nsteps - int(idx[0])
+    if d < 2:
+        return None                      # no room for a fused stretch
+    a0 = int(idx[0])
+    prefix = a0 + 1 - d if a0 + 1 >= d else a0 + 1
+    ncyc = (nsteps - prefix) // d
+    suffix = nsteps - prefix - ncyc * d
+    if ncyc < 1:
+        return None
+    return prefix, d, ncyc, suffix
+
+
 def _get_kernel(plan):
     """The fastest fused kernel covering this plan: the 2-step temporally
     fused kernel for the linear envelope, the 1-step kernel for the
@@ -131,12 +156,10 @@ def _hybrid_run_inner(plan, state: Dict[str, Any], nsteps: int, t0: int
     # the cycle must use the slab-local path, which never reads outside
     # those ranges (equivalence: test_slab_opt)
     plan.slab_opt = True
-    active = _sample_steps(plan, t0, nsteps)
-    idx = np.nonzero(active)[0]
     ker = _get_kernel(plan)
     C = plan.coefs
 
-    if len(idx) == 0:
+    if not np.any(_sample_steps(plan, t0, nsteps)):
         # no sampling at all in this stretch: fully fused
         comp = ker.from_full(state)
         comp = ker.run(comp, nsteps, t0=t0)
@@ -144,18 +167,10 @@ def _hybrid_run_inner(plan, state: Dict[str, Any], nsteps: int, t0: int
         keep = ["f", "f_u", "f_w"] + (["pol"] if full.get("pol") else [])
         return {**state, **{k: full[k] for k in keep}, "t": full["t"]}
 
-    gaps = np.diff(idx)
-    if len(gaps) and len(set(gaps.tolist())) != 1:
+    cs = cycle_structure(plan, t0, nsteps)
+    if cs is None:
         return None
-    d = int(gaps[0]) if len(gaps) else nsteps - int(idx[0])
-    if d < 2:
-        return None                      # no room for a fused stretch
-    a0 = int(idx[0])
-    prefix = a0 + 1 - d if a0 + 1 >= d else a0 + 1
-    ncyc = (nsteps - prefix) // d
-    suffix = nsteps - prefix - ncyc * d
-    if ncyc < 1:
-        return None
+    prefix, d, ncyc, suffix = cs
 
     npair = d // 2
     rem = d % 2

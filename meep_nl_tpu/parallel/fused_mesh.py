@@ -43,9 +43,30 @@ from ..ops.pallas.fdtd3d import _Layout, _build_call, compute_halos
 from ..stepper.step import build_xs
 
 
+def _fit_bx(plan, n_shards: int) -> Optional[int]:
+    """Largest kernel block depth that divides the per-shard span with
+    >= 2 blocks per shard (halving down from the single-device pick:
+    per-shard spans are n times narrower than the full grid)."""
+    cand = F1._pick_bx(plan, None)
+    S = tuple(plan.storage_shape or plan.gv.shape)
+    if S[0] % n_shards:
+        return None
+    span = S[0] // n_shards
+    while cand >= 2:
+        if span % cand == 0 and span >= 2 * cand \
+                and F1.supported(plan, cand, allow_disp=False):
+            return cand
+        cand //= 2
+    return None
+
+
 def sharded_supported(plan, n_shards: int, bx: Optional[int] = None) -> bool:
-    """Envelope check for the shard_map fused path."""
-    bx = F1._pick_bx(plan, bx)
+    """Envelope check for the shard_map fused path.  With bx=None the
+    block depth is auto-fitted to the per-shard span (_fit_bx)."""
+    if bx is None:
+        bx = _fit_bx(plan, n_shards)
+        if bx is None:
+            return False
     if not F1.supported(plan, bx, allow_disp=False):
         return False
     S = tuple(plan.storage_shape or plan.gv.shape)
@@ -82,6 +103,74 @@ def sharded_supported(plan, n_shards: int, bx: Optional[int] = None) -> bool:
     return True
 
 
+def sharded_hybrid_run(plan, mesh: Mesh, state: Dict[str, Any],
+                       nsteps: int, t0: int) -> Optional[Dict[str, Any]]:
+    """Monitored sharded run: the per-shard fused kernel between DFT
+    sample steps, with the sample step's DTFT accumulated from the
+    read-only to_full view — the ops/pallas/hybrid.py cycle pattern
+    under SPMD (field leaves sharded along x, DFT accumulators
+    replicated; the accumulator reduction is the sum_to_all analog,
+    dft.cpp:543).  Returns the advanced FULL state, or None when the
+    sampling isn't uniformly spaced (caller falls back to jnp SPMD)."""
+    from ..ops.pallas.hybrid import cycle_structure
+    from ..stepper.step import _dft_update
+    from . import mesh as PM
+
+    cs = cycle_structure(plan, t0, nsteps)
+    if cs is None:
+        return None
+    prefix, d, ncyc, suffix = cs
+    # to_full/from_full produce slab-semantic aux state; any jnp
+    # prefix/suffix steps must use the slab-local path (see hybrid.py)
+    plan.slab_opt = True
+    sk = ShardedFdtd3d(plan, mesh)
+    step = sk.make_step()
+
+    t = t0
+    if prefix:
+        state = PM.sharded_run(plan, mesh, state, prefix,
+                               prefer_fused=False)
+        t += prefix
+
+    xs_full = build_xs(plan, ncyc * d, t)
+    xs_cyc = {k: np.asarray(v).reshape((ncyc, d) + np.asarray(v).shape[1:])
+              for k, v in xs_full.items()}
+
+    def runner(full_state, xs, C):
+        comp0 = sk.from_full(full_state)
+
+        def body(carry, xc):
+            comp, dft = carry
+            for j in range(d):
+                comp = step(comp, {k: xc[k][j] for k in xc}, C)
+            # DFT-only sample from the read-only full view (E at
+            # (t+1)dt, H at (t+1/2)dt == the jnp in-step sampling)
+            full = sk.to_full(comp, C)
+            x_last = {k: xc[k][d - 1] for k in xc}
+            dft = _dft_update(plan, C, {"f": full["f"], "dft": dft},
+                              x_last)["dft"]
+            return (comp, dft), None
+
+        (comp, dft), _ = jax.lax.scan(body, (comp0, full_state["dft"]),
+                                      xs, length=ncyc)
+        full = sk.to_full(comp, C)
+        full["dft"] = dft
+        return full
+
+    csh = sk.coef_sharding()
+    C = {k: jax.device_put(v, csh[k]) for k, v in plan.coefs.items()}
+    ssh = PM.state_shardings(plan, mesh, state)
+    state = jax.tree.map(jax.device_put, state, ssh)
+    out = jax.jit(runner)(state, xs_cyc, C)
+    state = {**state, **{k: out[k] for k in ("f", "f_u", "f_w", "dft")},
+             "t": out["t"]}
+    t += ncyc * d
+    if suffix:
+        state = PM.sharded_run(plan, mesh, state, suffix,
+                               prefer_fused=False)
+    return state
+
+
 class ShardedFdtd3d:
     """shard_map driver for the fused kernel over a 1-d x mesh."""
 
@@ -91,8 +180,8 @@ class ShardedFdtd3d:
         if len(mesh.axis_names) != 1:
             raise ValueError("sharded fused kernel: 1-d mesh along x")
         self.axis = mesh.axis_names[0]
-        bx = F1._pick_bx(plan, bx)
-        if not sharded_supported(plan, n, bx):
+        bx = _fit_bx(plan, n) if bx is None else F1._pick_bx(plan, bx)
+        if bx is None or not sharded_supported(plan, n, bx):
             raise ValueError("plan outside the sharded fused envelope")
         if z_full is None:
             z_full = True

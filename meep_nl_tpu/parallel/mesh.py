@@ -133,18 +133,25 @@ def sharded_run(plan: Plan, mesh: Mesh, state: Dict[str, Any], nsteps: int,
     # exchange (parallel/fused_mesh.py) when the plan and mesh fit its
     # envelope and no in-scan DFT accumulation is needed (the fused path
     # does not carry the DFT state)
-    if prefer_fused and len(mesh.axis_names) == 1 and not plan.dfts:
+    if prefer_fused and len(mesh.axis_names) == 1:
         try:
-            from .fused_mesh import ShardedFdtd3d, sharded_supported
+            from .fused_mesh import (ShardedFdtd3d, sharded_supported,
+                                     sharded_hybrid_run)
             n = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
             if sharded_supported(plan, n):
-                sk = ShardedFdtd3d(plan, mesh)
-                comp = sk.from_full(state)
-                comp = sk.run(comp, nsteps, t0=t0)
-                full = jax.jit(sk.to_full)(comp)
-                keep = ["f", "f_u", "f_w"]
-                return {**state, **{k: full[k] for k in keep},
-                        "t": full["t"]}
+                if plan.dfts:
+                    # monitored: fused cycles + DFT-only sample reads
+                    out = sharded_hybrid_run(plan, mesh, state, nsteps, t0)
+                    if out is not None:
+                        return out
+                else:
+                    sk = ShardedFdtd3d(plan, mesh)
+                    comp = sk.from_full(state)
+                    comp = sk.run(comp, nsteps, t0=t0)
+                    full = jax.jit(sk.to_full)(comp)
+                    keep = ["f", "f_u", "f_w"]
+                    return {**state, **{k: full[k] for k in keep},
+                            "t": full["t"]}
         except Exception:                      # noqa: BLE001
             pass                               # fall through to jnp SPMD
     xs = build_xs(plan, nsteps, t0)

@@ -103,6 +103,9 @@ def test_sharded_run_routes_to_fused():
     jnp SPMD path."""
     from meep_nl_tpu.stepper.step import init_state
     plan = _plan("xyz")
+    # default-bx engagement: _fit_bx halves the single-device pick down
+    # to the per-shard span (a vacuous fall-back here = routing bug)
+    assert sharded_supported(plan, 4)
     mesh = PM.make_mesh(4, shape=(4,))
     st_f = PM.sharded_run(plan, mesh, init_state(plan), 12)
     st_j = PM.sharded_run(plan, mesh, init_state(plan), 12,
@@ -113,3 +116,63 @@ def test_sharded_run_routes_to_fused():
         np.testing.assert_allclose(np.asarray(st_f["f"][c]),
                                    np.asarray(st_j["f"][c]),
                                    atol=3e-6 * scale, err_msg=c)
+
+
+def _plan_with_flux(decimation=4):
+    """Vacuum xyz-PML plan plus one flux plane (4 DTFT specs) with a
+    uniform decimation, inside the sharded fused envelope."""
+    from meep_nl_tpu.stepper import monitors as M
+    res, cells = 8.0, (63, 16, 16)
+    size = [n / res for n in cells]
+    gv = G.GridVolume.create("3d", size, res)
+    src_t = mnt.GaussianSource(frequency=1.0, fwidth=0.5)
+    pts = gv.interp_weights("ez", [0.0, 0.0, 0.0])
+    idx = np.array([p for p, w in pts], np.int32)
+    amps = np.array([w for p, w in pts], np.complex128)
+    src = SrcVolSpec("ez", idx, amps, src_t)
+    freqs = np.linspace(0.9, 1.1, 3)
+    specs = M.flux_specs(gv, "flux0:0", "x", [size[0] / 4, 0.0, 0.0],
+                         [0.0, 1.2, 1.2], freqs, decimation=decimation)
+    plan = compile_plan(gv, MaterialSpec(chi1inv={}),
+                        pmls=[PMLSpec(d, 0.5) for d in "xyz"],
+                        sources=[src], dfts=specs,
+                        pad_to_multiple=(8, 1, 1))
+    plan.slab_opt = True
+    return plan
+
+
+def test_sharded_hybrid_dft():
+    """Monitored sharded runs: fused cycles + DFT-only sample reads must
+    reproduce the jnp SPMD path's DTFT accumulators and fields."""
+    from meep_nl_tpu.stepper.step import init_state
+    from meep_nl_tpu.parallel.fused_mesh import sharded_hybrid_run
+    plan = _plan_with_flux()
+    mesh = PM.make_mesh(4, shape=(4,))
+    nsteps = 160
+    # direct call (no exception swallowing): must engage, not fall back
+    st_f = sharded_hybrid_run(plan, mesh, init_state(plan), nsteps, 0)
+    assert st_f is not None
+    st_j = PM.sharded_run(plan, mesh, init_state(plan), nsteps,
+                          prefer_fused=False)
+    scale = max(float(np.max(np.abs(np.asarray(v))))
+                for v in st_j["f"].values())
+    assert scale > 0
+    for c in st_j["f"]:
+        np.testing.assert_allclose(np.asarray(st_f["f"][c]),
+                                   np.asarray(st_j["f"][c]),
+                                   atol=3e-6 * scale, err_msg=c)
+    # tolerance on the global accumulator scale: cross-polarized flux
+    # components are ~0 by symmetry (noise-level, not comparable per-key)
+    dscale = max(float(np.abs(np.asarray(v)).max())
+                 for v in st_j["dft"].values())
+    assert dscale > 0
+    for k in st_j["dft"]:
+        np.testing.assert_allclose(np.asarray(st_f["dft"][k]),
+                                   np.asarray(st_j["dft"][k]),
+                                   atol=1e-5 * dscale, err_msg=f"dft[{k}]")
+    # and the sharded_run router reaches the same result
+    st_r = PM.sharded_run(plan, mesh, init_state(plan), nsteps)
+    for k in st_j["dft"]:
+        np.testing.assert_allclose(np.asarray(st_r["dft"][k]),
+                                   np.asarray(st_j["dft"][k]),
+                                   atol=1e-5 * dscale, err_msg=f"r {k}")
