@@ -337,16 +337,27 @@ class _Layout:
             self.nl_specs = []
             self.de_comps = []
             return
-        x_lo = min(a for a, _ in xr)
-        x_hi = max(b for _, b in xr)
-        if x_lo < 0 or x_hi > self.S[0]:
-            raise ValueError("dispersive support touches the x boundary")
-        db0 = x_lo // bx
-        db1 = _cdiv(x_hi, bx)
+        if self.x_uniform:
+            # SPMD-uniform layouts widen the dispersive window to the
+            # full x extent (identity rows: sigma == 0 keeps P == 0 and
+            # stored-E == lin, so the widened storage is exact).  The
+            # support-box coordinates are GLOBAL while self.S may be a
+            # per-shard span, so every x-positional check is skipped here
+            # — callers must validate the global plan via supported()
+            # (which builds the plain _Layout with full checks) plus the
+            # shard-boundary clearances (parallel/fused_mesh).
+            db0, db1 = 0, self.nblk
+        else:
+            x_lo = min(a for a, _ in xr)
+            x_hi = max(b for _, b in xr)
+            if x_lo < 0 or x_hi > self.S[0]:
+                raise ValueError("dispersive support touches the x boundary")
+            db0 = x_lo // bx
+            db1 = _cdiv(x_hi, bx)
         self.db0, self.db1 = db0, db1
 
         # NL stencil-safety checks
-        if nl_boxes:
+        if nl_boxes and not self.x_uniform:
             # collect true per-axis sigma slab extents (raw site counts)
             slab_lo = [0, 0, 0]
             slab_hi = [0, 0, 0]
@@ -397,7 +408,8 @@ class _Layout:
                     self.nl_fwd.append(dc_k)
                 if ax_k == 0 and dc_k not in self.nl_bwd:
                     self.nl_bwd.append(dc_k)
-        if db0 < self.lo_blocks or db1 > self.hi_block0 or db1 <= db0:
+        if not self.x_uniform and (db0 < self.lo_blocks
+                                   or db1 > self.hi_block0 or db1 <= db0):
             raise ValueError(
                 "dispersive x-range overlaps the x-PML edge calls")
         # y-window: the dispersive state (P/PP/stored-E) only needs the

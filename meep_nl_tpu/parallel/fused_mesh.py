@@ -39,7 +39,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.pallas import fdtd3d as F1
-from ..ops.pallas.fdtd3d import _Layout, _build_call, compute_halos
+from ..ops.pallas.fdtd3d import (_Layout, _build_call, compute_halos,
+                                 compute_nl_halos)
 from ..stepper.step import build_xs
 
 
@@ -54,10 +55,35 @@ def _fit_bx(plan, n_shards: int) -> Optional[int]:
     span = S[0] // n_shards
     while cand >= 2:
         if span % cand == 0 and span >= 2 * cand \
-                and F1.supported(plan, cand, allow_disp=False):
+                and F1.supported(plan, cand):
             return cand
         cand //= 2
     return None
+
+
+def _nl_clear_of_boundaries(plan, n_shards: int) -> bool:
+    """NL (chi3/chi2-NR) support must stay clear of every interior shard
+    boundary: the cross-block NL halo/carry planes are local zero-padded
+    at shard edges, which is exact only when no NL stencil column
+    consumes them (pol ADEs are pointwise — they shard anywhere)."""
+    boxes = getattr(plan, "support_boxes", None) or {}
+    S = tuple(plan.storage_shape or plan.gv.shape)
+    span = S[0] // n_shards
+    for s in plan.eh_specs_e:
+        keys = []
+        if s.has_chi3:
+            keys += [f"{s.ec}:chi3", f"{s.ec}:chi2"]
+        if s.has_nr:
+            keys += [f"{s.ec}:nrchi2"]
+        for key in keys:
+            b = boxes.get(key)
+            if b is None:
+                continue
+            x0, x1 = b[0]
+            for g in range(span, S[0], span):
+                if x0 - 3 <= g <= x1 + 3:
+                    return False
+    return True
 
 
 def sharded_supported(plan, n_shards: int, bx: Optional[int] = None) -> bool:
@@ -67,11 +93,13 @@ def sharded_supported(plan, n_shards: int, bx: Optional[int] = None) -> bool:
         bx = _fit_bx(plan, n_shards)
         if bx is None:
             return False
-    if not F1.supported(plan, bx, allow_disp=False):
+    if not F1.supported(plan, bx):
         return False
     S = tuple(plan.storage_shape or plan.gv.shape)
     span = S[0] // n_shards
     if S[0] % n_shards or span % bx or span < 2 * bx:
+        return False
+    if F1._has_disp(plan) and not _nl_clear_of_boundaries(plan, n_shards):
         return False
     # sources: E-family only, outside every true PML slab range (the
     # post-kernel scatter is exact only where E is virtual)
@@ -162,8 +190,8 @@ def sharded_hybrid_run(plan, mesh: Mesh, state: Dict[str, Any],
     ssh = PM.state_shardings(plan, mesh, state)
     state = jax.tree.map(jax.device_put, state, ssh)
     out = jax.jit(runner)(state, xs_cyc, C)
-    state = {**state, **{k: out[k] for k in ("f", "f_u", "f_w", "dft")},
-             "t": out["t"]}
+    keep = ["f", "f_u", "f_w", "dft"] + (["pol"] if out.get("pol") else [])
+    state = {**state, **{k: out[k] for k in keep}, "t": out["t"]}
     t += ncyc * d
     if suffix:
         state = PM.sharded_run(plan, mesh, state, suffix,
@@ -208,6 +236,7 @@ class ShardedFdtd3d:
         nblk_l = self.span // bx
         self.call = _build_call(self.Ll, 0, nblk_l,
                                 "lo" if self.Ll.lo_blocks else "",
+                                disp=self.Ll.disp is not None,
                                 dyn_xoff=True, with_sources=False)
         self.halo_keys = list(self.call.halo_keys)
         self.carry_keys = list(self.call.carry_keys)
@@ -296,10 +325,15 @@ class ShardedFdtd3d:
 
     # ------------------------------------------------------------------
     def _e_eff_plane(self, state_l, C_l, ec, x):
-        """Assembled E_eff at one local plane (overlays included)."""
+        """Assembled E_eff at one local plane (overlays included, in
+        to_full's order: stored-E dispersive window first, W-store on
+        top — identity rows agree, true rows never overlap)."""
         spec = self.Lg.eh_by_ec[ec]
         d = state_l[spec.dc][x:x + 1]
         lin = d * C_l[f"{ec}:u"][x:x + 1] if spec.has_u else d
+        if self.Lg.disp is not None and ec in self.Lg.de_comps:
+            wy0, wy1 = self.Lg.win_y
+            lin = lin.at[:, wy0:wy1, :].set(state_l[f"de:{ec}"][x:x + 1])
         if ec in self.Lg.eh_store:
             ax, lor, hir = self.Lg.eh_store[ec]
             if ax == 0:
@@ -450,6 +484,12 @@ class ShardedFdtd3d:
             halos = compute_halos(Ll, bx, self.halo_keys, state_l, C_l)
             for ecn in self.halo_keys:
                 halos[ecn] = halos[ecn].at[-1:].set(e_right[ecn])
+            if call.nlh_keys:
+                # NL next-plane halos: local, zero-padded at the shard
+                # edge (exact: the envelope keeps NL support >= 3 sites
+                # clear of every shard boundary, _nl_clear_of_boundaries)
+                halos = {**halos, **compute_nl_halos(
+                    Ll, bx, call.nlh_keys, state_l, C_l)}
 
             # ---- carry: redundant left-plane H_eff --------------------
             h_left = self._carry_plane(recv, e_first, bc, C_l)
@@ -515,10 +555,26 @@ class ShardedFdtd3d:
                 idxs = C[f"src{si}:idx"]
                 new_state[dc] = new_state[dc].at[tuple(idxs.T)].add(-amp)
                 spec = Lg.eh_by_ec.get(ec)
-                if spec is None or ec not in Lg.eh_store:
+                if spec is None:
+                    continue
+                pts = np.asarray(s.indices)
+                if Lg.disp is not None and ec in Lg.de_comps:
+                    # stored-E window fixup: E is linear in D at source
+                    # sites (the envelope keeps sources out of NL stencil
+                    # reach; pol P is unchanged by injection), so the
+                    # stored value moves by u * dD exactly like E
+                    wy0, wy1 = Lg.win_y
+                    insw = (pts[:, 1] >= wy0) & (pts[:, 1] < wy1)
+                    if insw.any():
+                        wpts = pts[insw].copy()
+                        wpts[:, 1] -= wy0
+                        uw = C[f"{ec}:u"][tuple(pts[insw].T)] \
+                            if spec.has_u else 1.0
+                        new_state[f"de:{ec}"] = new_state[f"de:{ec}"].at[
+                            tuple(wpts.T)].add(-amp[insw] * uw)
+                if ec not in Lg.eh_store:
                     continue
                 ax, lor, hir = Lg.eh_store[ec]
-                pts = np.asarray(s.indices)
                 for side, (a, b) in (("lo", lor), ("hi", hir)):
                     if b <= a:
                         continue

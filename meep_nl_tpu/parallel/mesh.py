@@ -149,7 +149,8 @@ def sharded_run(plan: Plan, mesh: Mesh, state: Dict[str, Any], nsteps: int,
                     comp = sk.from_full(state)
                     comp = sk.run(comp, nsteps, t0=t0)
                     full = jax.jit(sk.to_full)(comp)
-                    keep = ["f", "f_u", "f_w"]
+                    keep = ["f", "f_u", "f_w"] \
+                        + (["pol"] if full.get("pol") else [])
                     return {**state, **{k: full[k] for k in keep},
                             "t": full["t"]}
         except Exception:                      # noqa: BLE001

@@ -176,3 +176,60 @@ def test_sharded_hybrid_dft():
         np.testing.assert_allclose(np.asarray(st_r["dft"][k]),
                                    np.asarray(st_j["dft"][k]),
                                    atol=1e-5 * dscale, err_msg=f"r {k}")
+
+
+def _plan_disp(with_nl=True, cells=(63, 16, 16), res=8.0):
+    """Lorentz-pole ball STRADDLING the shard-1/2 boundary (pol ADEs are
+    pointwise and shard anywhere) plus an optional chi2-NR block interior
+    to shard 2 (NL stencils must clear boundaries), xyz uPML."""
+    from meep_nl_tpu.stepper.plan import PolSpec
+    size = [n / res for n in cells]
+    gv = G.GridVolume.create("3d", size, res)
+    shape = gv.shape
+
+    def site_mask(c, x_rng, y_rng, z_rng):
+        m = np.zeros(shape)
+        m[x_rng[0]:x_rng[1], y_rng[0]:y_rng[1], z_rng[0]:z_rng[1]] = 1.0
+        return m
+
+    eps = np.ones(shape)
+    eps[26:38, 5:12, 5:12] = 4.0
+    chi1inv = {c: {c[1]: 1.0 / eps} for c in ("ex", "ey", "ez")}
+    pol_m = site_mask("ez", (26, 38), (5, 12), (5, 12))
+    pols = [PolSpec(field_type="e", omega0=1.1, gamma=0.04,
+                    sigma={("ex", "x"): 0.3 * pol_m,
+                           ("ey", "y"): 0.3 * pol_m,
+                           ("ez", "z"): 0.3 * pol_m})]
+    nr = {}
+    if with_nl:
+        nr_m = site_mask("ez", (36, 42), (6, 11), (6, 11))
+        nr = {c: 0.5 * nr_m for c in ("ex", "ey", "ez")}
+    mat = MaterialSpec(chi1inv=chi1inv, pols=pols, nr_chi2=nr)
+    src_t = mnt.GaussianSource(frequency=1.0, fwidth=0.5)
+    pts = gv.interp_weights("ez", [-1.5, 0.0, 0.0])
+    idx = np.array([p for p, w in pts], np.int32)
+    amps = np.array([w for p, w in pts], np.complex128)
+    src = SrcVolSpec("ez", idx, amps, src_t)
+    plan = compile_plan(gv, mat, pmls=[PMLSpec(d, 0.5) for d in "xyz"],
+                        sources=[src], pad_to_multiple=(8, 1, 1))
+    plan.slab_opt = True
+    return plan
+
+
+def test_sharded_disp_lorentz():
+    """Pol ADE (Lorentz) straddling a shard boundary through the sharded
+    fused kernel: pointwise P updates need no exchange."""
+    _compare(_plan_disp(with_nl=False), nsteps=24, atol=5e-6)
+
+
+def test_sharded_disp_nl():
+    """Lorentz + chi2-Newton (the flagship material class) sharded."""
+    _compare(_plan_disp(with_nl=True), nsteps=24, atol=5e-6)
+
+
+def test_sharded_disp_envelope():
+    plan = _plan_disp(with_nl=True)
+    # NL block x-sites [36, 42): fine for 4 shards (boundaries 16/32/48,
+    # clearance 3), rejected for 8 (boundary 40 inside the block)
+    assert sharded_supported(plan, 4, 8)
+    assert not sharded_supported(plan, 8)
