@@ -352,6 +352,201 @@ def planewave_mode_te(freq: float, eps: float, ky: float, ys: np.ndarray,
     return m
 
 
+def _bloch_order_pick(vals, vecs, target, dx):
+    """Pick the propagating eigen-SPACE with the largest projection of
+    the target harmonic, and return (lam_x, projected profile).  vals are
+    eigenvalues lam_x = (2/dx sin(kx dx/2))^2 of the Bloch cross-section
+    operator; degenerate pairs (e.g. +/-m harmonics of a uniform medium)
+    are handled by projecting within the eigenspace instead of trusting
+    eigh's arbitrary basis."""
+    prop = (vals > 1e-9) & (vals <= (2.0 / dx) ** 2 * (1 + 1e-12))
+    if not np.any(prop):
+        return None
+    t = target / np.linalg.norm(target)
+    ov = vecs.conj().T @ t                      # <v_i, t>
+    # group (near-)degenerate eigenvalues
+    scale = max(float(np.abs(vals).max()), 1e-300)
+    best = (-1.0, None, None)
+    i = 0
+    n = len(vals)
+    while i < n:
+        j = i + 1
+        while j < n and abs(vals[j] - vals[i]) < 1e-8 * scale:
+            j += 1
+        if prop[i:j].any():
+            score = float(np.sum(np.abs(ov[i:j]) ** 2))
+            if score > best[0]:
+                proj = vecs[:, i:j] @ ov[i:j]
+                best = (score, float(vals[i:j].mean()), proj)
+        i = j
+    if best[1] is None or best[0] < 1e-6:
+        return None
+    return best[1], best[2]
+
+
+def _disc_beta(lam_x, freq, dx, dt):
+    """Effective Hy/Ez (or Ey/Hz) propagation ratio of the discrete
+    planewave with (2/dx sin(kx dx/2))^2 = lam_x (see planewave_mode_tm's
+    discrete-dispersion note)."""
+    w = 2 * np.pi * freq
+    s = np.sqrt(lam_x) * dx / 2
+    if s > 1:
+        return None
+    if dt is None:
+        return float(np.sqrt(lam_x))
+    return float(w * (dt / dx) * s / np.sin(w * dt / 2))
+
+
+def _bloch_matrix_tm(eps_line, ky, dx, wt2):
+    """Discrete TM Bloch cross-section operator
+    [wt^2 diag(eps) + D2_bloch] with quasi-periodic wrap phase
+    e^{i ky L} (only ky mod 2 pi/L matters)."""
+    n = len(eps_line)
+    L = n * dx
+    ph = np.exp(1j * ky * L)
+    B = np.zeros((n, n), np.complex128)
+    i = np.arange(n)
+    B[i, i] = wt2 * np.asarray(eps_line, np.float64) - 2.0 / dx ** 2
+    B[i[:-1], i[:-1] + 1] = 1.0 / dx ** 2
+    B[i[1:], i[1:] - 1] = 1.0 / dx ** 2
+    B[n - 1, 0] += ph / dx ** 2
+    B[0, n - 1] += np.conj(ph) / dx ** 2
+    return B
+
+
+def bloch_branch_modes_tm(freq: float, eps_line: np.ndarray, kb: float,
+                          ys: np.ndarray, dx: float,
+                          dt: Optional[float] = None) -> List[Mode1D]:
+    """ALL propagating Bloch branches of a (possibly stratified) TM
+    cross-section at Bloch phase kb, one unit-flux Mode1D per
+    eigenvector.  In a stratified medium the +/-g harmonics hybridize
+    into standing branches with DIFFERENT beta, so diffraction ORDERS do
+    not partition the monitor flux — the branches do (they are the
+    orthogonal eigenmodes of the x-uniform output medium).  Use this for
+    completeness/power-budget checks; use bloch_planewave_mode_tm for a
+    specific requested order."""
+    n = len(eps_line)
+    w = 2 * np.pi * freq
+    wt2 = (2 / dt * np.sin(w * dt / 2)) ** 2 if dt is not None else w * w
+    from scipy.linalg import eigh
+    vals, vecs = eigh(_bloch_matrix_tm(eps_line, kb, dx, wt2))
+    out = []
+    for j in range(n):
+        if not (1e-9 < vals[j] <= (2.0 / dx) ** 2 * (1 + 1e-12)):
+            continue
+        beta = _disc_beta(vals[j], freq, dx, dt)
+        if beta is None:
+            continue
+        prof = vecs[:, j].astype(np.complex128)
+        p = (beta / w) * np.sum(np.abs(prof) ** 2) * dx
+        prof = prof / np.sqrt(abs(p))
+        m = Mode1D(freq=freq, beta=beta, y=ys, ez=prof, hz=None)
+        m.k_tangential = kb
+        out.append(m)
+    return out
+
+
+def bloch_planewave_mode_tm(freq: float, eps_line: np.ndarray, ky: float,
+                            ys: np.ndarray, dx: float,
+                            dt: Optional[float] = None
+                            ) -> Optional[Mode1D]:
+    """Diffracted 'planewave' of a y-STRATIFIED output medium: the Bloch
+    eigenmode of the periodic eps profile at Bloch phase ky whose
+    eigenspace carries the requested harmonic — the layered-medium
+    planewave the reference solves via MPB (mpb.cpp:925-1110's
+    get_eigenmode in a non-uniform monitor cross-section).  Fully
+    discrete (Yee + leapfrog) eigenproblem
+        [wt^2 diag(eps) + D2_bloch(ky)] v = lam_x v,
+    wt = (2/dt) sin(w dt/2), so coefficients are exact at finite
+    resolution; reduces to planewave_mode_tm for uniform eps.  None if
+    the order is evanescent in the stratified medium."""
+    w = 2 * np.pi * freq
+    wt2 = (2 / dt * np.sin(w * dt / 2)) ** 2 if dt is not None else w * w
+    from scipy.linalg import eigh
+    vals, vecs = eigh(_bloch_matrix_tm(eps_line, ky, dx, wt2))
+    target = np.exp(1j * ky * ys).astype(np.complex128)
+    pick = _bloch_order_pick(vals, vecs, target, dx)
+    if pick is None:
+        return None
+    lam_x, prof = pick
+    beta = _disc_beta(lam_x, freq, dx, dt)
+    if beta is None:
+        return None
+    p = (beta / w) * np.sum(np.abs(prof) ** 2) * dx
+    prof = prof / np.sqrt(abs(p))
+    m = Mode1D(freq=freq, beta=beta, y=ys, ez=prof, hz=None)
+    m.k_tangential = ky
+    return m
+
+
+def bloch_planewave_mode_te(freq: float, eps_line: np.ndarray, ky: float,
+                            ys: np.ndarray, dx: float,
+                            dt: Optional[float] = None,
+                            inv_nodes: Optional[np.ndarray] = None,
+                            inv_edges: Optional[np.ndarray] = None
+                            ) -> Optional[Mode1D]:
+    """TE (Hz-polarized) stratified diffraction order: the Bloch
+    eigenmode of the generalized problem
+        [-G^H diag(1/eps_edge) G + wt^2 I] h = lam_x diag(1/eps) h
+    with quasi-periodic wrap (edge eps between the last and first sites
+    is their arithmetic mean, the tangential Yee rule of
+    solve_te_modes).  Reduces to planewave_mode_te for uniform eps.
+
+    `inv_nodes` / `inv_edges` optionally supply the EXACT per-site
+    1/eps rows the FDTD ran with (the plan's ey:u / ex:u coefficient
+    rows, which include subpixel smoothing) so the eigenproblem is the
+    simulation's own discrete operator: inv_nodes[k] at the Hz/Ey line
+    sites, inv_edges[k] at the integer tangential site BELOW node k
+    (so the edge between nodes k and k+1 is inv_edges[k+1], and the
+    periodic wrap edge is inv_edges[0])."""
+    n = len(eps_line)
+    w = 2 * np.pi * freq
+    wt2 = (2 / dt * np.sin(w * dt / 2)) ** 2 if dt is not None else w * w
+    eps_line = np.asarray(eps_line, np.float64)
+    inv_eps = (np.asarray(inv_nodes, np.float64) if inv_nodes is not None
+               else 1.0 / eps_line)
+    L = n * dx
+    ph = np.exp(1j * ky * L)
+    if inv_edges is not None:
+        inv_edges = np.asarray(inv_edges, np.float64)
+        inv_edge = inv_edges[1:]
+        inv_wrap = float(inv_edges[0])
+    else:
+        inv_edge = 1.0 / (0.5 * (eps_line[:-1] + eps_line[1:]))
+        inv_wrap = 1.0 / (0.5 * (eps_line[-1] + eps_line[0]))
+    A = np.zeros((n, n), np.complex128)
+    i = np.arange(n)
+    main = np.empty(n)
+    main[0] = -(inv_wrap + inv_edge[0]) / dx ** 2 + wt2
+    main[-1] = -(inv_edge[-1] + inv_wrap) / dx ** 2 + wt2
+    if n > 2:
+        main[1:-1] = -(inv_edge[:-1] + inv_edge[1:]) / dx ** 2 + wt2
+    A[i, i] = main
+    A[i[:-1], i[:-1] + 1] = inv_edge / dx ** 2
+    A[i[1:], i[1:] - 1] = inv_edge / dx ** 2
+    A[n - 1, 0] += ph * inv_wrap / dx ** 2
+    A[0, n - 1] += np.conj(ph) * inv_wrap / dx ** 2
+    from scipy.linalg import eigh
+    vals, vecs = eigh(A, np.diag(inv_eps))
+    # eigh(A, B) returns B-orthonormal vectors; re-orthonormalize in the
+    # plain inner product for the harmonic projection
+    vecs = vecs / np.linalg.norm(vecs, axis=0, keepdims=True)
+    target = np.exp(1j * ky * ys).astype(np.complex128)
+    pick = _bloch_order_pick(vals, vecs, target, dx)
+    if pick is None:
+        return None
+    lam_x, prof = pick
+    beta = _disc_beta(lam_x, freq, dx, dt)
+    if beta is None:
+        return None
+    p = (beta / w) * np.sum(inv_eps * np.abs(prof) ** 2) * dx
+    prof = prof / np.sqrt(abs(p))
+    m = Mode1D(freq=freq, beta=beta, y=ys, ez=None, hz=prof)
+    m.ey = (beta / w) * inv_eps * prof
+    m.k_tangential = ky
+    return m
+
+
 def planewave_mode_vector(freq: float, eps: float, ku: float, kv: float,
                           us: np.ndarray, vs: np.ndarray, dx: float,
                           s_amp: complex = 1.0, p_amp: complex = 0.0,
@@ -393,14 +588,51 @@ def planewave_mode_vector(freq: float, eps: float, ku: float, kv: float,
     return m
 
 
+def deconv_centered_line(line: np.ndarray, dx: float,
+                         k_bloch: float = 0.0) -> np.ndarray:
+    """Undo the monitor's TANGENTIAL centered averaging on a full-period
+    line.  The centered DFT stores g[j] = (f[j] + f[j+1])/2 with a
+    Bloch-phased wrap (dft.cpp:277 avg1/avg2), i.e. each Bloch harmonic
+    k_g = k_bloch + 2 pi g / L is scaled by cos(k_g dx/2) e^{i k_g dx/2}.
+    For a single-harmonic (uniform-medium) planewave that is a harmless
+    global factor, but for the multi-harmonic Bloch modes of a
+    stratified medium it breaks eigenvector orthogonality and mixes the
+    branch projections.  This divides the filter out per harmonic,
+    returning the raw integer-site line; the (zero-response) Nyquist
+    harmonic is dropped."""
+    line = np.asarray(line, np.complex128)
+    n = len(line)
+    L = n * dx
+    js = np.arange(n)
+    ramp = np.exp(-1j * k_bloch * js * dx)
+    F = np.fft.fft(line * ramp)
+    g = np.fft.fftfreq(n, d=1.0 / n)          # signed integer harmonics
+    kg = k_bloch + 2 * np.pi * g / L
+    resp = np.cos(kg * dx / 2) * np.exp(1j * kg * dx / 2)
+    ok = np.abs(resp) > 1e-8
+    F = np.where(ok, F / np.where(ok, resp, 1.0), 0.0)
+    return np.fft.ifft(F) * np.conj(ramp)
+
+
 def monitor_average_boost(beta: float, dx: float) -> float:
     """Undo the flux monitor's two-plane (1/2, 1/2) normal-axis field
-    average: a mode with propagation constant beta loses cos(beta dx/2)
-    per field in the overlap (but NOT in the flux, whose E H* products
-    are plane-local before summing).  Applied to a+- at extraction
-    (measured: 3D fundamental-mode attribution 0.92 -> 0.96+ at res 16)."""
+    average on the E line.  Only E is averaged (H's half-integer normal
+    Yee site lands exactly on the monitor plane), and the averaged E
+    sits at the SAME normal position as H, so of the two overlap halves
+    (<Em*, H> + <Hm*, E>)/2 only the second loses cos(beta dx/2):
+        a_measured = a (1 + cos(beta dx/2)) / 2.
+    The boost is its inverse times the phase-vs-effective wavenumber
+    factor x/sin(x) (the mode's H/E ratio and unit-flux normalization
+    use the effective (2/dx)sin(beta dx/2) wavenumber of the discrete
+    planewave):
+        boost = x / (sin(x) cos^2(x/2)),  x = beta dx/2.
+    NOT 1/cos(x) (over-corrects, +2.8% power bias at beta dx = 0.47) and
+    not 1/cos^2(x/2) alone (under-corrects, -1.9%); this form matches
+    the measured |a+|^2/flux of a pure planewave to <0.1% over
+    beta dx in [0.42, 0.52] at three frequencies
+    (test_order0_equals_flux_empty / test_grating_orders_sum_to_flux)."""
     x = min(abs(beta) * dx / 2, 1.2)
-    return 1.0 / np.cos(x)
+    return x / (np.sin(x) * np.cos(x / 2) ** 2) if x > 1e-9 else 1.0
 
 
 def mode_parity(prof: np.ndarray) -> float:

@@ -1150,15 +1150,23 @@ class Simulation:
             # oblique planewave injection (the reference's
             # add_eigenmode_source with a DiffractedPlanewave band):
             # the analytic order-g planewave of the Bloch-periodic cell
-            from ..analysis.modes import planewave_mode_tm
+            from ..analysis.modes import (planewave_mode_tm,
+                                          bloch_planewave_mode_tm)
             g_t = mode_band.g[tang_ax]
             kp_t = tuple(_v3(self.k_point))[tang_ax] \
                 if self.k_point is not None else 0.0
             L_mon = len(sel) * gv.dx
             ky = 2 * np.pi * (kp_t + g_t / L_mon)
-            eps0 = float(np.median(eps_line))
             ys_loc = (ycoords[sel] - ycoords[sel[0]])
-            m = planewave_mode_tm(fcen, eps0, ky, ys_loc, gv.dx, dt=self.dt)
+            if float(eps_line.max()) > 1.01 * float(eps_line.min()):
+                # stratified source line: the order is the Bloch
+                # eigenmode of the layered medium (mpb.cpp:925-1110)
+                m = bloch_planewave_mode_tm(fcen, eps_line, ky, ys_loc,
+                                            gv.dx, dt=self.dt)
+            else:
+                eps0 = float(np.median(eps_line))
+                m = planewave_mode_tm(fcen, eps0, ky, ys_loc, gv.dx,
+                                      dt=self.dt)
             if m is None:
                 raise ValueError("requested diffraction order is evanescent "
                                  "at the source frequency")
@@ -1460,19 +1468,13 @@ class Simulation:
                 alpha[bi, fi, 1] = am * boost
         return alpha
 
-    def get_eigenmode_coefficients(self, flux_handle, bands,
-                                   direction_normal="x", eig_parity=None):
-        """S-parameter mode decomposition on a flux monitor
-        (get_eigenmode_coefficients, mpb.cpp:925).  Returns alpha of shape
-        (len(bands), nfreq, 2) = forward/backward coefficients.
-        eig_parity: None/'TM' uses the (ez, hy) pair, 'TE' the (ey, hz)
-        pair (parity-constrained solving, mpb.cpp:322)."""
-        if self.gv.dim == "3d":
-            return self._get_eigenmode_coefficients_3d(flux_handle, bands)
-        from ..analysis.modes import (solve_te_modes, solve_tm_modes,
-                                      mode_overlap_te, mode_overlap_tm)
+    def _mode_monitor_ctx(self, flux_handle, te):
+        """Extract the cross-section DTFT field lines and the EXACT
+        discrete-eigenproblem coefficients from a 2D flux monitor
+        (shared by get_eigenmode_coefficients and
+        get_bloch_branch_coefficients)."""
+        from types import SimpleNamespace
         from . import scene as _scene
-        te = str(eig_parity).upper() == "TE"
         freqs = flux_handle.freqs
         # the flux monitor stores pair0 = (ey, hz) [TE] and pair1 =
         # (ez, hy) [TM, scale -1] for normal x (dft.cpp:600-612)
@@ -1507,14 +1509,113 @@ class Simulation:
         pts[:, 1 - tang_ax] = xpos
         idxm = _scene._material_at(pts, self.geometry, self.default_material)
         eps_line = _scene._eps_of(idxm, self.geometry, self.default_material, 2)
-        nfreq = len(freqs)
-        alpha = np.zeros((len(bands), nfreq, 2), np.complex128)
-        from ..analysis.modes import planewave_mode_tm
-        ys_loc = ys - ys[0]
-        L_mon = len(ys) * self.gv.dx
         kp_t = 0.0
         if self.k_point is not None:
             kp_t = tuple(_v3(self.k_point))[tang_ax]
+        strat_line = float(eps_line.max()) > 1.01 * float(eps_line.min())
+        eps_line_tm = eps_line
+        inv_nodes_line = inv_edges_line = None
+        if strat_line:
+            # Build the Bloch eigenproblem from the EXACT 1/eps rows the
+            # FDTD ran with (the plan's e*:u coefficients, which include
+            # subpixel smoothing) — re-rasterizing point samples gives a
+            # slightly different operator whose eigenvectors mix the
+            # branch projections (measured: per-order conservation
+            # between two monitor depths 0.5-1.1x raw vs 1.00 exact).
+            def _u_line(name, avg_norm=True):
+                u = self._plan.coefs.get(name)
+                if u is None:
+                    return None
+                u = np.asarray(u)
+                # coef storage is the (num+1)-site grid; reject only
+                # broadcast-compressed rows that can't cover the region
+                if u.ndim != len(reg) or any(
+                        b > s for (a, b), s in zip(reg, u.shape)):
+                    return None
+                blk = u[tuple(slice(a, b) for a, b in reg)]
+                blk = np.moveaxis(blk, norm_pos, 0)
+                return blk.mean(axis=0) if avg_norm else blk[0]
+
+            if te:
+                # nodes = the monitor E component's own sites;
+                # edges = the normal-axis E component at integer
+                # tangential sites (edge k sits BELOW node k)
+                inv_nodes_line = _u_line(spec_e.component + ":u")
+                inv_edges_line = _u_line(
+                    "e" + self.gv.axes[norm_pos] + ":u", avg_norm=False)
+                if inv_nodes_line is None:
+                    inv_nodes_line = 1.0 / eps_line
+                if inv_edges_line is None:
+                    inv_edges_line = np.concatenate(
+                        [[2.0 / (eps_line[-1] + eps_line[0])],
+                         2.0 / (eps_line[:-1] + eps_line[1:])])
+            else:
+                u_line = _u_line("ez:u")
+                if u_line is not None:
+                    eps_line_tm = 1.0 / u_line
+                else:
+                    # fallback: rasterize at the RAW integer-y Ez sites
+                    # (half a pixel below the centered coordinates)
+                    pts_tm = np.array(pts)
+                    pts_tm[:, tang_ax] -= 0.5 * self.gv.dx
+                    idxm_tm = _scene._material_at(pts_tm, self.geometry,
+                                                  self.default_material)
+                    eps_line_tm = _scene._eps_of(
+                        idxm_tm, self.geometry, self.default_material, 2)
+        ctx = SimpleNamespace(
+            freqs=freqs, dE_raw=dE_raw, dH=dH, ys=ys,
+            ys_loc=ys - ys[0], L_mon=len(ys) * self.gv.dx,
+            tang_ax=tang_ax, kp_t=kp_t, strat_line=strat_line,
+            eps_line=eps_line, eps_line_tm=eps_line_tm,
+            inv_nodes=inv_nodes_line, inv_edges=inv_edges_line,
+            dE_pw=None, dH_pw=None)
+
+        def deconv_lines():
+            # TM lines must be deconvolved from the monitor's tangential
+            # centered averaging (ez/hy have integer tangential Yee
+            # shifts, so the centered DFT applied a per-harmonic
+            # cos(k_g dx/2) filter that mixes the Bloch-branch
+            # projections of a stratified line; TE's ey/hz sit at
+            # half-integer tangential sites and are never averaged)
+            if ctx.dE_pw is None:
+                from ..analysis.modes import deconv_centered_line
+                kb = 2 * np.pi * ctx.kp_t
+                nfreq = len(freqs)
+                ctx.dE_pw = np.stack(
+                    [deconv_centered_line(dE_raw[:, i], self.gv.dx, kb)
+                     for i in range(nfreq)], axis=1)
+                ctx.dH_pw = np.stack(
+                    [deconv_centered_line(dH[:, i], self.gv.dx, kb)
+                     for i in range(nfreq)], axis=1)
+            return ctx.dE_pw, ctx.dH_pw
+
+        ctx.deconv_lines = deconv_lines
+        return ctx
+
+    def get_eigenmode_coefficients(self, flux_handle, bands,
+                                   direction_normal="x", eig_parity=None):
+        """S-parameter mode decomposition on a flux monitor
+        (get_eigenmode_coefficients, mpb.cpp:925).  Returns alpha of shape
+        (len(bands), nfreq, 2) = forward/backward coefficients.
+        eig_parity: None/'TM' uses the (ez, hy) pair, 'TE' the (ey, hz)
+        pair (parity-constrained solving, mpb.cpp:322)."""
+        if self.gv.dim == "3d":
+            return self._get_eigenmode_coefficients_3d(flux_handle, bands)
+        from ..analysis.modes import (solve_te_modes, solve_tm_modes,
+                                      mode_overlap_te, mode_overlap_tm,
+                                      planewave_mode_tm)
+        te = str(eig_parity).upper() == "TE"
+        ctx = self._mode_monitor_ctx(flux_handle, te)
+        freqs = ctx.freqs
+        dE_raw, dH = ctx.dE_raw, ctx.dH
+        ys_loc, L_mon, kp_t = ctx.ys_loc, ctx.L_mon, ctx.kp_t
+        tang_ax = ctx.tang_ax
+        strat_line = ctx.strat_line
+        eps_line, eps_line_tm = ctx.eps_line, ctx.eps_line_tm
+        inv_nodes_line, inv_edges_line = ctx.inv_nodes, ctx.inv_edges
+        nfreq = len(freqs)
+        alpha = np.zeros((len(bands), nfreq, 2), np.complex128)
+        dE_pw = dH_pw = None
         for bi, band in enumerate(bands):
             for fi, f in enumerate(freqs):
                 if isinstance(band, DiffractedPlanewave):
@@ -1522,21 +1623,30 @@ class Simulation:
                     # analytic planewave with ky = 2 pi (k_bloch + g/L)
                     g_t = band.g[tang_ax]
                     ky = 2 * np.pi * (kp_t + g_t / L_mon)
-                    eps0 = float(np.median(eps_line))
-                    if float(eps_line.max()) > 1.01 * float(eps_line.min()):
-                        import warnings
-                        warnings.warn(
-                            "diffraction-order decomposition on a "
-                            "heterogeneous monitor line: the analytic "
-                            "planewave uses the median epsilon; place the "
-                            "monitor in a homogeneous output medium (the "
-                            "reference solves the layered-medium planewave "
-                            "via MPB, mpb.cpp:925)", stacklevel=2)
-                    if te:
+                    if not te and dE_pw is None:
+                        dE_pw, dH_pw = ctx.deconv_lines()
+                    if strat_line:
+                        # stratified monitor line: the order is the
+                        # Bloch eigenmode of the layered medium (the
+                        # reference solves it via MPB, mpb.cpp:925-1110)
+                        from ..analysis.modes import (
+                            bloch_planewave_mode_te, bloch_planewave_mode_tm)
+                        if te:
+                            m = bloch_planewave_mode_te(
+                                f, eps_line, ky, ys_loc, self.gv.dx,
+                                dt=self.dt, inv_nodes=inv_nodes_line,
+                                inv_edges=inv_edges_line)
+                        else:
+                            m = bloch_planewave_mode_tm(
+                                f, eps_line_tm, ky, ys_loc, self.gv.dx,
+                                dt=self.dt)
+                    elif te:
                         from ..analysis.modes import planewave_mode_te
+                        eps0 = float(np.median(eps_line))
                         m = planewave_mode_te(f, eps0, ky, ys_loc,
                                               self.gv.dx, dt=self.dt)
                     else:
+                        eps0 = float(np.median(eps_line))
                         m = planewave_mode_tm(f, eps0, ky, ys_loc,
                                               self.gv.dx, dt=self.dt)
                     if m is None:        # evanescent order
@@ -1548,8 +1658,12 @@ class Simulation:
                     if len(modes) < band:
                         continue
                     m = modes[band - 1]
-                eF = dE_raw[:, fi]
-                hF = dH[:, fi]
+                if isinstance(band, DiffractedPlanewave) and not te:
+                    eF = dE_pw[:, fi]
+                    hF = dH_pw[:, fi]
+                else:
+                    eF = dE_raw[:, fi]
+                    hF = dH[:, fi]
                 if te:
                     ap, am = mode_overlap_te(m, eF, hF, self.gv.dx)
                 else:
@@ -1559,6 +1673,42 @@ class Simulation:
                 alpha[bi, fi, 0] = ap * boost
                 alpha[bi, fi, 1] = am * boost
         return alpha
+
+    def get_bloch_branch_coefficients(self, flux_handle):
+        """Decompose a 2D TM flux monitor into ALL propagating Bloch
+        branches of its cross-section at the cell's Bloch phase.  Unlike
+        diffraction ORDERS (get_eigenmode_coefficients with
+        DiffractedPlanewave bands), the branches are the orthogonal
+        eigenmodes of the x-uniform output medium and PARTITION the
+        monitor flux even when the cross-section is stratified (where
+        +/-g harmonics hybridize into standing branches with different
+        beta).  Returns (betas, alpha): betas[nfreq] lists of branch
+        propagation constants, alpha[nfreq] matching complex arrays of
+        shape (nbranch, 2) = forward/backward coefficients, so
+        sum |alpha[:, 0]|^2 - |alpha[:, 1]|^2 ~= get_fluxes."""
+        if self.gv.dim != "2d":
+            raise NotImplementedError("branch decomposition is 2D TM only")
+        from ..analysis.modes import (bloch_branch_modes_tm,
+                                      mode_overlap_tm,
+                                      monitor_average_boost)
+        ctx = self._mode_monitor_ctx(flux_handle, te=False)
+        dE_pw, dH_pw = ctx.deconv_lines()
+        kb = 2 * np.pi * ctx.kp_t
+        betas, alphas = [], []
+        for fi, f in enumerate(ctx.freqs):
+            modes = bloch_branch_modes_tm(f, ctx.eps_line_tm, kb,
+                                          ctx.ys_loc, self.gv.dx,
+                                          dt=self.dt)
+            a = np.zeros((len(modes), 2), np.complex128)
+            for mi, m in enumerate(modes):
+                ap, am = mode_overlap_tm(m, dE_pw[:, fi], dH_pw[:, fi],
+                                         self.gv.dx)
+                boost = monitor_average_boost(m.beta, self.gv.dx)
+                a[mi, 0] = ap * boost
+                a[mi, 1] = am * boost
+            betas.append(np.array([m.beta for m in modes]))
+            alphas.append(a)
+        return betas, alphas
 
     def add_force(self, fcen, df, nfreq, *regions, decimation_factor=0):
         """Maxwell stress-tensor force monitor (add_dft_force).  Each
