@@ -81,6 +81,12 @@ class OptimizationProblem:
     design_regions: List[DesignRegion]
     run_time: float
     block: Optional[int] = None
+    # "ad": native jax.grad through the lax.scan time loop (exact, jnp
+    #   stepper, sqrt-T remat).  "pair": physical forward/adjoint run pair
+    #   through the production fast path (adjoint/tworun.py — the
+    #   reference's two-run structure, optimization_problem.py:159).
+    gradient_method: str = "ad"
+    adjoint_fwidth_frac: float = 0.2
 
     def __post_init__(self):
         sim = self.simulation
@@ -96,6 +102,15 @@ class OptimizationProblem:
                         "placeholder block over the design region so the "
                         "epsilon coefficients exist")
         self.nsteps = int(round(self.run_time / self.plan.dt))
+        if self.gradient_method == "pair":
+            from .tworun import TwoRunGradient
+            entries = {}
+            for ri, dr in enumerate(self.design_regions):
+                for c, (slices, _fracs) in dr._site_maps.items():
+                    entries[f"{ri}:{c}"] = (c, slices)
+            self._engine = TwoRunGradient(
+                self.plan, entries, self.nsteps,
+                adjoint_fwidth_frac=self.adjoint_fwidth_frac)
 
         def J(*rhos):
             coefs = self.plan.coefs
@@ -108,12 +123,36 @@ class OptimizationProblem:
                                    for k, v in state["dft"].items()})
 
         self._J = jax.jit(J)
-        self._vg = jax.jit(jax.value_and_grad(J, argnums=tuple(
-            range(len(self.design_regions)))))
+        if self.gradient_method != "pair":
+            self._vg = jax.jit(jax.value_and_grad(J, argnums=tuple(
+                range(len(self.design_regions)))))
+
+    def _pair_call(self, *rhos):
+        """Forward/adjoint-pair evaluation: J and per-region rho gradient
+        (pairing identity + VJP through the density->inverse-eps map)."""
+        coefs = self.plan.coefs
+        for dr, rho in zip(self.design_regions, rhos):
+            coefs = dr.apply(rho, coefs, self.plan)
+        Jval, g_u = self._engine.gradient(self.objective, coefs)
+        grads = []
+        for ri, (dr, rho) in enumerate(zip(self.design_regions, rhos)):
+            comps = list(dr._site_maps)
+
+            def u_of_rho(r, dr=dr, comps=comps):
+                return {c: 1.0 / dr.eps_at_sites(r, c) for c in comps}
+
+            primal, vjp = jax.vjp(u_of_rho, rho)
+            cot = {c: jnp.asarray(g_u[f"{ri}:{c}"], primal[c].dtype)
+                   for c in comps}
+            grads.append(np.asarray(vjp(cot)[0]))
+        return Jval, grads
 
     def __call__(self, *rhos, need_gradient: bool = True):
         rhos = [jnp.asarray(r) for r in rhos]
         if need_gradient:
+            if self.gradient_method == "pair":
+                f0, grads = self._pair_call(*rhos)
+                return np.asarray(f0), grads
             f0, grads = self._vg(*rhos)
             return np.asarray(f0), [np.asarray(g) for g in grads]
         return np.asarray(self._J(*rhos)), None

@@ -1,0 +1,113 @@
+"""Two-run (forward/adjoint pair) gradients vs native AD ground truth.
+
+The pairing identity (adjoint/tworun.py) was calibrated against jax.grad
+in scripts/adjoint_pair_calib*.py; these tests gate the full production
+chain: Simulation-built plans, centered flux monitors with dV weights and
+negative pair scales, magnetic-current cotangents, the density->eps VJP,
+and multi-frequency objectives.  The analog of the reference's adjoint
+solver tests (python/tests/test_adjoint_solver.py) with the roles
+swapped: there FD validates the two-run machinery, here native AD does.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import meep_nl_tpu as mp
+from meep_nl_tpu.adjoint import (DesignRegion, DesignVariables,
+                                 OptimizationProblem)
+
+
+def _problem(gradient_method, nfreq=1, run_time=120.0):
+    fcen, df = 0.8, 0.3
+    sim = mp.Simulation(
+        cell_size=mp.Vector3(8, 6), resolution=10,
+        geometry=[
+            mp.Block(size=mp.Vector3(2, 2, mp.inf), center=mp.Vector3(0, 0),
+                     material=mp.Medium(epsilon=6.0)),
+        ],
+        sources=[mp.Source(mp.GaussianSource(frequency=fcen, fwidth=df),
+                           component=mp.Ez, center=mp.Vector3(-2.5, 0),
+                           size=mp.Vector3(0, 2))],
+        boundary_layers=[mp.PML(1.0)])
+    flux = sim.add_flux(fcen, 0.2 if nfreq > 1 else 0.0, nfreq,
+                        mp.FluxRegion(center=mp.Vector3(2.5, 0),
+                                      size=mp.Vector3(0, 2)))
+
+    def objective(dfts):
+        total = 0.0
+        for i in range(2):
+            ekey, hkey = f"{flux.name}:0:e{i}", f"{flux.name}:0:h{i}"
+            if ekey not in dfts:
+                continue
+            total = total + jnp.sum(
+                jnp.real(dfts[ekey] * jnp.conj(dfts[hkey])))
+        return total
+
+    # eps_max 4: random higher-contrast patterns (eps ~ 9) can trap
+    # quasi-bound states with Q >> any reasonable run length, where the
+    # pairing identity's decayed-run requirement fails (the engine warns)
+    dr = DesignRegion(DesignVariables(shape=(6, 6), eps_min=1.0,
+                                      eps_max=4.0),
+                      center=[0.0, 0.0], size=[2.0, 2.0])
+    return OptimizationProblem(simulation=sim, objective=objective,
+                               design_regions=[dr], run_time=run_time,
+                               gradient_method=gradient_method)
+
+
+def test_pair_gradient_matches_ad():
+    """Pair vs native-AD gradients on the transmission objective: the two
+    must agree pointwise once both runs are decayed (truncation is the
+    only approximation in the pairing identity)."""
+    rng = np.random.RandomState(0)
+    rho = 0.4 + 0.2 * rng.rand(6, 6)
+    opt_ad = _problem("ad")
+    f_ad, (g_ad,) = opt_ad(jnp.asarray(rho, jnp.float32))
+    opt_pair = _problem("pair")
+    f_pair, (g_pair,) = opt_pair(jnp.asarray(rho, jnp.float32))
+    assert np.isfinite(f_pair) and f_pair > 0
+    np.testing.assert_allclose(f_pair, f_ad, rtol=1e-4)
+    scale = np.max(np.abs(g_ad))
+    np.testing.assert_allclose(g_pair, g_ad, atol=5e-3 * scale, rtol=0.02)
+
+
+def test_pair_gradient_multifreq():
+    """Three objective frequencies: the pair engine loops one adjoint run
+    per frequency and the gradients must still sum correctly."""
+    rng = np.random.RandomState(1)
+    rho = 0.45 + 0.1 * rng.rand(6, 6)
+    opt_ad = _problem("ad", nfreq=3)
+    f_ad, (g_ad,) = opt_ad(jnp.asarray(rho, jnp.float32))
+    opt_pair = _problem("pair", nfreq=3)
+    f_pair, (g_pair,) = opt_pair(jnp.asarray(rho, jnp.float32))
+    np.testing.assert_allclose(f_pair, f_ad, rtol=1e-4)
+    scale = np.max(np.abs(g_ad))
+    np.testing.assert_allclose(g_pair, g_ad, atol=5e-3 * scale, rtol=0.02)
+
+
+def test_pair_second_call_reuses_runners():
+    """A second gradient at a different density must not rebuild the
+    adjoint plans (fixed source structure) and stays accurate."""
+    rng = np.random.RandomState(2)
+    opt = _problem("pair")
+    rho1 = 0.4 + 0.2 * rng.rand(6, 6)
+    rho2 = 0.4 + 0.2 * rng.rand(6, 6)
+    opt(jnp.asarray(rho1, jnp.float32))
+    cache_after_first = dict(opt._engine._adj_cache)
+    f2, (g2,) = opt(jnp.asarray(rho2, jnp.float32))
+    for k, v in opt._engine._adj_cache.items():
+        assert cache_after_first[k] is v      # same plan objects reused
+    # spot-check against FD through the pair objective
+    idx = (3, 2)
+    fd = opt.calculate_fd_gradient(rho2, idx, drho=3e-3)
+    assert abs(g2[idx] - fd) <= 0.02 * max(abs(fd), 1e-6), (g2[idx], fd)
+
+
+def test_pair_warns_when_undecayed():
+    """The engine must warn when a run is truncated before decay (the
+    regime where the pairing identity carries an error)."""
+    rng = np.random.RandomState(0)
+    rho = 0.4 + 0.2 * rng.rand(6, 6)
+    opt = _problem("pair", run_time=24.0)
+    with pytest.warns(UserWarning, match="not decayed"):
+        opt(jnp.asarray(rho, jnp.float32))
