@@ -203,12 +203,22 @@ class TwoRunGradient:
         truncates the time integrals; e.g. a random high-epsilon design
         can trap quasi-bound states with Q >> run length)."""
         import warnings
+        from ..ops.pallas.hybrid import hybrid_run
+
+        def seg(state, n, t0):
+            # production fast path (fused Mosaic kernel between DFT
+            # sample steps) whenever the plan qualifies; jnp otherwise
+            out = hybrid_run(plan, state, n, t0)
+            if out is not None:
+                return out
+            return S.run(plan, state, n, jit=True, t0=t0)
+
         half = nsteps // 2
         state = S.init_state(plan)
-        state = S.run(plan, state, half, jit=True, t0=0)
+        state = seg(state, half, 0)
         mid = max(float(jnp.max(jnp.abs(state["f"][c])))
                   for c in state["f"])
-        state = S.run(plan, state, nsteps - half, jit=True, t0=half)
+        state = seg(state, nsteps - half, half)
         end = max(float(jnp.max(jnp.abs(state["f"][c])))
                   for c in state["f"])
         if end > 1e-6 and end > 0.05 * mid:

@@ -111,3 +111,49 @@ def test_pair_warns_when_undecayed():
     opt = _problem("pair", run_time=24.0)
     with pytest.warns(UserWarning, match="not decayed"):
         opt(jnp.asarray(rho, jnp.float32))
+
+
+@pytest.mark.slow
+def test_pair_gradient_3d():
+    """3D pair vs AD: validates the pairing constants and the
+    multi-component (ex/ey/ez) design rows in 3D — the BASELINE config-5
+    geometry class at miniature scale."""
+    fcen = 0.8
+
+    def mk(method):
+        sim = mp.Simulation(
+            cell_size=mp.Vector3(5, 4, 4), resolution=8,
+            geometry=[mp.Block(size=mp.Vector3(1.5, 1.5, 1.5),
+                               center=mp.Vector3(0, 0, 0),
+                               material=mp.Medium(epsilon=4.0))],
+            sources=[mp.Source(mp.GaussianSource(frequency=fcen, fwidth=0.3),
+                               component=mp.Ez, center=mp.Vector3(-1.5, 0, 0),
+                               size=mp.Vector3(0, 2, 2))],
+            boundary_layers=[mp.PML(0.8)])
+        flux = sim.add_flux(fcen, 0.0, 1,
+                            mp.FluxRegion(center=mp.Vector3(1.6, 0, 0),
+                                          size=mp.Vector3(0, 2, 2)))
+
+        def objective(dfts):
+            tot = 0.0
+            for i in range(2):
+                ek, hk = f"{flux.name}:0:e{i}", f"{flux.name}:0:h{i}"
+                if ek in dfts:
+                    tot = tot + jnp.sum(
+                        jnp.real(dfts[ek] * jnp.conj(dfts[hk])))
+            return tot
+
+        dr = DesignRegion(DesignVariables(shape=(4, 4, 4), eps_min=1.0,
+                                          eps_max=4.0),
+                          center=[0.0, 0.0, 0.0], size=[1.5, 1.5, 1.5])
+        return OptimizationProblem(simulation=sim, objective=objective,
+                                   design_regions=[dr], run_time=120.0,
+                                   gradient_method=method)
+
+    rng = np.random.RandomState(0)
+    rho = jnp.asarray(0.4 + 0.2 * rng.rand(4, 4, 4), jnp.float32)
+    f_ad, (g_ad,) = mk("ad")(rho)
+    f_pair, (g_pair,) = mk("pair")(rho)
+    np.testing.assert_allclose(f_pair, f_ad, rtol=1e-4)
+    scale = np.max(np.abs(g_ad))
+    np.testing.assert_allclose(g_pair, g_ad, atol=0.02 * scale, rtol=0.05)
