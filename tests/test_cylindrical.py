@@ -155,3 +155,66 @@ def test_cyl_dipole_radiation_pattern():
     # two caps sample at slightly different relative positions, so this
     # is fp32-roundoff-plus-half-pixel, not exact)
     np.testing.assert_allclose(ratio, ratio[::-1], rtol=1e-2)
+
+
+def test_cyl_mirror_purcell_ratio():
+    """Drexhage-style absolute validation of the cylindrical FDTD's
+    radiated NEAR fields (the round-3 roadmap's cyl-vs-reference leg):
+    the power of an on-axis vertical dipole at height h above a PEC
+    mirror, normalized by the same dipole in vacuum, must match the
+    image-theory integral
+
+        P/P0 = (3/4) int_0^{pi/2} 4 cos^2(k h cos th) sin^3 th dth.
+
+    The ratio form is the reference's own convention for cylindrical
+    dipoles: an on-axis point source injects the discrete ring current
+    (sources.cpp:482 multiplies amp by a per delta dim, with no 1/2 pi r
+    measure), so the ABSOLUTE power is resolution-dependent by design in
+    both frameworks and only normalized quantities (Purcell factors,
+    radiation patterns) are physical — exactly how the reference's
+    point_dipole_cyl / dipole_in_vacuum_cyl_on_axis tutorials use it."""
+    from scipy.integrate import quad
+    fcen, res = 1.0, 20
+    k = 2 * np.pi * fcen
+
+    def mk(boundaries, z_src):
+        sim = mp.Simulation(
+            cell_size=mp.Vector3(2.5, 0, 6.0), resolution=res,
+            dimensions="cyl", m=0, boundary_layers=boundaries,
+            sources=[mp.Source(mp.GaussianSource(frequency=fcen,
+                                                 fwidth=0.3),
+                               component=mp.Ez,
+                               center=mp.Vector3(0, 0, z_src))])
+        return sim
+
+    r0 = 1.2
+    # vacuum normalization run (closed box: side + both caps)
+    simv = mk([mp.PML(0.8)], 0.0)
+    z0 = 1.5
+    fs = simv.add_flux(fcen, 0, 1, mp.FluxRegion(
+        center=mp.Vector3(r0, 0, 0), size=mp.Vector3(0, 0, 2 * z0)))
+    ft = simv.add_flux(fcen, 0, 1, mp.FluxRegion(
+        center=mp.Vector3(r0 / 2, 0, z0), size=mp.Vector3(r0, 0, 0)))
+    fb = simv.add_flux(fcen, 0, 1, mp.FluxRegion(
+        center=mp.Vector3(r0 / 2, 0, -z0), size=mp.Vector3(r0, 0, 0)))
+    simv.run(until=60.0)
+    P0 = (np.asarray(simv.get_fluxes(fs))[0]
+          + np.asarray(simv.get_fluxes(ft))[0]
+          - np.asarray(simv.get_fluxes(fb))[0])
+
+    zlo, ztop = -3.0, 1.4
+    for h in (0.15, 0.35):       # strong (+69%) and weak (+1.4%) regimes
+        num = quad(lambda th: 4 * np.cos(k * h * np.cos(th)) ** 2
+                   * np.sin(th) ** 3, 0, np.pi / 2)[0]
+        exact = num / (4.0 / 3.0)
+        simm = mk([mp.PML(0.8, direction="r"),
+                   mp.PML(0.8, direction="z", side=+1)], zlo + h)
+        fs2 = simm.add_flux(fcen, 0, 1, mp.FluxRegion(
+            center=mp.Vector3(r0, 0, (zlo + ztop) / 2),
+            size=mp.Vector3(0, 0, ztop - zlo)))
+        ft2 = simm.add_flux(fcen, 0, 1, mp.FluxRegion(
+            center=mp.Vector3(r0 / 2, 0, ztop), size=mp.Vector3(r0, 0, 0)))
+        simm.run(until=60.0)
+        P = (np.asarray(simm.get_fluxes(fs2))[0]
+             + np.asarray(simm.get_fluxes(ft2))[0])
+        assert abs(P / P0 - exact) < 0.015 * exact, (h, P / P0, exact)
