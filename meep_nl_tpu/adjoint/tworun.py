@@ -300,34 +300,49 @@ class TwoRunGradient:
         self._adj_cache[key] = entry
         return entry
 
-    def gradient(self, objective: Callable, coefs: Dict[str, Any]):
-        """(J, {design key: dJ/du_c over that entry's design slices})."""
-        dfts = self.forward(coefs)
-        J, C = self.cotangents(objective, dfts)
-        dt = self.plan.dt
-        Ehat = {k: np.asarray(S.dft_view(np.asarray(dfts[n])))
-                for k, n in self._dr_names.items()}
-        g = {k: np.zeros(E.shape[:-1], np.float64)
-             for k, E in Ehat.items()}
-        for freq in self.freqs:
-            amps = self._amp_grids(C, float(freq))
-            if not amps or all(not np.any(a) for a in amps.values()):
-                continue
-            plan_adj, st, order = self._adjoint_plan(float(freq))
-            newc = dict(plan_adj.coefs)
-            for si, mi in enumerate(order):
+    def _adjoint_plan_broadband(self):
+        """Cached single broadband adjoint-plan skeleton: one tone basis
+        source PER (monitor, objective frequency).  The tone matrix
+        M[i, j] = ghat_j(f_i) is inverted so the combined drive has EXACT
+        per-frequency amplitudes at every objective frequency (the role
+        of the reference's FilteredSource, adjoint/filter_source.py —
+        here solved exactly in the tone basis instead of fitting a
+        windowed-sinc FIR)."""
+        entry = self._adj_cache.get("broadband")
+        if entry is not None:
+            return entry
+        freqs = [float(f) for f in self.freqs]
+        spacing = (min(np.diff(freqs)) if len(freqs) > 1
+                   else self.fwidth_frac * freqs[0])
+        tones = [GaussianSource(frequency=f,
+                                fwidth=max(min(spacing,
+                                               self.fwidth_frac * f), 1e-6))
+                 for f in freqs]
+        M = np.array([[_src_spectrum(tj, fi, self.nsteps, self.plan.dt)
+                       for tj in tones] for fi in freqs])
+        srcs, order = [], []
+        for j, tone in enumerate(tones):
+            for mi in self._amp_grids({}, freqs[j]):
                 m = self.plan.dfts[mi]
-                _, avals = _spread_centered(self.plan, m, amps[mi],
-                                            keep_zeros=True)
-                newc[f"src{si}:amp_re"] = avals.real.astype(self.plan.dtype)
-                newc[f"src{si}:amp_im"] = avals.imag.astype(self.plan.dtype)
-            for k, v in coefs.items():
-                if not _SRC_DFT_KEY.match(k):
-                    newc[k] = v
-            plan_adj.coefs = newc
-            st2 = self._run_checked(plan_adj, self.nsteps,
-                                    f"adjoint(f={freq:g})")
-            shat = _src_spectrum(st, float(freq), self.nsteps, dt)
+                amp0 = np.zeros(tuple(b - a for a, b in m.region))
+                idx, _ = _spread_centered(self.plan, m,
+                                          np.ones_like(amp0))
+                srcs.append(SrcVolSpec(
+                    component=m.component, indices=idx,
+                    amps=np.zeros(len(idx), np.complex128), src_time=tone))
+                order.append((j, mi))
+        dr_dfts = [s for s in self.plan_fwd.dfts
+                   if s.name.startswith("adjdr:")]
+        plan_adj = plan_with(self.plan, sources=srcs, dfts=dr_dfts)
+        entry = (plan_adj, np.linalg.inv(M), np.linalg.cond(M), order)
+        self._adj_cache["broadband"] = entry
+        return entry
+
+    def _pair_accumulate(self, st2, g, Ehat, live_freqs):
+        """Add Re[Z (Lam) Ehat]/u^2 for each live frequency; Lam must
+        already carry unit drive at each objective frequency."""
+        dt = self.plan.dt
+        for freq in live_freqs:
             Z = _Z_e(float(freq), dt)
             fidx = self._fidx[float(freq)]
             for key, name in self._dr_names.items():
@@ -337,6 +352,84 @@ class TwoRunGradient:
                 sl = tuple(slice(a, b) for a, b in slices)
                 u_row = self.plan_fwd.coefs.get(f"{c}:u")
                 u_sl = np.asarray(u_row)[sl] if u_row is not None else 1.0
-                g[key] += np.real(Z * (Lam / shat)
+                g[key] += np.real(Z * Lam
                                   * Ehat[key][..., fidx]) / u_sl ** 2
+
+    def gradient(self, objective: Callable, coefs: Dict[str, Any]):
+        """(J, {design key: dJ/du_c over that entry's design slices})."""
+        dfts = self.forward(coefs)
+        J, C = self.cotangents(objective, dfts)
+        Ehat = {k: np.asarray(S.dft_view(np.asarray(dfts[n])))
+                for k, n in self._dr_names.items()}
+        g = {k: np.zeros(E.shape[:-1], np.float64)
+             for k, E in Ehat.items()}
+        amps_per_f = {float(f): self._amp_grids(C, float(f))
+                      for f in self.freqs}
+        live = [f for f, amps in amps_per_f.items()
+                if amps and any(np.any(a) for a in amps.values())]
+        if not live:
+            return J, g
+        if len(live) > 1:
+            plan_adj, Minv, condM, order = self._adjoint_plan_broadband()
+            if condM < 1e9:
+                self._gradient_broadband(coefs, amps_per_f, live,
+                                         plan_adj, Minv, order, g, Ehat)
+                return J, g
+            # ill-conditioned tone basis (near-degenerate frequency
+            # grid): fall back to one adjoint run per frequency
+        self._gradient_perfreq(coefs, amps_per_f, live, g, Ehat)
         return J, g
+
+    def _gradient_broadband(self, coefs, amps_per_f, live, plan_adj, Minv,
+                            order, g, Ehat):
+        """ONE adjoint run covering every objective frequency."""
+        freqs = [float(f) for f in self.freqs]
+        spread = {}
+        for f in freqs:
+            spread[f] = {}
+            for mi, amp in amps_per_f[f].items():
+                m = self.plan.dfts[mi]
+                _, avals = _spread_centered(self.plan, m, amp,
+                                            keep_zeros=True)
+                spread[f][mi] = avals
+        newc = dict(plan_adj.coefs)
+        for si, (j, mi) in enumerate(order):
+            # tone j carries sum_i Minv[j, i] * A(f_i) at monitor mi
+            avals = sum(Minv[j, i] * spread[fi][mi]
+                        for i, fi in enumerate(freqs)
+                        if mi in spread[fi])
+            if np.isscalar(avals):       # monitor absent at all freqs
+                avals = np.zeros(
+                    len(np.asarray(newc[f"src{si}:amp_re"])), complex)
+            newc[f"src{si}:amp_re"] = avals.real.astype(self.plan.dtype)
+            newc[f"src{si}:amp_im"] = avals.imag.astype(self.plan.dtype)
+        for k, v in coefs.items():
+            if not _SRC_DFT_KEY.match(k):
+                newc[k] = v
+        plan_adj.coefs = newc
+        st2 = self._run_checked(plan_adj, self.nsteps, "adjoint(broadband)")
+        self._pair_accumulate(st2, g, Ehat, live)
+
+    def _gradient_perfreq(self, coefs, amps_per_f, live, g, Ehat):
+        """One adjoint run per objective frequency (exact regardless of
+        tone-basis conditioning)."""
+        dt = self.plan.dt
+        for freq in live:
+            amps = amps_per_f[freq]
+            plan_adj, st, order = self._adjoint_plan(float(freq))
+            shat = _src_spectrum(st, float(freq), self.nsteps, dt)
+            newc = dict(plan_adj.coefs)
+            for si, mi in enumerate(order):
+                m = self.plan.dfts[mi]
+                _, avals = _spread_centered(self.plan, m,
+                                            amps[mi] / shat,
+                                            keep_zeros=True)
+                newc[f"src{si}:amp_re"] = avals.real.astype(self.plan.dtype)
+                newc[f"src{si}:amp_im"] = avals.imag.astype(self.plan.dtype)
+            for k, v in coefs.items():
+                if not _SRC_DFT_KEY.match(k):
+                    newc[k] = v
+            plan_adj.coefs = newc
+            st2 = self._run_checked(plan_adj, self.nsteps,
+                                    f"adjoint(f={freq:g})")
+            self._pair_accumulate(st2, g, Ehat, [freq])

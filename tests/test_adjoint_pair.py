@@ -72,14 +72,19 @@ def test_pair_gradient_matches_ad():
 
 
 def test_pair_gradient_multifreq():
-    """Three objective frequencies: the pair engine loops one adjoint run
-    per frequency and the gradients must still sum correctly."""
+    """Three objective frequencies through ONE broadband adjoint run (the
+    tone-basis analog of the reference's FilteredSource): the combined
+    drive has exact per-frequency amplitudes, so the summed gradient
+    still matches native AD."""
     rng = np.random.RandomState(1)
     rho = 0.45 + 0.1 * rng.rand(6, 6)
     opt_ad = _problem("ad", nfreq=3)
     f_ad, (g_ad,) = opt_ad(jnp.asarray(rho, jnp.float32))
     opt_pair = _problem("pair", nfreq=3)
     f_pair, (g_pair,) = opt_pair(jnp.asarray(rho, jnp.float32))
+    # the single broadband adjoint plan must have been used (well-
+    # conditioned tone basis), not the one-run-per-frequency fallback
+    assert "broadband" in opt_pair._engine._adj_cache
     np.testing.assert_allclose(f_pair, f_ad, rtol=1e-4)
     scale = np.max(np.abs(g_ad))
     np.testing.assert_allclose(g_pair, g_ad, atol=5e-3 * scale, rtol=0.02)
