@@ -27,7 +27,7 @@ from .models.simulation import (Simulation, PML, Absorber, FluxRegion,
                                 Ex, Ey, Ez, Hx, Hy, Hz, Dx, Dy, Dz,
                                 Bx, By, Bz, Er, Ep, Hr, Hp, Dielectric,
                                 X, Y, Z, R, ALL,
-                                Low, High, Metallic, Magnetic, Mirror, Rotate2,
+                                Low, High, Metallic, Magnetic, Mirror, Rotate2, Rotate4,
                                 DiffractedPlanewave)
 from .analysis.harminv import Harminv, harminv
 from .analysis.bands import ModeSolver, ModeSolver3D, retrieve_gap

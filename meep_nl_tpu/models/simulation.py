@@ -118,6 +118,29 @@ class Rotate2:
 
 
 @dataclasses.dataclass
+class Rotate4:
+    """C4 rotational-symmetry declaration (python/simulation.py Rotate4;
+    vec.hpp:1189-1232 symmetry::rotate4).  The cell is QUARTERED: both
+    axes perpendicular to `direction` are halved (square extents and
+    even cell counts required), with the rotation axis at their shared
+    low corner.  Backward differences across either fold plane read the
+    90-degree-rotated ghost: a direct transposed read of the
+    x<->y-swapped component at the reflected row (step._rot4_ghost).
+
+    Supported envelope (first landing, like Rotate2's): real fields
+    (phase +1/-1 — the +/-i irreps need complex fields), jnp stepper
+    path, no k_point / chi2 / chi3 / BFAST / cylindrical / anisotropic
+    epsilon, not combined with other symmetries.  Sources along the
+    rotation axis (e.g. Ez under C4z) fold from any quadrant; in-plane
+    component sources must lie in the retained quadrant.  DFT monitor
+    regions must lie in the retained quadrant.  get_array unfolds
+    rotation-axis components and epsilon; in-plane components need the
+    quadrant's pair partner and are rejected."""
+    direction: str = "z"
+    phase: int = 1
+
+
+@dataclasses.dataclass
 class PML:
     """uPML boundary layer (python/simulation.py PML class)."""
     thickness: float
@@ -253,6 +276,7 @@ class Simulation:
         self.symmetries = list(symmetries)
         self._mirrors = []          # (axis_index, direction_letter, phase)
         self._rot2 = None           # (fold_ax, flip_ax, w_letter, phase)
+        self._rot4 = None           # (ax1, ax2, w_letter, phase)
         origin = None
         if self.symmetries:
             if k_point is not None:
@@ -262,6 +286,43 @@ class Simulation:
             origin = [0.0 if (self.dim == "cyl" and d == "r")
                       else -s / 2 for d, s in zip(axes, size)]
             for sym in self.symmetries:
+                if isinstance(sym, Rotate4):
+                    if self.dim not in ("2d", "3d"):
+                        raise NotImplementedError(
+                            "Rotate4 needs a 2d/3d cartesian cell")
+                    w = sym.direction
+                    if int(sym.phase) not in (1, -1):
+                        raise NotImplementedError(
+                            "Rotate4 phase must be +1/-1 (the +/-i "
+                            "irreps need complex fields)")
+                    perp = [dd for dd in ("x", "y", "z") if dd != w]
+                    if any(dd not in axes for dd in perp):
+                        raise ValueError(
+                            f"Rotate4({w}) needs both perpendicular axes "
+                            "as grid axes")
+                    if self._mirrors or self._rot2 is not None \
+                            or self._rot4 is not None:
+                        raise NotImplementedError(
+                            "Rotate4 combined with other symmetries is "
+                            "not supported")
+                    a1, a2 = (axes.index(perp[0]), axes.index(perp[1]))
+                    if abs(size[a1] - size[a2]) > 1e-12:
+                        raise ValueError(
+                            f"Rotate4({w}) needs a square cell in the "
+                            f"{perp[0]}{perp[1]} plane")
+                    for ax_ in (a1, a2):
+                        n_full = int(round(size[ax_] * self.resolution))
+                        if n_full % 2:
+                            raise ValueError(
+                                f"Rotate4({w}) needs even cell counts "
+                                f"along {axes[ax_]} (have {n_full}) so "
+                                "the rotation axis lands on a whole "
+                                "grid site")
+                        size[ax_] = size[ax_] / 2
+                        origin[ax_] = 0.0
+                        self._boundaries[(axes[ax_], "low")] = "none"
+                    self._rot4 = (a1, a2, w, int(sym.phase))
+                    continue
                 if isinstance(sym, Rotate2):
                     if self.dim not in ("2d", "3d"):
                         raise NotImplementedError(
@@ -273,7 +334,8 @@ class Simulation:
                         raise ValueError(
                             f"Rotate2({w}) needs both {fold_d} and "
                             f"{flip_d} as grid axes")
-                    if self._mirrors or self._rot2 is not None:
+                    if self._mirrors or self._rot2 is not None \
+                            or self._rot4 is not None:
                         raise NotImplementedError(
                             "Rotate2 combined with other symmetries is "
                             "not supported")
@@ -292,11 +354,11 @@ class Simulation:
                     continue
                 if not isinstance(sym, Mirror):
                     raise NotImplementedError(
-                        "only Mirror/Rotate2 symmetries are supported "
-                        "(rot4 deferred; see README symmetry row)")
-                if self._rot2 is not None:
+                        "only Mirror/Rotate2/Rotate4 symmetries are "
+                        "supported")
+                if self._rot2 is not None or self._rot4 is not None:
                     raise NotImplementedError(
-                        "Rotate2 combined with other symmetries is "
+                        "rotational symmetries combined with Mirror are "
                         "not supported")
                 d = sym.direction
                 if d not in axes:
@@ -401,6 +463,40 @@ class Simulation:
         (the symmetry projection of fields::add_volume_source under
         symmetry.cpp transforms)."""
         import dataclasses as dc
+        if self._rot4 is not None and hasattr(s, "center"):
+            a1, a2, w, phase = self._rot4
+            axes = self.gv.axes
+            c = list(_v3(s.center))
+            sz = list(_v3(s.size)) if getattr(s, "size", None) is not None \
+                else [0.0, 0.0, 0.0]
+            slot3 = {"x": 0, "y": 1, "z": 2}
+            i, j = slot3[axes[a1]], slot3[axes[a2]]
+            lo_i, hi_i = c[i] - 0.5 * sz[i], c[i] + 0.5 * sz[i]
+            lo_j, hi_j = c[j] - 0.5 * sz[j], c[j] + 0.5 * sz[j]
+            if lo_i >= -1e-12 and lo_j >= -1e-12:
+                return s                   # already in the wedge
+            if (lo_i < -1e-12 and hi_i > 1e-12) or \
+                    (lo_j < -1e-12 and hi_j > 1e-12):
+                raise ValueError(
+                    "source straddles a Rotate4 fold plane; place it in "
+                    "one quadrant")
+            if s.component[1] != w:
+                raise ValueError(
+                    f"in-plane-component source ({s.component}) outside "
+                    "the retained Rotate4 quadrant: its fold swaps the "
+                    "component — place it in the retained quadrant")
+            # rotate the center into the wedge by k quarter turns; the
+            # w-component picks up phase^k (F_w(R r) = phase * F_w(r))
+            amp = s.amplitude
+            for _k in range(3):
+                if c[i] >= -1e-12 and c[j] >= -1e-12:
+                    break
+                c[i], c[j] = c[j], -c[i]       # R^-1: (x, y) -> (y, -x)
+                sz[i], sz[j] = sz[j], sz[i]
+                amp = amp * phase
+            s = dc.replace(s, center=Vector3(*c), size=Vector3(*sz),
+                           amplitude=amp)
+            return s
         if self._rot2 is not None and hasattr(s, "center"):
             fax, lax_, _w, phase = self._rot2
             axes = self.gv.axes
@@ -465,6 +561,16 @@ class Simulation:
         center = list(center)
         size = list(size)
         factor = 1.0
+        if self._rot4 is not None:
+            a1, a2, _w, _phase = self._rot4
+            for ax_ in (a1, a2):
+                if center[ax_] - 0.5 * size[ax_] < -1e-9:
+                    raise ValueError(
+                        "DFT region extends outside the retained Rotate4 "
+                        "quadrant; place monitors in the quadrant (their "
+                        "images are rotated surfaces with swapped "
+                        "components, not representable by a weight)")
+            return center, size, factor
         if self._rot2 is not None:
             fax, lax_, _w, phase = self._rot2
             axes = self.gv.axes
@@ -585,7 +691,8 @@ class Simulation:
             else:
                 sources.append(s)
         for s in sources:
-            if (self._mirrors or self._rot2 is not None) \
+            if (self._mirrors or self._rot2 is not None
+                    or self._rot4 is not None) \
                     and not isinstance(s, IndexedSource):
                 s = self._fold_source(s)
             comp = s.component
@@ -762,6 +869,10 @@ class Simulation:
         if self._rot2 is not None:
             # the folded axis keeps the rotation plane at its low side
             mirror_dirs.add(self.gv.axes[self._rot2[0]])
+        if self._rot4 is not None:
+            # both folded axes keep their rotation planes at the low side
+            mirror_dirs.add(self.gv.axes[self._rot4[0]])
+            mirror_dirs.add(self.gv.axes[self._rot4[1]])
         for bl in self.boundary_layers:
             dirs = list(self.gv.axes) if bl.direction == ALL else [bl.direction]
             for d in dirs:
@@ -824,10 +935,33 @@ class Simulation:
                             if self.bfast_scaled_k is not None else None),
             boundaries=self._boundaries or None,
             rot2=self._rot2,
+            rot4=self._rot4,
             # sublane-align the x storage of 3D cells so the fused
             # kernels get a usable block depth (dead rows are masked;
-            # prime site counts would otherwise force bx=1)
-            pad_to_multiple=((8, 1, 1) if self.gv.dim == "3d" else 1))
+            # prime site counts would otherwise force bx=1).  rot4 wedges
+            # must keep SQUARE storage in the rotation plane (the ghost
+            # is a transposed read), so they skip the padding (they run
+            # on the jnp path anyway)
+            pad_to_multiple=((8, 1, 1) if self.gv.dim == "3d"
+                             and self._rot4 is None else 1))
+        if self._rot4 is not None:
+            p_ = self._plan
+            if any(sp.has_chi3 or sp.has_nr
+                   for sp in p_.eh_specs_e + p_.eh_specs_h):
+                raise NotImplementedError(
+                    "Rotate4 with chi2/chi3 nonlinear media is not "
+                    "supported (the NL neighbor sums do not fold)")
+            if any(sp.has_u1 or sp.has_u2
+                   for sp in p_.eh_specs_e + p_.eh_specs_h):
+                raise NotImplementedError(
+                    "Rotate4 with anisotropic epsilon is not supported "
+                    "(the OFFDIAG neighbor averages cross the fold)")
+            if p_.bfast_k is not None or p_.m:
+                raise NotImplementedError(
+                    "Rotate4 with BFAST/cylindrical runs is not supported")
+            if p_.complex_fields:
+                raise NotImplementedError(
+                    "Rotate4 needs real fields (phase +/-1 irreps)")
         if self._rot2 is not None:
             p_ = self._plan
             if any(s.has_chi3 or s.has_nr
@@ -966,7 +1100,8 @@ class Simulation:
                 zero_axes = [self.gv.axes[i] for i, sz in enumerate(size)
                              if sz == 0]
                 normal = zero_axes[0]
-            if self._mirrors or self._rot2 is not None:
+            if self._mirrors or self._rot2 is not None \
+                    or self._rot4 is not None:
                 # folding a near-surface needs image Green's sources, not a
                 # scalar weight; reject rather than return half the fields
                 folded = [(self.gv.axes.index(d), d)
@@ -974,6 +1109,9 @@ class Simulation:
                 if self._rot2 is not None:
                     folded.append((self._rot2[0],
                                    self.gv.axes[self._rot2[0]]))
+                if self._rot4 is not None:
+                    for ax_ in self._rot4[:2]:
+                        folded.append((ax_, self.gv.axes[ax_]))
                 for i, d in folded:
                     if center[i] - 0.5 * size[i] < -1e-9:
                         raise ValueError(
@@ -2142,6 +2280,74 @@ class Simulation:
         phase * mirror_parity (symmetry.cpp transform applied in reverse).
         On-plane rows are shared; the grid's one below-plane ghost row
         (phase +1 alignment) is dropped."""
+        if self._rot4 is not None:
+            a1, a2, w, phase = self._rot4
+            if component != "eps" and component[1] != w:
+                raise NotImplementedError(
+                    "get_array of an in-plane component on a Rotate4 "
+                    "cell: the rotated quadrants carry the SWAPPED "
+                    "component; request the rotation-axis component or "
+                    "run without the symmetry")
+            # full coords: [-L/2, L/2] on both folded axes; each full
+            # site maps into the wedge by k quarter turns and picks up
+            # phase^k (F_w(R^k r) = phase^k F_w(r); eps is invariant)
+            cw1, cw2 = coords[a1], coords[a2]
+            p_eff = 1.0 if component == "eps" else float(phase)
+            ys4 = G.yee_shift(component, self.gv.dim) \
+                if component != "eps" else {}
+            if ys4.get(self.gv.axes[a1], 0):
+                # half-shifted (hz-family) collapse: the wedge fold-edge
+                # columns were averaged with a ZERO below-fold ghost; the
+                # missing half is the C4 image of the OTHER fold edge's
+                # half (hz(-dx/2, y) = p hz(y, dx/2)), and the shared
+                # corner completes to the (1 + p)^2 quadruple image
+                arr = np.asarray(arr).copy()
+                T = np.swapaxes(arr.copy(), a1, a2)
+                sl0 = [slice(None)] * arr.ndim
+                sl0[a1] = 0
+                arr[tuple(sl0)] += p_eff * T[tuple(sl0)]
+                sl1 = [slice(None)] * arr.ndim
+                sl1[a2] = 0
+                arr[tuple(sl1)] += p_eff * T[tuple(sl1)]
+                slc = [slice(None)] * arr.ndim
+                slc[a1] = 0
+                slc[a2] = 0
+                arr[tuple(slc)] += (p_eff * p_eff) * T[tuple(slc)]
+            # phantom collapsed columns past the live high edge have no
+            # image inside the cell: mirror only the live span
+            hi1 = self.gv.num[a1] * self.gv.dx
+            hi2 = self.gv.num[a2] * self.gv.dx
+            full1 = np.concatenate(
+                [-np.flip(cw1[(cw1 > 1e-12) & (cw1 <= hi1 + 1e-9)]), cw1])
+            full2 = np.concatenate(
+                [-np.flip(cw2[(cw2 > 1e-12) & (cw2 <= hi2 + 1e-9)]), cw2])
+            X = full1[:, None] + 0 * full2[None, :]
+            Y = 0 * full1[:, None] + full2[None, :]
+            sgn = np.ones_like(X)
+            for _k in range(3):
+                neg = (X < -1e-12) | (Y < -1e-12)
+                if not np.any(neg):
+                    break
+                Xn = np.where(neg, Y, X)       # R^-1: (x, y) -> (y, -x)
+                Yn = np.where(neg, -X, Y)
+                sgn = np.where(neg, sgn * p_eff, sgn)
+                X, Y = Xn, Yn
+            dx = self.gv.dx
+            i1 = np.clip(np.round((X - cw1[0]) / dx).astype(int),
+                         0, len(cw1) - 1)
+            i2 = np.clip(np.round((Y - cw2[0]) / dx).astype(int),
+                         0, len(cw2) - 1)
+            arr = np.asarray(arr)
+            take = np.moveaxis(np.moveaxis(arr, a1, 0), a2 if a2 > a1
+                               else a2 + 1, 1)
+            out = take[i1, i2] * sgn.reshape(
+                sgn.shape + (1,) * (take.ndim - 2))
+            out = np.moveaxis(np.moveaxis(out, 1, a2 if a2 > a1
+                                          else a2 + 1), 0, a1)
+            coords = list(coords)
+            coords[a1] = full1
+            coords[a2] = full2
+            return out, coords
         if self._rot2 is not None:
             fax, lax_, _w, phase = self._rot2
             axes = self.gv.axes

@@ -111,7 +111,7 @@ def supported(plan, bx: int = None, allow_disp: bool = True) -> bool:
     gv = plan.gv
     if gv.dim != "3d" or plan.complex_fields or plan.bfast_k is not None:
         return False
-    if getattr(plan, "rot2", None) is not None:
+    if getattr(plan, "rot2", None) is not None or getattr(plan, "rot4", None) is not None:
         return False        # C2 fold ghost not taught to the fused kernels
     bx = _pick_bx(plan, bx)
     if plan.pol_specs_h:

@@ -254,6 +254,14 @@ class Plan:
     #: ghost parity * flip(plane, flip_ax).  (fold_ax, flip_ax,
     #: w_letter, phase) or None
     rot2: Optional[Tuple[Any, ...]] = None
+    #: C4 rotational symmetry fold (vec.hpp:1189-1232 rotate4): the cell
+    #: is QUARTERED (both axes perpendicular to the rotation axis halved,
+    #: rotation axis at their shared 0 corner); backward differences
+    #: across either fold plane read the 90-degree-rotated ghost — a
+    #: direct (unflipped) transposed read of the x<->y-SWAPPED component
+    #: at the reflected source row, with the rotation-matrix sign.
+    #: (ax1, ax2, w_letter, phase) or None
+    rot4: Optional[Tuple[Any, ...]] = None
 
     @property
     def dt(self) -> float:
@@ -355,6 +363,7 @@ def compile_plan(
     bfast_scaled_k=None,
     boundaries=None,   # {(dir_letter, 'low'|'high'): 'metal'|'magnetic'}
     rot2=None,         # (fold_ax, flip_ax, w_ax, phase) C2 fold (Plan.rot2)
+    rot4=None,         # (ax1, ax2, w_ax, phase) C4 fold (Plan.rot4)
 ) -> Plan:
     import jax.numpy as jnp
 
@@ -782,7 +791,8 @@ def compile_plan(
         coefs=coefs, m=mm,
         bfast_k=tuple(bfast_scaled_k) if bfast_scaled_k is not None else None,
         mask_planes=mask_planes, support_boxes=support_boxes,
-        rot2=tuple(rot2) if rot2 is not None else None)
+        rot2=tuple(rot2) if rot2 is not None else None,
+        rot4=tuple(rot4) if rot4 is not None else None)
 
 
 def _infer_live(gv: G.GridVolume, mat: MaterialSpec, sources, dfts, ft: str

@@ -262,6 +262,47 @@ def _rot2_ghost(plan: Plan, g: jnp.ndarray, gname: str) -> jnp.ndarray:
     return s * rev
 
 
+def _rot4_ghost(plan: Plan, f: Dict[str, Any], gname: str,
+                a: int) -> jnp.ndarray:
+    """The C4-fold ghost plane for a backward difference across fold
+    plane `a` (one of the two perpendicular axes) at site 0
+    (vec.hpp:1189-1232 rotate4).  With R the +90-degree rotation taking
+    ax1 into ax2, the symmetry F(R r) = p rho(R) F(r) gives the ghost as
+    a DIRECT (unflipped) transposed read of the x<->y-swapped component
+    at the reflected source row:
+
+        ax1-ghost:  g(-x0, y, .) = s * g'(y, +x0', .)
+        ax2-ghost:  g(x, -y0, .) = s * g'(+y0', x, .)
+
+    with g' = swap_{ax1<->ax2}(g), row index 1 - yee_shift(g, fold
+    letter), and s from the rotation matrix: for the ax1 ghost
+    (F_ax1, F_ax2, F_w) pick up (-p, +p, +p); for the ax2 ghost
+    (+p, -p, +p) — E and H transform identically (proper rotation)."""
+    ax1, ax2, w_letter, phase = plan.rot4
+    gv = plan.gv
+    l1, l2 = gv.axes[ax1], gv.axes[ax2]
+    swap = {l1: l2, l2: l1}
+    g2name = gname[0] + swap.get(gname[1], gname[1])
+    g2 = f[g2name]
+    off = g2.ndim - gv.ndim
+    ys = G.yee_shift(gname, gv.dim)
+    if gname[1] == w_letter:
+        s = float(phase)
+    elif (gname[1] == l1) == (a == ax1):
+        s = -float(phase)
+    else:
+        s = float(phase)
+    fold_letter = l1 if a == ax1 else l2
+    k0 = 1 - ys[fold_letter]              # reflected source row in g'
+    other = ax2 if a == ax1 else ax1
+    sl = [slice(None)] * g2.ndim
+    sl[other + off] = slice(k0, k0 + 1)
+    plane = g2[tuple(sl)]                 # row at the reflected index
+    # transpose the in-plane axes: the ghost's `other`-axis index is the
+    # read's `a`-axis index (square wedge: the two extents match)
+    return s * jnp.swapaxes(plane, a + off, other + off)
+
+
 def _curl(plan: Plan, spec: CurlSpec, f: Dict[str, Any],
           C: Optional[Dict[str, Any]] = None) -> jnp.ndarray:
     """dfl such that the no-PML update is f += dfl (step_generic.cpp:39-67).
@@ -283,6 +324,12 @@ def _curl(plan: Plan, spec: CurlSpec, f: Dict[str, Any],
                 osl = [slice(None)] * g.ndim
                 osl[a + off] = slice(0, 1)
                 sh = sh.at[tuple(osl)].set(_rot2_ghost(plan, g, gname))
+            if plan.rot4 is not None and a in plan.rot4[:2] \
+                    and gname is not None:
+                off = g.ndim - plan.gv.ndim
+                osl = [slice(None)] * g.ndim
+                osl[a + off] = slice(0, 1)
+                sh = sh.at[tuple(osl)].set(_rot4_ghost(plan, f, gname, a))
             return g - sh
         return _sh(plan, g, a, +1) - g  # forward difference
 
