@@ -25,6 +25,10 @@ def run_one():
     """Single measurement at BENCH_GRID (invoked as a subprocess)."""
     import numpy as np
     import jax
+    if os.environ.get("BENCH_CPU"):
+        # testing escape hatch: the ambient JAX_PLATFORMS=axon tunnel
+        # selection wins over env overrides, so force CPU via config
+        jax.config.update("jax_platforms", "cpu")
     # persistent compile cache: tunnel compile latency varies wildly
     # (500s+ on bad days); repeated/driver runs reuse compiles when the
     # backend supports it
@@ -199,6 +203,22 @@ def run_one():
     }))
 
 
+def _probe(grid, timeout, extra_env=None):
+    env = dict(os.environ, BENCH_ONE="1", BENCH_GRID=grid,
+               **(extra_env or {}))
+    try:
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return None
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{") and "metric" in line:
+            return json.loads(line)
+    return None
+
+
 def main():
     if os.environ.get("BENCH_ONE"):
         run_one()
@@ -207,22 +227,31 @@ def main():
         "BENCH_LADDER",
         "256,256,256;192,192,192;128,128,128;96,96,96;64,64,64").split(";")
     timeout = int(os.environ.get("BENCH_TIMEOUT", "540"))
+    rec = None
     for grid in ladder:
-        env = dict(os.environ, BENCH_ONE="1", BENCH_GRID=grid)
-        try:
-            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                                 env=env, capture_output=True, text=True,
-                                 timeout=timeout)
-        except subprocess.TimeoutExpired:
-            continue
-        for line in out.stdout.splitlines():
-            line = line.strip()
-            if line.startswith("{") and "metric" in line:
-                print(line)
-                return
-    print(json.dumps({"metric": "yee_cell_updates_3d_pml_fp32",
-                      "value": 0.0, "unit": "GCells/s", "vs_baseline": 0.0,
-                      "error": "all grid sizes failed"}))
+        rec = _probe(grid, timeout)
+        if rec is not None:
+            break
+    if rec is None:
+        print(json.dumps({"metric": "yee_cell_updates_3d_pml_fp32",
+                          "value": 0.0, "unit": "GCells/s",
+                          "vs_baseline": 0.0,
+                          "error": "all grid sizes failed"}))
+        return
+    # one flagship-material measurement (eps ball + Lorentz pole +
+    # chi2-Newton, the BASELINE configs 3-5 physics) folded into the
+    # SAME line as material_* fields, so the recorded bench reflects the
+    # simulations this fork exists for, not just vacuum
+    if not os.environ.get("BENCH_SKIP_MAT"):
+        mrec = _probe(os.environ.get("BENCH_MAT_GRID", "128,128,128"),
+                      timeout,
+                      {"BENCH_MAT": "1", "MNT_T2_DEPTH": "2",
+                       "BENCH_TIMEOUT": str(timeout)})
+        if mrec is not None:
+            rec["material_value"] = mrec["value"]
+            rec["material_grid"] = mrec["grid"]
+            rec["material_kernel"] = mrec["kernel"]
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
