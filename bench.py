@@ -243,14 +243,22 @@ def main():
     # SAME line as material_* fields, so the recorded bench reflects the
     # simulations this fork exists for, not just vacuum
     if not os.environ.get("BENCH_SKIP_MAT"):
-        mrec = _probe(os.environ.get("BENCH_MAT_GRID", "128,128,128"),
-                      timeout,
-                      {"BENCH_MAT": "1", "MNT_T2_DEPTH": "2",
-                       "BENCH_TIMEOUT": str(timeout)})
+        mgrid = os.environ.get("BENCH_MAT_GRID", "128,128,128")
+        # full flagship (Lorentz + chi2-Newton; NL windows run the 2-step
+        # schedule)
+        mrec = _probe(mgrid, timeout,
+                      {"BENCH_MAT": "1", "BENCH_TIMEOUT": str(timeout)})
         if mrec is not None:
             rec["material_value"] = mrec["value"]
             rec["material_grid"] = mrec["grid"]
             rec["material_kernel"] = mrec["kernel"]
+        # pure-ADE Lorentz (BASELINE config-4 class), eligible for the
+        # 3-step schedule
+        prec = _probe(mgrid, timeout,
+                      {"BENCH_MAT": "pol", "BENCH_TIMEOUT": str(timeout)})
+        if prec is not None:
+            rec["lorentz_value"] = prec["value"]
+            rec["lorentz_kernel"] = prec["kernel"]
     print(json.dumps(rec))
 
 

@@ -72,8 +72,12 @@ def _pick_bx(plan, requested=None, depth: int = 2) -> int:
     plane = S[1] * S[2] * 4
     disp = _has_disp(plan)
     # depth 3 holds a second trailing-block package in VMEM (d2/b2/e2 +
-    # aux2): measured 255^3 fits at bx=2, overruns at bx=4
-    tiles = 96 if disp else (128 if depth == 3 else 64)
+    # aux2): measured 255^3 fits at bx=2, overruns at bx=4.  disp+depth3
+    # adds the second-level P/PP/de + coef snapshots on top
+    if disp:
+        tiles = 160 if depth == 3 else 96
+    else:
+        tiles = 128 if depth == 3 else 64
     bx = 8
     while bx > 1 and (tiles * bx * plane > 90 * 2 ** 20 or S[0] % bx):
         bx //= 2
@@ -91,8 +95,7 @@ def supported(plan, bx: int = None, depth: int = 2) -> bool:
         return False
     bx = _pick_bx(plan, bx, depth)
     disp = _has_disp(plan)
-    if disp and depth != 2:
-        # the 3-stage schedule has not been taught the dispersive state
+    if disp and depth not in (2, 3):
         return False
     if not F1.supported(plan, bx):
         return False
@@ -100,6 +103,12 @@ def supported(plan, bx: int = None, depth: int = 2) -> bool:
         if s.has_u:
             return False
     L = _Layout(plan, bx)
+    if disp and depth == 3 and L.nl_specs:
+        # the 3-stage schedule carries the pure-ADE (Lorentz/Drude)
+        # dispersive state through a second in-register hop; chi2/chi3
+        # would need their NL dmp neighbor halos chained across three
+        # stages (not taught) — those windows run at depth 2
+        return False
     if L.nblk < depth:
         return False
     if L.lo_blocks > 0 and L.lo_blocks + depth - 1 > L.hi_block0:
@@ -633,10 +642,26 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
         for dc in nl_bwd:
             scratch_entries.append((f"dmp1:{dc}", (1, Yw, Z)))
             scratch_entries.append((f"dmp2:{dc}", (1, Yw, Z)))
+        if depth == 3:
+            # second-level snapshots: the MIDDLE stage's disp results +
+            # a one-more-iteration relay of the window coef caches, so
+            # the final stage reads ITS block's values (pure-ADE windows
+            # only; supported() rejects nl at depth 3)
+            for (pi, p, comps) in pol_entries:
+                for c in comps:
+                    scratch_entries.append((f"p2:{pi}:{c}", (bx, Yw, Z)))
+                    scratch_entries.append((f"pp2:{pi}:{c}", (bx, Yw, Z)))
+            for ec in L.de_comps:
+                scratch_entries.append((f"de2:{ec}", (bx, Yw, Z)))
+            for k in cfw_keys:
+                scratch_entries.append((f"cfw2:{k}", (bx, Yw, Z)))
+            for k in cfu_keys:
+                scratch_entries.append((f"cfu2:{k}", (bx, Y, Z)))
     disp_zero: List[Tuple[str, Tuple[int, ...]]] = \
         [(n, shp) for (n, shp) in scratch_entries
          if n.split(":")[0] in ("p1", "pp1", "de1", "cfw", "cfu",
-                                "dmp1", "dmp2")]
+                                "dmp1", "dmp2", "p2", "pp2", "de2",
+                                "cfw2", "cfu2")]
 
     n_in = len(in_entries)
     mask_info = {c: _plane_lists(plan, c)
@@ -763,13 +788,18 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
         # window block; dselF = the final stage's block is (and the
         # write is live at all)
         if disp:
-            # disp implies depth == 2, so the final stage's ok is ok2
             dsel1 = (s1map(i) - b0) < nd
             jsF = sKmap(i) - b0
             inwin = (jsF >= 0) & (jsF < nd)
-            dselF = inwin if ok2 is True else (inwin & ok2)
+            okFd = ((i >= depth - 1) if first else True)
+            dselF = inwin if okFd is True else (inwin & okFd)
+            if depth == 3:
+                js2 = s2map(i) - b0
+                dsel2 = (js2 >= 0) & (js2 < nd)
+            else:
+                dsel2 = False
         else:
-            dsel1 = dselF = False
+            dsel1 = dsel2 = dselF = False
 
         def apply_mask(c, val, gx0):
             xpl, ypl, zpl = mask_info[c]
@@ -1323,8 +1353,51 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
             new_d2 = curl_half(curls_d, h2_eff, c2_prev, True, gx2m, coef2,
                                f_old2_d, aux_get2, aux_put2sc, xsel2m,
                                src_jobs2, 1)
+            lin_sub2m = None
+            de_old2m: Dict[str, Any] = {}
+            if disp:
+                # MIDDLE-stage dispersive D-half (pure ADE; supported()
+                # rejects nl at depth 3): P state and stored-E come from
+                # stage-1's snapshots of the SAME block one iteration
+                # ago; window coefs ride the cfw/cfu one-iteration caches
+                def cwin2m(k):
+                    if k in cfw_keys:
+                        return prev[f"cfw:{k}"]
+                    a = byname[("coef2" if xblocked[k] else "coef",
+                                k)][...]
+                    return a[:, wy0:wy1, :] if a.shape[1] == Y else a
+
+                def uwin2m(ec):
+                    s_ = L.eh_by_ec[ec]
+                    if not s_.has_u:
+                        return None
+                    uk = f"{ec}:u"
+                    if uk in cfu_keys:
+                        return win(prev[f"cfu:{uk}"])
+                    a = byname[("coef2" if xblocked.get(uk) else "coef",
+                                uk)][...]
+                    return a[:, wy0:wy1, :] if a.shape[1] == Y else a
+
+                de_old2m = {ec: prev[f"de1:{ec}"] for ec in de_set}
+                lin_sub2m, pnew2m = disp_dhalf(
+                    new_d2,
+                    lambda pi2, c: prev[f"p1:{pi2}:{c}"],
+                    lambda pi2, c: prev[f"pp1:{pi2}:{c}"],
+                    de_old2m, cwin2m, uwin2m, "dmpM", {})
             e2_eff = eh_full(ehs_e, new_d2, f_old2_d, aux_get2, aux_put2sc,
-                             coef2, u2, xsel2m)
+                             coef2, u2, xsel2m, ov_new=lin_sub2m,
+                             ov_old=de_old2m or None, ov_pred=dsel2)
+            if disp:
+                for (pi2, p2, comps) in pol_entries:
+                    for c in comps:
+                        sc[f"p2:{pi2}:{c}"][...] = pnew2m[(pi2, c)]
+                        sc[f"pp2:{pi2}:{c}"][...] = prev[f"p1:{pi2}:{c}"]
+                for ec in L.de_comps:
+                    sc[f"de2:{ec}"][...] = lin_sub2m[ec]
+                for k in cfw_keys:
+                    sc[f"cfw2:{k}"][...] = prev[f"cfw:{k}"]
+                for k in cfu_keys:
+                    sc[f"cfu2:{k}"][...] = prev[f"cfu:{k}"]
             for s_ in curls_d:
                 sc[f"d2:{s_.c}"][...] = new_d2[s_.c]
             for s_ in curls_b:
@@ -1398,10 +1471,16 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
 
         lin_sub2 = None
         if disp:
+            # the final stage's disp inputs come one snapshot level up:
+            # stage-1's caches at depth 2, the MIDDLE stage's at depth 3
+            PD = "2" if depth == 3 else "1"
+            CW, CU = (("cfw2", "cfu2") if depth == 3 else ("cfw", "cfu"))
+            cftag = "coef3" if depth == 3 else "coef2"
+
             def cwin2(k):
                 if k in cfw_keys:
-                    return prev[f"cfw:{k}"]
-                a = byname[("coef2" if xblocked[k] else "coef", k)][...]
+                    return prev[f"{CW}:{k}"]
+                a = byname[(cftag if xblocked[k] else "coef", k)][...]
                 return a[:, wy0:wy1, :] if a.shape[1] == Y else a
 
             def uwin2(ec):
@@ -1410,18 +1489,18 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                     return None
                 uk = f"{ec}:u"
                 if uk in cfu_keys:
-                    return win(prev[f"cfu:{uk}"])
-                a = byname[("coef2" if xblocked.get(uk) else "coef",
+                    return win(prev[f"{CU}:{uk}"])
+                a = byname[(cftag if xblocked.get(uk) else "coef",
                             uk)][...]
                 return a[:, wy0:wy1, :] if a.shape[1] == Y else a
 
             def p_get2(pi2, c):
-                return prev[f"p1:{pi2}:{c}"]
+                return prev[f"p{PD}:{pi2}:{c}"]
 
             def pp_get2(pi2, c):
-                return prev[f"pp1:{pi2}:{c}"]
+                return prev[f"pp{PD}:{pi2}:{c}"]
 
-            de_old2 = {ec: prev[f"de1:{ec}"] for ec in de_set}
+            de_old2 = {ec: prev[f"de{PD}:{ec}"] for ec in de_set}
             dmp_next2 = nl_next2(hF_eff, e1_eff, new_b1, new_d1, ps1_q) \
                 if nl_fwd else {}
             lin_sub2, pnew2 = disp_dhalf(new_dF, p_get2, pp_get2, de_old2,
@@ -1434,7 +1513,7 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                         outname[("state", f"p{pi2}:{c}")][...] = \
                             pnew2[(pi2, c)]
                         outname[("state", f"pp{pi2}:{c}")][...] = \
-                            prev[f"p1:{pi2}:{c}"]
+                            prev[f"p{PD}:{pi2}:{c}"]
                 for ec in L.de_comps:
                     outname[("state", f"de:{ec}")][...] = lin_sub2[ec]
 
@@ -1453,16 +1532,16 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
             if dispc:
                 uk = f"{s.ec}:u"
                 if uk in cfu_keys:
-                    u_f = prev[f"cfu:{uk}"]
+                    u_f = prev[f"{CU}:{uk}"]
                 elif s.has_u:
-                    u_f = byname[("coef2" if xblocked.get(uk) else "coef",
+                    u_f = byname[(cftag if xblocked.get(uk) else "coef",
                                   uk)][...]
                 else:
                     u_f = None
                 l2f = d2 * u_f if u_f is not None else d2
                 l1f = d1 * u_f if u_f is not None else d1
                 lin2f = overlay_win(l2f, lin_sub2[s.ec])
-                lin1f = overlay_win(l1f, prev[f"de1:{s.ec}"])
+                lin1f = overlay_win(l1f, prev[f"de{PD}:{s.ec}"])
             if ax == 0:
                 key = x_here.get(f"eh:{s.ec}")
                 if key is None:

@@ -181,3 +181,65 @@ def test_disp_roundtrip_t2():
         np.testing.assert_allclose(np.asarray(b["f"][c]),
                                    np.asarray(a["f"][c]),
                                    atol=1e-6 * scale, err_msg=c)
+
+
+# ---------------------------------------------------------------------------
+# dispersive envelope through the THREE-step schedule (pure-ADE windows:
+# the middle stage runs its own disp D-half from stage-1's snapshots and
+# relays P/PP/de + the window-coef caches one more iteration; chi2/chi3
+# NL windows are rejected -- their dmp halos are not chained 3 deep)
+# ---------------------------------------------------------------------------
+
+
+def _compare_disp3(plan, nsteps=21, atol=2e-6, check_pol=True):
+    assert fdtd3d_t2.supported(plan, depth=3), "must fit the 3-step envelope"
+    ker = fdtd3d_t2.Fdtd3dT2Kernel(plan, depth=3)
+    assert ker.L.disp is not None
+    st_k = ker.run(ker.init_state(), nsteps)
+    full_k = ker.to_full(st_k)
+    st_j = run(plan, init_state(plan), nsteps)
+    scale = max(float(np.max(np.abs(np.asarray(v))))
+                for v in st_j["f"].values())
+    assert scale > 0
+    for c in st_j["f"]:
+        np.testing.assert_allclose(np.asarray(full_k["f"][c]),
+                                   np.asarray(st_j["f"][c]),
+                                   atol=atol * scale, err_msg=f"f[{c}]")
+    if check_pol:
+        for pi in range(len(st_j["pol"])):
+            for c in st_j["pol"][pi]["p"]:
+                np.testing.assert_allclose(
+                    np.asarray(full_k["pol"][pi]["p"][c]),
+                    np.asarray(st_j["pol"][pi]["p"][c]),
+                    atol=atol * scale, err_msg=f"pol{pi}:p:{c}")
+    for c in st_j["f_w"]:
+        np.testing.assert_allclose(np.asarray(full_k["f_w"][c]),
+                                   np.asarray(st_j["f_w"][c]),
+                                   atol=atol * scale, err_msg=f"f_w[{c}]")
+
+
+def test_disp3_lorentz_ball():
+    _compare_disp3(_dplan(with_pol=True))
+
+
+def test_disp3_drude_ball():
+    _compare_disp3(_dplan(with_pol=True, drude=True))
+
+
+def test_disp3_odd_steps():
+    """nsteps % 3 != 0: the residue runs through the 1-step kernel."""
+    _compare_disp3(_dplan(with_pol=True), nsteps=23)
+
+
+def test_disp3_longer_run():
+    _compare_disp3(_dplan(with_pol=True), nsteps=48, atol=5e-6)
+
+
+def test_disp3_rejects_nl():
+    """chi2-NR / chi3 windows stay on the 2-step schedule."""
+    assert not fdtd3d_t2.supported(_dplan(with_pol=False, with_nr=True),
+                                   depth=3)
+    assert not fdtd3d_t2.supported(_dplan(with_pol=False, with_chi3=True),
+                                   depth=3)
+    assert fdtd3d_t2.supported(_dplan(with_pol=False, with_nr=True),
+                               depth=2)
