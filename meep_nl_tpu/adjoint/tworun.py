@@ -194,15 +194,30 @@ class TwoRunGradient:
                 weights=np.ones(shape), freqs=self.freqs, centered=False))
         self.plan_fwd = plan_with(plan, dfts=list(plan.dfts) + dr_dfts)
         self._adj_cache: Dict[Any, Plan] = {}
+        self._decay_pending: List[Tuple[str, Any, Any]] = []
+        self._warm = False
+        # adjoint sources must not sit on conductive sites: the compiled
+        # plan does not retain the material cond rows, so plan_with
+        # cannot rebuild the step.cpp:300-309 source rescaling
+        if any(getattr(s_, "has_cond", False)
+               for s_ in (list(plan.curl_specs_d) + list(plan.curl_specs_b)
+                          + list(plan.eh_specs_e) + list(plan.eh_specs_h))) \
+                or any(k.endswith(":cndinv") for k in plan.coefs):
+            raise NotImplementedError(
+                "two-run adjoint on a plan with D/B conductivities: the "
+                "adjoint sources cannot rebuild the conductive-site "
+                "rescaling (sources.cpp:300) — use gradient_method='ad'")
 
-    @staticmethod
-    def _run_checked(plan: Plan, nsteps: int, label: str):
-        """Run in two halves and warn when the fields are not decaying:
-        the pairing identity is exact only in the decayed-run limit (the
-        same caveat as the reference's adjoint solver, which likewise
-        truncates the time integrals; e.g. a random high-epsilon design
-        can trap quasi-bound states with Q >> run length)."""
-        import warnings
+    def _run_checked(self, plan: Plan, nsteps: int, label: str):
+        """Run in two halves, recording DEVICE-side |f|max at T/2 and T
+        for the decay check: the pairing identity is exact only in the
+        decayed-run limit (the same caveat as the reference's adjoint
+        solver, which likewise truncates the time integrals; e.g. a
+        random high-epsilon design can trap quasi-bound states with
+        Q >> run length).  The host reads happen in _flush_decay_checks
+        AFTER every plan of the gradient call has compiled — the axon
+        TPU tunnel fails any compile issued after a device-to-host read
+        (see stepper.step.run)."""
         from ..ops.pallas.hybrid import hybrid_run
 
         def seg(state, n, t0):
@@ -216,18 +231,25 @@ class TwoRunGradient:
         half = nsteps // 2
         state = S.init_state(plan)
         state = seg(state, half, 0)
-        mid = max(float(jnp.max(jnp.abs(state["f"][c])))
-                  for c in state["f"])
+        mid = jnp.stack([jnp.max(jnp.abs(state["f"][c]))
+                         for c in state["f"]]).max()
         state = seg(state, nsteps - half, half)
-        end = max(float(jnp.max(jnp.abs(state["f"][c])))
-                  for c in state["f"])
-        if end > 1e-6 and end > 0.05 * mid:
-            warnings.warn(
-                f"two-run adjoint: {label} run not decayed "
-                f"(|f|max {mid:.2e} at T/2 -> {end:.2e} at T); the paired "
-                "gradient carries a truncation error of that order -- "
-                "increase run_time", stacklevel=3)
+        end = jnp.stack([jnp.max(jnp.abs(state["f"][c]))
+                         for c in state["f"]]).max()
+        self._decay_pending.append((label, mid, end))
         return state
+
+    def _flush_decay_checks(self):
+        import warnings
+        pending, self._decay_pending = self._decay_pending, []
+        for label, mid_dev, end_dev in pending:
+            mid, end = float(mid_dev), float(end_dev)
+            if end > 1e-6 and end > 0.05 * mid:
+                warnings.warn(
+                    f"two-run adjoint: {label} run not decayed "
+                    f"(|f|max {mid:.2e} at T/2 -> {end:.2e} at T); the "
+                    "paired gradient carries a truncation error of that "
+                    "order -- increase run_time", stacklevel=3)
 
     # -- forward ----------------------------------------------------------
     def forward(self, coefs: Dict[str, Any]) -> Dict[str, Any]:
@@ -241,10 +263,24 @@ class TwoRunGradient:
     @staticmethod
     def cotangents(objective: Callable, dfts: Dict[str, Any]):
         """(J, {name: complex cotangent}) for an objective over the complex
-        accumulator views."""
+        accumulator views.
+
+        Only the user-visible monitor accumulators are exposed to the
+        objective — the engine's internal adjdr:* design-region DFTs are
+        hidden so an objective that iterates the dict sees the same
+        entries as gradient_method='ad'.  The tiny cotangent computation
+        runs on the CPU backend: on the axon TPU tunnel any compile
+        issued after a device-to-host read fails, and by this point the
+        gradient call has already read the forward accumulators."""
+        mon = {k: v for k, v in dfts.items() if not k.startswith("adjdr:")}
+
         def J_raw(raw):
             return objective({k: S.dft_view(v) for k, v in raw.items()})
-        Jval, cot = jax.value_and_grad(J_raw)(dfts)
+
+        cpu = jax.devices("cpu")[0]
+        mon_cpu = jax.device_put(mon, cpu)
+        with jax.default_device(cpu):
+            Jval, cot = jax.value_and_grad(J_raw)(mon_cpu)
         C = {k: np.asarray(v[..., 0]) - 1j * np.asarray(v[..., 1])
              for k, v in cot.items()}
         return float(Jval), C
@@ -320,9 +356,16 @@ class TwoRunGradient:
                  for f in freqs]
         M = np.array([[_src_spectrum(tj, fi, self.nsteps, self.plan.dt)
                        for tj in tones] for fi in freqs])
+        # EVERY monitor gets a tone at EVERY objective frequency: the
+        # per-monitor solve must cancel each tone's spectral leakage at
+        # the frequencies the monitor does NOT carry (its desired
+        # amplitude there is zero), which needs the full basis per
+        # monitor even when monitors carry different frequency subsets
+        monitors_all = sorted({mi for f in freqs
+                               for mi in self._amp_grids({}, f)})
         srcs, order = [], []
         for j, tone in enumerate(tones):
-            for mi in self._amp_grids({}, freqs[j]):
+            for mi in monitors_all:
                 m = self.plan.dfts[mi]
                 amp0 = np.zeros(tuple(b - a for a, b in m.region))
                 idx, _ = _spread_centered(self.plan, m,
@@ -355,9 +398,31 @@ class TwoRunGradient:
                 g[key] += np.real(Z * Lam
                                   * Ehat[key][..., fidx]) / u_sl ** 2
 
+    def _prewarm(self):
+        """Compile every adjoint runner with zero source amplitudes
+        BEFORE the gradient call's first device-to-host read: on the
+        axon TPU tunnel, compiles issued after a d2h read fail, and the
+        real adjoint amplitudes depend on host-read cotangents.  One
+        zero-amp pass of each cached plan (first gradient call only)."""
+        plans = []
+        if len(self.freqs) > 1:
+            plan_adj, _Minv, condM, _order = self._adjoint_plan_broadband()
+            if condM < 1e9:
+                plans.append(plan_adj)
+        if not plans:
+            plans = [self._adjoint_plan(float(f))[0] for f in self.freqs]
+        for p in plans:
+            st = self._run_checked(p, self.nsteps, "prewarm")
+            del st
+        self._decay_pending = [e for e in self._decay_pending
+                               if e[0] != "prewarm"]
+
     def gradient(self, objective: Callable, coefs: Dict[str, Any]):
         """(J, {design key: dJ/du_c over that entry's design slices})."""
         dfts = self.forward(coefs)
+        if not self._warm and jax.default_backend() != "cpu":
+            self._prewarm()
+        self._warm = True
         J, C = self.cotangents(objective, dfts)
         Ehat = {k: np.asarray(S.dft_view(np.asarray(dfts[n])))
                 for k, n in self._dr_names.items()}
@@ -368,16 +433,19 @@ class TwoRunGradient:
         live = [f for f, amps in amps_per_f.items()
                 if amps and any(np.any(a) for a in amps.values())]
         if not live:
+            self._flush_decay_checks()
             return J, g
         if len(live) > 1:
             plan_adj, Minv, condM, order = self._adjoint_plan_broadband()
             if condM < 1e9:
                 self._gradient_broadband(coefs, amps_per_f, live,
                                          plan_adj, Minv, order, g, Ehat)
+                self._flush_decay_checks()
                 return J, g
             # ill-conditioned tone basis (near-degenerate frequency
             # grid): fall back to one adjoint run per frequency
         self._gradient_perfreq(coefs, amps_per_f, live, g, Ehat)
+        self._flush_decay_checks()
         return J, g
 
     def _gradient_broadband(self, coefs, amps_per_f, live, plan_adj, Minv,

@@ -1363,8 +1363,7 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                 def cwin2m(k):
                     if k in cfw_keys:
                         return prev[f"cfw:{k}"]
-                    a = byname[("coef2" if xblocked[k] else "coef",
-                                k)][...]
+                    a = coef2(k)     # handles full/x-blocked/dyn coefs
                     return a[:, wy0:wy1, :] if a.shape[1] == Y else a
 
                 def uwin2m(ec):
@@ -1374,8 +1373,7 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                     uk = f"{ec}:u"
                     if uk in cfu_keys:
                         return win(prev[f"cfu:{uk}"])
-                    a = byname[("coef2" if xblocked.get(uk) else "coef",
-                                uk)][...]
+                    a = coef2(uk)
                     return a[:, wy0:wy1, :] if a.shape[1] == Y else a
 
                 de_old2m = {ec: prev[f"de1:{ec}"] for ec in de_set}
@@ -1475,12 +1473,12 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
             # stage-1's caches at depth 2, the MIDDLE stage's at depth 3
             PD = "2" if depth == 3 else "1"
             CW, CU = (("cfw2", "cfu2") if depth == 3 else ("cfw", "cfu"))
-            cftag = "coef3" if depth == 3 else "coef2"
+            coefX = coef3 if depth == 3 else coef2
 
             def cwin2(k):
                 if k in cfw_keys:
                     return prev[f"{CW}:{k}"]
-                a = byname[(cftag if xblocked[k] else "coef", k)][...]
+                a = coefX(k)         # handles full/x-blocked/dyn coefs
                 return a[:, wy0:wy1, :] if a.shape[1] == Y else a
 
             def uwin2(ec):
@@ -1490,8 +1488,7 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                 uk = f"{ec}:u"
                 if uk in cfu_keys:
                     return win(prev[f"{CU}:{uk}"])
-                a = byname[(cftag if xblocked.get(uk) else "coef",
-                            uk)][...]
+                a = coefX(uk)
                 return a[:, wy0:wy1, :] if a.shape[1] == Y else a
 
             def p_get2(pi2, c):
@@ -1534,8 +1531,7 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                 if uk in cfu_keys:
                     u_f = prev[f"{CU}:{uk}"]
                 elif s.has_u:
-                    u_f = byname[(cftag if xblocked.get(uk) else "coef",
-                                  uk)][...]
+                    u_f = coefX(uk)
                 else:
                     u_f = None
                 l2f = d2 * u_f if u_f is not None else d2

@@ -162,3 +162,57 @@ def test_pair_gradient_3d():
     np.testing.assert_allclose(f_pair, f_ad, rtol=1e-4)
     scale = np.max(np.abs(g_ad))
     np.testing.assert_allclose(g_pair, g_ad, atol=0.02 * scale, rtol=0.05)
+
+
+def test_pair_mixed_monitor_freqs_and_dict_objective():
+    """Two review regressions in one config: (a) monitors carrying
+    DIFFERENT frequency subsets must still get exact per-frequency
+    broadband amplitudes (each monitor needs the full tone basis so its
+    leakage at uncarried frequencies is cancelled); (b) an objective
+    that ITERATES the dft dict must see only the user monitors, not the
+    engine's internal adjdr:* design accumulators."""
+    fcen = 0.8
+
+    def mk(method):
+        sim = mp.Simulation(
+            cell_size=mp.Vector3(8, 6), resolution=10,
+            geometry=[mp.Block(size=mp.Vector3(2, 2, mp.inf),
+                               center=mp.Vector3(0, 0),
+                               material=mp.Medium(epsilon=4.0))],
+            sources=[mp.Source(mp.GaussianSource(frequency=fcen,
+                                                 fwidth=0.3),
+                               component=mp.Ez, center=mp.Vector3(-2.5, 0),
+                               size=mp.Vector3(0, 2))],
+            boundary_layers=[mp.PML(1.0)])
+        fl_a = sim.add_flux(0.75, 0.0, 1, mp.FluxRegion(
+            center=mp.Vector3(2.5, 0), size=mp.Vector3(0, 2)))
+        fl_b = sim.add_flux(0.85, 0.0, 1, mp.FluxRegion(
+            center=mp.Vector3(2.5, 1.0), size=mp.Vector3(0, 1.5)))
+
+        def objective(dfts):
+            # dict-iterating objective: must see ONLY user monitors
+            tot = 0.0
+            for k in sorted(dfts):
+                assert not k.startswith("adjdr:"), k
+                if k.endswith(":e1"):
+                    hk = k.replace(":e1", ":h1")
+                    tot = tot + jnp.sum(jnp.real(dfts[k]
+                                                 * jnp.conj(dfts[hk])))
+            return tot
+
+        dr = DesignRegion(DesignVariables(shape=(5, 5), eps_min=1.0,
+                                          eps_max=4.0),
+                          center=[0.0, 0.0], size=[2.0, 2.0])
+        return OptimizationProblem(simulation=sim, objective=objective,
+                                   design_regions=[dr], run_time=120.0,
+                                   gradient_method=method)
+
+    rng = np.random.RandomState(3)
+    rho = jnp.asarray(0.4 + 0.2 * rng.rand(5, 5), jnp.float32)
+    f_ad, (g_ad,) = mk("ad")(rho)
+    opt = mk("pair")
+    f_pair, (g_pair,) = opt(rho)
+    assert "broadband" in opt._engine._adj_cache   # 2 distinct freqs
+    np.testing.assert_allclose(f_pair, f_ad, rtol=1e-4)
+    scale = np.max(np.abs(g_ad))
+    np.testing.assert_allclose(g_pair, g_ad, atol=7e-3 * scale, rtol=0.02)
