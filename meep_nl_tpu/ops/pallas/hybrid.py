@@ -21,6 +21,7 @@ spaced."""
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -65,18 +66,37 @@ def cycle_structure(plan, t0: int, nsteps: int):
 
 
 def _get_kernel(plan):
-    """The fastest fused kernel covering this plan: the 2-step temporally
-    fused kernel for the linear envelope, the 1-step kernel for the
-    dispersive (Lorentz/chi3/NR) envelope."""
+    """The fastest fused kernel covering this plan: the temporally fused
+    kernel for the linear/pure-ADE envelope (with a depth-3 companion
+    when the plan supports it — the cycle driver mixes 3/2/1-step calls
+    to cover arbitrary sample spacings), the 1-step kernel for the NL
+    dispersive (chi2/chi3) envelope."""
     ker = getattr(plan, "_t2_kernel", None)
     if ker is None:
         from . import fdtd3d, fdtd3d_t2
         if fdtd3d_t2.supported(plan, depth=2):
-            # depth pinned to 2: the cycle driver consumes pair rows
-            # (an ambient MNT_T2_DEPTH=3 stays a bench.py concern)
-            ker = fdtd3d_t2.Fdtd3dT2Kernel(plan, depth=2)
+            # depth-3 companion: both kernels must SHARE one bx so they
+            # drive the same compact state layout (the layout depends on
+            # (plan, bx, z_full), not on the schedule depth) — and the
+            # depth-3 envelope usually needs the smaller bx (finer
+            # blocks clear the disp-window/edge overruns)
+            ker = None
+            if os.environ.get("MNT_HYBRID_DEPTH3", "1") == "1":
+                bx3 = fdtd3d_t2._pick_bx(plan, None, 3)
+                if fdtd3d_t2.supported(plan, bx3, depth=3) \
+                        and fdtd3d_t2.supported(plan, bx3, depth=2):
+                    try:
+                        ker = fdtd3d_t2.Fdtd3dT2Kernel(plan, bx3, depth=2)
+                        ker.k3 = fdtd3d_t2.Fdtd3dT2Kernel(plan, bx3,
+                                                          depth=3)
+                    except ValueError:
+                        ker = None
+            if ker is None:
+                ker = fdtd3d_t2.Fdtd3dT2Kernel(plan, depth=2)
+                ker.k3 = None
         else:
             ker = _K1Adapter(fdtd3d.Fdtd3dKernel(plan))
+            ker.k3 = None
         plan._t2_kernel = ker
     return ker
 
@@ -160,9 +180,11 @@ def _hybrid_run_inner(plan, state: Dict[str, Any], nsteps: int, t0: int
     C = plan.coefs
 
     if not np.any(_sample_steps(plan, t0, nsteps)):
-        # no sampling at all in this stretch: fully fused
+        # no sampling at all in this stretch: fully fused (the depth-3
+        # companion when available; its run() handles step remainders)
+        deep = ker.k3 if getattr(ker, "k3", None) is not None else ker
         comp = ker.from_full(state)
-        comp = ker.run(comp, nsteps, t0=t0)
+        comp = deep.run(comp, nsteps, t0=t0)
         full = ker.to_full(comp, C)
         keep = ["f", "f_u", "f_w"] + (["pol"] if full.get("pol") else [])
         return {**state, **{k: full[k] for k in keep}, "t": full["t"]}
@@ -172,8 +194,21 @@ def _hybrid_run_inner(plan, state: Dict[str, Any], nsteps: int, t0: int
         return None
     prefix, d, ncyc, suffix = cs
 
-    npair = d // 2
-    rem = d % 2
+    # decompose the d-step fused stretch into 3/2/1-step kernel calls,
+    # preferring the deepest schedule (fewest HBM traversals): d = 3a +
+    # 2b + c with c only for d == 1
+    if getattr(ker, "k3", None) is not None and d >= 3:
+        r3 = d % 3
+        if r3 == 0:
+            n3, npair, rem = d // 3, 0, 0
+        elif r3 == 2:
+            n3, npair, rem = d // 3, 1, 0
+        else:                      # r3 == 1, d >= 4
+            n3, npair, rem = (d - 4) // 3, 2, 0
+    else:
+        n3 = 0
+        npair = d // 2
+        rem = d % 2
 
     from ...stepper.step import run as jnp_run, _dft_update
     t = t0
@@ -191,8 +226,11 @@ def _hybrid_run_inner(plan, state: Dict[str, Any], nsteps: int, t0: int
     runner_c = cache.get((d, ncyc))
     if runner_c is None:
         step2 = ker.make_fused_step()
+        step3 = ker.k3.make_fused_step() if n3 else None
         step1 = ker._k1.make_step()
         kxs = set(ker.xs_keys) | set(ker._k1.xs_keys)
+        if n3:
+            kxs |= set(ker.k3.xs_keys)
 
         def runner(full_state, xs, C):
             comp0 = ker.from_full(full_state)
@@ -202,9 +240,15 @@ def _hybrid_run_inner(plan, state: Dict[str, Any], nsteps: int, t0: int
             def body(carry, xc):
                 comp, dft = carry
                 # ALL d steps fused; the cycle's last step is the sample
-                for j in range(npair):
-                    xp = {k: xc[k][2 * j:2 * j + 2] for k in xc if k in kxs}
+                o = 0
+                for _ in range(n3):
+                    xp = {k: xc[k][o:o + 3] for k in xc if k in kxs}
+                    comp = step3(comp, xp, C)
+                    o += 3
+                for _ in range(npair):
+                    xp = {k: xc[k][o:o + 2] for k in xc if k in kxs}
                     comp = step2(comp, xp, C)
+                    o += 2
                 if rem:
                     x1 = {k: xc[k][d - 1] for k in xc if k in kxs}
                     comp = step1(comp, x1, C)

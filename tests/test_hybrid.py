@@ -64,3 +64,47 @@ def test_hybrid_no_monitors_fully_fused():
     scale = np.abs(ez_j).max()
     assert scale > 0
     np.testing.assert_allclose(ez_h, ez_j, atol=5e-6 * scale)
+
+
+def test_hybrid_dispersive_depth3():
+    """Monitored Lorentz-ball run through the hybrid: the cycle driver
+    mixes 3/2-step fused calls (pure-ADE windows are depth-3 eligible)
+    and must reproduce the jnp path's fields and flux."""
+    from meep_nl_tpu.ops.pallas import hybrid as H
+
+    def mk(use_fused):
+        fcen = 1.0
+        med = mp.Medium(epsilon=4.0, E_susceptibilities=[
+            mp.LorentzianSusceptibility(frequency=2.0, gamma=0.05,
+                                        sigma=0.3)])
+        sim = mp.Simulation(
+            cell_size=mp.Vector3(4.0, 2.0, 2.0), resolution=8,
+            geometry=[mp.Sphere(radius=0.4, center=mp.Vector3(0.3, 0, 0),
+                                material=med)],
+            sources=[mp.Source(mp.GaussianSource(frequency=fcen,
+                                                 fwidth=0.4),
+                               component=mp.Ez,
+                               center=mp.Vector3(-1.2, 0, 0))],
+            boundary_layers=[mp.PML(0.5)],
+            use_fused=use_fused, eps_averaging=False)
+        flux = sim.add_flux(fcen, 0.2, 3,
+                            mp.FluxRegion(center=mp.Vector3(1.2, 0, 0),
+                                          size=mp.Vector3(0, 1.0, 1.0)))
+        return sim, flux
+
+    sim_j, flux_j = mk(False)
+    sim_j.run(until=6.0)
+    sim_h, flux_h = mk(True)
+    sim_h.run(until=6.0)
+    # the depth-3 companion must actually have engaged
+    ker = getattr(sim_h._plan, "_t2_kernel", None)
+    assert ker is not None and getattr(ker, "k3", None) is not None
+    ez_j = sim_j.get_array(mp.Ez)
+    ez_h = sim_h.get_array(mp.Ez)
+    scale = np.abs(ez_j).max()
+    assert scale > 0
+    np.testing.assert_allclose(ez_h, ez_j, atol=5e-6 * scale)
+    fj = np.asarray(sim_j.get_fluxes(flux_j))
+    fh = np.asarray(sim_h.get_fluxes(flux_h))
+    np.testing.assert_allclose(fh, fj, rtol=1e-4,
+                               atol=1e-6 * np.abs(fj).max())
