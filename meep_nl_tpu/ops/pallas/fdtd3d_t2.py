@@ -103,11 +103,9 @@ def supported(plan, bx: int = None, depth: int = 2) -> bool:
         if s.has_u:
             return False
     L = _Layout(plan, bx)
-    if disp and depth == 3 and L.nl_specs:
-        # the 3-stage schedule carries the pure-ADE (Lorentz/Drude)
-        # dispersive state through a second in-register hop; chi2/chi3
-        # would need their NL dmp neighbor halos chained across three
-        # stages (not taught) — those windows run at depth 2
+    if disp and depth == 3 and L.nl_specs and bx < 2:
+        # the NL (chi2-Newton/chi3) next-plane rebuild consumes e_eff
+        # planes 0 AND 1 of the upstream stage's block
         return False
     if L.nblk < depth:
         return False
@@ -642,6 +640,8 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
         for dc in nl_bwd:
             scratch_entries.append((f"dmp1:{dc}", (1, Yw, Z)))
             scratch_entries.append((f"dmp2:{dc}", (1, Yw, Z)))
+            if depth == 3:
+                scratch_entries.append((f"dmpM:{dc}", (1, Yw, Z)))
         if depth == 3:
             # second-level snapshots: the MIDDLE stage's disp results +
             # a one-more-iteration relay of the window coef caches, so
@@ -660,8 +660,8 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
     disp_zero: List[Tuple[str, Tuple[int, ...]]] = \
         [(n, shp) for (n, shp) in scratch_entries
          if n.split(":")[0] in ("p1", "pp1", "de1", "cfw", "cfu",
-                                "dmp1", "dmp2", "p2", "pp2", "de2",
-                                "cfw2", "cfu2")]
+                                "dmp1", "dmp2", "dmpM", "p2", "pp2",
+                                "de2", "cfw2", "cfu2")]
 
     n_in = len(in_entries)
     mask_info = {c: _plane_lists(plan, c)
@@ -1377,14 +1377,21 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                     return a[:, wy0:wy1, :] if a.shape[1] == Y else a
 
                 de_old2m = {ec: prev[f"de1:{ec}"] for ec in de_set}
+                # NL next-plane rebuild from stage-1's THIS-iteration
+                # in-register results (stage-1's block IS the middle
+                # stage's next block) — the same relation nl_next2
+                # encodes for the depth-2 final stage
+                dmp_next2m = nl_next2(h2_eff, e1_eff, new_b1, new_d1,
+                                      ps1_q) if nl_fwd else {}
                 lin_sub2m, pnew2m = disp_dhalf(
                     new_d2,
                     lambda pi2, c: prev[f"p1:{pi2}:{c}"],
                     lambda pi2, c: prev[f"pp1:{pi2}:{c}"],
-                    de_old2m, cwin2m, uwin2m, "dmpM", {})
+                    de_old2m, cwin2m, uwin2m, "dmpM", dmp_next2m)
             e2_eff = eh_full(ehs_e, new_d2, f_old2_d, aux_get2, aux_put2sc,
                              coef2, u2, xsel2m, ov_new=lin_sub2m,
                              ov_old=de_old2m or None, ov_pred=dsel2)
+            ps2_q: Dict[str, Any] = {}
             if disp:
                 for (pi2, p2, comps) in pol_entries:
                     for c in comps:
@@ -1396,6 +1403,13 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                     sc[f"cfw2:{k}"][...] = prev[f"cfw:{k}"]
                 for k in cfu_keys:
                     sc[f"cfu2:{k}"][...] = prev[f"cfu:{k}"]
+                for dc2, lst in pol_by_dc.items():
+                    tot = None
+                    for (pi2, c2c) in lst:
+                        v = pnew2m[(pi2, c2c)][0:1]
+                        tot = v if tot is None else tot + v
+                    ps2_q[dc2] = sel(dsel2, tot,
+                                     jnp.zeros((1, Yw, Z), dtype))
             for s_ in curls_d:
                 sc[f"d2:{s_.c}"][...] = new_d2[s_.c]
             for s_ in curls_b:
@@ -1498,8 +1512,15 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                 return prev[f"pp{PD}:{pi2}:{c}"]
 
             de_old2 = {ec: prev[f"de{PD}:{ec}"] for ec in de_set}
-            dmp_next2 = nl_next2(hF_eff, e1_eff, new_b1, new_d1, ps1_q) \
-                if nl_fwd else {}
+            # NL next-plane rebuild from the immediately-upstream stage's
+            # THIS-iteration results (its block is this stage's next
+            # block): stage-1's at depth 2, the MIDDLE stage's at depth 3
+            if not nl_fwd:
+                dmp_next2 = {}
+            elif depth == 3:
+                dmp_next2 = nl_next2(hF_eff, e2_eff, new_b2, new_d2, ps2_q)
+            else:
+                dmp_next2 = nl_next2(hF_eff, e1_eff, new_b1, new_d1, ps1_q)
             lin_sub2, pnew2 = disp_dhalf(new_dF, p_get2, pp_get2, de_old2,
                                          cwin2, uwin2, "dmp2", dmp_next2)
 

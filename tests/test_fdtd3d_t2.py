@@ -235,11 +235,18 @@ def test_disp3_longer_run():
     _compare_disp3(_dplan(with_pol=True), nsteps=48, atol=5e-6)
 
 
-def test_disp3_rejects_nl():
-    """chi2-NR / chi3 windows stay on the 2-step schedule."""
-    assert not fdtd3d_t2.supported(_dplan(with_pol=False, with_nr=True),
-                                   depth=3)
-    assert not fdtd3d_t2.supported(_dplan(with_pol=False, with_chi3=True),
-                                   depth=3)
-    assert fdtd3d_t2.supported(_dplan(with_pol=False, with_nr=True),
-                               depth=2)
+def test_disp3_nr_chi2_ball():
+    """chi2-Newton through the 3-step schedule: the middle stage's NL
+    next-plane dmp is rebuilt from stage-1's in-register results and
+    the final stage's from the middle's (the same nl_next2 relation,
+    one stage up)."""
+    _compare_disp3(_dplan(with_pol=False, with_nr=True), check_pol=False)
+
+
+def test_disp3_chi3_ball():
+    _compare_disp3(_dplan(with_pol=False, with_chi3=True), check_pol=False)
+
+
+def test_disp3_flagship_lorentz_nr():
+    """The flagship Lorentz + chi2-Newton combination at depth 3."""
+    _compare_disp3(_dplan(with_pol=True, with_nr=True))
