@@ -2351,9 +2351,11 @@ class Simulation:
         if self._rot2 is not None:
             fax, lax_, _w, phase = self._rot2
             axes = self.gv.axes
-            s = phase * _mirror_parity(component, axes[fax]) \
+            s = 1.0 if component == "eps" else \
+                phase * _mirror_parity(component, axes[fax]) \
                 * _mirror_parity(component, axes[lax_])
-            ys_f = G.yee_shift(component, self.gv.dim).get(axes[fax], 0)
+            ys_f = G.yee_shift(component, self.gv.dim).get(axes[fax], 0) \
+                if component != "eps" else 0
             c_ax = coords[fax]
             c_fl = coords[lax_]
             # flip-axis entries beyond the symmetric live span (the
@@ -2398,7 +2400,8 @@ class Simulation:
             coords[fax] = np.concatenate(cparts)
             return arr, coords
         for ax, d, phase in self._mirrors:
-            s = phase * _mirror_parity(component, d)
+            s = 1.0 if component == "eps" else \
+                phase * _mirror_parity(component, d)
             c_ax = coords[ax]
             pos = np.where(c_ax > 1e-12)[0]
             onp = np.where(np.abs(c_ax) <= 1e-12)[0]
@@ -2419,12 +2422,33 @@ class Simulation:
         self.init_sim()
         live_e = [s.ec for s in self._plan.eh_specs_e]
         c = live_e[0] if live_e else "ez"
+        if self._rot4 is not None:
+            # unfolding needs a component whose lattice is INTEGER on
+            # both folded axes (the quadrant map permutes them); prefer
+            # the rotation-axis component
+            a1, a2, w, _ph = self._rot4
+            good = [cc for cc in live_e
+                    if G.yee_shift(cc, self.gv.dim).get(
+                        self.gv.axes[a1], 0) == 0
+                    and G.yee_shift(cc, self.gv.dim).get(
+                        self.gv.axes[a2], 0) == 0]
+            c = good[0] if good else c
         key = f"{c}:u"
         if key in self._plan.coefs:
             u = np.asarray(self._plan.coefs[key])
             u = u[tuple(slice(0, n + 1) for n in self.gv.num)]
-            return 1.0 / np.maximum(u, 1e-300)
-        return np.ones(self.gv.shape)
+            eps = 1.0 / np.maximum(u, 1e-300)
+        else:
+            eps = np.ones(self.gv.shape)
+        if self._mirrors or self._rot2 is not None \
+                or self._rot4 is not None:
+            if self._rot4 is not None and G.yee_shift(
+                    c, self.gv.dim).get(self.gv.axes[self._rot4[0]], 0):
+                return eps       # no integer-lattice component (2D TE)
+            coords = [np.asarray(self.gv.comp_coords(c, ax))
+                      for ax in range(self.gv.ndim)]
+            eps, _ = self._unfold("eps", eps, coords)
+        return eps
 
     def _field_np(self, c, state=None) -> np.ndarray:
         """Host view of a field component, recombining the real-pair
