@@ -81,6 +81,10 @@ def _pick_bx(plan, requested=None) -> int:
     plane = S[1] * S[2] * 4
     disp = _has_disp(plan)
     tiles = 78 if disp else 48
+    # folded conductivity (condfold): each folded comp streams its 3
+    # full-grid chain1 coef tiles instead of broadcast vectors
+    tiles += 3 * sum(s.folded_cond
+                     for s in plan.curl_specs_d + plan.curl_specs_b)
     bx = 16
     while bx > 1 and (tiles * bx * plane > 85 * 2 ** 20 or S[0] % bx):
         bx //= 2
@@ -98,7 +102,8 @@ def _pick_bx(plan, requested=None) -> int:
     return bx
 
 
-def supported(plan, bx: int = None, allow_disp: bool = True) -> bool:
+def supported(plan, bx: int = None, allow_disp: bool = True,
+              allow_periodic_x: bool = False) -> bool:
     """Static envelope check (the analog of step_generic.cpp:82's case
     split: this kernel is the fully-specialized hot case).
 
@@ -123,8 +128,19 @@ def supported(plan, bx: int = None, allow_disp: bool = True) -> bool:
             return False
         if any(d != c[1] for (c, d) in p.sigma):
             return False                     # off-diagonal sigma rows
-    if any(plan.periodic):
+    if any(plan.periodic[1:]):
         return False
+    if plan.periodic[0]:
+        # x-periodicity is drivable through the ghost-plane + wrap-carry
+        # machinery (ops/pallas/periodicx.py) when the phase is real
+        # (+-1, i.e. k_x = 0 or half-integer); the kernel itself stays
+        # periodicity-blind (the dead plane at x = num carries the wrap
+        # ghost, refreshed every step)
+        if not allow_periodic_x:
+            return False
+        ph = plan.bloch_phase[0]
+        if isinstance(ph, complex) and ph.imag != 0.0:
+            return False
     if plan.m:
         return False
     for s in plan.curl_specs_d + plan.curl_specs_b:
@@ -914,11 +930,21 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str,
                     total = -t2 if total is None else total - t2
                 dfl = sgn * dtdx * total
 
-                def chain1(gval, dflv):
+                def chain1(gval, dflv, axsl=None):
+                    # axsl = (axis, slice): the caller passes gval/dflv
+                    # pre-sliced along a sigu slab axis; coefs extended
+                    # there (full-grid folded-cond chain1 arrays) must be
+                    # sliced to match (broadcast vectors pass through)
                     if s.dsig_axis is None:
                         return gval + dflv
-                    return ((coef(f"{c}:kap") - coef(f"{c}:sig")) * gval
-                            + dflv) * coef(f"{c}:siginv")
+
+                    def cf(nm):
+                        v = coef(f"{c}:{nm}")
+                        if axsl is not None and v.shape[axsl[0]] > 1:
+                            return v[_full_slice(axsl[0], axsl[1])]
+                        return v
+                    return ((cf("kap") - cf("sig")) * gval + dflv) \
+                        * cf("siginv")
 
                 if s.dsigu_axis is None:
                     f_new = chain1(f_old, dfl)
@@ -937,7 +963,9 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str,
                                           f"{c}:siginvu@{side}")][...]
                         dseg = dfl[_full_slice(ax, sl)] \
                             if sl != slice(None) else dfl
-                        fu_new = chain1(fu_old, dseg)
+                        fu_new = chain1(fu_old, dseg,
+                                        None if sl == slice(None)
+                                        else (ax, sl))
                         outname[("state", out_key)][...] = fu_new
                         return siu * ((ku - su) * fseg + fu_new - fu_old)
 
@@ -964,7 +992,7 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str,
                             mid = slice(b_lo, a_hi)
                             pieces.append(chain1(
                                 f_old[_full_slice(ax, mid)],
-                                dfl[_full_slice(ax, mid)]))
+                                dfl[_full_slice(ax, mid)], (ax, mid)))
                         if b_hi > a_hi:
                             sl = slice(a_hi, b_hi)
                             pieces.append(chain2(
@@ -1396,9 +1424,10 @@ def compute_nl_halos(L, bx, nlh_keys, state, C):
 class Fdtd3dKernel:
     """Compiled fused-step driver for one plan."""
 
-    def __init__(self, plan, bx: int = None, z_full: bool = False):
+    def __init__(self, plan, bx: int = None, z_full: bool = False,
+                 allow_periodic_x: bool = False):
         bx = _pick_bx(plan, bx)
-        if not supported(plan, bx):
+        if not supported(plan, bx, allow_periodic_x=allow_periodic_x):
             raise ValueError("plan outside the fdtd3d kernel envelope")
         self.plan = plan
         self.bx = bx

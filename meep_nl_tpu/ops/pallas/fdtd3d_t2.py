@@ -93,6 +93,12 @@ def _pick_bx(plan, requested=None, depth: int = 2) -> int:
 def supported(plan, bx: int = None, depth: int = 2) -> bool:
     if plan.gv.dim != "3d":
         return False
+    if any(s.folded_cond for s in plan.curl_specs_d + plan.curl_specs_b):
+        # folded-conductivity plans (ops/pallas/condfold): chain1 coefs
+        # are full-grid and non-identity outside the PML slabs, which the
+        # piecewise dsig_mode specialization below does not model yet —
+        # the depth-1 kernel (fold-safe: full coef chains) covers them
+        return False
     bx = _pick_bx(plan, bx, depth)
     disp = _has_disp(plan)
     if disp and depth not in (2, 3):
@@ -477,6 +483,14 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
         c = s.c
         if s.dsig_axis is None:
             dsig_mode[c] = ("none",)
+            continue
+        if s.folded_cond:
+            # folded conductivity: chain1 coefs are non-identity at the
+            # interior conductive sites — never skip the chain (the
+            # envelope check rejects these plans today; this keeps a
+            # directly-constructed kernel correct regardless)
+            dsig_mode[c] = ("x",) if s.dsig_axis == 0 \
+                else ("full", s.dsig_axis)
             continue
         ax = s.dsig_axis
         lo_n, hi_n = s.dsig_slabs if s.dsig_slabs is not None else (0, 0)

@@ -74,7 +74,14 @@ def _get_kernel(plan):
     ker = getattr(plan, "_t2_kernel", None)
     if ker is None:
         from . import fdtd3d, fdtd3d_t2
-        if fdtd3d_t2.supported(plan, depth=2):
+        if any(plan.periodic):
+            # x-periodic plans: the wrap halo/carry driver around the
+            # 1-step kernel (ops/pallas/periodicx.py); temporal fusion
+            # across the wrap needs per-stage wrap carries — not built
+            from .periodicx import PeriodicXKernel
+            ker = _K1Adapter(PeriodicXKernel(plan))
+            ker.k3 = None
+        elif fdtd3d_t2.supported(plan, depth=2):
             # depth-3 companion: both kernels must SHARE one bx so they
             # drive the same compact state layout (the layout depends on
             # (plan, bx, z_full), not on the schedule depth) — and the
@@ -141,6 +148,9 @@ def hybrid_applicable(plan) -> bool:
             return False
         os.environ.setdefault("MNT_PALLAS_INTERPRET", "1")
     from . import fdtd3d, fdtd3d_t2
+    if any(plan.periodic):
+        from .periodicx import periodic_supported
+        return periodic_supported(plan)
     return fdtd3d_t2.supported(plan) or fdtd3d.supported(plan)
 
 
@@ -150,11 +160,25 @@ def hybrid_run(plan, state: Dict[str, Any], nsteps: int, t0: int
     Returns None when the cycle structure doesn't apply OR the kernel
     fails to build/compile for this plan (caller falls back to jnp —
     the envelope checks are static, but Mosaic lowering can still
-    reject specific geometry/layout combinations)."""
+    reject specific geometry/layout combinations).
+
+    Plans with D/B conductivity run on their folded equivalent
+    (ops/pallas/condfold): the cond update rides the chain1 coefs, the
+    fused kernels see an ordinary cond-free plan, and the original
+    plan's f_cond family is re-synced afterwards (f_cond == f at the
+    conductive sites — the invariant the fold rests on)."""
     if getattr(plan, "_hybrid_broken", False):
         return None
+    run_plan = plan
+    has_cond = any(s.has_cond
+                   for s in plan.curl_specs_d + plan.curl_specs_b)
+    if has_cond:
+        from .condfold import cond_fold_of, resync_cond_state
+        run_plan = cond_fold_of(plan)
+        if run_plan is None:
+            return None                 # inexact fold: jnp path owns it
     try:
-        return _hybrid_run_inner(plan, state, nsteps, t0)
+        out = _hybrid_run_inner(run_plan, state, nsteps, t0)
     except Exception as e:                       # noqa: BLE001
         import warnings
         plan._hybrid_broken = True
@@ -163,6 +187,9 @@ def hybrid_run(plan, state: Dict[str, Any], nsteps: int, t0: int
             f"({type(e).__name__}: {str(e)[:200]}); falling back to the "
             "jnp stepper", stacklevel=2)
         return None
+    if out is not None and has_cond:
+        out = resync_cond_state(plan, out)
+    return out
 
 
 def _hybrid_run_inner(plan, state: Dict[str, Any], nsteps: int, t0: int

@@ -161,6 +161,11 @@ class CurlSpec:
     #: non-identity; aux updates are exactly slab-local outside
     dsig_slabs: Optional[Tuple[int, int]] = None
     dsigu_slabs: Optional[Tuple[int, int]] = None
+    #: conductivity folded into the chain1 coefs (ops/pallas/condfold):
+    #: the kap/sig/siginv arrays are NOT identity outside dsig_slabs, so
+    #: chain1 must run full-grid, and sources mirror into f_u (the inner
+    #: chain is value-dependent at the conductive sites)
+    folded_cond: bool = False
 
 
 @dataclasses.dataclass

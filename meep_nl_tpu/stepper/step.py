@@ -393,14 +393,24 @@ def _curl_update(plan: Plan, C: Dict[str, Any], spec: CurlSpec,
     has_sigu = spec.dsigu_axis is not None
     has_cond = spec.has_cond
 
+    folded = spec.folded_cond
     slab_ok = (plan.slab_opt and not has_cond and not _is_pair(plan)
-               and (not has_sig or spec.dsig_slabs is not None)
+               and (not has_sig or spec.dsig_slabs is not None or folded)
                and (not has_sigu or spec.dsigu_slabs is not None)
                and (has_sig or has_sigu))
     if slab_ok:
         ndim = f.ndim
-        base = f + dfl
-        if has_sig:
+        if folded:
+            # conductivity folded into chain1 (ops/pallas/condfold): the
+            # coefs are non-identity at the interior conductive sites,
+            # so the chain runs full-grid instead of slab-local (the
+            # sigu chain below still slices the same arrays on ITS
+            # slabs, where they carry the pure PML values)
+            base = ((C[f"{c}:kap"] - C[f"{c}:sig"]) * f + dfl) \
+                * C[f"{c}:siginv"]
+        else:
+            base = f + dfl
+        if has_sig and not folded:
             n_sites = plan.gv.num[spec.dsig_axis] + 1
             for sl in _slab_slices(spec.dsig_slabs, spec.dsig_axis,
                                    n_sites, ndim):
@@ -1073,7 +1083,7 @@ def _apply_sources(plan: Plan, C: Dict[str, Any], ft2: str,
     # f_u mirroring only matters (and only changes anything) where the
     # inner chain is value-dependent in the interior, i.e. conductivity
     cond_c = {s.c for s in plan.curl_specs_d + plan.curl_specs_b
-              if s.has_cond}
+              if s.has_cond or s.folded_cond}
     f_u = {k: v for k, v in state.get("f_u", {}).items() if k in cond_c}
     dt = plan.dt
     for si, s in enumerate(plan.sources):

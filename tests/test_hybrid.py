@@ -108,3 +108,44 @@ def test_hybrid_dispersive_depth3():
     fh = np.asarray(sim_h.get_fluxes(flux_h))
     np.testing.assert_allclose(fh, fj, rtol=1e-4,
                                atol=1e-6 * np.abs(fj).max())
+
+
+def _sim_cond(use_fused):
+    """Lossy dielectric block in the interior (D conductivity): rides the
+    fused path via the conductivity fold (ops/pallas/condfold)."""
+    fcen = 1.0
+    sim = mp.Simulation(
+        cell_size=mp.Vector3(4.0, 2.0, 2.0), resolution=8,
+        geometry=[mp.Block(center=mp.Vector3(0.4, 0, 0),
+                           size=mp.Vector3(0.8, 0.8, 0.8),
+                           material=mp.Medium(epsilon=2.0,
+                                              D_conductivity=1.5))],
+        sources=[mp.Source(mp.GaussianSource(frequency=fcen, fwidth=0.4),
+                           component=mp.Ez, center=mp.Vector3(-1.2, 0, 0))],
+        boundary_layers=[mp.PML(0.5)],
+        use_fused=use_fused)
+    flux = sim.add_flux(fcen, 0.2, 3,
+                        mp.FluxRegion(center=mp.Vector3(1.2, 0, 0),
+                                      size=mp.Vector3(0, 1.0, 1.0)))
+    return sim, flux
+
+
+def test_hybrid_conductivity_fold():
+    sim_j, flux_j = _sim_cond(False)
+    sim_j.run(until=6.0)
+    sim_h, flux_h = _sim_cond(True)
+    sim_h.run(until=6.0)
+    # the fold must actually have engaged (not a silent jnp fallback)
+    assert getattr(sim_h._plan, "_cond_fold", None) not in (None, False)
+    assert not getattr(sim_h._plan, "_hybrid_broken", False)
+
+    ez_j = sim_j.get_array(mp.Ez)
+    ez_h = sim_h.get_array(mp.Ez)
+    scale = np.abs(ez_j).max()
+    assert scale > 0
+    np.testing.assert_allclose(ez_h, ez_j, atol=5e-6 * scale)
+
+    fj = np.asarray(sim_j.get_fluxes(flux_j))
+    fh = np.asarray(sim_h.get_fluxes(flux_h))
+    np.testing.assert_allclose(fh, fj, rtol=1e-4,
+                               atol=1e-6 * np.abs(fj).max())
