@@ -420,9 +420,37 @@ class Simulation:
         return self.courant / self.resolution
 
     def _periodic(self) -> Tuple[bool, ...]:
+        """Bloch-periodic axes for a given k_point.
+
+        The reference connects chunk boundaries with the Bloch phase in
+        EVERY direction when a k_point is set (boundaries.cpp:88
+        use_bloch) — including directions whose boundaries sit behind
+        double-sided PML, where the wrapped values are attenuated to the
+        PML reflection floor and the connection is physically inert.  We
+        drop the wrap on axes whose k component is zero AND whose both
+        ends carry an absorbing layer: the zero-fill (metal-backed PML)
+        boundary there is equivalent below the PML floor, and it keeps
+        such plans inside the fused-kernel envelope
+        (ops/pallas/periodicx.py handles the one genuinely periodic
+        sweep axis)."""
         if self.k_point is None:
             return (False,) * self.gv.ndim
-        return (True,) * self.gv.ndim
+        kv = _vec_to_axes(self.gv, _v3(self.k_point))
+        lo_cov = [False] * self.gv.ndim
+        hi_cov = [False] * self.gv.ndim
+        for bl in self.boundary_layers:
+            dirs = list(self.gv.axes) if bl.direction == ALL \
+                else [bl.direction]
+            for d in dirs:
+                ax = self.gv.axes.index(d) if d in self.gv.axes else None
+                if ax is None:
+                    continue
+                if bl.side in (0, -1):
+                    lo_cov[ax] = True
+                if bl.side in (0, +1):
+                    hi_cov[ax] = True
+        return tuple(not (kv[ax] == 0.0 and lo_cov[ax] and hi_cov[ax])
+                     for ax in range(self.gv.ndim))
 
     def _live_components(self) -> Tuple[List[str], List[str]]:
         """Component closure from sources+monitors (fields::require_component)."""

@@ -1,0 +1,212 @@
+"""Periodic-x fused stepping: the production Mosaic kernel on a Bloch/
+periodic x axis with a real (+-1) wrap phase.
+
+The fused kernel sweeps x in blocks and is periodicity-blind; the wrap
+enters entirely through two external interfaces (the same structure the
+sharded driver uses between chips, parallel/fused_mesh.py — itself the
+analog of the reference's per-chunk kernels + boundary connections,
+step.cpp:226-288 / boundaries.cpp:347 CONNECT_PHASE):
+
+  * the FORWARD ghost: the B half's x-forward difference at the last
+    live plane (x = num-1) reads E_eff(num) = phase * E_eff(0) — OLD-
+    state data.  Field storage always carries a dead plane at x = num
+    (grid.shape = num+1), so the driver refreshes that plane with the
+    wrapped old value before every step; the kernel then reads it both
+    in-register and through the precomputed strided halos with no
+    special cases.  (The masks re-kill the dead plane on output, as in
+    the jnp path.)
+  * the BACKWARD carry: the D half at plane 0 reads H_eff^new(-1) =
+    (1/phase) * H_eff^new(num-1) — NEW-state data from the far end of
+    the same step, a cyclic dependency broken by redundantly
+    recomputing the one-plane B-half update from the old state
+    (fused_mesh.carry_plane), exactly as each shard recomputes its left
+    neighbor's boundary plane.
+
+Supported envelope: fdtd3d.supported(plan, allow_periodic_x=True) —
+3D, periodic along x ONLY, real wrap phase (k_x = 0 or half-integer),
+plus: NL (chi3/chi2-NR) support and the dispersive stored-E window at
+least 3 sites / 1 site clear of both wrap ends (the NL next-plane halos
+are zero-padded at the sweep edges — the same exactness condition as
+the sharded driver's shard boundaries — and the ghost plane carries no
+window overlay).  Complex Bloch phases need the real-pair kernel
+channel — jnp path for now.
+
+Equivalence vs the jnp stepper's wrap (ops/stencil.shift periodic
+branch): test_periodic_fused.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import fdtd3d as F1
+from .fdtd3d import compute_halos, compute_nl_halos
+from ...parallel.fused_mesh import (boundary_statics, carry_plane,
+                                    e_eff_plane)
+
+
+def _nl_clear_of_wrap(plan) -> bool:
+    """NL (chi3/chi2-NR) stencil columns must not consume the zero-padded
+    NL halos at the sweep edges: require the support boxes >= 3 sites
+    clear of both wrap ends (cf. fused_mesh._nl_clear_of_boundaries)."""
+    boxes = getattr(plan, "support_boxes", None) or {}
+    num0 = plan.gv.num[0]
+    for s in plan.eh_specs_e:
+        keys = []
+        if s.has_chi3:
+            keys += [f"{s.ec}:chi3", f"{s.ec}:chi2"]
+        if s.has_nr:
+            keys += [f"{s.ec}:nrchi2"]
+        for key in keys:
+            b = boxes.get(key)
+            if b is None:
+                continue
+            x0, x1 = b[0]
+            if x0 < 3 or x1 > num0 - 3:
+                return False
+    return True
+
+
+def periodic_supported(plan, bx: int = None) -> bool:
+    """Envelope check for the periodic-x fused driver."""
+    if plan.gv.dim != "3d" or not plan.periodic[0]:
+        return False
+    if not F1.supported(plan, bx, allow_periodic_x=True):
+        return False
+    if F1._has_disp(plan):
+        if not _nl_clear_of_wrap(plan):
+            return False
+        # the stored-E window must not reach the wrap planes (the ghost
+        # plane at x = num carries no window overlay, and the carry
+        # recompute at x = num-1 assumes store-free rows there only for
+        # the W chain, not the disp window)
+        bxx = F1._pick_bx(plan, bx)
+        try:
+            L = F1._Layout(plan, bxx)
+        except ValueError:
+            return False
+        if L.disp is not None:
+            a, b = L.disp_range()
+            if a < 1 or b > plan.gv.num[0] - 1:
+                return False
+    return True
+
+
+class PeriodicXKernel(F1.Fdtd3dKernel):
+    """Fused-step driver for x-periodic plans: the parent's call chain
+    with the wrap ghost refreshed into the dead x = num plane each step
+    and the wrap carry redundantly recomputed from the old state."""
+
+    def __init__(self, plan, bx: int = None, z_full: bool = False):
+        if not periodic_supported(plan, bx):
+            raise ValueError("plan outside the periodic-x fused envelope")
+        super().__init__(plan, bx, z_full, allow_periodic_x=True)
+        L = self.L
+        self.num0 = plan.gv.num[0]
+        (self._b_specs, self._e_need, self._pkg_b, self._pkg_fu,
+         self._pkg_wst, bkeys) = boundary_statics(plan, L, self.carry_keys)
+        # boundary-plane coefficient views at the last live plane
+        xb = self.num0 - 1
+        self._bc: Dict[str, Any] = {}
+        for k in bkeys:
+            arr = plan.coefs[k]
+            if getattr(arr, "ndim", 0) == 3 and arr.shape[0] == L.S[0]:
+                self._bc[k] = arr[xb:xb + 1]
+            else:
+                self._bc[k] = arr
+        self._phase = float(np.real(plan.bloch_phase[0]))
+        # the in-kernel E_eff assembly at the ghost plane multiplies the
+        # ghosted D by u(num): pin u(num) := u(0) so the assembled ghost
+        # equals phase * E_eff(0) (dead plane in every other reader —
+        # D there is zero/masked on the jnp path)
+        for s in L.ehs:
+            k = f"{s.ec}:u"
+            if s.has_u:
+                arr = plan.coefs[k]
+                if getattr(arr, "ndim", 0) == 3 \
+                        and arr.shape[0] == L.S[0]:
+                    plan.coefs[k] = arr.at[self.num0].set(arr[0])
+
+    def make_step(self):
+        plan, L, bx = self.plan, self.L, self.bx
+        S0, Y, Z = L.S
+        num0 = self.num0
+        dtype = plan.dtype
+        ph = self._phase
+        phinv = 1.0 / ph
+        b_specs, e_need = self._b_specs, self._e_need
+        pkg_b, pkg_fu, pkg_wst = self._pkg_b, self._pkg_fu, self._pkg_wst
+        bc = self._bc
+        ghost_dc = [L.eh_by_ec[ec].dc for ec in self.halo_keys]
+        ghost_wst = []
+        for ec in self.halo_keys:
+            if ec in L.eh_store:
+                ax, lor, hir = L.eh_store[ec]
+                if ax != 0:
+                    ghost_wst += [L.key("eh", ec, side)
+                                  for side, (a, b) in
+                                  (("lo", lor), ("hi", hir)) if b > a]
+
+        def bplane(k):
+            return bc[k]
+
+        def step(state, x_t, C):
+            # ---- wrap ghost: dead plane x = num <- phase * plane 0 ----
+            state = dict(state)
+            for dc in ghost_dc:
+                state[dc] = state[dc].at[num0:num0 + 1].set(
+                    ph * state[dc][0:1])
+            for key in ghost_wst:
+                state[key] = state[key].at[num0:num0 + 1].set(
+                    ph * state[key][0:1])
+            halos = compute_halos(L, bx, self.halo_keys, state, C)
+            if self.nlh_keys:
+                halos = {**halos, **compute_nl_halos(
+                    L, bx, self.nlh_keys, state, C)}
+            # ---- wrap carry: H_eff^new(-1) = (1/ph) H_eff^new(num-1) --
+            xb = num0 - 1
+            recv = {}
+            for ecn in e_need:
+                recv[f"e:{ecn}"] = e_eff_plane(plan, L, state, C, ecn, xb)
+            for c in pkg_b:
+                recv[f"b:{c}"] = state[c][xb:xb + 1]
+            for (c, side, fax, a, b) in pkg_fu:
+                recv[f"fu:{c}:{side}"] = state[L.key("fu", c, side)][
+                    xb:xb + 1]
+            for (ec, side, ax, a, b) in pkg_wst:
+                recv[f"w:{ec}:{side}"] = state[L.key("eh", ec, side)][
+                    xb:xb + 1]
+            e_first = {ecn: ph * e_eff_plane(plan, L, state, C, ecn, 0)
+                       for ecn in e_need}
+            h_last = carry_plane(plan, L, b_specs, pkg_fu, recv, e_first,
+                                 bplane)
+            carry = {}
+            for g in self.carry_keys:
+                if g in h_last:
+                    carry[g] = (phinv * h_last[g]).astype(dtype)
+                else:
+                    carry[g] = jnp.zeros((1, Y, Z), dtype)
+            xscal = {k: jnp.asarray(x_t[k], dtype).reshape(1, 1)
+                     for k in self.xs_keys}
+            for call in self.calls:
+                state, carry_out = call(state, halos, carry, C, xscal)
+                carry = {**carry, **carry_out}
+            return {**state, "t": state["t"] + 1}
+
+        return step
+
+    def to_full(self, state, C=None):
+        """jnp-state parity: the jnp path keeps the dead x planes zero
+        (masked every step); kill the ghost residue."""
+        full = super().to_full(state, C)
+        num0 = self.num0
+        for fam in ("f", "f_u", "f_w"):
+            d = full.get(fam)
+            if not d:
+                continue
+            full[fam] = {k: v.at[num0:].set(0.0) if v.shape[0] > num0
+                         else v for k, v in d.items()}
+        return full

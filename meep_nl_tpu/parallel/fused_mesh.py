@@ -131,6 +131,174 @@ def sharded_supported(plan, n_shards: int, bx: Optional[int] = None) -> bool:
     return True
 
 
+def boundary_statics(plan, L, carry_keys):
+    """Static description of a width-1 x-boundary's right-going package
+    (which comps/arrays the left side must ship so the right side can
+    redundantly recompute H_eff^new at the boundary plane).  Shared by
+    the sharded driver below and the periodic-x wrap driver
+    (ops/pallas/periodicx.py).  Returns (b_specs, e_need, pkg_b, pkg_fu,
+    pkg_wst, bcoef_keys)."""
+    b_specs = [s for s in plan.curl_specs_b if s.ec in carry_keys]
+    e_need: List[str] = []
+    for s in b_specs:
+        for g in (s.g_plus, s.g_minus):
+            if g is not None and g not in e_need:
+                e_need.append(g)
+    pkg_b = [s.c for s in b_specs]
+    pkg_fu = []
+    for s in b_specs:
+        if s.c in L.fu:
+            ax, lor, hir = L.fu[s.c]
+            for side, (a, b) in (("lo", lor), ("hi", hir)):
+                if b > a:
+                    pkg_fu.append((s.c, side, ax, a, b))
+    pkg_wst = []
+    for ec in carry_keys:
+        if ec in L.eh_store:
+            ax, lor, hir = L.eh_store[ec]
+            for side, (a, b) in (("lo", lor), ("hi", hir)):
+                if b > a:
+                    pkg_wst.append((ec, side, ax, a, b))
+    keys: List[str] = []
+    for s in b_specs:
+        c = s.c
+        if s.dsig_axis is not None:
+            keys += [f"{c}:sig", f"{c}:kap", f"{c}:siginv"]
+        if s.dsigu_axis is not None:
+            keys += [f"{c}:sigu", f"{c}:kapu", f"{c}:siginvu"]
+    for ec in carry_keys:
+        if f"{ec}:u" in plan.coefs:
+            keys.append(f"{ec}:u")
+        if f"{ec}:kapw" in plan.coefs:
+            keys += [f"{ec}:kapw", f"{ec}:sigw"]
+    return (b_specs, e_need, pkg_b, pkg_fu, pkg_wst,
+            list(dict.fromkeys(keys)))
+
+
+def e_eff_plane(plan, L, state, C, ec, x):
+    """Assembled E_eff at one x plane (overlays included, in to_full's
+    order: stored-E dispersive window first, W-store on top — identity
+    rows agree, true rows never overlap)."""
+    spec = L.eh_by_ec[ec]
+    d = state[spec.dc][x:x + 1]
+    lin = d * C[f"{ec}:u"][x:x + 1] if spec.has_u else d
+    if L.disp is not None and ec in L.de_comps:
+        a, b = L.disp_range()
+        if a <= x < b:
+            wy0, wy1 = L.win_y
+            lin = lin.at[:, wy0:wy1, :].set(state[f"de:{ec}"][x - a:x - a + 1])
+    if ec in L.eh_store:
+        ax, lor, hir = L.eh_store[ec]
+        if ax == 0:
+            for side, (a, b) in (("lo", lor), ("hi", hir)):
+                if a <= x < b:
+                    lin = state[L.key("eh", ec, side)][x - a:x - a + 1]
+        else:
+            for side, (a, b) in (("lo", lor), ("hi", hir)):
+                if b > a:
+                    sl = [slice(None)] * 3
+                    sl[ax] = slice(a, b)
+                    lin = lin.at[tuple(sl)].set(
+                        state[L.key("eh", ec, side)][x:x + 1])
+    return lin
+
+
+def carry_plane(plan, L, b_specs, pkg_fu, recv, e_first, bplane):
+    """Redundantly recompute H_eff^{new} at an x-boundary plane from the
+    received package — the full B-half update (curl + dsig/dsigu chains
+    + W chain) on one plane; mirrors the kernel's half(is_d=False).
+    `bplane(key)` returns the boundary plane of coefficient `key`."""
+    dtdx = plan.courant
+
+    def shift_yz(a, axis, by):
+        pad = [(0, 0)] * 3
+        slc = [slice(None)] * 3
+        if by > 0:
+            pad[axis] = (0, by)
+            slc[axis] = slice(by, None)
+        else:
+            pad[axis] = (-by, 0)
+            slc[axis] = slice(None, by)
+        return jnp.pad(a[tuple(slc)], pad)
+
+    h_eff = {}
+    for s in b_specs:
+        def diff(gname, axis):
+            if axis == 0:
+                return e_first[gname] - recv[f"e:{gname}"]
+            g = recv[f"e:{gname}"]
+            return shift_yz(g, axis, +1) - g
+        total = None
+        if s.g_plus is not None:
+            total = diff(s.g_plus, s.plus_axis)
+        if s.g_minus is not None:
+            t2 = diff(s.g_minus, s.minus_axis)
+            total = -t2 if total is None else total - t2
+        dfl = -dtdx * total
+        c = s.c
+        f_old = recv[f"b:{c}"]
+
+        def chain1(gval, dflv):
+            if s.dsig_axis is None:
+                return gval + dflv
+            return ((bplane(f"{c}:kap") - bplane(f"{c}:sig")) * gval
+                    + dflv) * bplane(f"{c}:siginv")
+
+        if s.dsigu_axis is None:
+            b_new = chain1(f_old, dfl)
+        else:
+            # reconstruct the full-plane fu from the slab pieces
+            # (fu == f on the identity rows)
+            fu_old = f_old
+            for (cc, side, fax, a, b) in pkg_fu:
+                if cc != c:
+                    continue
+                if fax == 0:
+                    fu_old = recv[f"fu:{c}:{side}"]
+                else:
+                    sl = [slice(None)] * 3
+                    sl[fax] = slice(a, b)
+                    fu_old = fu_old.at[tuple(sl)].set(
+                        recv[f"fu:{c}:{side}"])
+            fu_new = chain1(fu_old, dfl)
+            b_new = bplane(f"{c}:siginvu") * (
+                (bplane(f"{c}:kapu") - bplane(f"{c}:sigu")) * f_old
+                + fu_new - fu_old)
+        # y/z plane masks at the boundary plane
+        for ax, i in plan.mask_planes.get(c, []):
+            if ax == 0:
+                continue       # x-boundary planes are x-interior/wrap
+            nax = b_new.shape[ax]
+            io = jax.lax.iota(jnp.int32, nax)
+            shp = [1, 1, 1]
+            shp[ax] = nax
+            b_new = b_new * (io != i).reshape(shp).astype(b_new.dtype)
+        ec = s.ec
+        u = bplane(f"{ec}:u") if f"{ec}:u" in plan.coefs else None
+        lin_new = b_new * u if u is not None else b_new
+        lin_old = f_old * u if u is not None else f_old
+        h = lin_new
+        if ec in L.eh_store:
+            ax, lor, hir = L.eh_store[ec]
+            kw = bplane(f"{ec}:kapw")
+            sw = bplane(f"{ec}:sigw")
+            for side, (a, b) in (("lo", lor), ("hi", hir)):
+                if b <= a or ax == 0:
+                    continue
+                sl = [slice(None)] * 3
+                sl[ax] = slice(a, b)
+                sl = tuple(sl)
+                ksl = tuple(
+                    s_ if kw.shape[i_] > 1 else slice(None)
+                    for i_, s_ in enumerate(sl))
+                e_old = recv[f"w:{ec}:{side}"]
+                e_new = e_old + (kw[ksl] + sw[ksl]) * lin_new[sl] \
+                    - (kw[ksl] - sw[ksl]) * lin_old[sl]
+                h = h.at[sl].set(e_new)
+        h_eff[ec] = h
+    return h_eff
+
+
 def sharded_hybrid_run(plan, mesh: Mesh, state: Dict[str, Any],
                        nsteps: int, t0: int) -> Optional[Dict[str, Any]]:
     """Monitored sharded run: the per-shard fused kernel between DFT

@@ -1,0 +1,118 @@
+"""Periodic-x fused stepping (ops/pallas/periodicx.py): the Mosaic
+kernel driven with wrap ghosts + a redundantly-recomputed wrap carry
+must reproduce the jnp stepper's Bloch wrap (ops/stencil.shift periodic
+branch / boundaries.cpp:347 CONNECT_PHASE) for real (+-1) phases.
+
+Runs in pallas interpret mode on the CPU test mesh."""
+
+import os
+
+os.environ["MNT_PALLAS_INTERPRET"] = "1"
+
+import numpy as np
+import pytest
+
+import meep_nl_tpu as mnt
+from meep_nl_tpu.core import grid as G
+from meep_nl_tpu.stepper.plan import (MaterialSpec, PMLSpec, SrcVolSpec,
+                                      compile_plan)
+from meep_nl_tpu.stepper.step import init_state, run
+from meep_nl_tpu.ops.pallas import periodicx
+
+
+def _plan_periodic(kx=0.0, with_eps=False, res=8.0, cells=(24, 16, 16),
+                   pml_axes="yz", src_comp="ez"):
+    size = [n / res for n in cells]
+    gv = G.GridVolume.create("3d", size, res)
+    chi1inv = {}
+    if with_eps:
+        x = gv.comp_coords("ez", 0)
+        cx = 0.5 * (x[0] + x[-1])
+        for c in ("ex", "ey", "ez"):
+            e = np.ones(gv.shape)
+            xx = gv.comp_coords(c, 0)
+            e[np.abs(xx - cx) < size[0] / 6, :, :] = 4.0
+            chi1inv[c] = {c[1]: 1.0 / e}
+    src_t = mnt.GaussianSource(frequency=1.0, fwidth=0.5)
+    pts = gv.interp_weights(src_comp, [0.3, 0.0, 0.0])
+    idx = np.array([p for p, w in pts], np.int32)
+    amps = np.array([w for p, w in pts], np.complex128)
+    src = SrcVolSpec(src_comp, idx, amps, src_t)
+    pmls = [PMLSpec(d, 0.5) for d in pml_axes]
+    plan = compile_plan(gv, MaterialSpec(chi1inv=chi1inv), pmls=pmls,
+                        periodic=(True, False, False),
+                        bloch_k=(kx, 0.0, 0.0),
+                        sources=[src], pad_to_multiple=(8, 1, 1))
+    plan.slab_opt = True
+    return plan
+
+
+def _compare(plan, nsteps=30, bx=8, atol=2e-6):
+    assert periodicx.periodic_supported(plan, bx), "inside the envelope"
+    ker = periodicx.PeriodicXKernel(plan, bx)
+    full_k = ker.to_full(ker.run(ker.init_state(), nsteps))
+    st_j = run(plan, init_state(plan), nsteps)
+    scale = max(float(np.max(np.abs(np.asarray(v))))
+                for v in st_j["f"].values())
+    assert scale > 0
+    for c in st_j["f"]:
+        np.testing.assert_allclose(np.asarray(full_k["f"][c]),
+                                   np.asarray(st_j["f"][c]),
+                                   atol=atol * scale, err_msg=f"f[{c}]")
+    # the wrap must be live: energy reaches the first live planes within
+    # nsteps (the run would also pass trivially if the pulse never
+    # reached the wrap boundary)
+    ez = np.asarray(st_j["f"]["e" + plan.sources[0].component[1]])
+    assert np.abs(ez[:2]).max() > 1e-5 * scale
+
+
+def test_periodic_k0():
+    _compare(_plan_periodic(kx=0.0), nsteps=40)
+
+
+def test_periodic_phase_minus1():
+    # phase = exp(i 2 pi k Lx) = -1 at k = 0.5 / Lx
+    plan = _plan_periodic(kx=0.0)
+    Lx = plan.gv.size[0]
+    _compare(_plan_periodic(kx=0.5 / Lx), nsteps=40)
+
+
+def test_periodic_eps_structure():
+    _compare(_plan_periodic(kx=0.0, with_eps=True), nsteps=40)
+
+
+def test_periodic_rejects_complex_phase():
+    plan = _plan_periodic(kx=0.1)
+    assert not periodicx.periodic_supported(plan)
+
+
+def test_periodic_hybrid_sim():
+    """Simulation-level: a periodic cell with k_point at the zone edge
+    rides the fused path."""
+    pytest.importorskip("jax")
+    os.environ["MNT_HYBRID_CPU"] = "1"
+
+    def mk(use_fused):
+        sim = mnt.Simulation(
+            cell_size=mnt.Vector3(3.0, 2.0, 2.0), resolution=8,
+            sources=[mnt.Source(mnt.GaussianSource(1.0, fwidth=0.4),
+                                component=mnt.Ez,
+                                center=mnt.Vector3(0.3, 0, 0))],
+            boundary_layers=[mnt.PML(0.5, mnt.Y), mnt.PML(0.5, mnt.Z)],
+            k_point=mnt.Vector3(0, 0, 0),
+            use_fused=use_fused)
+        return sim
+
+    try:
+        sim_j = mk(False)
+        sim_j.run(until=4.0)
+        sim_h = mk(True)
+        sim_h.run(until=4.0)
+    finally:
+        os.environ.pop("MNT_HYBRID_CPU", None)
+    assert not getattr(sim_h._plan, "_hybrid_broken", False)
+    ez_j = sim_j.get_array(mnt.Ez)
+    ez_h = sim_h.get_array(mnt.Ez)
+    scale = np.abs(ez_j).max()
+    assert scale > 0
+    np.testing.assert_allclose(ez_h, ez_j, atol=5e-6 * scale)
