@@ -73,6 +73,7 @@ def fold_conductivity(plan) -> Optional[Any]:
     newC: Dict[str, Any] = dict(C)
     dt = plan.dt
     S = tuple(plan.storage_shape or plan.gv.shape)
+    boxes = dict(getattr(plan, "support_boxes", None) or {})
 
     folded_c = set()
     for s in cond_specs:
@@ -113,6 +114,13 @@ def fold_conductivity(plan) -> Optional[Any]:
         newC[f"{c}:siginv"] = jnp.asarray(sinv_f, cdtype)
         del newC[f"{c}:cnd"]
         del newC[f"{c}:cndinv"]
+        # bounding box of the conductive sites, for downstream envelope
+        # checks (the temporally-fused kernel's NL next-plane rebuild
+        # assumes chain-identity columns — fdtd3d_t2.supported keeps the
+        # fold clear of the dispersive window via these)
+        nz = np.nonzero(site)
+        boxes[f"{c}:condfold"] = tuple(
+            (int(ix.min()), int(ix.max()) + 1) for ix in nz)
         folded_c.add(c)
 
     def fold_spec(s):
@@ -141,7 +149,8 @@ def fold_conductivity(plan) -> Optional[Any]:
         del newC[key]
 
     return dataclasses.replace(plan, curl_specs_d=new_d, curl_specs_b=new_b,
-                               sources=new_sources, coefs=newC)
+                               sources=new_sources, coefs=newC,
+                               support_boxes=boxes)
 
 
 def cond_fold_of(plan) -> Optional[Any]:

@@ -154,6 +154,27 @@ def supported(plan, bx: int = None, allow_disp: bool = True,
     for c, planes in (plan.mask_planes or {}).items():
         if planes is None:
             return False
+    # folded conductivity (ops/pallas/condfold) must stay >= 3 sites
+    # clear of every NL (chi3/chi2-NR) support box: the NL next-plane
+    # rebuild uses the interior rule (chain-identity columns)
+    boxes = getattr(plan, "support_boxes", None) or {}
+    cond_boxes = [b for k, b in boxes.items()
+                  if k.endswith(":condfold") and b is not None]
+    if cond_boxes:
+        nl_keys = []
+        for s in plan.eh_specs_e:
+            if s.has_chi3:
+                nl_keys += [f"{s.ec}:chi3", f"{s.ec}:chi2"]
+            if s.has_nr:
+                nl_keys += [f"{s.ec}:nrchi2"]
+        for key in nl_keys:
+            nb = boxes.get(key)
+            if nb is None:
+                continue
+            for cb in cond_boxes:
+                if all(cb[ax][0] < nb[ax][1] + 3
+                       and cb[ax][1] > nb[ax][0] - 3 for ax in range(3)):
+                    return False
     for s in plan.sources:
         if s.is_integrated:
             return False

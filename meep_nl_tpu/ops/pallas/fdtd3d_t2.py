@@ -78,6 +78,10 @@ def _pick_bx(plan, requested=None, depth: int = 2) -> int:
         tiles = 160 if depth == 3 else 96
     else:
         tiles = 128 if depth == 3 else 64
+    # folded conductivity (condfold): 3 full-grid chain1 coef tiles per
+    # folded comp PER STAGE instead of broadcast vectors
+    tiles += 3 * depth * sum(s.folded_cond for s in plan.curl_specs_d
+                             + plan.curl_specs_b)
     bx = 8
     while bx > 1 and (tiles * bx * plane > 90 * 2 ** 20 or S[0] % bx):
         bx //= 2
@@ -90,14 +94,42 @@ def _pick_bx(plan, requested=None, depth: int = 2) -> int:
     return bx
 
 
+def _cond_clear_of_window(plan, bx, depth) -> bool:
+    """Folded-conductivity boxes must stay >= 3 sites clear of the
+    dispersive window on x or y (the NL/pol next-plane rebuilds assume
+    chain-identity columns there; z spans the window fully)."""
+    boxes = getattr(plan, "support_boxes", None) or {}
+    cond = [b for k, b in boxes.items()
+            if k.endswith(":condfold") and b is not None]
+    if not cond:
+        return True
+    bxx = _pick_bx(plan, bx, depth)
+    try:
+        L = _Layout(plan, bxx)
+    except ValueError:
+        return False
+    if L.disp is None:
+        return True
+    wx = L.disp_range()
+    wy = L.win_y
+    for b in cond:
+        x_ov = b[0][0] < wx[1] + 3 and b[0][1] > wx[0] - 3
+        y_ov = b[1][0] < wy[1] + 3 and b[1][1] > wy[0] - 3
+        if x_ov and y_ov:
+            return False
+    return True
+
+
 def supported(plan, bx: int = None, depth: int = 2) -> bool:
     if plan.gv.dim != "3d":
         return False
-    if any(s.folded_cond for s in plan.curl_specs_d + plan.curl_specs_b):
-        # folded-conductivity plans (ops/pallas/condfold): chain1 coefs
-        # are full-grid and non-identity outside the PML slabs, which the
-        # piecewise dsig_mode specialization below does not model yet —
-        # the depth-1 kernel (fold-safe: full coef chains) covers them
+    folded = any(s.folded_cond
+                 for s in plan.curl_specs_d + plan.curl_specs_b)
+    if folded and _has_disp(plan) and not _cond_clear_of_window(plan, bx,
+                                                                depth):
+        # folded conductivity (ops/pallas/condfold) inside the NL stencil
+        # reach of the dispersive window would break the next-plane
+        # rebuild's chain-identity assumption (nl_next1/2 interior rule)
         return False
     bx = _pick_bx(plan, bx, depth)
     disp = _has_disp(plan)
@@ -396,20 +428,33 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
             if k not in disp_coef_keys:
                 disp_coef_keys.append(k)
 
+    # folded-conductivity chain1 coefs (ops/pallas/condfold) are
+    # full-grid AND consumed by the FINAL stage's D-half — unlike u,
+    # whose final-stage reads collapse onto the stored-E slab pieces
+    folded_chain = set()
+    for s in curls_b + curls_d:
+        if s.folded_cond:
+            folded_chain |= {f"{s.c}:kap", f"{s.c}:sig", f"{s.c}:siginv"}
+
     xblocked: Dict[str, bool] = {}
     for k in coef_keys:
         arr = C0[k]
         if arr.ndim == 3 and arr.shape == tuple(S):
-            # full-grid (only u): non-final stages need the full block at
-            # their own block (they assemble E_eff for the next stage);
-            # the FINAL stage only needs slab pieces (below)
+            # full-grid (u / folded chain1): non-final stages need the
+            # full block at their own block (they assemble E_eff for the
+            # next stage); the FINAL stage only needs slab pieces (below)
+            # — except the folded chain1 coefs, read at every stage
             xblocked[k] = True
             in_entries.append(("coef1", k, pl.BlockSpec(
                 (bx, Y, Z), lambda i: (s1map(i), 0, 0),
                 memory_space=pltpu.VMEM)))
-            if depth == 3:
+            if depth == 3 or k in folded_chain:
                 in_entries.append(("coef2", k, pl.BlockSpec(
                     (bx, Y, Z), lambda i: (s2map(i), 0, 0),
+                    memory_space=pltpu.VMEM)))
+            if depth == 3 and k in folded_chain:
+                in_entries.append(("coef3", k, pl.BlockSpec(
+                    (bx, Y, Z), lambda i: (s3map(i), 0, 0),
                     memory_space=pltpu.VMEM)))
         elif arr.ndim == 3 and arr.shape[0] == S[0]:
             if depth == 3 and bool(int(os.environ.get(
@@ -890,12 +935,21 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                 # slabs, the 3-multiply chain only inside them
                 mode = dsig_mode[c]
 
-                def chain1(gval, dflv):
+                def chain1(gval, dflv, axsl=None):
+                    # axsl = (axis, slice): gval/dflv pre-sliced along a
+                    # sigu slab axis — coefs extended there (full-grid
+                    # folded-cond chain1 arrays) must be sliced to match
                     if mode[0] in ("none", "plain"):
                         return gval + dflv
                     if mode[0] in ("x", "full"):
-                        return ((coefr(f"{c}:kap") - coefr(f"{c}:sig"))
-                                * gval + dflv) * coefr(f"{c}:siginv")
+                        def cf(nm):
+                            v = coefr(f"{c}:{nm}")
+                            if axsl is not None \
+                                    and v.shape[axsl[0]] > 1:
+                                return v[_full_slice(axsl[0], axsl[1])]
+                            return v
+                        return ((cf("kap") - cf("sig")) * gval + dflv) \
+                            * cf("siginv")
                     _, dax, lo_n, hi0, segs = mode
                     seg_by = {nm2: (a2, b2) for nm2, a2, b2 in segs}
                     pieces = []
@@ -939,27 +993,31 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                     a_hi, b_hi = hir
                     pieces = []
 
-                    def chain2(fseg, dseg, key, side):
+                    def chain2(fseg, dseg, key, side, sl):
                         ku = byname[("coefslab", f"{c}:kapu@{side}")][...]
                         su = byname[("coefslab", f"{c}:sigu@{side}")][...]
                         siu = byname[("coefslab",
                                       f"{c}:siginvu@{side}")][...]
                         fu_old = aux_get(key, False)
-                        fu_new = chain1(fu_old, dseg)
+                        fu_new = chain1(fu_old, dseg, (ax, sl))
                         aux_put(key, False, fu_new, True)
                         return siu * ((ku - su) * fseg + fu_new - fu_old)
 
                     if b_lo > a_lo:
                         slq = _full_slice(ax, slice(a_lo, b_lo))
                         pieces.append(chain2(f_old[slq], dfl[slq],
-                                             L.key("fu", c, "lo"), "lo"))
+                                             L.key("fu", c, "lo"), "lo",
+                                             slice(a_lo, b_lo)))
                     if a_hi > b_lo:
-                        mid = _full_slice(ax, slice(b_lo, a_hi))
-                        pieces.append(chain1(f_old[mid], dfl[mid]))
+                        mid = slice(b_lo, a_hi)
+                        midq = _full_slice(ax, mid)
+                        pieces.append(chain1(f_old[midq], dfl[midq],
+                                             (ax, mid)))
                     if b_hi > a_hi:
                         slq = _full_slice(ax, slice(a_hi, b_hi))
                         pieces.append(chain2(f_old[slq], dfl[slq],
-                                             L.key("fu", c, "hi"), "hi"))
+                                             L.key("fu", c, "hi"), "hi",
+                                             slice(a_hi, b_hi)))
                     f_new = jnp.concatenate(pieces, axis=ax) \
                         if len(pieces) > 1 else pieces[0]
                 new_f[c] = apply_mask(c, f_new, gx0)

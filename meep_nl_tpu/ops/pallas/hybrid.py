@@ -75,11 +75,16 @@ def _get_kernel(plan):
     if ker is None:
         from . import fdtd3d, fdtd3d_t2
         if any(plan.periodic):
-            # x-periodic plans: the wrap halo/carry driver around the
+            # x-periodic plans: the wrap ghost/carry driver around the
             # 1-step kernel (ops/pallas/periodicx.py); temporal fusion
-            # across the wrap needs per-stage wrap carries — not built
-            from .periodicx import PeriodicXKernel
-            ker = _K1Adapter(PeriodicXKernel(plan))
+            # across the wrap needs per-stage wrap carries — not built.
+            # Complex Bloch phases ride the real-pair channel pair.
+            from .periodicx import (PeriodicXKernel, PairPeriodicXKernel,
+                                    pair_periodic_supported)
+            if plan.complex_fields and pair_periodic_supported(plan):
+                ker = _K1Adapter(PairPeriodicXKernel(plan))
+            else:
+                ker = _K1Adapter(PeriodicXKernel(plan))
             ker.k3 = None
         elif fdtd3d_t2.supported(plan, depth=2):
             # depth-3 companion: both kernels must SHARE one bx so they
@@ -149,7 +154,9 @@ def hybrid_applicable(plan) -> bool:
         os.environ.setdefault("MNT_PALLAS_INTERPRET", "1")
     from . import fdtd3d, fdtd3d_t2
     if any(plan.periodic):
-        from .periodicx import periodic_supported
+        from .periodicx import periodic_supported, pair_periodic_supported
+        if plan.complex_fields:
+            return pair_periodic_supported(plan)
         return periodic_supported(plan)
     return fdtd3d_t2.supported(plan) or fdtd3d.supported(plan)
 

@@ -37,9 +37,11 @@ branch): test_periodic_fused.py.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Dict
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from . import fdtd3d as F1
@@ -210,3 +212,187 @@ class PeriodicXKernel(F1.Fdtd3dKernel):
             full[fam] = {k: v.at[num0:].set(0.0) if v.shape[0] > num0
                          else v for k, v in d.items()}
         return full
+
+
+# ---------------------------------------------------------------------------
+# complex Bloch phases: the real-pair channel pair of kernels
+# ---------------------------------------------------------------------------
+
+
+def _real_view(plan):
+    """Single-channel view of a real-pair Bloch plan: every interior
+    update has REAL coefficients, so the re/im channels evolve as two
+    independent real problems — only the x wrap mixes them (the complex
+    phase rotation), and that lives entirely in the driver's ghost/carry
+    computation.  The view neutralizes the phase (applied externally)."""
+    return dataclasses.replace(
+        plan, complex_fields=False, real_pair=False,
+        bloch_phase=(1.0,) + tuple(plan.bloch_phase[1:]))
+
+
+def pair_periodic_supported(plan, bx: int = None) -> bool:
+    """Envelope: real-pair plan whose ONLY complex coupling is the x
+    Bloch phase (arbitrary k_x — oblique-incidence gratings)."""
+    if not (getattr(plan, "real_pair", False) and plan.complex_fields):
+        return False
+    if plan.gv.dim != "3d" or not plan.periodic[0]:
+        return False
+    ph = complex(plan.bloch_phase[0])
+    if abs(abs(ph) - 1.0) > 1e-9:
+        return False
+    return periodic_supported(_real_view(plan), bx)
+
+
+class PairPeriodicXKernel:
+    """Arbitrary-k_x Bloch stepping through the real Mosaic kernel: two
+    single-channel compact states (re, im) advanced by the SAME real
+    kernel per step; the wrap ghost E(num) = ph * E(0) and the wrap
+    carry H^new(-1) = ph^-1 * H^new(num-1) rotate the channels into each
+    other as 2x2 real rotations (the DOCMP unroll of boundaries.cpp:347
+    CONNECT_PHASE, confined to two planes).  Sources: the im channel
+    reuses the baked complex amps with the waveform rows swapped
+    ((w_re, w_im) -> (w_im, -w_re) gives Im[(w a)] pointwise)."""
+
+    def __init__(self, plan, bx: int = None, z_full: bool = False):
+        if not pair_periodic_supported(plan, bx):
+            raise ValueError("plan outside the pair-periodic envelope")
+        self.plan = plan
+        self._k = PeriodicXKernel(_real_view(plan), bx, z_full)
+        self.xs_keys = self._k.xs_keys
+        self.bx = self._k.bx
+        self.L = self._k.L
+        ph = complex(plan.bloch_phase[0])
+        self._a, self._b = float(ph.real), float(ph.imag)
+
+    def init_state(self):
+        return {"re": self._k.init_state(), "im": self._k.init_state()}
+
+    @staticmethod
+    def _split(full, i):
+        def leaf(v):
+            if hasattr(v, "ndim") and v.ndim == 4 and v.shape[0] == 2:
+                return v[i]
+            return v
+        return jax.tree.map(leaf, {k: v for k, v in full.items()
+                                   if k != "dft"})
+
+    def from_full(self, full):
+        return {"re": self._k.from_full(self._split(full, 0)),
+                "im": self._k.from_full(self._split(full, 1))}
+
+    def to_full(self, state, C=None):
+        fr = self._k.to_full(state["re"], C)
+        fi = self._k.to_full(state["im"], C)
+
+        def leaf(a, b):
+            if hasattr(a, "ndim") and a.ndim >= 3:
+                return jnp.stack([a, b])
+            return a
+        return jax.tree.map(leaf, fr, fi)
+
+    def make_step(self):
+        k = self._k
+        plan, L, bx = k.plan, k.L, k.bx
+        S0, Y, Z = L.S
+        num0 = k.num0
+        dtype = plan.dtype
+        a, b = self._a, self._b
+        b_specs, e_need = k._b_specs, k._e_need
+        pkg_b, pkg_fu, pkg_wst = k._pkg_b, k._pkg_fu, k._pkg_wst
+        bc = k._bc
+        ghost_dc = [L.eh_by_ec[ec].dc for ec in k.halo_keys]
+        ghost_wst = []
+        for ec in k.halo_keys:
+            if ec in L.eh_store:
+                ax, lor, hir = L.eh_store[ec]
+                if ax != 0:
+                    ghost_wst += [L.key("eh", ec, side)
+                                  for side, (aa, bb) in
+                                  (("lo", lor), ("hi", hir)) if bb > aa]
+        src_pairs = [(kk, kk.replace(":cur_re", ":cur_im"))
+                     for kk in k.xs_keys if kk.endswith(":cur_re")]
+
+        def bplane(key):
+            return bc[key]
+
+        def one_channel(state, halos, carry, C, xscal):
+            for call in k.calls:
+                state, carry_out = call(state, halos, carry, C, xscal)
+                carry = {**carry, **carry_out}
+            return {**state, "t": state["t"] + 1}
+
+        def step(state2, x_t, C):
+            sre, sim_ = dict(state2["re"]), dict(state2["im"])
+            # ---- wrap ghosts: plane num <- ph * plane 0, channel-mixed
+            for key in ghost_dc + ghost_wst:
+                r0, i0 = sre[key][0:1], sim_[key][0:1]
+                sre[key] = sre[key].at[num0:num0 + 1].set(a * r0 - b * i0)
+                sim_[key] = sim_[key].at[num0:num0 + 1].set(b * r0 + a * i0)
+            halos_re = compute_halos(L, bx, k.halo_keys, sre, C)
+            halos_im = compute_halos(L, bx, k.halo_keys, sim_, C)
+            if k.nlh_keys:
+                halos_re = {**halos_re, **compute_nl_halos(
+                    L, bx, k.nlh_keys, sre, C)}
+                halos_im = {**halos_im, **compute_nl_halos(
+                    L, bx, k.nlh_keys, sim_, C)}
+            # ---- wrap carry: ph^-1 * H^new(num-1), channel-mixed ------
+            xb = num0 - 1
+
+            def recv_of(st):
+                recv = {}
+                for ecn in e_need:
+                    recv[f"e:{ecn}"] = e_eff_plane(plan, L, st, C, ecn, xb)
+                for c in pkg_b:
+                    recv[f"b:{c}"] = st[c][xb:xb + 1]
+                for (c, side, fax, aa, bb) in pkg_fu:
+                    recv[f"fu:{c}:{side}"] = st[L.key("fu", c, side)][
+                        xb:xb + 1]
+                for (ec, side, ax, aa, bb) in pkg_wst:
+                    recv[f"w:{ec}:{side}"] = st[L.key("eh", ec, side)][
+                        xb:xb + 1]
+                return recv
+
+            e0r = {ec: e_eff_plane(plan, L, sre, C, ec, 0) for ec in e_need}
+            e0i = {ec: e_eff_plane(plan, L, sim_, C, ec, 0)
+                   for ec in e_need}
+            ef_re = {ec: a * e0r[ec] - b * e0i[ec] for ec in e_need}
+            ef_im = {ec: b * e0r[ec] + a * e0i[ec] for ec in e_need}
+            h_re = carry_plane(plan, L, b_specs, pkg_fu, recv_of(sre),
+                               ef_re, bplane)
+            h_im = carry_plane(plan, L, b_specs, pkg_fu, recv_of(sim_),
+                               ef_im, bplane)
+            carry_re, carry_im = {}, {}
+            for g in k.carry_keys:
+                if g in h_re:
+                    # ph^-1 = conj(ph) on the unit circle
+                    carry_re[g] = (a * h_re[g] + b * h_im[g]).astype(dtype)
+                    carry_im[g] = (a * h_im[g] - b * h_re[g]).astype(dtype)
+                else:
+                    carry_re[g] = jnp.zeros((1, Y, Z), dtype)
+                    carry_im[g] = jnp.zeros((1, Y, Z), dtype)
+            xs_re = {kk: jnp.asarray(x_t[kk], dtype).reshape(1, 1)
+                     for kk in k.xs_keys}
+            xs_im = dict(xs_re)
+            for kre, kim in src_pairs:
+                xs_im[kre] = jnp.asarray(x_t[kim], dtype).reshape(1, 1)
+                xs_im[kim] = -jnp.asarray(x_t[kre], dtype).reshape(1, 1)
+            return {"re": one_channel(sre, halos_re, carry_re, C, xs_re),
+                    "im": one_channel(sim_, halos_im, carry_im, C, xs_im)}
+
+        return step
+
+    def run(self, state, nsteps: int, t0: int = 0, unroll: int = 4):
+        from ...stepper.step import build_xs
+        xs_all = build_xs(self.plan, nsteps, t0)
+        xs = {kk: v for kk, v in xs_all.items() if kk in self.xs_keys}
+        step = self.make_step()
+
+        def runner(state, xs, C):
+            def body(carry, x):
+                return step(carry, x, C), None
+            state, _ = jax.lax.scan(
+                body, state, xs, length=nsteps,
+                unroll=unroll if nsteps % unroll == 0 else 1)
+            return state
+
+        return jax.jit(runner)(state, xs, self.plan.coefs)

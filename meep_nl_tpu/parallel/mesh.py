@@ -137,22 +137,35 @@ def sharded_run(plan: Plan, mesh: Mesh, state: Dict[str, Any], nsteps: int,
         try:
             from .fused_mesh import (ShardedFdtd3d, sharded_supported,
                                      sharded_hybrid_run)
+            # conductivity plans: the per-shard kernel sees the folded
+            # equivalent (ops/pallas/condfold); f_cond re-synced after
+            run_plan = plan
+            has_cond = any(s.has_cond for s in plan.curl_specs_d
+                           + plan.curl_specs_b)
+            if has_cond:
+                from ..ops.pallas.condfold import cond_fold_of
+                run_plan = cond_fold_of(plan)
             n = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-            if sharded_supported(plan, n):
+            if run_plan is not None and sharded_supported(run_plan, n):
+                out = None
                 if plan.dfts:
                     # monitored: fused cycles + DFT-only sample reads
-                    out = sharded_hybrid_run(plan, mesh, state, nsteps, t0)
-                    if out is not None:
-                        return out
+                    out = sharded_hybrid_run(run_plan, mesh, state,
+                                             nsteps, t0)
                 else:
-                    sk = ShardedFdtd3d(plan, mesh)
+                    sk = ShardedFdtd3d(run_plan, mesh)
                     comp = sk.from_full(state)
                     comp = sk.run(comp, nsteps, t0=t0)
                     full = jax.jit(sk.to_full)(comp)
                     keep = ["f", "f_u", "f_w"] \
                         + (["pol"] if full.get("pol") else [])
-                    return {**state, **{k: full[k] for k in keep},
-                            "t": full["t"]}
+                    out = {**state, **{k: full[k] for k in keep},
+                           "t": full["t"]}
+                if out is not None:
+                    if has_cond:
+                        from ..ops.pallas.condfold import resync_cond_state
+                        out = resync_cond_state(plan, out)
+                    return out
         except Exception:                      # noqa: BLE001
             pass                               # fall through to jnp SPMD
     xs = build_xs(plan, nsteps, t0)

@@ -116,3 +116,80 @@ def test_periodic_hybrid_sim():
     scale = np.abs(ez_j).max()
     assert scale > 0
     np.testing.assert_allclose(ez_h, ez_j, atol=5e-6 * scale)
+
+
+def test_pair_periodic_complex_phase():
+    """Arbitrary-k_x Bloch through the real-pair channel pair: two real
+    kernel passes with channel-rotated wrap ghosts/carries must match
+    the jnp real-pair stepper."""
+    from meep_nl_tpu.ops.pallas import periodicx
+    plan = _plan_periodic(kx=0.23)
+    plan.real_pair = True
+    plan.slab_opt = True
+    assert periodicx.pair_periodic_supported(plan)
+    ker = periodicx.PairPeriodicXKernel(plan)
+    st_j = run(plan, init_state(plan), 40)
+    full_k = ker.to_full(ker.run(ker.init_state(), 40))
+    scale = max(float(np.max(np.abs(np.asarray(v))))
+                for v in st_j["f"].values())
+    assert scale > 0
+    for c in st_j["f"]:
+        np.testing.assert_allclose(np.asarray(full_k["f"][c]),
+                                   np.asarray(st_j["f"][c]),
+                                   atol=2e-6 * scale, err_msg=f"f[{c}]")
+    # the im channel must be live (a complex phase mixes channels)
+    assert np.abs(np.asarray(st_j["f"]["ez"])[1]).max() > 1e-4 * scale
+
+
+def test_pair_periodic_eps_and_source_amp():
+    """Complex-phase wrap with an eps structure; the source rides both
+    channels (complex amp through the swapped waveform rows)."""
+    from meep_nl_tpu.ops.pallas import periodicx
+    plan = _plan_periodic(kx=0.37, with_eps=True)
+    plan.real_pair = True
+    plan.slab_opt = True
+    assert periodicx.pair_periodic_supported(plan)
+    ker = periodicx.PairPeriodicXKernel(plan)
+    st_j = run(plan, init_state(plan), 40)
+    full_k = ker.to_full(ker.run(ker.init_state(), 40))
+    scale = max(float(np.max(np.abs(np.asarray(v))))
+                for v in st_j["f"].values())
+    for c in st_j["f"]:
+        np.testing.assert_allclose(np.asarray(full_k["f"][c]),
+                                   np.asarray(st_j["f"][c]),
+                                   atol=2e-6 * scale, err_msg=f"f[{c}]")
+
+
+def test_pair_periodic_hybrid_sim():
+    """Simulation-level: oblique k_point (complex Bloch phase) with the
+    real-pair state rides the pair fused path."""
+    os.environ["MNT_HYBRID_CPU"] = "1"
+    os.environ["MNT_REAL_PAIR"] = "1"
+
+    def mk(use_fused):
+        return mnt.Simulation(
+            cell_size=mnt.Vector3(3.0, 2.0, 2.0), resolution=8,
+            sources=[mnt.Source(mnt.GaussianSource(1.0, fwidth=0.4),
+                                component=mnt.Ez,
+                                center=mnt.Vector3(0.3, 0, 0))],
+            boundary_layers=[mnt.PML(0.5, mnt.Y), mnt.PML(0.5, mnt.Z)],
+            k_point=mnt.Vector3(0.23, 0, 0),
+            use_fused=use_fused)
+
+    try:
+        sim_j = mk(False)
+        sim_j.run(until=4.0)
+        sim_h = mk(True)
+        sim_h.run(until=4.0)
+    finally:
+        os.environ.pop("MNT_HYBRID_CPU", None)
+        os.environ.pop("MNT_REAL_PAIR", None)
+    assert not getattr(sim_h._plan, "_hybrid_broken", False)
+    ker = getattr(sim_h._plan, "_t2_kernel", None)
+    assert ker is not None \
+        and type(ker._k1).__name__ == "PairPeriodicXKernel"
+    ez_j = sim_j.get_array(mnt.Ez)
+    ez_h = sim_h.get_array(mnt.Ez)
+    scale = np.abs(ez_j).max()
+    assert scale > 0
+    np.testing.assert_allclose(ez_h, ez_j, atol=5e-6 * scale)
