@@ -64,8 +64,15 @@ def run_one():
     idx = np.array([p for p, w in pts], np.int32)
     amps = np.array([w for p, w in pts], np.complex128)
     src = SrcVolSpec("ez", idx, amps, src_t)
-    pmls = [] if os.environ.get("BENCH_NOPML") else \
-        [PMLSpec(d, 1.0) for d in ("x", "y", "z")]
+    # periodic mode: Bloch-periodic x (the grating class), PML y/z only;
+    # "1" = k_x = 0 (real wrap), "k" = oblique k_x (complex phase, the
+    # real-pair channel-pair kernel)
+    per_mode = os.environ.get("BENCH_PERIODIC")
+    if per_mode:
+        pmls = [PMLSpec(d, 1.0) for d in ("y", "z")]
+    else:
+        pmls = [] if os.environ.get("BENCH_NOPML") else \
+            [PMLSpec(d, 1.0) for d in ("x", "y", "z")]
     if mat_mode:
         # the fork's flagship material class: eps=4 ball with a Lorentz
         # pole + chi2-NR region (BASELINE configs 3-5 physics), sized like
@@ -92,8 +99,15 @@ def run_one():
         mat = MaterialSpec(chi1inv=chi1inv, pols=[pol], nr_chi2=nr)
     else:
         mat = MaterialSpec(chi1inv={})
+    per_kw = {}
+    if per_mode:
+        per_kw = dict(periodic=(True, False, False),
+                      bloch_k=((0.23 / (cx / res), 0.0, 0.0)
+                               if per_mode == "k" else (0.0, 0.0, 0.0)))
     plan = compile_plan(gv, mat, pmls=pmls, sources=[src],
-                        pad_to_multiple=(8, 8, 128))
+                        pad_to_multiple=(8, 8, 128), **per_kw)
+    if per_mode == "k":
+        plan.real_pair = True
     if os.environ.get("BENCH_PALLAS"):
         plan.use_pallas = True
     if os.environ.get("BENCH_SLAB"):
@@ -126,7 +140,16 @@ def run_one():
               and fdtd3d_t2.supported(plan, bxv, depth=depth))
     use_fdtd3d = plain and not use_t2 and fdtd3d.supported(plan, bxv)
     pair = 1
-    if use_t2:
+    if per_mode and plain:
+        from meep_nl_tpu.ops.pallas import periodicx
+        if per_mode == "k":
+            ker = periodicx.PairPeriodicXKernel(plan, bx=bxv)
+        else:
+            ker = periodicx.PeriodicXKernel(plan, bx=bxv)
+        step0 = ker.make_step()
+        use_t2 = use_fdtd3d = False
+        unroll = 2
+    elif use_t2:
         ker = fdtd3d_t2.Fdtd3dT2Kernel(plan, bx=bxv, depth=depth)
         step0 = ker.make_fused_step()
         pair = ker.depth
@@ -162,6 +185,8 @@ def run_one():
     C = plan.coefs
 
     def fence(state):
+        if "re" in state:                      # pair-channel kernel state
+            return float(state["re"]["dz"][1, 1, 1])
         arr = state["f"]["ez"] if "f" in state else state["dz"]
         return float(arr[1, 1, 1])
 
@@ -190,15 +215,20 @@ def run_one():
     cells = cx * cy * cz
     gcells = cells * steps / dt_wall / 1e9
     baseline = 10.0  # GCells/s north star (BASELINE.json)
+    metric = ("yee_cell_updates_3d_pml_lorentz_nr_fp32" if mat_mode
+              else "yee_cell_updates_3d_bloch_pair_fp32"
+              if per_mode == "k"
+              else "yee_cell_updates_3d_periodic_fp32" if per_mode
+              else "yee_cell_updates_3d_pml_fp32")
     print(json.dumps({
-        "metric": ("yee_cell_updates_3d_pml_lorentz_nr_fp32" if mat_mode
-                   else "yee_cell_updates_3d_pml_fp32"),
+        "metric": metric,
         "value": round(gcells, 3),
         "unit": "GCells/s",
         "vs_baseline": round(gcells / baseline, 3),
         "grid": [cx, cy, cz],
         "steps": steps,
-        "kernel": (f"fdtd3d_t{pair}" if pair > 1 else
+        "kernel": (type(ker).__name__ if per_mode and ker is not None else
+                   f"fdtd3d_t{pair}" if pair > 1 else
                    "fdtd3d" if ker is not None else "jnp"),
     }))
 
@@ -259,6 +289,20 @@ def main():
         if prec is not None:
             rec["lorentz_value"] = prec["value"]
             rec["lorentz_kernel"] = prec["kernel"]
+    # periodic grating class (round-3: periodic-x through the fused
+    # kernel; oblique Bloch through the real-pair channel pair)
+    if not os.environ.get("BENCH_SKIP_PER"):
+        pgrid = os.environ.get("BENCH_PER_GRID", "128,128,128")
+        perr = _probe(pgrid, timeout,
+                      {"BENCH_PERIODIC": "1", "BENCH_TIMEOUT": str(timeout)})
+        if perr is not None:
+            rec["periodic_value"] = perr["value"]
+            rec["periodic_kernel"] = perr["kernel"]
+        krec = _probe(pgrid, timeout,
+                      {"BENCH_PERIODIC": "k", "BENCH_TIMEOUT": str(timeout)})
+        if krec is not None:
+            rec["bloch_pair_value"] = krec["value"]
+            rec["bloch_pair_kernel"] = krec["kernel"]
     print(json.dumps(rec))
 
 

@@ -87,6 +87,59 @@ for tag, sym in (("full", False), ("quarter", True)):
 """
 
 
+CASE_COND = r"""
+import numpy as np, sys
+sys.path.insert(0, "tests")
+from test_cond_fold import _plan_cond, _plan_lorentz_cond
+from meep_nl_tpu.ops.pallas import fdtd3d, fdtd3d_t2
+from meep_nl_tpu.ops.pallas.condfold import fold_conductivity
+from meep_nl_tpu.stepper.step import init_state, run
+for tag, plan in (("cond", _plan_cond(res=16.0, cells=(64, 48, 48))),
+                  ("lor+cond", _plan_lorentz_cond(res=16.0,
+                                                  cells=(64, 48, 48)))):
+    fold = fold_conductivity(plan)
+    assert fold is not None, tag
+    plan.slab_opt = True
+    sj = run(plan, init_state(plan), 30)
+    scale = max(float(np.max(np.abs(np.asarray(v)))) for v in sj["f"].values())
+    for kname, ok, mk in (("k1", fdtd3d.supported(fold),
+                           lambda: fdtd3d.Fdtd3dKernel(fold)),
+                          ("t2", fdtd3d_t2.supported(fold, depth=2),
+                           lambda: fdtd3d_t2.Fdtd3dT2Kernel(fold, depth=2))):
+        if not ok:
+            print(tag, kname, "UNSUPPORTED"); continue
+        ker = mk()
+        fk = ker.to_full(ker.run(ker.init_state(), 30))
+        err = max(float(np.max(np.abs(np.asarray(fk["f"][c])
+                                      - np.asarray(sj["f"][c]))))
+                  for c in sj["f"]) / scale
+        print(tag, kname, "ERR", err)
+"""
+
+CASE_PERX = r"""
+import numpy as np, sys
+sys.path.insert(0, "tests")
+from test_periodic_fused import _plan_periodic
+from meep_nl_tpu.ops.pallas import periodicx
+from meep_nl_tpu.stepper.step import init_state, run
+for tag, kx, pair in (("k0", 0.0, False), ("oblique", 0.23, True)):
+    plan = _plan_periodic(kx=kx, res=16.0, cells=(63, 48, 48))
+    if pair:
+        plan.real_pair = True
+        ker = periodicx.PairPeriodicXKernel(plan)
+    else:
+        ker = periodicx.PeriodicXKernel(plan)
+    plan.slab_opt = True
+    sj = run(plan, init_state(plan), 30)
+    scale = max(float(np.max(np.abs(np.asarray(v)))) for v in sj["f"].values())
+    fk = ker.to_full(ker.run(ker.init_state(), 30))
+    err = max(float(np.max(np.abs(np.asarray(fk["f"][c])
+                                  - np.asarray(sj["f"][c]))))
+              for c in sj["f"]) / scale
+    print(tag, "ERR", err)
+"""
+
+
 def main():
     t_all = time.time()
     # 1. bench (vacuum ladder + material + lorentz extra fields)
@@ -104,6 +157,15 @@ def main():
     # 3. rot4 on-chip speedup (jnp path quarter vs full)
     rc, out, err = sub(CASE_ROT4, timeout=560)
     record("rot4", {"rc": rc, "out": out[-400:], "err": err[-300:]})
+
+    # 4. conductivity fold on-chip exactness (compiled Mosaic, both
+    # kernels; the in-kernel full-coef slicing is the layout risk)
+    rc, out, err = sub(CASE_COND, timeout=560)
+    record("cond", {"rc": rc, "out": out[-500:], "err": err[-300:]})
+
+    # 5. periodic-x + oblique-Bloch pair on-chip exactness
+    rc, out, err = sub(CASE_PERX, timeout=560)
+    record("perx", {"rc": rc, "out": out[-500:], "err": err[-300:]})
 
     print("batch done in", round(time.time() - t_all), "s")
 
