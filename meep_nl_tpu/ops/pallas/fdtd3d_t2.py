@@ -165,7 +165,7 @@ def _plane_lists(plan, c):
 
 def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                  first: bool, last: bool, s1_xn: Any, s2_x0: Any,
-                 depth: int = 2, disp: bool = False):
+                 depth: int = 2, disp: bool = False, periodic=None):
     """One fused-2-step pallas call: step-1 on blocks [b0, b1), step-2 on
     blocks [b0-1, b1-1) (+ block b1-1 itself when `last`, via one extra
     iteration).
@@ -182,7 +182,14 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
         state.  Stage-1 uses host-precomputed prev-step NL halos for the
         redundant next-plane recompute (as the 1-step kernel); stage-2
         rebuilds its next plane EXACTLY from stage-1's in-register
-        results for the following block (no redundancy)."""
+        results for the following block (no redundancy).
+    periodic: (phase, i_wrap, row_wrap) for an x-Bloch wrap with a real
+        phase (depth 2, single first+last call): the wrap carries arrive
+        as host-recomputed 'pkg' inputs wrapc1/wrapc2
+        (periodicx.wrap2_carries), stage-1's plane-0 E_eff is saved at
+        i == 0 and substituted (times phase) for stage-2's forward
+        ghost at the wrap — both through e1_first and by overwriting
+        the dead plane num's row of the e1 scratch."""
     plan = L.plan
     bx, S = L.bx, L.S
     Y, Z = S[1], S[2]
@@ -661,9 +668,20 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
         for name, shp in pkg_names:
             out_entries.append(("pkgo", name, pl.BlockSpec(
                 shp, lambda i: (0,) * len(shp), memory_space=pltpu.VMEM)))
+    if periodic is not None:
+        assert depth == 2 and first and last and not disp, \
+            "periodic t2: single linear depth-2 call only"
+        for g in carry_keys:
+            for nm in ("wrapc1", "wrapc2"):
+                in_entries.append(("pkg", f"{nm}:{g}", pl.BlockSpec(
+                    (1, Y, Z), lambda i: (0, 0, 0),
+                    memory_space=pltpu.VMEM)))
 
     # scratch: previous block's post-step-1 package + x-compact aux + carries
     scratch_entries: List[Tuple[str, Tuple[int, ...]]] = list(pkg_names)
+    if periodic is not None:
+        for s in ehs_e:
+            scratch_entries.append((f"wrape1:{s.ec}", (1, Y, Z)))
     for fullkey, key in x_here.items():
         scratch_entries.append((f"xaux1:{key}", (bx, Y, Z)))
         if depth == 3:
@@ -775,7 +793,13 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
             @pl.when(i == 0)
             def _():
                 for g in carry_keys:
-                    sc[f"c1:{g}"][...] = jnp.zeros((1, Y, Z), dtype)
+                    if periodic is not None:
+                        # x-Bloch wrap: stage-1's plane-0 backward ghost
+                        # is the host-recomputed wrap carry
+                        sc[f"c1:{g}"][...] = \
+                            byname[("pkg", f"wrapc1:{g}")][...]
+                    else:
+                        sc[f"c1:{g}"][...] = jnp.zeros((1, Y, Z), dtype)
                     sc[f"c2:{g}"][...] = jnp.zeros((1, Y, Z), dtype)
                     if depth == 3:
                         sc[f"c3:{g}"][...] = jnp.zeros((1, Y, Z), dtype)
@@ -1380,11 +1404,37 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
             sc[f"e1:{s.ec}"][...] = e1_eff[s.ec]
 
         zero_pl = jnp.zeros((1, Y, Z), dtype)
+        if periodic is not None:
+            ph_w, i_wrap, row_wrap = periodic
+
+            @pl.when(i == 0)
+            def _():
+                # save stage-1's plane-0 E_eff: the wrap ghost source
+                for s in ehs_e:
+                    sc[f"wrape1:{s.ec}"][...] = e1_eff[s.ec][0:1]
+
+            @pl.when(i == i_wrap)
+            def _():
+                # stage-2's in-register forward diff at plane num-1
+                # reads the dead plane num of the e1 scratch: overwrite
+                # its row with the wrapped ghost ph * E1(0)
+                for s in ehs_e:
+                    sc[f"e1:{s.ec}"][row_wrap:row_wrap + 1] = \
+                        ph_w * sc[f"wrape1:{s.ec}"][...]
+
         # stage-1 produced e1_eff for block s1map(i); its first plane is the
-        # forward halo of the NEXT stage (zero past the last real block)
+        # forward halo of the NEXT stage (zero past the last real block;
+        # the wrapped ghost at an x-Bloch wrap)
         e1_first = {ec: (e1_eff[ec][0:1] if not last
                          else sel(i < n1, e1_eff[ec][0:1], zero_pl))
                     for ec in e1_eff}
+        if periodic is not None:
+            wrap_pred = (i >= n1) if row_wrap != 0 \
+                else ((i >= n1) | (i == i_wrap))
+            e1_first = {ec: sel(wrap_pred,
+                                ph_w * sc[f"wrape1:{ec}"][...],
+                                e1_eff[ec][0:1])
+                        for ec in e1_eff}
 
         def aux_get2(key, is_x):
             return prev[("xaux1:" if is_x else "aux1:") + key]
@@ -1548,7 +1598,11 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
         for g in carry_keys:
             v = hF_eff[g][bx - 1:bx]
             if first:
-                v = sel(czero, zero_pl, v)
+                # the final stage's block-0 backward ghost: zero (PEC) /
+                # the host-recomputed depth-2 wrap carry (x-Bloch wrap)
+                v0 = zero_pl if periodic is None \
+                    else byname[("pkg", f"wrapc2:{g}")][...]
+                v = sel(czero, v0, v)
             sc[f"{FC}:{g}"][...] = v
         new_dF = curl_half(curls_d, hF_eff, cF_prev, True, gx2, coefF,
                            f_oldF_d, aux_getF, aux_put2, xselF, jobsF, rowF)

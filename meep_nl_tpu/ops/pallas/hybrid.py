@@ -75,14 +75,18 @@ def _get_kernel(plan):
     if ker is None:
         from . import fdtd3d, fdtd3d_t2
         if any(plan.periodic):
-            # x-periodic plans: the wrap ghost/carry driver around the
-            # 1-step kernel (ops/pallas/periodicx.py); temporal fusion
-            # across the wrap needs per-stage wrap carries — not built.
+            # x-periodic plans (ops/pallas/periodicx.py): depth-2
+            # temporal fusion across the wrap when the halo-in-time
+            # envelope fits, else the 1-step wrap ghost/carry driver.
             # Complex Bloch phases ride the real-pair channel pair.
             from .periodicx import (PeriodicXKernel, PairPeriodicXKernel,
-                                    pair_periodic_supported)
+                                    PeriodicXT2Kernel,
+                                    pair_periodic_supported,
+                                    periodic_t2_supported)
             if plan.complex_fields and pair_periodic_supported(plan):
                 ker = _K1Adapter(PairPeriodicXKernel(plan))
+            elif periodic_t2_supported(plan):
+                ker = PeriodicXT2Kernel(plan)
             else:
                 ker = _K1Adapter(PeriodicXKernel(plan))
             ker.k3 = None

@@ -38,6 +38,7 @@ branch): test_periodic_fused.py.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict
 
 import numpy as np
@@ -396,3 +397,232 @@ class PairPeriodicXKernel:
             return state
 
         return jax.jit(runner)(state, xs, self.plan.coefs)
+
+
+# ---------------------------------------------------------------------------
+# depth-2 temporal fusion across the wrap: halo-in-time recompute
+# ---------------------------------------------------------------------------
+
+
+def _strip_state(plan, L, state, x):
+    """Old-state planes at x for the strip primitives (ops/pallas/strip):
+    'b:{c}' / 'd:{c}' full planes plus the slab-compact fu / W-store
+    pieces."""
+    st = {}
+    for s in plan.curl_specs_b:
+        st[f"b:{s.c}"] = state[s.c][x:x + 1]
+    for s in plan.curl_specs_d:
+        st[f"d:{s.c}"] = state[s.c][x:x + 1]
+    for kind, pref, store in (("fu", "fu", L.fu), ("eh", "w", L.eh_store)):
+        for c, (ax, lor, hir) in store.items():
+            for side, (a, b) in (("lo", lor), ("hi", hir)):
+                if b <= a:
+                    continue
+                key = L.key(kind, c, side)
+                arr = state[key]
+                if ax == 0:
+                    if a <= x < b:
+                        st[f"{pref}:{c}:{side}"] = arr[x - a:x - a + 1]
+                else:
+                    st[f"{pref}:{c}:{side}"] = arr[x:x + 1]
+    return st
+
+
+def wrap2_carries(plan, L, state, C, ph, carry_keys):
+    """The depth-2 wrap carries, redundantly recomputed from the old
+    state (the halo-in-time of the reference's chunk pipelining):
+
+      wrapc1 = (1/ph) * H^new_1(num-1)   (stage-1's D-half at plane 0)
+      wrapc2 = (1/ph) * H^new_2(num-1)   (stage-2's D-half at plane 0)
+
+    H^new_2(num-1) chains one full step at the two far planes plus the
+    wrapped plane 0: B1 on {num-2, num-1, 0}, D1 + E-assembly on
+    {num-1, 0}, then B2 at num-1 from the step-1-updated auxiliaries."""
+    from .strip import b_half_plane, d_half_plane, e_assemble_plane
+    num0 = plan.gv.num[0]
+    S0 = L.S[0]
+
+    def bp(key, x):
+        arr = C[key]
+        if getattr(arr, "ndim", 0) == 3 and arr.shape[0] == S0:
+            return arr[x:x + 1]
+        return arr
+
+    e_need = []
+    for s in plan.curl_specs_b:
+        for g in (s.g_plus, s.g_minus):
+            if g is not None and g not in e_need:
+                e_need.append(g)
+
+    def e_old(x):
+        return {g: e_eff_plane(plan, L, state, C, g, x) for g in e_need}
+
+    em2, em1 = e_old(num0 - 2), e_old(num0 - 1)
+    e0, e1p = e_old(0), e_old(1)
+    stm2 = _strip_state(plan, L, state, num0 - 2)
+    stm1 = _strip_state(plan, L, state, num0 - 1)
+    st0 = _strip_state(plan, L, state, 0)
+
+    h1m2, _ = b_half_plane(plan, L, num0 - 2, em2, em1, stm2, bp)
+    h1m1, new_m1 = b_half_plane(plan, L, num0 - 1, em1,
+                                {g: ph * e0[g] for g in e0}, stm1, bp)
+    h10, new_0 = b_half_plane(plan, L, 0, e0, e1p, st0, bp)
+    wrapc1 = {g: (1.0 / ph) * h1m1[g] for g in carry_keys if g in h1m1}
+
+    d1m1, newd_m1 = d_half_plane(plan, L, num0 - 1, h1m1, h1m2, stm1, bp)
+    d1_0, newd_0 = d_half_plane(plan, L, 0, h10,
+                                {g: (1.0 / ph) * h1m1[g] for g in h1m1},
+                                st0, bp)
+    d_old_m1 = {s.c: stm1[f"d:{s.c}"] for s in plan.curl_specs_d}
+    d_old_0 = {s.c: st0[f"d:{s.c}"] for s in plan.curl_specs_d}
+    e1m1 = e_assemble_plane(plan, L, num0 - 1, d1m1, d_old_m1, stm1, bp,
+                            newd_m1)
+    e1_0 = e_assemble_plane(plan, L, 0, d1_0, d_old_0, st0, bp, newd_0)
+
+    st2 = dict(stm1)
+    st2.update(new_m1)
+    st2.update(newd_m1)
+    h2m1, _ = b_half_plane(plan, L, num0 - 1, e1m1,
+                           {g: ph * e1_0[g] for g in e1_0}, st2, bp)
+    wrapc2 = {g: (1.0 / ph) * h2m1[g] for g in carry_keys if g in h2m1}
+    return wrapc1, wrapc2, e1_0
+
+
+def periodic_t2_supported(plan, bx: int = None) -> bool:
+    """Envelope for the depth-2 temporally-fused periodic driver:
+    linear (no dispersive window), real wrap phase, no x-compact aux
+    (no x-PML — guaranteed on a periodic axis), and every source at
+    least 2 sites clear of the wrap planes (the halo-in-time recompute
+    does not re-inject currents)."""
+    if not periodic_supported(plan, bx):
+        return False
+    if F1._has_disp(plan):
+        return False
+    from . import fdtd3d_t2 as T2
+    bxx = T2._pick_bx(plan, bx, 2)
+    if not F1.supported(plan, bxx, allow_periodic_x=True):
+        return False
+    for s in plan.eh_specs_h:
+        if s.has_u:
+            return False
+    try:
+        L = T2._Layout(plan, bxx)
+    except ValueError:
+        return False
+    if L.lo_blocks != 0 or L.hi_block0 != L.nblk or L.nblk < 2:
+        return False
+    num0 = plan.gv.num[0]
+    if num0 < 6:
+        return False
+    for s in plan.sources:
+        idxs = np.asarray(s.indices)
+        if np.any((idxs[:, 0] < 2) | (idxs[:, 0] > num0 - 3)):
+            return False
+    return True
+
+
+class PeriodicXT2Kernel:
+    """Depth-2 temporally-fused stepping across an x-Bloch wrap (real
+    phase): the single linear _build_call2 sweep with (a) the step-1
+    wrap ghost in the dead x = num plane, (b) stage-1's plane-0 E_eff
+    saved in-kernel and substituted (times phase) as stage-2's wrap
+    ghost, and (c) both stages' wrap carries redundantly recomputed
+    from the old state (wrap2_carries — the halo-in-time pattern)."""
+
+    depth = 2
+
+    def __init__(self, plan, bx: int = None, z_full: bool = None):
+        if not periodic_t2_supported(plan, bx):
+            raise ValueError("plan outside the periodic t2 envelope")
+        from . import fdtd3d_t2 as T2
+        bx = T2._pick_bx(plan, bx, 2)
+        if z_full is None:
+            z_full = bool(int(os.environ.get("MNT_T2_ZFULL", "1")))
+        self.plan = plan
+        self.bx = bx
+        self.L = T2._Layout(plan, bx, z_full=z_full)
+        L = self.L
+        self.num0 = plan.gv.num[0]
+        self._phase = float(np.real(plan.bloch_phase[0]))
+        i_wrap, row_wrap = self.num0 // bx, self.num0 % bx
+        self.call = T2._build_call2(
+            L, 0, L.nblk, "", True, True, 0, None, depth=2, disp=False,
+            periodic=(self._phase, i_wrap, row_wrap))
+        self.xs_keys = list(self.call.xs_keys)
+        # 1-step companion: shared layout, state conversions, odd steps,
+        # ghost statics (and it pins u(num) := u(0) at construction)
+        self._k1 = PeriodicXKernel(plan, bx, z_full=z_full)
+        self.k3 = None
+        self._ghost_dc = [L.eh_by_ec[ec].dc for ec in self.call.halo_keys]
+        self._ghost_wst = []
+        for ec in self.call.halo_keys:
+            if ec in L.eh_store:
+                ax, lor, hir = L.eh_store[ec]
+                if ax != 0:
+                    self._ghost_wst += [
+                        L.key("eh", ec, side)
+                        for side, (a, b) in (("lo", lor), ("hi", hir))
+                        if b > a]
+
+    def init_state(self):
+        return self.L.init_state(self.plan.dtype)
+
+    def make_fused_step(self):
+        plan, L, bx = self.plan, self.L, self.bx
+        num0, ph = self.num0, self._phase
+        dtype = plan.dtype
+        call = self.call
+
+        def step2(state, x_pair, C):
+            state = dict(state)
+            for dc in self._ghost_dc:
+                state[dc] = state[dc].at[num0:num0 + 1].set(
+                    ph * state[dc][0:1])
+            for key in self._ghost_wst:
+                state[key] = state[key].at[num0:num0 + 1].set(
+                    ph * state[key][0:1])
+            halos = compute_halos(L, bx, call.halo_keys, state, C)
+            wc1, wc2, _ = wrap2_carries(plan, L, state, C, ph,
+                                        self._carry_keys())
+            pkg = {}
+            for g in self._carry_keys():
+                pkg[f"wrapc1:{g}"] = wc1[g].astype(dtype)
+                pkg[f"wrapc2:{g}"] = wc2[g].astype(dtype)
+            xscal = {k: jnp.asarray(x_pair[k], dtype).reshape(2, 1)
+                     for k in call.xs_keys}
+            state, _ = call(state, halos, pkg, C, xscal)
+            return {**state, "t": state["t"] + 2}
+
+        return step2
+
+    def _carry_keys(self):
+        return self._k1.carry_keys
+
+    def run(self, state, nsteps: int, t0: int = 0, unroll: int = 2):
+        from ...stepper.step import build_xs
+        npair = nsteps // 2
+        rem = nsteps - 2 * npair
+        step2 = self.make_fused_step()
+        if npair:
+            xs_all = build_xs(self.plan, 2 * npair, t0)
+            xs = {k: np.asarray(v).reshape((npair, 2) + v.shape[1:])
+                  for k, v in xs_all.items() if k in self.xs_keys}
+
+            def runner(state, xs, C):
+                def body(carry, x):
+                    return step2(carry, x, C), None
+                state, _ = jax.lax.scan(
+                    body, state, xs, length=npair,
+                    unroll=unroll if npair % unroll == 0 else 1)
+                return state
+
+            state = jax.jit(runner)(state, xs, self.plan.coefs)
+        if rem:
+            state = self._k1.run(state, rem, t0=t0 + 2 * npair, unroll=1)
+        return state
+
+    def to_full(self, state, C=None):
+        return self._k1.to_full(state, C)
+
+    def from_full(self, full):
+        return self._k1.from_full(full)

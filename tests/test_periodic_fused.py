@@ -193,3 +193,25 @@ def test_pair_periodic_hybrid_sim():
     scale = np.abs(ez_j).max()
     assert scale > 0
     np.testing.assert_allclose(ez_h, ez_j, atol=5e-6 * scale)
+
+
+def test_periodic_t2_depth2():
+    """Depth-2 temporal fusion across the wrap (halo-in-time): the
+    PeriodicXT2Kernel must match the jnp wrap over even AND odd step
+    counts, at k=0 and the zone edge, with an eps structure."""
+    for kx_lab, kx, eps in (("k0", 0.0, False), ("edge", 0.5 / 3.0, True)):
+        plan = _plan_periodic(kx=kx, with_eps=eps)
+        plan.slab_opt = True
+        assert periodicx.periodic_t2_supported(plan), kx_lab
+        ker = periodicx.PeriodicXT2Kernel(plan)
+        for nsteps in (40, 31):
+            st_j = run(plan, init_state(plan), nsteps)
+            full_k = ker.to_full(ker.run(ker.init_state(), nsteps))
+            scale = max(float(np.max(np.abs(np.asarray(v))))
+                        for v in st_j["f"].values())
+            assert scale > 0
+            for c in st_j["f"]:
+                np.testing.assert_allclose(
+                    np.asarray(full_k["f"][c]), np.asarray(st_j["f"][c]),
+                    atol=2e-6 * scale,
+                    err_msg=f"f[{c}] {kx_lab} n={nsteps}")
