@@ -231,6 +231,7 @@ class Simulation:
                  slab_store: bool = False,
                  epsilon_input_file: str = None,
                  symmetries: Sequence = (),
+                 kz_2d: str = "complex",
                  dtype=np.float32):
         self.cell_size = _v3(cell_size)
         self.resolution = float(resolution)
@@ -251,6 +252,14 @@ class Simulation:
         self.use_fused = use_fused
         self.slab_store = slab_store
         self.epsilon_input_file = epsilon_input_file
+        # 2D + k_point.z != 0 (the reference's special_kz): fields carry
+        # an exact e^{i kz z} dependence; accepted values mirror meep's
+        # kz_2d — this implementation always integrates the complex (or
+        # real-pair) fields, which is meep's "complex" mode ("real/imag"
+        # is its memory-layout trick for the same physics)
+        if kz_2d not in ("complex", "real/imag", "3d"):
+            raise ValueError(f"kz_2d: unknown mode {kz_2d!r}")
+        self.kz_2d = kz_2d
         self.dtype = dtype
 
         # infer dimensionality (meep: z-only -> 1d; z==0 -> 2d)
@@ -454,7 +463,11 @@ class Simulation:
 
     def _live_components(self) -> Tuple[List[str], List[str]]:
         """Component closure from sources+monitors (fields::require_component)."""
-        if self.force_all_components:
+        if self.force_all_components or (
+                self.dim == "2d" and self.k_point is not None
+                and _v3(self.k_point).z != 0.0):
+            # special_kz: the i*beta coupling mixes TE and TM — every
+            # component is live
             return list(self.gv.e_components), list(self.gv.h_components)
         need = set()
         for s in self.sources:
@@ -934,9 +947,14 @@ class Simulation:
         srcs += getattr(self, "_extra_srcs", [])
         bloch_k = None
         periodic = self._periodic()
+        beta = 0.0
         if self.k_point is not None:
             kv = _v3(self.k_point)
             bloch_k = _vec_to_axes(self.gv, kv)
+            if self.dim == "2d" and kv.z != 0.0:
+                # special_kz: out-of-plane wavenumber (k_point in units
+                # of 2pi/a -> the physical beta = 2 pi k_z)
+                beta = 2.0 * np.pi * float(kv.z)
         if getattr(self, "_want_ldos", False):
             for si, sv in enumerate(srcs):
                 if sv.component[0] not in "eh":
@@ -956,7 +974,7 @@ class Simulation:
         self._plan = compile_plan(
             self.gv, mat, pmls=pmls, periodic=periodic, bloch_k=bloch_k,
             sources=srcs, dfts=self._dft_specs, courant=self.courant,
-            dtype=self.dtype,
+            dtype=self.dtype, beta=beta,
             complex_fields=True if self.force_complex_fields else None,
             live_e=live_e, live_h=live_h, m=self.m,
             bfast_scaled_k=(tuple(_v3(self.bfast_scaled_k))
@@ -2202,8 +2220,19 @@ class Simulation:
 
     def _run_steps_inner(self, nsteps, probes, series):
         if probes:
-            self._state, ys = S.run(self._plan, self._state, nsteps,
-                                    t0=self._t, probes=probes)
+            ys = None
+            if self.use_fused:
+                # probe-emitting fused path: per-step point samples
+                # gathered from the compact kernel state (Harminv /
+                # FieldProbe collectors leave the jnp stepper)
+                from ..ops.pallas.hybrid import fused_probed_run
+                out = fused_probed_run(self._plan, self._state, nsteps,
+                                       self._t, probes)
+                if out is not None:
+                    self._state, ys = out
+            if ys is None:
+                self._state, ys = S.run(self._plan, self._state, nsteps,
+                                        t0=self._t, probes=probes)
             for k in series:
                 arr = np.asarray(ys[k])
                 if self._plan.real_pair and arr.ndim == 2 \

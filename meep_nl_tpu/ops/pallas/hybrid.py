@@ -165,6 +165,120 @@ def hybrid_applicable(plan) -> bool:
     return fdtd3d_t2.supported(plan) or fdtd3d.supported(plan)
 
 
+def fused_probed_run(plan, state: Dict[str, Any], nsteps: int, t0: int,
+                     probes) -> Optional[tuple]:
+    """Probe-emitting fused run: the 1-step Mosaic kernel per step, with
+    each probe's weighted point sample gathered from the COMPACT state
+    (E/H assembled on the probed x-planes only, fused_mesh.e_eff_plane)
+    — so Harminv / field-probe collectors leave the jnp path.  Returns
+    (full_state, {name: (nsteps,) series}) or None outside the envelope
+    (pair/complex plans, DFT monitors active, non-field components)."""
+    if getattr(plan, "_hybrid_broken", False):
+        return None
+    if plan.dfts or plan.complex_fields:
+        return None
+    run_plan = plan
+    has_cond = any(s.has_cond
+                   for s in plan.curl_specs_d + plan.curl_specs_b)
+    if has_cond:
+        from .condfold import cond_fold_of
+        run_plan = cond_fold_of(plan)
+        if run_plan is None:
+            return None
+    if not hybrid_applicable(run_plan):
+        return None
+    from ...parallel.fused_mesh import e_eff_plane
+    from ...stepper.step import build_xs
+    try:
+        ker = _get_kernel(run_plan)
+    except Exception:                            # noqa: BLE001
+        plan._hybrid_broken = True
+        return None
+    k1 = getattr(ker, "_k1", None)
+    if k1 is None:
+        return None
+    L = k1.L
+    # static probe gather plans: indices grouped by x-plane
+    gathers = []
+    for p in probes:
+        comp = p.component
+        if comp not in L.eh_by_ec and comp not in state.get("f", {}):
+            return None
+        idx = np.asarray(p.indices)
+        w = np.asarray(p.weights)
+        if np.iscomplexobj(w):
+            if np.abs(w.imag).max() > 0:
+                return None
+            w = w.real
+        by_x = {}
+        for k in range(len(idx)):
+            by_x.setdefault(int(idx[k][0]), []).append(
+                (int(idx[k][1]), int(idx[k][2]), float(w[k])))
+        gathers.append((p.name, comp, sorted(by_x.items())))
+
+    C = run_plan.coefs
+    dtype = run_plan.dtype
+
+    def probe_val(comp_state, comp, by_x):
+        tot = 0.0
+        for x, pts in by_x:
+            if comp in L.eh_by_ec:
+                pl_ = e_eff_plane(run_plan, L, comp_state, C, comp, x)
+            else:
+                pl_ = comp_state[comp][x:x + 1]
+            iy = np.array([q[0] for q in pts])
+            iz = np.array([q[1] for q in pts])
+            ww = jnp.asarray(np.array([q[2] for q in pts]), dtype)
+            tot = tot + jnp.sum(pl_[0, iy, iz] * ww)
+        return tot
+
+    cache = getattr(plan, "_fused_probe_cache", None)
+    if cache is None:
+        cache = plan._fused_probe_cache = {}
+    import hashlib
+    key = (nsteps, tuple(
+        (p.name, p.component,
+         hashlib.sha1(np.ascontiguousarray(p.indices).tobytes()
+                      + np.ascontiguousarray(p.weights).tobytes())
+         .hexdigest()) for p in probes))
+    runner_c = cache.get(key)
+    if runner_c is None:
+        step1 = k1.make_step()
+
+        def runner(full_state, xs, C):
+            comp0 = ker.from_full(full_state)
+
+            def body(carry, x):
+                ns = step1(carry, x, C)
+                out = {name: probe_val(ns, comp, by_x)
+                       for (name, comp, by_x) in gathers}
+                return ns, out
+
+            comp, ys = jax.lax.scan(body, comp0, xs, length=nsteps)
+            full = ker.to_full(comp, C)
+            return full, ys
+
+        runner_c = cache[key] = jax.jit(runner)
+    xs_all = build_xs(run_plan, nsteps, t0)
+    xs = {k: v for k, v in xs_all.items() if k in k1.xs_keys}
+    try:
+        full, ys = runner_c(state, xs, C)
+    except Exception as e:                       # noqa: BLE001
+        import warnings
+        plan._hybrid_broken = True
+        warnings.warn(
+            "fused probed path failed to build "
+            f"({type(e).__name__}: {str(e)[:200]}); jnp fallback",
+            stacklevel=2)
+        return None
+    keep = ["f", "f_u", "f_w"] + (["pol"] if full.get("pol") else [])
+    out_state = {**state, **{k: full[k] for k in keep}, "t": full["t"]}
+    if has_cond:
+        from .condfold import resync_cond_state
+        out_state = resync_cond_state(plan, out_state)
+    return out_state, ys
+
+
 def hybrid_run(plan, state: Dict[str, Any], nsteps: int, t0: int
                ) -> Optional[Dict[str, Any]]:
     """Advance the FULL jnp state by nsteps via the hybrid path.

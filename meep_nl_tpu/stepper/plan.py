@@ -267,6 +267,12 @@ class Plan:
     #: at the reflected source row, with the rotation-matrix sign.
     #: (ax1, ax2, w_letter, phase) or None
     rot4: Optional[Tuple[Any, ...]] = None
+    #: 2D out-of-plane wavenumber (the reference's special_kz / kz_2d,
+    #: fields.cpp beta): fields carry an exact e^{i beta z} dependence,
+    #: so every dropped z-derivative curl term becomes the constant
+    #: i*beta coupling (the cylindrical i*m/r machinery with a constant
+    #: coefficient).  Forces complex (or real-pair) fields.
+    beta: float = 0.0
 
     @property
     def dt(self) -> float:
@@ -369,6 +375,7 @@ def compile_plan(
     boundaries=None,   # {(dir_letter, 'low'|'high'): 'metal'|'magnetic'}
     rot2=None,         # (fold_ax, flip_ax, w_ax, phase) C2 fold (Plan.rot2)
     rot4=None,         # (ax1, ax2, w_ax, phase) C4 fold (Plan.rot4)
+    beta: float = 0.0,  # 2D out-of-plane wavenumber (special_kz, Plan.beta)
 ) -> Plan:
     import jax.numpy as jnp
 
@@ -419,12 +426,24 @@ def compile_plan(
                 f"BFAST with max|scaled_k|={smax} needs Courant <= "
                 f"(1-|s|)/sqrt(D) = {climit:.3f}; got {courant} "
                 "(pass Courant=... to Simulation)")
+    if beta != 0.0 and gv.dim != "2d":
+        raise ValueError("beta (special_kz) applies to 2D cells only")
     if complex_fields is None:
         complex_fields = any(isinstance(ph, complex) for ph in bloch_phase) \
-            or (gv.dim == "cyl" and mm != 0) or (bfast_scaled_k is not None)
+            or (gv.dim == "cyl" and mm != 0) or (bfast_scaled_k is not None) \
+            or beta != 0.0
 
     dt = courant * gv.dx
     dtdx = courant
+    if beta != 0.0:
+        # stability: the i*beta coupling adds beta^2 to the curl
+        # operator's squared norm (fields.cpp beta / special_kz):
+        # dt <= 2 / sqrt(sum_i (2/dx_i)^2 + beta^2)
+        wmax = float(np.sqrt(ndim * (2.0 / gv.dx) ** 2 + beta ** 2))
+        if dt > 2.0 / wmax * (1.0 - 1e-9):
+            raise ValueError(
+                f"Courant {courant} unstable with kz beta={beta:g}: need "
+                f"courant <= {2.0 / wmax / gv.dx:.4f}")
 
     # ------- which components are live ------------------------------------
     if live_e is None:
@@ -587,6 +606,22 @@ def compile_plan(
                     r_g = gv.comp_coords(plan.plus, gv.axis_of(G.R))
                     put(f"{c}:rg", _bcast(r_g, gv.axis_of(G.R), ndim))
                     put(f"{c}:rfinv", _bcast(rinv, gv.axis_of(G.R), ndim))
+            if gv.dim == "2d" and beta != 0.0:
+                # special_kz (the reference's kz_2d, fields.cpp beta):
+                # the z dependence is exactly e^{i beta z}, so the
+                # dropped d/dz curl terms become the constant i*beta
+                # coupling to the OTHER in-plane transverse partner —
+                # (curl H)_x = dy Hz - i*beta*Hy (minus slot),
+                # (curl H)_y = i*beta*Hx - dx Hz (plus slot), and the
+                # same pattern for curl E; the z components carry no
+                # z-derivative.  Rides the cylindrical i*m/r machinery
+                # with a constant coefficient.
+                part = {"x": ("y", -1.0), "y": ("x", +1.0)}.get(c[1])
+                if part is not None:
+                    g_letter, psign = part
+                    phi_comp = ("h" if ft == "d" else "e") + g_letter
+                    phi_sign = psign
+                    put(f"{c}:imr", np.float64(beta * gv.dx))
             dsig_slabs = dsigu_slabs = None
             if dsig_axis is not None:
                 d = gv.axes[dsig_axis]
@@ -797,7 +832,8 @@ def compile_plan(
         bfast_k=tuple(bfast_scaled_k) if bfast_scaled_k is not None else None,
         mask_planes=mask_planes, support_boxes=support_boxes,
         rot2=tuple(rot2) if rot2 is not None else None,
-        rot4=tuple(rot4) if rot4 is not None else None)
+        rot4=tuple(rot4) if rot4 is not None else None,
+        beta=float(beta))
 
 
 def _infer_live(gv: G.GridVolume, mat: MaterialSpec, sources, dfts, ft: str

@@ -346,9 +346,11 @@ def _curl(plan: Plan, spec: CurlSpec, f: Dict[str, Any],
         t2 = diff(f[spec.g_minus], spec.minus_axis, spec.g_minus)
         total = -t2 if total is None else total - t2
     out = 0.0 if total is None else sgn * dtdx * total
-    if spec.phi_comp is not None and plan.m != 0:
-        # i*m/r phi-derivative term; the sign carries the curl slot and the
-        # D/B orientation like the finite-difference terms
+    if spec.phi_comp is not None and (plan.m != 0 or plan.beta != 0.0):
+        # i*m/r phi-derivative term (cylindrical) or the constant i*beta
+        # out-of-plane coupling (2D special_kz); the sign carries the
+        # curl slot and the D/B orientation like the finite-difference
+        # terms
         if _is_pair(plan):
             term = C[f"{spec.c}:imr"] * _pair_cmul(
                 f[spec.phi_comp], 0.0, spec.phi_sign * sgn * dtdx)

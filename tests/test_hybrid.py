@@ -149,3 +149,38 @@ def test_hybrid_conductivity_fold():
     fh = np.asarray(sim_h.get_fluxes(flux_h))
     np.testing.assert_allclose(fh, fj, rtol=1e-4,
                                atol=1e-6 * np.abs(fj).max())
+
+
+def test_fused_probed_run():
+    """Harminv/FieldProbe time series through the fused probed path must
+    match the jnp per-step probes exactly enough for mode analysis."""
+    from meep_nl_tpu.models.run_control import FieldProbe
+
+    def mk(use_fused):
+        return mp.Simulation(
+            cell_size=mp.Vector3(4.0, 2.0, 2.0), resolution=8,
+            geometry=[mp.Block(center=mp.Vector3(0.3, 0, 0),
+                               size=mp.Vector3(0.7, 0.7, 0.7),
+                               material=mp.Medium(epsilon=4.0))],
+            sources=[mp.Source(mp.GaussianSource(frequency=1.0, fwidth=0.4),
+                               component=mp.Ez,
+                               center=mp.Vector3(-1.2, 0, 0))],
+            boundary_layers=[mp.PML(0.5)],
+            use_fused=use_fused)
+
+    pt = mp.Vector3(0.3, 0.1, 0.0)
+    sim_h = mk(True)
+    pr_h = FieldProbe(mp.Ez, pt)
+    sim_h.run(pr_h, until=5.0)
+    assert not getattr(sim_h._plan, "_hybrid_broken", False)
+    assert getattr(sim_h._plan, "_fused_probe_cache", None), \
+        "fused probed path must have engaged"
+    sim_j = mk(False)
+    pr_j = FieldProbe(mp.Ez, pt)
+    sim_j.run(pr_j, until=5.0)
+    a = np.real(np.asarray(pr_h.data, np.complex128))
+    b = np.real(np.asarray(pr_j.data, np.complex128))
+    assert len(a) == len(b) and len(a) > 10
+    scale = np.abs(b).max()
+    assert scale > 0
+    np.testing.assert_allclose(a, b, atol=5e-6 * scale)
