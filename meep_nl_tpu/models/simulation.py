@@ -232,6 +232,8 @@ class Simulation:
                  epsilon_input_file: str = None,
                  symmetries: Sequence = (),
                  kz_2d: str = "complex",
+                 material_function=None,
+                 epsilon_func=None,
                  dtype=np.float32):
         self.cell_size = _v3(cell_size)
         self.resolution = float(resolution)
@@ -260,6 +262,14 @@ class Simulation:
         if kz_2d not in ("complex", "real/imag", "3d"):
             raise ValueError(f"kz_2d: unknown mode {kz_2d!r}")
         self.kz_2d = kz_2d
+        # user-defined materials (python/tests/test_user_defined_material
+        # semantics): material_function(Vector3) -> Medium, or
+        # epsilon_func(Vector3) -> scalar eps; applied wherever geometry
+        # objects leave the default material.  Geometry objects whose
+        # `material` is itself callable are treated as per-object
+        # epsilon functions.
+        self.material_function = material_function
+        self.epsilon_func = epsilon_func
         self.dtype = dtype
 
         # infer dimensionality (meep: z-only -> 1d; z==0 -> 2d)
@@ -786,6 +796,65 @@ class Simulation:
                                                         False)))
         return out
 
+    def _apply_material_function(self, mat, geometry, fn_objs, live_e):
+        """User-defined materials (the reference's material_function /
+        epsilon_func, python/tests/test_user_defined_material.py):
+        sample the function pointwise at every E site governed by the
+        default material (simulation-level function) or by a
+        function-material object (`fn_objs`: geometry index -> callable).
+        The function receives the absolute position as a Vector3 and
+        returns a Medium (material_function) or a scalar epsilon
+        (epsilon_func).  Pointwise, no subpixel averaging — matching the
+        reference's default for material functions."""
+        from .scene import _material_at, _site_points
+        dind_of = {"x": 0, "y": 1, "z": 2, "r": 0, "p": 1}
+
+        def eval_fn(fn, pts_flat, dind, as_medium):
+            out = np.empty(len(pts_flat))
+            cond = np.zeros(len(pts_flat))
+            for k, p in enumerate(pts_flat):
+                v = Vector3(float(p[0]), float(p[1]), float(p[2]))
+                if as_medium:
+                    m = fn(v)
+                    out[k] = tuple(m.eps_diag_vec())[dind]
+                    cond[k] = float(m.D_conductivity)
+                else:
+                    out[k] = float(fn(v))
+            return out, cond
+
+        sim_fn = self.material_function or self.epsilon_func
+        sim_is_medium = self.material_function is not None
+        for c in live_e:
+            d_c = G.component_direction(c)
+            dind = dind_of[d_c]
+            pts = _site_points(self.gv, c)
+            idx = _material_at(pts, geometry, self.default_material)
+            row = mat.chi1inv.setdefault(c, {}).get(d_c)
+            base = np.ones(self.gv.shape) if row is None \
+                else np.array(row, np.float64)
+            crow = mat.cond.get("d" + c[1])
+            cbase = None
+            targets = []
+            if sim_fn is not None:
+                targets.append((idx == -1, sim_fn, sim_is_medium))
+            for i, fn in fn_objs.items():
+                targets.append((idx == i, fn,
+                                isinstance(fn(Vector3(0, 0, 0)), Medium)))
+            for sel, fn, as_medium in targets:
+                if not sel.any():
+                    continue
+                eps, cnd = eval_fn(fn, pts[sel], dind, as_medium)
+                base[sel] = 1.0 / eps
+                if as_medium and np.any(cnd != 0):
+                    if cbase is None:
+                        cbase = (np.zeros(self.gv.shape) if crow is None
+                                 else np.array(crow, np.float64))
+                    cbase[sel] = cnd
+            if not np.allclose(base, 1.0):
+                mat.chi1inv[c][d_c] = base
+            if cbase is not None:
+                mat.cond["d" + c[1]] = cbase
+
     def _apply_epsilon_input(self, mat, live_e):
         """Background epsilon from an HDF5 file (simulation.py
         epsilon_input_file; meepgeom epsilon input): the dataset spans the
@@ -897,11 +966,26 @@ class Simulation:
         if self._plan is not None:
             return
         live_e, live_h = self._live_components()
-        mat = scene.rasterize(self.gv, self.geometry, self.default_material,
-                              eps_averaging=self.eps_averaging,
+        # geometry objects whose material is a callable (per-object
+        # epsilon functions) rasterize as vacuum placeholders; the
+        # function values are sampled in afterwards
+        fn_objs = {i: g.material for i, g in enumerate(self.geometry)
+                   if callable(g.material)}
+        geometry = self.geometry
+        if fn_objs:
+            import dataclasses as _dc
+            geometry = [(_dc.replace(g, material=Medium())
+                         if callable(g.material) else g)
+                        for g in self.geometry]
+        mat = scene.rasterize(self.gv, geometry, self.default_material,
+                              eps_averaging=self.eps_averaging
+                              and not fn_objs,
                               subpixel_n=self.subpixel_n,
                               subpixel_tensor=self.subpixel_tensor,
                               live_e=live_e, live_h=live_h)
+        if (self.material_function is not None
+                or self.epsilon_func is not None or fn_objs):
+            self._apply_material_function(mat, geometry, fn_objs, live_e)
         if self.epsilon_input_file:
             self._apply_epsilon_input(mat, live_e)
         pmls = []
@@ -2474,6 +2558,62 @@ class Simulation:
             coords = list(coords)
             coords[ax] = np.concatenate(cparts)
         return arr, coords
+
+    def get_epsilon_grid(self, xtics=None, ytics=None, ztics=None
+                         ) -> np.ndarray:
+        """Smoothed epsilon interpolated onto an arbitrary Cartesian
+        grid (the reference's get_epsilon_grid, python/simulation.py /
+        meepgeom.cpp:2728 get_epsilon_grid): multilinear interpolation
+        of the simulation's own (subpixel-smoothed) epsilon array, so
+        the values match what the stepper actually uses.  Absent-axis
+        tics collapse; returns shape (len(xtics), len(ytics),
+        len(ztics))."""
+        self.init_sim()
+        eps = np.asarray(self.get_epsilon())
+        # reconstruct the epsilon array's lattice: get_epsilon samples
+        # the first live E component's (possibly unfolded) lattice —
+        # uniform with the component's Yee offsets from the full cell
+        # origin
+        live_e = [s.ec for s in self._plan.eh_specs_e]
+        c = live_e[0] if live_e else "ez"
+        ys = G.yee_shift(c, self.gv.dim)
+        cs = _v3(self.cell_size)
+        cell = [cs.x, cs.y, cs.z]
+        dx = self.gv.dx
+        slot_of = {"x": 0, "y": 1, "z": 2, "r": 0, "p": 1}
+        axes_coords = []
+        slots = []
+        for ax, d in enumerate(self.gv.axes):
+            n = eps.shape[ax]
+            slot = slot_of[d]
+            org = -cell[slot] / 2 if self.gv.dim != "cyl" else 0.0
+            axes_coords.append(org + (np.arange(n) + 0.5 * ys[d]) * dx)
+            slots.append(slot)
+        tics = [np.atleast_1d(np.asarray(t, np.float64))
+                if t is not None else np.zeros(1)
+                for t in (xtics, ytics, ztics)]
+        qs = [tics[slot] for slot in slots]
+        # multilinear interpolation, clamped at the lattice edges
+        out = eps
+        for ax, (coords, q) in enumerate(zip(axes_coords, qs)):
+            f = np.clip((q - coords[0]) / dx, 0.0, len(coords) - 1.0)
+            i0 = np.minimum(f.astype(int), len(coords) - 2) \
+                if len(coords) > 1 else np.zeros(len(q), int)
+            w = (f - i0) if len(coords) > 1 else np.zeros(len(q))
+            a = np.take(out, i0, axis=ax)
+            b = np.take(out, np.minimum(i0 + 1, len(coords) - 1), axis=ax)
+            shape = [1] * out.ndim
+            shape[ax] = len(q)
+            w = w.reshape(shape)
+            out = a * (1 - w) + b * w
+        # arrange to (x, y, z) tics order (grid axes are slot-ordered for
+        # every grid kind: 1d = z, 2d = xy, 3d = xyz, cyl = rz)
+        assert list(slots) == sorted(slots)
+        full = out
+        for slot in (0, 1, 2):
+            if slot not in slots:
+                full = np.expand_dims(full, axis=slot)
+        return np.broadcast_to(full, tuple(len(t) for t in tics)).copy()
 
     def get_epsilon(self) -> np.ndarray:
         self.init_sim()
