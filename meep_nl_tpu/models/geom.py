@@ -178,6 +178,32 @@ class MultilevelAtom:
 # ---------------------------------------------------------------------------
 
 
+class _MediumEval(float):
+    """Scalar medium parameter that doubles as the reference's frequency
+    evaluator: `m.epsilon` behaves as the instantaneous float in
+    arithmetic, while `m.epsilon(freq)` returns the full dispersive
+    complex tensor (python/geom.py Medium.epsilon / Medium.mu):
+
+        eps(f) = eps_inst + sum_j sigma_j f_j^2/(f_j^2 - f^2 - i f g_j)
+                 (Drude: -f^2 - i f g denominator) + i sigma_cond / f
+    """
+
+    def __new__(cls, value, medium=None, kind="e"):
+        o = super().__new__(cls, value)
+        o._medium = medium
+        o._kind = kind
+        return o
+
+    def __call__(self, freq):
+        m = self._medium
+        if self._kind == "e":
+            return m._epsmu(m.eps_diag_vec(), m.epsilon_offdiag,
+                            m.E_susceptibilities, m.cond_diag_vec(), freq)
+        b = Vector3(m.B_conductivity, m.B_conductivity, m.B_conductivity)
+        return m._epsmu(m.mu_diag_vec(), None, m.H_susceptibilities, b,
+                        freq)
+
+
 @dataclasses.dataclass
 class Medium:
     """Material description (python/geom.py:Medium).
@@ -206,6 +232,8 @@ class Medium:
     def __post_init__(self, index):
         if index is not None:
             self.epsilon = index ** 2
+        self.epsilon = _MediumEval(self.epsilon, self, "e")
+        self.mu = _MediumEval(self.mu, self, "h")
 
     def eps_diag_vec(self) -> Vector3:
         if self.epsilon_diag is not None:
@@ -222,6 +250,37 @@ class Medium:
             return _v3(self.D_conductivity_diag)
         return Vector3(self.D_conductivity, self.D_conductivity,
                        self.D_conductivity)
+
+    def _epsmu(self, diag, offdiag, sus, cond, freq) -> np.ndarray:
+        fr = np.atleast_1d(np.asarray(freq, np.float64))
+        out = np.zeros((len(fr), 3, 3), np.complex128)
+        dv = tuple(diag)
+        for i in range(3):
+            out[:, i, i] = dv[i]
+        if offdiag is not None:
+            ov = _v3(offdiag)
+            out[:, 0, 1] = out[:, 1, 0] = ov.x
+            out[:, 0, 2] = out[:, 2, 0] = ov.y
+            out[:, 1, 2] = out[:, 2, 1] = ov.z
+        for s in sus:
+            sv = tuple(s.sigma_vec())
+            f0, g = s.frequency, s.gamma
+            if getattr(s, "drude", False):
+                chi = f0 ** 2 / (-fr ** 2 - 1j * fr * g)
+            else:
+                chi = f0 ** 2 / (f0 ** 2 - fr ** 2 - 1j * fr * g)
+            for i in range(3):
+                out[:, i, i] += sv[i] * chi
+        cv = tuple(cond)
+        for i in range(3):
+            out[:, i, i] += 1j * cv[i] / np.where(fr == 0, np.inf, fr)
+        return out[0] if np.isscalar(freq) else out
+
+    # NOTE: `epsilon` and `mu` are dataclass FIELDS (instantaneous
+    # scalars) that __post_init__ wraps in _MediumEval, a float subclass
+    # that is ALSO callable — so both the scalar uses (m.epsilon - 1)
+    # and the reference's frequency evaluations (m.epsilon(freqs) ->
+    # (N,3,3) complex tensor, python/geom.py Medium.epsilon/mu) work.
 
 
 vacuum = Medium()

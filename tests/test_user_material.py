@@ -85,3 +85,40 @@ def test_get_epsilon_grid():
     # off-lattice: midpoint of a uniform region interpolates exactly
     g2 = sim.get_epsilon_grid([0.0625], [0.0], [0.0])
     assert g2[0, 0, 0] == pytest.approx(3.0)
+
+
+def test_medium_evaluations():
+    """Medium.epsilon(freq) / Medium.mu(freq) dispersive tensor
+    evaluations (reference test_medium_evaluations): Lorentz pole,
+    Drude pole, conductivity, and the scalar/arithmetic duality."""
+    m = mnt.Medium(epsilon=2.25,
+                   E_susceptibilities=[
+                       mnt.LorentzianSusceptibility(frequency=1.1,
+                                                    gamma=1e-5,
+                                                    sigma=0.5)])
+    # arithmetic duality: the field still behaves as a float
+    assert float(m.epsilon) == 2.25 and m.epsilon + 1 == 3.25
+    e = m.epsilon(0.5)
+    assert e.shape == (3, 3)
+    chi = 0.5 * 1.1 ** 2 / (1.1 ** 2 - 0.5 ** 2 - 1j * 0.5 * 1e-5)
+    assert abs(e[0, 0] - (2.25 + chi)) < 1e-10
+    freqs = np.linspace(0.2, 0.8, 5)
+    eN = m.epsilon(freqs)
+    assert eN.shape == (5, 3, 3)
+    # Drude + conductivity
+    md = mnt.Medium(epsilon=1.0, D_conductivity=0.3,
+                    E_susceptibilities=[
+                        mnt.DrudeSusceptibility(frequency=1.0, gamma=0.05,
+                                                sigma=1.0)])
+    ed = md.epsilon(0.7)
+    chid = 1.0 / (-0.7 ** 2 - 1j * 0.7 * 0.05)
+    assert abs(ed[1, 1] - (1.0 + chid + 1j * 0.3 / 0.7)) < 1e-10
+    # permeability
+    mm = mnt.Medium(mu=1.5)
+    assert float(mm.mu) == 1.5
+    assert abs(mm.mu(1.0)[2, 2] - 1.5) < 1e-12
+    # a library medium evaluates to its published dispersion shape
+    from meep_nl_tpu import materials as lib
+    if hasattr(lib, "Si"):
+        eSi = lib.Si.epsilon(1 / 1.55)      # 1550 nm
+        assert 11.5 < eSi[0, 0].real < 12.6
