@@ -165,7 +165,8 @@ def _plane_lists(plan, c):
 
 def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                  first: bool, last: bool, s1_xn: Any, s2_x0: Any,
-                 depth: int = 2, disp: bool = False, periodic=None):
+                 depth: int = 2, disp: bool = False, periodic=None,
+                 dyn_xoff: bool = False, edge_pkg: bool = False):
     """One fused-2-step pallas call: step-1 on blocks [b0, b1), step-2 on
     blocks [b0-1, b1-1) (+ block b1-1 itself when `last`, via one extra
     iteration).
@@ -189,7 +190,16 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
         (periodicx.wrap2_carries), stage-1's plane-0 E_eff is saved at
         i == 0 and substituted (times phase) for stage-2's forward
         ghost at the wrap — both through e1_first and by overwriting
-        the dead plane num's row of the e1 scratch."""
+        the dead plane num's row of the e1 scratch.
+    dyn_xoff: the call's global x offset arrives as an SMEM scalar
+        (shard_map SPMD: one program for every shard) — masks and
+        source one-hots compare against xoff-shifted coordinates, and
+        source jobs keep every point (each matches only on its owner).
+    edge_pkg: shard-boundary variant of `periodic` (depth 2, single
+        first+last call): the stage carries wrapc1/wrapc2 AND stage-2's
+        forward ghost plane wrape1 arrive as host-recomputed 'pkg'
+        inputs (fused_mesh-style halo-in-time recompute from the
+        neighbors' boundary strips)."""
     plan = L.plan
     bx, S = L.bx, L.S
     Y, Z = S[1], S[2]
@@ -265,12 +275,19 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                 out.append((f"src{si}:cur_re", f"src{si}:cur_im", dc, pts))
         return out
 
-    src_jobs1 = jobs_in(b0 * bx, b1 * bx)
-    s2_hi_blk = b1 if (last and depth == 2) else b1 - 1
-    src_jobs2 = jobs_in(max(b0 - 1, 0) * bx, s2_hi_blk * bx)
-    s3_hi_blk = b1 if last else b1 - 2
-    src_jobs3 = jobs_in(max(b0 - 2, 0) * bx, s3_hi_blk * bx) \
-        if depth == 3 else []
+    if dyn_xoff:
+        # SPMD: every shard runs this program; each source point's
+        # one-hot matches only on its owning shard (global coords)
+        src_jobs1 = jobs_in(-10 ** 9, 10 ** 9)
+        src_jobs2 = list(src_jobs1)
+        src_jobs3 = list(src_jobs1) if depth == 3 else []
+    else:
+        src_jobs1 = jobs_in(b0 * bx, b1 * bx)
+        s2_hi_blk = b1 if (last and depth == 2) else b1 - 1
+        src_jobs2 = jobs_in(max(b0 - 1, 0) * bx, s2_hi_blk * bx)
+        s3_hi_blk = b1 if last else b1 - 2
+        src_jobs3 = jobs_in(max(b0 - 2, 0) * bx, s3_hi_blk * bx) \
+            if depth == 3 else []
 
     # ---- ordered operand tables ------------------------------------------
     in_entries: List[Tuple[str, str, Any]] = []
@@ -624,6 +641,11 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
         in_entries.append(("xs", kk,
                            pl.BlockSpec((depth, 1), lambda i: (0, 0),
                                         memory_space=pltpu.SMEM)))
+    if dyn_xoff:
+        in_entries.append(("xs", "xoff",
+                           pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                        memory_space=pltpu.SMEM)))
+        xs_keys.append("xoff")
 
     # ---- cross-call package ----------------------------------------------
     pkg_names: List[Tuple[str, Tuple[int, ...]]] = []
@@ -668,14 +690,20 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
         for name, shp in pkg_names:
             out_entries.append(("pkgo", name, pl.BlockSpec(
                 shp, lambda i: (0,) * len(shp), memory_space=pltpu.VMEM)))
-    if periodic is not None:
+    if periodic is not None or edge_pkg:
         assert depth == 2 and first and last and not disp, \
-            "periodic t2: single linear depth-2 call only"
+            "periodic/edge t2: single linear depth-2 call only"
+        assert not (periodic is not None and edge_pkg)
         for g in carry_keys:
             for nm in ("wrapc1", "wrapc2"):
                 in_entries.append(("pkg", f"{nm}:{g}", pl.BlockSpec(
                     (1, Y, Z), lambda i: (0, 0, 0),
                     memory_space=pltpu.VMEM)))
+    if edge_pkg:
+        for s in ehs_e:
+            in_entries.append(("pkg", f"wrape1:{s.ec}", pl.BlockSpec(
+                (1, Y, Z), lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM)))
 
     # scratch: previous block's post-step-1 package + x-compact aux + carries
     scratch_entries: List[Tuple[str, Tuple[int, ...]]] = list(pkg_names)
@@ -793,9 +821,10 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
             @pl.when(i == 0)
             def _():
                 for g in carry_keys:
-                    if periodic is not None:
-                        # x-Bloch wrap: stage-1's plane-0 backward ghost
-                        # is the host-recomputed wrap carry
+                    if periodic is not None or edge_pkg:
+                        # x-Bloch wrap / shard boundary: stage-1's
+                        # plane-0 backward ghost is the host-recomputed
+                        # boundary carry
                         sc[f"c1:{g}"][...] = \
                             byname[("pkg", f"wrapc1:{g}")][...]
                     else:
@@ -822,6 +851,8 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
         for name, _shp in disp_zero:
             if not name.startswith("dmp"):       # dmp carries: in-order rw
                 prev[name] = sc[name][...]
+
+        xoff0 = byname[("xs", "xoff")][0, 0] if dyn_xoff else 0
 
         def _dynblk(k, gblk):
             return byname[("coef", k)][pl.ds(gblk * bx, bx), :, :]
@@ -1293,7 +1324,7 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
             return out
 
         # ================= STEP 1 on block s1map(i) =======================
-        gx1 = s1map(i) * bx
+        gx1 = s1map(i) * bx + xoff0
 
         def aux_get1(key, is_x):
             return byname[("state", key)][...]
@@ -1435,6 +1466,13 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                                 ph_w * sc[f"wrape1:{ec}"][...],
                                 e1_eff[ec][0:1])
                         for ec in e1_eff}
+        if edge_pkg:
+            # shard boundary: stage-2's forward ghost past the last
+            # block is the host-recomputed right-neighbor plane
+            e1_first = {ec: sel(i >= n1,
+                                byname[("pkg", f"wrape1:{ec}")][...],
+                                e1_eff[ec][0:1])
+                        for ec in e1_eff}
 
         def aux_get2(key, is_x):
             return prev[("xaux1:" if is_x else "aux1:") + key]
@@ -1451,7 +1489,7 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
             # ========== MIDDLE STAGE (step 2) on block s2map(i) ==========
             # destination = the P2 scratch package; assembles e2_eff (full
             # u at this stage's block) for the final stage's forward halo
-            gx2m = s2map(i) * bx
+            gx2m = s2map(i) * bx + xoff0
 
             def aux_put2sc(key, is_x, val, pred):
                 sc[("xaux2:" if is_x else "aux2:") + key][...] = val
@@ -1547,7 +1585,7 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
             okF = (i >= 2) if first else True
             xselF = xsel3
             rowF, jobsF = 2, src_jobs3
-            gx2 = s3map(i) * bx
+            gx2 = s3map(i) * bx + xoff0
             eF_first = {ec: (e2_eff[ec][0:1] if not last
                              else sel(i < n1 + 1, e2_eff[ec][0:1],
                                       zero_pl))
@@ -1560,7 +1598,7 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
             okF = ok2
             xselF = xsel2
             rowF, jobsF = 1, src_jobs2
-            gx2 = s2map(i) * bx
+            gx2 = s2map(i) * bx + xoff0
             eF_first = e1_first
             czero = (i == 0)
 
@@ -1599,9 +1637,10 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
             v = hF_eff[g][bx - 1:bx]
             if first:
                 # the final stage's block-0 backward ghost: zero (PEC) /
-                # the host-recomputed depth-2 wrap carry (x-Bloch wrap)
-                v0 = zero_pl if periodic is None \
-                    else byname[("pkg", f"wrapc2:{g}")][...]
+                # the host-recomputed depth-2 boundary carry (x-Bloch
+                # wrap or shard boundary)
+                v0 = byname[("pkg", f"wrapc2:{g}")][...] \
+                    if (periodic is not None or edge_pkg) else zero_pl
                 v = sel(czero, v0, v)
             sc[f"{FC}:{g}"][...] = v
         new_dF = curl_half(curls_d, hF_eff, cF_prev, True, gx2, coefF,

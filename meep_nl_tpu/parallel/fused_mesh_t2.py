@@ -1,0 +1,397 @@
+"""Sharded depth-2 temporally-fused stepping: halo-in-time over ICI.
+
+The depth-1 sharded driver (fused_mesh.ShardedFdtd3d) exchanges a
+width-1 halo + carry per step.  This module runs the TWO-step fused
+kernel per shard — halving each chip's HBM bytes/cell/step — by
+widening the exchange to a two-plane boundary strip per direction and
+redundantly recomputing, on the receiving side, everything the skewed
+schedule needs across the boundary (exactly the periodic-wrap pattern
+of ops/pallas/periodicx.PeriodicXT2Kernel with neighbors instead of a
+wrap; the strip primitives are shared, ops/pallas/strip.py):
+
+  * stage-1's backward carry  c1 = H1^new(start-1): one B-half on the
+    left neighbor's last plane;
+  * stage-2's backward carry  c2 = H2^new(start-1): B1 on the left
+    strip {start-2, start-1} and the own plane 0, D1 + E-assembly on
+    {start-1, 0}, then B2 at start-1 through the step-1-updated
+    auxiliaries;
+  * stage-2's forward ghost   wrape1 = E1^new(end): B1 on the own last
+    plane and the right strip {end, end+1}, D1 + E-assembly at end.
+
+Every shard runs ONE program (shard_map SPMD): the x-uniform depth-2
+call with dyn_xoff (masks and source one-hots compare global
+coordinates) and edge_pkg (the three boundary products arrive as pkg
+inputs, zeroed by axis_index at the physical walls).
+
+Envelope: the linear fdtd3d envelope (no dispersive window), span
+block-aligned with >= 2 blocks per shard, and every source at least 2
+planes clear of each shard boundary (the strip recompute does not
+re-inject currents).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.pallas import fdtd3d as F1
+from ..ops.pallas import fdtd3d_t2 as T2
+from ..ops.pallas.fdtd3d import compute_halos
+from ..ops.pallas.strip import (b_half_plane, d_half_plane,
+                                e_assemble_plane)
+from .fused_mesh import ShardedFdtd3d, e_eff_plane, sharded_supported
+
+
+def _strip_keys(plan, L) -> Tuple[List[str], List[Tuple], List[Tuple]]:
+    """Coefficient keys + fu/w piece descriptors the strip primitives
+    touch (every comp — the full B/D halves run on the strip planes)."""
+    keys: List[str] = []
+    for s in plan.curl_specs_b + plan.curl_specs_d:
+        c = s.c
+        if s.dsig_axis is not None:
+            keys += [f"{c}:kap", f"{c}:sig", f"{c}:siginv"]
+        if s.dsigu_axis is not None:
+            keys += [f"{c}:kapu", f"{c}:sigu", f"{c}:siginvu"]
+    for s in plan.eh_specs_e + plan.eh_specs_h:
+        if s.has_u:
+            keys.append(f"{s.ec}:u")
+        if s.dsigw_axis is not None:
+            keys += [f"{s.ec}:kapw", f"{s.ec}:sigw"]
+    fu_pieces, w_pieces = [], []
+    for c, (ax, lor, hir) in L.fu.items():
+        for side, (a, b) in (("lo", lor), ("hi", hir)):
+            if b > a:
+                fu_pieces.append((c, side, ax, a, b))
+    for ec, (ax, lor, hir) in L.eh_store.items():
+        for side, (a, b) in (("lo", lor), ("hi", hir)):
+            if b > a:
+                w_pieces.append((ec, side, ax, a, b))
+    return list(dict.fromkeys(keys)), fu_pieces, w_pieces
+
+
+def _strip_state_local(plan, L, state, x, fu_pieces, w_pieces):
+    """Strip-primitive state dict for LOCAL plane x of the x-uniform
+    compact state (cf. periodicx._strip_state)."""
+    st = {}
+    for s in plan.curl_specs_b:
+        st[f"b:{s.c}"] = state[s.c][x:x + 1]
+    for s in plan.curl_specs_d:
+        st[f"d:{s.c}"] = state[s.c][x:x + 1]
+    for (c, side, ax, a, b) in fu_pieces:
+        arr = state[L.key("fu", c, side)]
+        st[f"fu:{c}:{side}"] = arr[x - (a if ax == 0 else 0):][:1] \
+            if ax == 0 else arr[x:x + 1]
+    for (ec, side, ax, a, b) in w_pieces:
+        arr = state[L.key("eh", ec, side)]
+        st[f"w:{ec}:{side}"] = arr[x - (a if ax == 0 else 0):][:1] \
+            if ax == 0 else arr[x:x + 1]
+    return st
+
+
+def sharded_t2_supported(plan, n_shards: int, bx: Optional[int] = None
+                         ) -> bool:
+    """Envelope for the sharded depth-2 driver."""
+    if F1._has_disp(plan) or any(plan.periodic):
+        return False
+    if not sharded_supported(plan, n_shards, bx):
+        return False
+    from .fused_mesh import _fit_bx
+    bxx = _fit_bx(plan, n_shards) if bx is None else bx
+    if bxx is None:
+        return False
+    S = tuple(plan.storage_shape or plan.gv.shape)
+    span = S[0] // n_shards
+    if span < 2 * bxx:
+        return False
+    # sources >= 2 planes clear of every shard boundary (both sides)
+    for s in plan.sources:
+        ix = np.asarray(s.indices)[:, 0]
+        for g in range(span, S[0], span):
+            if np.any((ix >= g - 2) & (ix <= g + 1)):
+                return False
+    try:
+        T2._Layout(plan, bxx, z_full=True, x_uniform=True)
+    except (ValueError, TypeError):
+        return False
+    return True
+
+
+class ShardedFdtd3dT2:
+    """shard_map driver for the depth-2 fused kernel over a 1-d x mesh
+    (state layout shared with ShardedFdtd3d, which also supplies the
+    odd-step companion and the full<->compact conversions)."""
+
+    def __init__(self, plan, mesh: Mesh, bx: Optional[int] = None):
+        self.k1 = ShardedFdtd3d(plan, mesh)      # validates + layouts
+        bx = self.k1.bx if bx is None else bx
+        n = self.k1.n
+        if not sharded_t2_supported(plan, n, bx):
+            raise ValueError("plan outside the sharded t2 envelope")
+        self.plan = plan
+        self.mesh = mesh
+        self.axis = self.k1.axis
+        self.n = n
+        self.bx = bx
+        self.Lg = self.k1.Lg
+        self.Ll = self.k1.Ll
+        self.span = self.k1.span
+        nblk_l = self.span // bx
+        # x_uniform layouts store every x-compact aux full-x as 'lo'
+        # arrays: the whole grid is one uniform 'lo' call with the
+        # x-chains active on every block (mirrors ShardedFdtd3d)
+        side = "lo" if self.Ll.lo_blocks else ""
+        s1_xn = nblk_l if side else 0
+        s2_x0 = "all" if side else None
+        self.call = T2._build_call2(self.Ll, 0, nblk_l, side, True, True,
+                                    s1_xn, s2_x0, depth=2, disp=False,
+                                    dyn_xoff=True, edge_pkg=True)
+        self.skeys, self.fu_pieces, self.w_pieces = _strip_keys(
+            plan, self.Lg)
+        # e comps the B curls read (strip e_eff planes)
+        self.e_need: List[str] = []
+        for s in plan.curl_specs_b:
+            for g in (s.g_plus, s.g_minus):
+                if g is not None and g not in self.e_need:
+                    self.e_need.append(g)
+        # remote boundary coef planes, stacked per shard and sharded on
+        # the leading axis: entry s = planes at the shard's LEFT strip
+        # {start-2, start-1} and RIGHT strip {end, end+1} (entries at the
+        # physical walls are unused — zeroed products there)
+        S0 = self.Lg.S[0]
+        span = self.span
+        self.bcL: Dict[str, Any] = {}
+        self.bcR: Dict[str, Any] = {}
+        for k in self.skeys:
+            arr = np.asarray(plan.coefs[k])
+            if arr.ndim == 3 and arr.shape[0] == S0:
+                pl_l = [np.zeros((2,) + arr.shape[1:], arr.dtype)]
+                pl_r = []
+                for s in range(1, n):
+                    g = s * span
+                    pl_l.append(arr[g - 2:g])
+                    pl_r.append(arr[g:g + 2])
+                pl_r.append(np.zeros((2,) + arr.shape[1:], arr.dtype))
+                self.bcL[k] = jnp.asarray(np.stack(pl_l))   # (n,2,Y?,Z?)
+                self.bcR[k] = jnp.asarray(np.stack(pl_r))
+            else:
+                self.bcL[k] = self.bcR[k] = jnp.asarray(arr)
+
+    # ------------------------------------------------------------------
+    def init_state(self):
+        return self.k1.init_state()
+
+    def from_full(self, full):
+        return self.k1.from_full(full)
+
+    def to_full(self, state, C=None):
+        return self.k1.to_full(state, C)
+
+    def make_step(self):
+        """(state_local-under-shard_map driver) -> one fused 2-step."""
+        plan, Lg, Ll = self.plan, self.Lg, self.Ll
+        bx, span, n, axis = self.bx, self.span, self.n, self.axis
+        Y, Z = Lg.S[1], Lg.S[2]
+        dtype = plan.dtype
+        call = self.call
+        carry_keys = self.k1.carry_keys
+        e_need = self.e_need
+        fu_pieces, w_pieces = self.fu_pieces, self.w_pieces
+        fwd = [(i, i + 1) for i in range(n - 1)]       # send right
+        bwd = [(i + 1, i) for i in range(n - 1)]       # send left
+
+        def strip_pkg(state_l, C_l, x):
+            """One plane's strip package: e_eff + full strip state."""
+            pkg = {f"e:{g}": e_eff_plane(plan, Lg, state_l, C_l, g, x)
+                   for g in e_need}
+            pkg.update(_strip_state_local(plan, Lg, state_l, x,
+                                          fu_pieces, w_pieces))
+            return pkg
+
+        def local_step(state_l, xscal, C_l, bcL, bcR):
+            idx = jax.lax.axis_index(axis)
+            # ---- exchanges (all prev-step data) ------------------------
+            right_pkg = {f"m2:{k}": v for k, v in
+                         strip_pkg(state_l, C_l, span - 2).items()}
+            right_pkg.update({f"m1:{k}": v for k, v in
+                              strip_pkg(state_l, C_l, span - 1).items()})
+            left_pkg = {f"p0:{k}": v for k, v in
+                        strip_pkg(state_l, C_l, 0).items()}
+            left_pkg.update({f"p1:e:{g}":
+                             e_eff_plane(plan, Lg, state_l, C_l, g, 1)
+                             for g in e_need})
+            recvL = {k: jax.lax.ppermute(v, axis, fwd)
+                     for k, v in right_pkg.items()}       # my left strip
+            recvR = {k: jax.lax.ppermute(v, axis, bwd)
+                     for k, v in left_pkg.items()}        # my right strip
+
+            def bpL(j):
+                def bp(key, x):
+                    v = bcL[key]
+                    return v[0, j:j + 1] if v.ndim == 4 else v
+                return bp
+
+            def bpR(j):
+                def bp(key, x):
+                    v = bcR[key]
+                    return v[0, j:j + 1] if v.ndim == 4 else v
+                return bp
+
+            def bp_loc(xloc):
+                def bp(key, x):
+                    v = C_l[key]
+                    if getattr(v, "ndim", 0) == 3 \
+                            and v.shape[0] == span:
+                        return v[xloc:xloc + 1]
+                    return v
+                return bp
+
+            def sub(d, pref):
+                return {k[len(pref):]: v for k, v in d.items()
+                        if k.startswith(pref)}
+
+            FAKE_X = 1    # static plane id for the strip mask checks:
+            #               interior boundaries carry no x-plane masks
+            stm2 = sub(recvL, "m2:")
+            stm1 = sub(recvL, "m1:")
+            stp0 = sub(recvR, "p0:")
+            e_m2 = sub(stm2, "e:")
+            e_m1 = sub(stm1, "e:")
+            e_p0 = sub(stp0, "e:")
+            e_p1 = sub(recvR, "p1:e:")
+            e_own0 = {g: e_eff_plane(plan, Lg, state_l, C_l, g, 0)
+                      for g in e_need}
+            e_ownL = {g: e_eff_plane(plan, Lg, state_l, C_l, g, span - 1)
+                      for g in e_need}
+            st_own0 = _strip_state_local(plan, Lg, state_l, 0,
+                                         fu_pieces, w_pieces)
+            st_ownL = _strip_state_local(plan, Lg, state_l, span - 1,
+                                         fu_pieces, w_pieces)
+
+            # ---- left boundary: c1, c2 --------------------------------
+            h1_m2, _ = b_half_plane(plan, Lg, FAKE_X, e_m2, e_m1, stm2,
+                                    bpL(0))
+            h1_m1, new_m1 = b_half_plane(plan, Lg, FAKE_X, e_m1, e_own0,
+                                         stm1, bpL(1))
+            h1_0, new_0 = b_half_plane(plan, Lg, FAKE_X, e_own0,
+                                       {g: e_eff_plane(plan, Lg, state_l,
+                                                       C_l, g, 1)
+                                        for g in e_need},
+                                       st_own0, bp_loc(0))
+            d1_m1, newd_m1 = d_half_plane(plan, Lg, FAKE_X, h1_m1, h1_m2,
+                                          stm1, bpL(1))
+            d1_0, newd_0 = d_half_plane(plan, Lg, FAKE_X, h1_0, h1_m1,
+                                        st_own0, bp_loc(0))
+            dold_m1 = {s.c: stm1[f"d:{s.c}"] for s in plan.curl_specs_d}
+            dold_0 = {s.c: st_own0[f"d:{s.c}"]
+                      for s in plan.curl_specs_d}
+            e1_m1 = e_assemble_plane(plan, Lg, FAKE_X, d1_m1, dold_m1,
+                                     stm1, bpL(1), newd_m1)
+            e1_0 = e_assemble_plane(plan, Lg, FAKE_X, d1_0, dold_0,
+                                    st_own0, bp_loc(0), newd_0)
+            st2_m1 = dict(stm1)
+            st2_m1.update(new_m1)
+            st2_m1.update(newd_m1)
+            h2_m1, _ = b_half_plane(plan, Lg, FAKE_X, e1_m1, e1_0,
+                                    st2_m1, bpL(1))
+
+            # ---- right boundary: stage-2 forward ghost E1^new(end) ----
+            h1_L, _ = b_half_plane(plan, Lg, FAKE_X, e_ownL, e_p0,
+                                   st_ownL, bp_loc(span - 1))
+            h1_R0, _ = b_half_plane(plan, Lg, FAKE_X, e_p0, e_p1, stp0,
+                                    bpR(0))
+            d1_R0, newd_R0 = d_half_plane(plan, Lg, FAKE_X, h1_R0, h1_L,
+                                          stp0, bpR(0))
+            dold_R0 = {s.c: stp0[f"d:{s.c}"] for s in plan.curl_specs_d}
+            e1_R0 = e_assemble_plane(plan, Lg, FAKE_X, d1_R0, dold_R0,
+                                     stp0, bpR(0), newd_R0)
+
+            zero = jnp.zeros((1, Y, Z), dtype)
+            pkg = {}
+            for g in carry_keys:
+                pkg[f"wrapc1:{g}"] = jnp.where(
+                    idx == 0, 0.0, h1_m1.get(g, zero)).astype(dtype)
+                pkg[f"wrapc2:{g}"] = jnp.where(
+                    idx == 0, 0.0, h2_m1.get(g, zero)).astype(dtype)
+            for s in plan.eh_specs_e:
+                pkg[f"wrape1:{s.ec}"] = jnp.where(
+                    idx == n - 1, 0.0,
+                    e1_R0.get(s.ec, zero)).astype(dtype)
+
+            # ---- stage-1 halos: local strided + right-neighbor plane --
+            halos = compute_halos(Ll, bx, call.halo_keys, state_l, C_l)
+            for g in call.halo_keys:
+                halos[g] = halos[g].at[-1:].set(
+                    jnp.where(idx == n - 1, 0.0, e_p0[g]).astype(dtype))
+
+            xs2 = dict(xscal)
+            xs2["xoff"] = (idx * span).reshape(1, 1).astype(jnp.int32)
+            state_l, _ = call(state_l, halos, pkg, C_l, xs2)
+            return state_l
+
+        try:
+            from jax import shard_map as _sm
+
+            def shard_map(f, mesh, in_specs, out_specs, **_):
+                return _sm(f, mesh=mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_vma=False)
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+
+        csh = self.k1.coef_sharding()
+        cspecs = {k: s.spec for k, s in csh.items()}
+        bspecs = {k: (P(self.axis) if v.ndim == 4 else P())
+                  for k, v in self.bcL.items()}
+
+        def step2(state, x_pair, C):
+            ssh = self.k1.state_sharding(state)
+            sspecs = jax.tree.map(lambda s: s.spec, ssh)
+            xscal = {k: jnp.asarray(x_pair[k], dtype).reshape(2, 1)
+                     for k in call.xs_keys if k != "xoff"}
+
+            sm = shard_map(
+                lambda st, c, bl, br: local_step(st, xscal, c, bl, br),
+                mesh=self.mesh,
+                in_specs=(sspecs, cspecs, bspecs, bspecs),
+                out_specs=sspecs,
+                check_rep=False)
+            new_state = sm(state, C, self.bcL, self.bcR)
+            new_state["t"] = state["t"] + 2
+            return new_state
+
+        return step2
+
+    def run(self, state, nsteps: int, t0: int = 0):
+        from ..stepper.step import build_xs
+        npair = nsteps // 2
+        rem = nsteps - 2 * npair
+        csh = self.k1.coef_sharding()
+        C = {k: jax.device_put(v, csh[k])
+             for k, v in self.plan.coefs.items()}
+        ssh = self.k1.state_sharding(state)
+        state = jax.tree.map(jax.device_put, state, ssh)
+        if npair:
+            step2 = self.make_step()
+            xs_all = build_xs(self.plan, 2 * npair, t0)
+            xs = {k: np.asarray(v).reshape((npair, 2) + v.shape[1:])
+                  for k, v in xs_all.items()
+                  if k in self.call.xs_keys and k != "xoff"}
+
+            def runner(state, xs, C):
+                def body(carry, x):
+                    return step2(carry, x, C), None
+                state, _ = jax.lax.scan(body, state, xs, length=npair)
+                return state
+
+            state = jax.jit(runner)(state, xs, C)
+        if rem:
+            k1_step = self.k1.make_step()
+            xs_all = build_xs(self.plan, rem, t0 + 2 * npair)
+            for j in range(rem):
+                state = k1_step(state, {k: v[j] for k, v in xs_all.items()},
+                                C)
+        return state

@@ -153,7 +153,17 @@ def sharded_run(plan: Plan, mesh: Mesh, state: Dict[str, Any], nsteps: int,
                     out = sharded_hybrid_run(run_plan, mesh, state,
                                              nsteps, t0)
                 else:
-                    sk = ShardedFdtd3d(run_plan, mesh)
+                    # depth-2 halo-in-time driver when the plan fits its
+                    # (linear, aperiodic) envelope — half the HBM
+                    # bytes/cell/step per chip; else the depth-1 driver
+                    sk = None
+                    if nsteps >= 2:
+                        from .fused_mesh_t2 import (ShardedFdtd3dT2,
+                                                    sharded_t2_supported)
+                        if sharded_t2_supported(run_plan, n):
+                            sk = ShardedFdtd3dT2(run_plan, mesh)
+                    if sk is None:
+                        sk = ShardedFdtd3d(run_plan, mesh)
                     comp = sk.from_full(state)
                     comp = sk.run(comp, nsteps, t0=t0)
                     full = jax.jit(sk.to_full)(comp)

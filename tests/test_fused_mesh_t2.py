@@ -1,0 +1,100 @@
+"""Sharded depth-2 temporally-fused stepping (parallel/fused_mesh_t2):
+the two-step Mosaic kernel per shard with two-plane boundary strips and
+halo-in-time recompute must match the jnp SPMD stepper.
+
+Runs on the CPU test mesh in pallas interpret mode."""
+
+import os
+
+os.environ["MNT_PALLAS_INTERPRET"] = "1"
+
+import numpy as np
+import pytest
+
+import meep_nl_tpu as mnt
+from meep_nl_tpu.core import grid as G
+from meep_nl_tpu.stepper.plan import (MaterialSpec, PMLSpec, SrcVolSpec,
+                                      compile_plan)
+from meep_nl_tpu.stepper.step import init_state
+from meep_nl_tpu.parallel import mesh as PM
+from meep_nl_tpu.parallel.fused_mesh_t2 import (ShardedFdtd3dT2,
+                                                sharded_t2_supported)
+
+
+def _plan(pml_axes="xyz", with_eps=False, res=8.0, cells=(63, 16, 16),
+          src_x=-0.9):
+    size = [n / res for n in cells]
+    gv = G.GridVolume.create("3d", size, res)
+    chi1inv = {}
+    if with_eps:
+        x = gv.comp_coords("ez", 0)
+        cx = 0.5 * (x[0] + x[-1])
+        for c in ("ex", "ey", "ez"):
+            e = np.ones(gv.shape)
+            xx = gv.comp_coords(c, 0)
+            e[np.abs(xx - cx + 1.2) < size[0] / 8, :, :] = 4.0
+            chi1inv[c] = {c[1]: 1.0 / e}
+    src_t = mnt.GaussianSource(frequency=1.0, fwidth=0.5)
+    pts = gv.interp_weights("ez", [src_x, 0.0, 0.0])
+    idx = np.array([p for p, w in pts], np.int32)
+    amps = np.array([w for p, w in pts], np.complex128)
+    src = SrcVolSpec("ez", idx, amps, src_t)
+    pmls = [PMLSpec(d, 0.5) for d in pml_axes]
+    plan = compile_plan(gv, MaterialSpec(chi1inv=chi1inv), pmls=pmls,
+                        sources=[src], pad_to_multiple=(8, 1, 1))
+    plan.slab_opt = True
+    return plan
+
+
+def _compare(plan, nsteps, n_shards=4, atol=3e-6):
+    assert sharded_t2_supported(plan, n_shards), "inside the envelope"
+    mesh = PM.make_mesh(n_shards, shape=(n_shards,))
+    sk = ShardedFdtd3dT2(plan, mesh)
+    st_k = sk.run(sk.init_state(), nsteps)
+    import jax
+    full_k = jax.jit(sk.to_full)(st_k)
+    st_j = PM.sharded_run(plan, mesh, init_state(plan), nsteps,
+                          prefer_fused=False)
+    scale = max(float(np.max(np.abs(np.asarray(v))))
+                for v in st_j["f"].values())
+    assert scale > 0
+    for c in st_j["f"]:
+        np.testing.assert_allclose(np.asarray(full_k["f"][c]),
+                                   np.asarray(st_j["f"][c]),
+                                   atol=atol * scale, err_msg=f"f[{c}]")
+
+
+def test_sharded_t2_vacuum():
+    _compare(_plan("xyz"), 12)
+
+
+def test_sharded_t2_eps_and_odd_steps():
+    _compare(_plan("xyz", with_eps=True), 13)
+
+
+def test_sharded_t2_yz_pml():
+    _compare(_plan("yz"), 12)
+
+
+def test_sharded_t2_rejects_boundary_source():
+    # a source within 2 planes of a shard boundary must fall off
+    plan = _plan("xyz", src_x=0.06)     # index ~32 = the 4-shard boundary
+    assert not sharded_t2_supported(plan, 4)
+
+
+def test_sharded_run_selects_t2():
+    # parallel.mesh.sharded_run routes an unmonitored fitting plan
+    # through the depth-2 driver and still matches the jnp stepper
+    plan = _plan("xyz", with_eps=True)
+    assert sharded_t2_supported(plan, 4)
+    mesh = PM.make_mesh(4, shape=(4,))
+    out = PM.sharded_run(plan, mesh, init_state(plan), 12)
+    ref = PM.sharded_run(plan, mesh, init_state(plan), 12,
+                         prefer_fused=False)
+    scale = max(float(np.max(np.abs(np.asarray(v))))
+                for v in ref["f"].values())
+    assert scale > 0
+    for c in ref["f"]:
+        np.testing.assert_allclose(np.asarray(out["f"][c]),
+                                   np.asarray(ref["f"][c]),
+                                   atol=3e-6 * scale, err_msg=f"f[{c}]")
