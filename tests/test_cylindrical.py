@@ -218,3 +218,53 @@ def test_cyl_mirror_purcell_ratio():
         P = (np.asarray(simm.get_fluxes(fs2))[0]
              + np.asarray(simm.get_fluxes(ft2))[0])
         assert abs(P / P0 - exact) < 0.015 * exact, (h, P / P0, exact)
+
+
+@pytest.mark.slow
+def test_cyl_m0_near_fields_match_3d_reference():
+    """Direct near-field cross-validation of the cylindrical stepper
+    against a 3D cartesian simulation of the same on-axis z-dipole
+    (fields.cpp cylindrical update families vs the cartesian ones): the
+    complex DFT amplitude of Ez at off-axis near points must agree up to
+    ONE global constant (the cyl vs 3d point-source normalization
+    convention) to a few percent in magnitude and phase.
+
+    On-axis observation points are excluded by design: they sit in the
+    dipole's radiation null (sin^2 theta -> 0), where the small
+    near-field-dominated residual converges slowly in BOTH
+    discretizations (measured ~10% cyl-vs-3d at res 12..20, drifting
+    toward 1 with res) — pattern physics, not a stepper defect."""
+    f0, res, T = 1.0, 12, 8.0
+    pts = [(1.0, 0.0), (0.8, 0.4), (0.6, 0.6), (0.8, 0.8), (0.4, 0.8),
+           (1.2, -0.4), (0.6, -0.6), (1.0, 0.6)]
+
+    def dft_at_points(sim):
+        rec = {"t": [], "v": []}
+
+        def sample(s):
+            rec["t"].append(s.meep_time())
+            rec["v"].append([s.get_field_point(
+                mp.Ez, mp.Vector3(r, 0, z)).real for (r, z) in pts])
+        sim.run(mp.at_every(0.25, sample), until=T)
+        t = np.array(rec["t"])
+        v = np.array(rec["v"])
+        return (np.exp(2j * np.pi * f0 * t)[:, None] * v).sum(0)
+
+    src = [mp.Source(mp.GaussianSource(frequency=f0, fwidth=2.0),
+                     component=mp.Ez, center=mp.Vector3(0, 0, 0))]
+    a = dft_at_points(mp.Simulation(
+        cell_size=mp.Vector3(2.5, 0, 5.0), resolution=res,
+        dimensions="cyl", m=0, sources=src,
+        boundary_layers=[mp.PML(0.75)]))
+    b = dft_at_points(mp.Simulation(
+        cell_size=mp.Vector3(5.0, 5.0, 5.0), resolution=res, sources=src,
+        boundary_layers=[mp.PML(0.75)]))
+    ratio = a / b
+    mag = np.abs(ratio)
+    assert np.all(np.abs(b) > 1e-12)
+    # one global normalization constant; <=4% magnitude spread around it
+    base = np.median(mag)
+    assert np.all(np.abs(mag / base - 1.0) < 0.04), mag / base
+    # phase agreement (free of any constant): <=0.04 rad point-to-point
+    ang = np.angle(ratio / ratio[0])
+    assert np.all(np.abs(ang) < 0.04), ang
