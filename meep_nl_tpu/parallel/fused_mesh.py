@@ -44,7 +44,8 @@ from ..ops.pallas.fdtd3d import (_Layout, _build_call, compute_halos,
 from ..stepper.step import build_xs
 
 
-def _fit_bx(plan, n_shards: int) -> Optional[int]:
+def _fit_bx(plan, n_shards: int, allow_periodic_x: bool = False
+            ) -> Optional[int]:
     """Largest kernel block depth that divides the per-shard span with
     >= 2 blocks per shard (halving down from the single-device pick:
     per-shard spans are n times narrower than the full grid)."""
@@ -55,7 +56,8 @@ def _fit_bx(plan, n_shards: int) -> Optional[int]:
     span = S[0] // n_shards
     while cand >= 2:
         if span % cand == 0 and span >= 2 * cand \
-                and F1.supported(plan, cand):
+                and F1.supported(plan, cand,
+                                 allow_periodic_x=allow_periodic_x):
             return cand
         cand //= 2
     return None
@@ -86,14 +88,15 @@ def _nl_clear_of_boundaries(plan, n_shards: int) -> bool:
     return True
 
 
-def sharded_supported(plan, n_shards: int, bx: Optional[int] = None) -> bool:
+def sharded_supported(plan, n_shards: int, bx: Optional[int] = None,
+                      allow_periodic_x: bool = False) -> bool:
     """Envelope check for the shard_map fused path.  With bx=None the
     block depth is auto-fitted to the per-shard span (_fit_bx)."""
     if bx is None:
-        bx = _fit_bx(plan, n_shards)
+        bx = _fit_bx(plan, n_shards, allow_periodic_x=allow_periodic_x)
         if bx is None:
             return False
-    if not F1.supported(plan, bx):
+    if not F1.supported(plan, bx, allow_periodic_x=allow_periodic_x):
         return False
     S = tuple(plan.storage_shape or plan.gv.shape)
     span = S[0] // n_shards
@@ -371,13 +374,15 @@ class ShardedFdtd3d:
     """shard_map driver for the fused kernel over a 1-d x mesh."""
 
     def __init__(self, plan, mesh: Mesh, bx: Optional[int] = None,
-                 z_full: bool = None):
+                 z_full: bool = None, allow_periodic_x: bool = False):
         n = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
         if len(mesh.axis_names) != 1:
             raise ValueError("sharded fused kernel: 1-d mesh along x")
         self.axis = mesh.axis_names[0]
-        bx = _fit_bx(plan, n) if bx is None else F1._pick_bx(plan, bx)
-        if bx is None or not sharded_supported(plan, n, bx):
+        bx = _fit_bx(plan, n, allow_periodic_x=allow_periodic_x) \
+            if bx is None else F1._pick_bx(plan, bx)
+        if bx is None or not sharded_supported(
+                plan, n, bx, allow_periodic_x=allow_periodic_x):
             raise ValueError("plan outside the sharded fused envelope")
         if z_full is None:
             z_full = True
@@ -623,24 +628,60 @@ class ShardedFdtd3d:
         Y, Z = Lg.S[1], Lg.S[2]
         dtype = plan.dtype
         call = self.call
-        fwd = [(i, i + 1) for i in range(n - 1)]       # send right
-        bwd = [(i + 1, i) for i in range(n - 1)]       # send left
+        # ring topology (ShardedPeriodicX): the x wrap is one more shard
+        # boundary — shard n-1's right neighbor is shard 0 with the
+        # Bloch phase applied on every wrap-crossing quantity
+        ring = getattr(self, "_ring", False)
+        ph = getattr(self, "_ph", 1.0)
+        phinv = 1.0 / ph if ring else 1.0
+        xbl = getattr(self, "_xbl", span - 1)     # last LIVE plane, local
+        deadl = getattr(self, "_deadl", None)     # dead plane, local
+        if ring:
+            fwd = [(i, (i + 1) % n) for i in range(n)]
+            bwd = [((i + 1) % n, i) for i in range(n)]
+        else:
+            fwd = [(i, i + 1) for i in range(n - 1)]   # send right
+            bwd = [(i + 1, i) for i in range(n - 1)]   # send left
 
         def local_step(state_l, xscal, C_l, bc):
             idx = jax.lax.axis_index(axis)
+            if ring:
+                # wrap ghost: shard n-1's dead plane (global x = num0) is
+                # refreshed with phase * shard 0's plane-0 raw storage
+                # (D and W-store; E_eff assembles in-kernel with the
+                # pinned u(num0) := u(0))
+                ship0 = {k: state_l[k][0:1]
+                         for k in self._ghost_dc + self._ghost_wst}
+                recv0 = {k: jax.lax.ppermute(v, axis, bwd)
+                         for k, v in ship0.items()}
+                state_l = dict(state_l)
+                for k, v in recv0.items():
+                    cur = state_l[k][deadl:deadl + 1]
+                    state_l[k] = state_l[k].at[deadl:deadl + 1].set(
+                        jnp.where(idx == n - 1, ph * v, cur))
+
             # ---- boundary exchange (prev-step data) -------------------
-            pkg = {}
-            for ecn in self.e_need:
-                pkg[f"e:{ecn}"] = self._e_eff_plane(state_l, C_l, ecn,
-                                                    span - 1)
-            for c in self.pkg_b:
-                pkg[f"b:{c}"] = state_l[c][span - 1:span]
-            for (c, side, fax, a, b) in self.pkg_fu:
-                pkg[f"fu:{c}:{side}"] = state_l[Lg.key("fu", c, side)][
-                    span - 1:span]
-            for (ec, side, ax, a, b) in self.pkg_wst:
-                pkg[f"w:{ec}:{side}"] = state_l[Lg.key("eh", ec, side)][
-                    span - 1:span]
+            def pkg_at(x):
+                p = {}
+                for ecn in self.e_need:
+                    p[f"e:{ecn}"] = self._e_eff_plane(state_l, C_l, ecn, x)
+                for c in self.pkg_b:
+                    p[f"b:{c}"] = state_l[c][x:x + 1]
+                for (c, side, fax, a, b) in self.pkg_fu:
+                    p[f"fu:{c}:{side}"] = state_l[Lg.key("fu", c, side)][
+                        x:x + 1]
+                for (ec, side, ax, a, b) in self.pkg_wst:
+                    p[f"w:{ec}:{side}"] = state_l[Lg.key("eh", ec, side)][
+                        x:x + 1]
+                return p
+
+            pkg = pkg_at(span - 1)
+            if ring and xbl != span - 1:
+                # shard n-1 ships its last LIVE plane (global num0 - 1),
+                # not its last storage plane (dead/padding)
+                pkg_live = pkg_at(xbl)
+                pkg = {k: jnp.where(idx == n - 1, pkg_live[k], v)
+                       for k, v in pkg.items()}
             recv = {k: jax.lax.ppermute(v, axis, fwd)
                     for k, v in pkg.items()}
             e_first = {ecn: self._e_eff_plane(state_l, C_l, ecn, 0)
@@ -651,7 +692,12 @@ class ShardedFdtd3d:
             # ---- halos: local strided planes + the neighbor plane -----
             halos = compute_halos(Ll, bx, self.halo_keys, state_l, C_l)
             for ecn in self.halo_keys:
-                halos[ecn] = halos[ecn].at[-1:].set(e_right[ecn])
+                v = e_right[ecn]
+                if ring:
+                    # past-the-end halo is dead for the last shard (the
+                    # wrap rides the refreshed dead plane instead)
+                    v = jnp.where(idx == n - 1, 0.0, v).astype(dtype)
+                halos[ecn] = halos[ecn].at[-1:].set(v)
             if call.nlh_keys:
                 # NL next-plane halos: local, zero-padded at the shard
                 # edge (exact: the envelope keeps NL support >= 3 sites
@@ -660,9 +706,22 @@ class ShardedFdtd3d:
                     Ll, bx, call.nlh_keys, state_l, C_l)}
 
             # ---- carry: redundant left-plane H_eff --------------------
-            h_left = self._carry_plane(recv, e_first, bc, C_l)
-            carry = {g: jnp.where(idx == 0, 0.0, h_left[g]).astype(dtype)
-                     for g in self.carry_keys}
+            if ring:
+                # shard 0's boundary plane is the wrap: its forward
+                # neighbor is phase * its OWN plane 0
+                e_fc = {g: jnp.where(idx == 0, ph * v, v)
+                        for g, v in e_first.items()}
+            else:
+                e_fc = e_first
+            h_left = self._carry_plane(recv, e_fc, bc, C_l)
+            if ring:
+                carry = {g: jnp.where(idx == 0, phinv * h_left[g],
+                                      h_left[g]).astype(dtype)
+                         for g in self.carry_keys if g in h_left}
+            else:
+                carry = {g: jnp.where(idx == 0, 0.0,
+                                      h_left[g]).astype(dtype)
+                         for g in self.carry_keys if g in h_left}
             for g in self.carry_keys:
                 if g not in h_left:
                     carry[g] = jnp.zeros((1, Y, Z), dtype)

@@ -146,6 +146,25 @@ def sharded_run(plan: Plan, mesh: Mesh, state: Dict[str, Any], nsteps: int,
                 from ..ops.pallas.condfold import cond_fold_of
                 run_plan = cond_fold_of(plan)
             n = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            if run_plan is not None and run_plan.periodic[0] \
+                    and not plan.dfts:
+                # x-periodic: ring-topology driver (the wrap is one more
+                # shard boundary with the Bloch phase on it)
+                from .periodic_ring import (ShardedPeriodicX,
+                                            sharded_periodic_supported)
+                if sharded_periodic_supported(run_plan, n):
+                    sk = ShardedPeriodicX(run_plan, mesh)
+                    comp = sk.from_full(state)
+                    comp = sk.run(comp, nsteps, t0=t0)
+                    full = jax.jit(sk.to_full)(comp)
+                    keep = ["f", "f_u", "f_w"] \
+                        + (["pol"] if full.get("pol") else [])
+                    out = {**state, **{k: full[k] for k in keep},
+                           "t": full["t"]}
+                    if has_cond:
+                        from ..ops.pallas.condfold import resync_cond_state
+                        out = resync_cond_state(plan, out)
+                    return out
             if run_plan is not None and sharded_supported(run_plan, n):
                 out = None
                 if plan.dfts:
