@@ -149,6 +149,8 @@ class PML:
     r_asymptotic: float = 1e-15
     mean_stretch: float = 1.0
     pml_profile_power: float = 2.0
+    pml_profile: Any = None     # arbitrary callable u in [0,1] -> weight
+    #                             (python/simulation.py PML pml_profile)
 
 
 @dataclasses.dataclass
@@ -1024,7 +1026,9 @@ class Simulation:
                     pmls.append(PMLSpec(d, bl.thickness, side=side,
                                         r_asymptotic=bl.r_asymptotic,
                                         mean_stretch=bl.mean_stretch,
-                                        pml_profile_power=bl.pml_profile_power))
+                                        pml_profile_power=bl.pml_profile_power,
+                                        pml_profile=getattr(
+                                            bl, "pml_profile", None)))
         if absorbers:
             _apply_absorbers(self.gv, mat, absorbers, live_e, live_h)
         srcs = self._build_sources(live_e, live_h)

@@ -92,6 +92,9 @@ class PMLSpec:
     r_asymptotic: float = 1e-15
     mean_stretch: float = 1.0
     pml_profile_power: float = 2.0
+    pml_profile: Any = None   # arbitrary profile u in [0,1] -> weight
+    #                           (python PML(pml_profile=...)); overrides
+    #                           the power law when given
 
 
 @dataclasses.dataclass
@@ -317,8 +320,22 @@ def build_pml_arrays(gv: G.GridVolume, pmls: Sequence[PMLSpec], dt: float
                 "siginv": np.ones(spml),
             }
         pw = spec.pml_profile_power
-        profile_integral = 1.0 / (pw + 1.0)
-        profile_integral_u = 1.0 / (pw + 2.0)
+        prof_fn = getattr(spec, "pml_profile", None)
+        if prof_fn is not None:
+            # arbitrary user profile (python/simulation.py pml_profile):
+            # normalizing integrals by fine-grid quadrature, matching the
+            # reference's adaptive quadrature of profile(u) on [0, 1]
+            uu = np.linspace(0.0, 1.0, 4097)
+            pv = np.array([float(prof_fn(u)) for u in uu])
+            profile_integral = float(np.trapezoid(pv, uu))
+            profile_integral_u = float(np.trapezoid(pv * uu, uu))
+            if profile_integral <= 0:
+                raise ValueError("pml_profile must have positive integral")
+            if profile_integral_u <= 0:
+                profile_integral_u = profile_integral
+        else:
+            profile_integral = 1.0 / (pw + 1.0)
+            profile_integral_u = 1.0 / (pw + 2.0)
         prefac = (-math.log(spec.r_asymptotic)) / (4 * spec.thickness * profile_integral)
         kappa_prefac = (spec.mean_stretch - 1) / profile_integral_u
         sides = [-1, +1] if spec.side == 0 else [spec.side]
@@ -330,7 +347,8 @@ def build_pml_arrays(gv: G.GridVolume, pmls: Sequence[PMLSpec], dt: float
                 x = _pml_x(i, spec.thickness, bloc, a)
                 if x > 0:
                     u = x / spec.thickness
-                    s = u ** pw
+                    s = float(prof_fn(u)) if prof_fn is not None \
+                        else u ** pw
                     out[d]["sig"][i] = 0.5 * dt * prefac * s
                     out[d]["kap"][i] = 1 + kappa_prefac * s * u
                     out[d]["siginv"][i] = 1.0 / (out[d]["kap"][i] + out[d]["sig"][i])
