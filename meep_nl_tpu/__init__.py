@@ -15,12 +15,21 @@ from .stepper.plan import (MaterialSpec, PolSpec, PMLSpec, SrcVolSpec,
 from .stepper.step import init_state, make_step, build_xs, run
 from .models.source import (GaussianSource, ContinuousSource, CustomSource,
                             Source, SourceTime, GaussianBeamSource,
-                            IndexedSource)
+                            GaussianBeam2DSource, GaussianBeam3DSource,
+                            EigenModeSource, IndexedSource)
 from .models.geom import (Vector3, Medium, Sphere, Block, Cylinder, Cone,
                           Wedge, Ellipsoid, Prism, LorentzianSusceptibility,
                           DrudeSusceptibility, NoisyLorentzianSusceptibility,
-                          GyrotropicLorentzianSusceptibility, Transition,
-                          MultilevelAtom, vacuum, air)
+                          NoisyDrudeSusceptibility,
+                          GyrotropicLorentzianSusceptibility,
+                          GyrotropicDrudeSusceptibility,
+                          Susceptibility, Transition,
+                          MultilevelAtom, vacuum, air,
+                          Volume, Matrix, Lattice, get_rotation_matrix,
+                          get_center_and_size, interpolate,
+                          lattice_to_cartesian, cartesian_to_lattice,
+                          lattice_to_reciprocal, reciprocal_to_lattice,
+                          reciprocal_to_cartesian, cartesian_to_reciprocal)
 from .models.simulation import (Simulation, PML, Absorber, FluxRegion,
                                 Near2FarRegion,
                                 after_sources,
@@ -28,7 +37,15 @@ from .models.simulation import (Simulation, PML, Absorber, FluxRegion,
                                 Bx, By, Bz, Er, Ep, Hr, Hp, Dielectric,
                                 X, Y, Z, R, ALL,
                                 Low, High, Metallic, Magnetic, Mirror, Rotate2, Rotate4,
-                                DiffractedPlanewave)
+                                Symmetry, Identity, BinaryPartition,
+                                DiffractedPlanewave,
+                                get_fluxes, get_flux_freqs, get_forces,
+                                get_force_freqs, get_energy_freqs,
+                                get_electric_energy, get_magnetic_energy,
+                                get_total_energy, get_ldos_freqs,
+                                get_near2far_freqs, get_eigenmode_freqs,
+                                quiet, DftObj, DftFlux, DftForce, DftEnergy,
+                                DftFields, DftNear2Far, Ldos)
 from .analysis.harminv import Harminv, harminv
 from .analysis.bands import ModeSolver, ModeSolver3D, retrieve_gap
 from .analysis.mpb_data import MPBData
@@ -38,10 +55,42 @@ inf = float("inf")
 __version__ = "0.1.0"
 
 from .models.run_control import (at_every, at_beginning, at_end,
-                                 during_sources, in_volume,
+                                 during_sources, in_volume, in_point,
+                                 at_time, before_time, after_time,
+                                 after_sources_and_time,
+                                 when_true, when_false, combine_step_funcs,
+                                 synchronized_magnetic,
                                  stop_when_fields_decayed,
-                                 stop_when_dft_decayed, output_field,
-                                 output_efield_z, output_epsilon)
+                                 stop_when_dft_decayed,
+                                 stop_when_energy_decayed,
+                                 stop_after_walltime, stop_on_interrupt,
+                                 output_field,
+                                 output_efield, output_hfield,
+                                 output_efield_x, output_efield_y,
+                                 output_efield_z, output_efield_r,
+                                 output_efield_p,
+                                 output_hfield_x, output_hfield_y,
+                                 output_hfield_z, output_hfield_r,
+                                 output_hfield_p,
+                                 output_dfield_x, output_dfield_y,
+                                 output_dfield_z, output_dfield_r,
+                                 output_dfield_p,
+                                 output_bfield_x, output_bfield_y,
+                                 output_bfield_z, output_bfield_r,
+                                 output_bfield_p,
+                                 output_poynting, output_poynting_x,
+                                 output_poynting_y, output_poynting_z,
+                                 output_poynting_r, output_poynting_p,
+                                 output_sfield, output_sfield_x,
+                                 output_sfield_y, output_sfield_z,
+                                 output_sfield_r, output_sfield_p,
+                                 output_dpwr, output_hpwr, output_tot_pwr,
+                                 output_png, output_mu, output_epsilon,
+                                 display_progress, display_run_data,
+                                 FieldProbe)
+from .io.gdsii import (get_GDSII_prisms, GDSII_prisms, GDSII_layers,
+                       GDSII_vol)
+from .adjoint.design import MaterialGrid
 from .utils.visualization import plot2D, plot3D, plot_fields, Animate2D
 
 CYLINDRICAL = "cyl"

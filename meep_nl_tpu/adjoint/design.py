@@ -118,3 +118,36 @@ class DesignRegion:
             sl = tuple(slice(a, b) for a, b in slices)
             new[key] = base.at[sl].set(1.0 / eps)
         return new
+
+
+class MaterialGrid(DesignVariables):
+    """Reference-shaped constructor (python/geom.py MaterialGrid):
+    MaterialGrid(grid_size, medium1, medium2, weights=None, beta=0,
+    eta=0.5, damping=0).  Wraps DesignVariables (this framework's design
+    grid) with eps_min/eps_max taken from the two media."""
+
+    def __init__(self, grid_size, medium1=None, medium2=None,
+                 weights=None, grid_type=None, do_averaging=False,
+                 beta=0.0, eta=0.5, damping=0.0):
+        try:
+            gs = tuple(int(v) for v in grid_size if int(v) > 0)
+        except TypeError:
+            gs = (int(grid_size),)
+
+        def _eps(m, default):
+            if m is None:
+                return default
+            d = getattr(m, "epsilon_diag", None)
+            if d is not None:
+                import numpy as _np
+                return float(_np.mean([d.x, d.y, d.z]))
+            return float(getattr(m, "epsilon", default))
+        super().__init__(shape=gs, eps_min=_eps(medium1, 1.0),
+                         eps_max=_eps(medium2, 12.0), beta=float(beta),
+                         eta=float(eta))
+        self.medium1 = medium1
+        self.medium2 = medium2
+        self.weights = weights
+        self.grid_type = grid_type
+        self.do_averaging = do_averaging
+        self.damping = float(damping)

@@ -11,6 +11,8 @@ from __future__ import annotations
 import struct
 from typing import Dict, List, Optional, Tuple
 
+import numpy as np
+
 from ..models.geom import Medium, Prism, Vector3
 
 # GDSII record types
@@ -95,3 +97,33 @@ def get_GDSII_prisms(material: Medium, gds_path: str, layer: int,
                          height=height if height > 0 else float("inf"),
                          material=material, center=Vector3(0, 0, zc)))
     return out
+
+
+def GDSII_layers(gds_path: str) -> List[int]:
+    """Sorted list of layer indices present in the stream
+    (python/simulation.py GDSII_layers)."""
+    return sorted(read_gds_polygons(gds_path).keys())
+
+
+def GDSII_prisms(material: Medium, gds_path: str, layer: int = -1,
+                 zmin: float = 0.0, zmax: float = 0.0) -> List[Prism]:
+    """Reference-named alias of get_GDSII_prisms
+    (python/simulation.py GDSII_prisms)."""
+    return get_GDSII_prisms(material, gds_path, layer, zmin, zmax)
+
+
+def GDSII_vol(gds_path: str, layer: int, zmin: float = 0.0,
+              zmax: float = 0.0):
+    """Bounding Volume of a layer (python/simulation.py GDSII_vol):
+    center + size of the layer's polygon extent, z from [zmin, zmax]."""
+    from ..models.geom import Volume
+    polys = read_gds_polygons(gds_path).get(layer, [])
+    if not polys:
+        raise ValueError(f"no polygons on layer {layer} in {gds_path}")
+    pts = np.concatenate([np.asarray(p, float) for p in polys])
+    lo = pts.min(0)
+    hi = pts.max(0)
+    return Volume(center=Vector3(0.5 * (lo[0] + hi[0]),
+                                 0.5 * (lo[1] + hi[1]),
+                                 0.5 * (zmin + zmax)),
+                  size=Vector3(hi[0] - lo[0], hi[1] - lo[1], zmax - zmin))

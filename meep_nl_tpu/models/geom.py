@@ -613,3 +613,284 @@ class Prism(GeometricObject):
             cap[..., 2] = sgn
             normal = np.where((cap_dist < best)[..., None], cap, normal)
         return normal
+
+
+# ---------------------------------------------------------------------------
+# reference-API compatibility surface (python/geom.py / simulation.py names)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Susceptibility:
+    """Base susceptibility (python/geom.py Susceptibility): a bare sigma
+    amplitude with no dispersion of its own.  The concrete classes
+    (LorentzianSusceptibility, DrudeSusceptibility, ...) carry their own
+    fields; this base exists for API parity and user subclassing."""
+    sigma: float = 1.0
+    sigma_diag: Optional[Vector3] = None
+
+    def sigma_vec(self) -> Vector3:
+        if self.sigma_diag is not None:
+            return _v3(self.sigma_diag)
+        return Vector3(self.sigma, self.sigma, self.sigma)
+
+
+@dataclasses.dataclass
+class NoisyDrudeSusceptibility(NoisyLorentzianSusceptibility):
+    """Noisy free-carrier pole (python/geom.py NoisyDrudeSusceptibility)."""
+    drude: bool = True
+
+
+@dataclasses.dataclass
+class GyrotropicDrudeSusceptibility(GyrotropicLorentzianSusceptibility):
+    """Gyrotropic free-carrier pole (python/geom.py)."""
+    drude: bool = True
+
+
+@dataclasses.dataclass
+class Volume:
+    """A rectangular region (python/simulation.py Volume): center + size.
+    Accepted by in_volume/get_array-style APIs via get_center_and_size."""
+    center: Vector3 = dataclasses.field(default_factory=Vector3)
+    size: Vector3 = dataclasses.field(default_factory=Vector3)
+    dims: int = 3
+    is_cylindrical: bool = False
+
+    def pt_in_volume(self, pt) -> bool:
+        c, s = _v3(self.center), _v3(self.size)
+        p = _v3(pt)
+        return all(abs(getattr(p, d) - getattr(c, d))
+                   <= getattr(s, d) / 2 + 1e-12 for d in "xyz")
+
+    def get_vertices(self):
+        c, s = _v3(self.center), _v3(self.size)
+        out = []
+        for sx in (-0.5, 0.5):
+            for sy in (-0.5, 0.5):
+                for sz in (-0.5, 0.5):
+                    out.append(Vector3(c.x + sx * s.x, c.y + sy * s.y,
+                                       c.z + sz * s.z))
+        return out
+
+
+def get_center_and_size(vol) -> Tuple[Vector3, Vector3]:
+    """(center, size) of a Volume-like object (python/simulation.py)."""
+    if hasattr(vol, "center") and hasattr(vol, "size"):
+        return _v3(vol.center), _v3(vol.size)
+    if isinstance(vol, (tuple, list)) and len(vol) == 2:
+        return _v3(vol[0]), _v3(vol[1] if vol[1] is not None else Vector3())
+    raise TypeError(f"not a volume: {vol!r}")
+
+
+class Matrix:
+    """3x3 matrix of column vectors (python/geom.py Matrix): supports
+    mm/inverse/transpose/determinant and Vector3 application."""
+
+    def __init__(self, c1=Vector3(), c2=Vector3(), c3=Vector3(),
+                 diag=None, offdiag=None):
+        if diag is not None:
+            d = _v3(diag)
+            o = _v3(offdiag) if offdiag is not None else Vector3()
+            self.m = np.array([[d.x, o.x, o.y],
+                               [o.x, d.y, o.z],
+                               [o.y, o.z, d.z]], float)
+        else:
+            self.m = np.array([list(_v3(c1)), list(_v3(c2)),
+                               list(_v3(c3))], float).T
+
+    @property
+    def c1(self):
+        return Vector3(*self.m[:, 0])
+
+    @property
+    def c2(self):
+        return Vector3(*self.m[:, 1])
+
+    @property
+    def c3(self):
+        return Vector3(*self.m[:, 2])
+
+    def __mul__(self, other):
+        if isinstance(other, Matrix):
+            out = Matrix()
+            out.m = self.m @ other.m
+            return out
+        if isinstance(other, Vector3) or (
+                isinstance(other, (tuple, list)) and len(other) == 3):
+            v = self.m @ np.asarray(list(_v3(other)))
+            return Vector3(*v)
+        out = Matrix()
+        out.m = self.m * float(other)
+        return out
+
+    def mm_mult(self, other):
+        return self * other
+
+    def mv_mult(self, v):
+        return self * _v3(v)
+
+    def inverse(self):
+        out = Matrix()
+        out.m = np.linalg.inv(self.m)
+        return out
+
+    def transpose(self):
+        out = Matrix()
+        out.m = self.m.T
+        return out
+
+    def getH(self):
+        out = Matrix()
+        out.m = self.m.conj().T if np.iscomplexobj(self.m) else self.m.T
+        return out
+
+    def determinant(self):
+        return float(np.linalg.det(self.m))
+
+    def scale(self, s):
+        return self * s
+
+    def row(self, i):
+        return Vector3(*self.m[i])
+
+    def __repr__(self):
+        return f"Matrix({self.m!r})"
+
+
+def get_rotation_matrix(axis, theta) -> Matrix:
+    """Rotation by angle theta (radians) about `axis`
+    (python/geom.py get_rotation_matrix; Rodrigues form)."""
+    a = np.asarray(list(_v3(axis)), float)
+    n = np.linalg.norm(a)
+    if n == 0:
+        raise ValueError("zero rotation axis")
+    a = a / n
+    K = np.array([[0, -a[2], a[1]],
+                  [a[2], 0, -a[0]],
+                  [-a[1], a[0], 0]])
+    R = np.eye(3) + math.sin(theta) * K + (1 - math.cos(theta)) * (K @ K)
+    out = Matrix()
+    out.m = R
+    return out
+
+
+@dataclasses.dataclass
+class Lattice:
+    """MPB lattice (python/geom.py Lattice): size + basis vectors, with
+    the cartesian/lattice/reciprocal transforms."""
+    size: Vector3 = dataclasses.field(
+        default_factory=lambda: Vector3(1, 1, 1))
+    basis_size: Vector3 = dataclasses.field(
+        default_factory=lambda: Vector3(1, 1, 1))
+    basis1: Vector3 = dataclasses.field(
+        default_factory=lambda: Vector3(1, 0, 0))
+    basis2: Vector3 = dataclasses.field(
+        default_factory=lambda: Vector3(0, 1, 0))
+    basis3: Vector3 = dataclasses.field(
+        default_factory=lambda: Vector3(0, 0, 1))
+
+    def _norm_basis(self):
+        cols = []
+        for b, s in ((self.basis1, self.basis_size.x),
+                     (self.basis2, self.basis_size.y),
+                     (self.basis3, self.basis_size.z)):
+            v = np.asarray(list(_v3(b)), float)
+            nv = np.linalg.norm(v)
+            cols.append((v / (nv or 1.0)) * s)
+        return np.array(cols).T
+
+    @property
+    def basis(self) -> Matrix:
+        out = Matrix()
+        out.m = self._norm_basis()
+        return out
+
+    @property
+    def metric(self) -> Matrix:
+        b = self._norm_basis()
+        out = Matrix()
+        out.m = b.T @ b
+        return out
+
+
+def lattice_to_cartesian(x, lat: Lattice):
+    if isinstance(x, Matrix):
+        out = Matrix()
+        b = lat.basis.m
+        out.m = b @ x.m @ np.linalg.inv(b)
+        return out
+    return lat.basis * _v3(x)
+
+
+def cartesian_to_lattice(x, lat: Lattice):
+    if isinstance(x, Matrix):
+        out = Matrix()
+        b = lat.basis.m
+        out.m = np.linalg.inv(b) @ x.m @ b
+        return out
+    return lat.basis.inverse() * _v3(x)
+
+
+def lattice_to_reciprocal(x, lat: Lattice):
+    """Lattice basis -> reciprocal basis (MPB convention: reciprocal
+    basis_i = lattice basis_i scaled so b_i . a_j = delta_ij, sans the
+    2 pi)."""
+    b = lat.basis.m
+    recip = np.linalg.inv(b).T
+    if isinstance(x, Matrix):
+        out = Matrix()
+        out.m = np.linalg.inv(recip) @ b @ x.m @ np.linalg.inv(b) @ recip
+        return out
+    v = np.asarray(list(_v3(x)))
+    # components in lattice basis -> components in reciprocal basis
+    return Vector3(*(np.linalg.inv(recip) @ b @ v))
+
+
+def reciprocal_to_lattice(x, lat: Lattice):
+    b = lat.basis.m
+    recip = np.linalg.inv(b).T
+    if isinstance(x, Matrix):
+        out = Matrix()
+        out.m = np.linalg.inv(b) @ recip @ x.m @ np.linalg.inv(recip) @ b
+        return out
+    v = np.asarray(list(_v3(x)))
+    return Vector3(*(np.linalg.inv(b) @ recip @ v))
+
+
+def reciprocal_to_cartesian(x, lat: Lattice):
+    b = lat.basis.m
+    recip = np.linalg.inv(b).T
+    if isinstance(x, Matrix):
+        out = Matrix()
+        out.m = recip @ x.m @ np.linalg.inv(recip)
+        return out
+    return Vector3(*(recip @ np.asarray(list(_v3(x)))))
+
+
+def cartesian_to_reciprocal(x, lat: Lattice):
+    b = lat.basis.m
+    recip = np.linalg.inv(b).T
+    if isinstance(x, Matrix):
+        out = Matrix()
+        out.m = np.linalg.inv(recip) @ x.m @ recip
+        return out
+    return Vector3(*(np.linalg.inv(recip) @ np.asarray(list(_v3(x)))))
+
+
+def interpolate(n: int, nums: Sequence):
+    """Insert n linearly-interpolated values between each pair
+    (python/simulation.py interpolate; k-point paths)."""
+    out = []
+    items = list(nums)
+    for a, b in zip(items[:-1], items[1:]):
+        va = np.asarray(list(_v3(a)) if isinstance(a, Vector3) else
+                        np.atleast_1d(a), float)
+        vb = np.asarray(list(_v3(b)) if isinstance(b, Vector3) else
+                        np.atleast_1d(b), float)
+        for i in range(n + 1):
+            t = i / (n + 1)
+            v = va + (vb - va) * t
+            out.append(Vector3(*v) if isinstance(a, Vector3)
+                       else (v[0] if v.size == 1 else v))
+    out.append(items[-1])
+    return out

@@ -210,3 +210,337 @@ def _only_during_sources(fn):
         if sim.meep_time() <= last:
             fn(sim)
     return inner
+
+
+# ---------------------------------------------------------------------------
+# time-gated combinators (python/simulation.py:5039-5120)
+# ---------------------------------------------------------------------------
+
+
+def at_time(t: float, *fns):
+    """Apply fns ONCE, at the first step-func boundary with time >= t."""
+    fired = {"done": False}
+
+    def gate(fn):
+        def inner(sim, **kw):
+            if not fired["done"] and sim.meep_time() >= t - 1e-12:
+                fired["done"] = True
+                fn(sim, **kw)
+        return inner
+    # one shared `fired` per at_time call, matching the reference's
+    # _when_time closure semantics
+    out = []
+    for fn in fns:
+        g = gate(fn)
+        out.append(g)
+    return ("at_every", 0.0, tuple(out))
+
+
+def before_time(t: float, *fns):
+    """Apply fns at every boundary while time < t."""
+    def gate(fn):
+        def inner(sim, **kw):
+            if sim.meep_time() < t:
+                fn(sim, **kw)
+        return inner
+    return ("at_every", 0.0, tuple(gate(f) for f in fns))
+
+
+def after_time(t: float, *fns):
+    """Apply fns at every boundary once time >= t."""
+    def gate(fn):
+        def inner(sim, **kw):
+            if sim.meep_time() >= t - 1e-12:
+                fn(sim, **kw)
+        return inner
+    return ("at_every", 0.0, tuple(gate(f) for f in fns))
+
+
+def after_sources_and_time(t: float, *fns):
+    """Apply fns only after sources-off time + t."""
+    def gate(fn):
+        def inner(sim, **kw):
+            last = max((s.src.last_time() for s in sim.sources),
+                       default=0.0)
+            if sim.meep_time() >= last + t - 1e-12:
+                fn(sim, **kw)
+        return inner
+    return ("at_every", 0.0, tuple(gate(f) for f in fns))
+
+
+def when_true(cond, *fns):
+    """Apply fns at boundaries where cond(sim) is truthy."""
+    def gate(fn):
+        def inner(sim, **kw):
+            if cond(sim):
+                fn(sim, **kw)
+        return inner
+    return ("at_every", 0.0, tuple(gate(f) for f in fns))
+
+
+def when_false(cond, *fns):
+    return when_true(lambda sim: not cond(sim), *fns)
+
+
+def combine_step_funcs(*fns):
+    """One step function applying each plain-callable fn in order."""
+    def combined(sim, **kw):
+        for fn in fns:
+            fn(sim, **kw)
+    return combined
+
+
+def in_point(pt, *fns):
+    """Restrict output functions to a single point (in_volume analog)."""
+    def wrap(fn):
+        def inner(sim):
+            return fn(sim, volume=(pt, None))
+        return inner
+    return ("at_every", 0.0, tuple(wrap(f) for f in fns))
+
+
+def synchronized_magnetic(*fns):
+    """Run fns with H/B served time-synchronized onto E's grid
+    (fields::synchronize_magnetic_fields / restore pair): a copy of the
+    state is stepped once and H/B averaged; field reads inside fns see
+    the synchronized values.  Returns ONE callable step function, so it
+    composes inside at_every/at_time like the reference's."""
+    def inner(sim, **kw):
+        sim._hb_override = sim._synchronized_hb()
+        try:
+            for fn in fns:
+                fn(sim, **kw)
+        finally:
+            sim._hb_override = None
+    return inner
+
+
+# ---------------------------------------------------------------------------
+# stop conditions (simulation.py:5225-5445)
+# ---------------------------------------------------------------------------
+
+
+class stop_after_walltime:
+    """Stop once wall-clock seconds since run() start exceed t."""
+
+    def __init__(self, t: float):
+        self.t = float(t)
+        self._t0 = None
+
+    def check(self, sim) -> bool:
+        import time
+        if self._t0 is None:
+            self._t0 = time.monotonic()
+        return time.monotonic() - self._t0 >= self.t
+
+
+class stop_on_interrupt:
+    """Finish the current block and stop cleanly on SIGINT instead of
+    raising KeyboardInterrupt mid-run."""
+
+    def __init__(self):
+        self._flag = {"stop": False}
+        self._installed = False
+
+    def check(self, sim) -> bool:
+        if not self._installed:
+            import signal
+
+            def handler(signum, frame):
+                self._flag["stop"] = True
+            signal.signal(signal.SIGINT, handler)
+            self._installed = True
+        return self._flag["stop"]
+
+
+@dataclasses.dataclass
+class stop_when_energy_decayed:
+    """Stop when the total field energy in the cell decays by decay_by
+    from its running peak, checked every dt time units."""
+    dt: float = 4.0
+    decay_by: float = 1e-3
+    _peak: float = 0.0
+
+    def check(self, sim) -> bool:
+        cur = float(sim.field_energy_in_box())
+        self._peak = max(self._peak, cur)
+        return self._peak > 0 and cur <= self.decay_by * self._peak
+
+
+# ---------------------------------------------------------------------------
+# output_* family (simulation.py:5509; components + derived quantities)
+# ---------------------------------------------------------------------------
+
+
+def _save(sim, tag, arr):
+    np.save(f"{tag}-{int(round(sim.meep_time() * 1000)):08d}.npy",
+            np.asarray(arr))
+
+
+def _output_component(tag, comp):
+    def fn(sim, volume=None):
+        _save(sim, tag, sim.get_array(component=comp))
+    fn.__name__ = f"output_{tag}"
+    return fn
+
+
+def _make_component_outputs():
+    g = globals()
+    for fam, letter in (("efield", "e"), ("hfield", "h"), ("dfield", "d"),
+                        ("bfield", "b")):
+        for d in "xyzrp":
+            comp = letter + d
+            g[f"output_{fam}_{d}"] = _output_component(comp, comp)
+
+
+_make_component_outputs()
+
+
+def output_efield(sim, volume=None):
+    for c in ("ex", "ey", "ez"):
+        try:
+            _save(sim, c, sim.get_array(component=c))
+        except KeyError:
+            pass
+
+
+def output_hfield(sim, volume=None):
+    for c in ("hx", "hy", "hz"):
+        try:
+            _save(sim, c, sim.get_array(component=c))
+        except KeyError:
+            pass
+
+
+def _common_crop(arrs):
+    """Crop origin-aligned centered arrays to their common shape
+    (half-integer Yee axes emit one extra trailing point)."""
+    arrs = [a for a in arrs if a is not None]
+    if not arrs:
+        return []
+    shp = tuple(min(a.shape[i] for a in arrs)
+                for i in range(arrs[0].ndim))
+    return [a[tuple(slice(0, n) for n in shp)] for a in arrs]
+
+
+def _energy_density(sim, letters):
+    """Centered-grid (1/2) sum_c F_c^2 / u_c-ish energy density; for the
+    electric side uses E.D/2 with D = eps E via the epsilon grid (exact
+    for non-dispersive media, the reference's output_dpwr contract)."""
+    total = None
+    eps = sim.get_epsilon() if "e" in letters else None
+    for c in sim.fields_state["f"]:
+        if c[0] not in letters:
+            continue
+        arr = np.real(np.asarray(sim.get_array(component=c))) ** 2
+        if c[0] == "e":
+            arr, epsc = _common_crop([arr, np.real(eps)])
+            arr = arr * epsc
+        if total is None:
+            total = arr
+        else:
+            total, arr = _common_crop([total, arr])
+            total = total + arr
+    return 0.5 * (total if total is not None else 0.0)
+
+
+def output_dpwr(sim, volume=None):
+    _save(sim, "dpwr", _energy_density(sim, "e"))
+
+
+def output_hpwr(sim, volume=None):
+    _save(sim, "hpwr", _energy_density(sim, "h"))
+
+
+def output_tot_pwr(sim, volume=None):
+    _save(sim, "tot_pwr", _energy_density(sim, "e") +
+          _energy_density(sim, "h"))
+
+
+def _poynting_comp(d):
+    cyc = {"x": ("y", "z"), "y": ("z", "x"), "z": ("x", "y"),
+           "r": ("p", "z"), "p": ("z", "r")}
+
+    def fn(sim, volume=None):
+        p, q = cyc[d]
+        hb = sim._synchronized_hb()
+        sim._hb_override = hb
+        try:
+            def get(c):
+                try:
+                    return np.real(np.asarray(sim.get_array(component=c)))
+                except KeyError:
+                    return None
+            ep_, eq_ = get("e" + p), get("e" + q)
+            hp_, hq_ = get("h" + p), get("h" + q)
+        finally:
+            sim._hb_override = None
+        s = 0.0
+        if ep_ is not None and hq_ is not None:
+            a, b = _common_crop([ep_, hq_])
+            s = s + a * b
+        if eq_ is not None and hp_ is not None:
+            a, b = _common_crop([eq_, hp_])
+            sab = a * b
+            if np.ndim(s):
+                s, sab = _common_crop([s, sab])
+            s = s - sab
+        _save(sim, f"s{d}", s)
+    fn.__name__ = f"output_poynting_{d}"
+    return fn
+
+
+for _d in "xyzrp":
+    globals()[f"output_poynting_{_d}"] = _poynting_comp(_d)
+    globals()[f"output_sfield_{_d}"] = globals()[f"output_poynting_{_d}"]
+
+
+def output_poynting(sim, volume=None):
+    for d in "xyz":
+        try:
+            globals()[f"output_poynting_{d}"](sim)
+        except KeyError:
+            pass
+
+
+output_sfield = output_poynting
+
+
+def output_png(component, convert_args: str = "", rm_h5: bool = True):
+    """Render the component slice to a PNG per invocation (the
+    reference's output_png h5topng pipeline, rendered directly)."""
+    counter = {"n": 0}
+
+    def fn(sim, volume=None):
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        arr = np.real(np.asarray(sim.get_array(component=component)))
+        if arr.ndim == 3:
+            arr = arr[:, :, arr.shape[2] // 2]
+        vmax = np.abs(arr).max() or 1.0
+        plt.imsave(f"{component}-{counter['n']:06d}.png", arr.T,
+                   cmap="RdBu", vmin=-vmax, vmax=vmax, origin="lower")
+        counter["n"] += 1
+    return fn
+
+
+def output_mu(sim, volume=None):
+    """Save the permeability grid (identity unless mu materials are
+    present)."""
+    _save(sim, "mu", sim.get_mu())
+
+
+def display_progress(t0, t_end, dt):
+    """Progress-line step function (the runner already prints a
+    step-rate line; this adds the reference's percentage line)."""
+    def fn(sim):
+        t = sim.meep_time()
+        frac = 100.0 * (t - t0) / max(t_end - t0, 1e-30)
+        print(f"Meep progress: {t - t0:.1f}/{t_end - t0:.1f} "
+              f"= {frac:.1f}% done")
+    return ("at_every", dt, (fn,))
+
+
+def display_run_data(sim, data_name, data):
+    print(f"{data_name}:, " + ", ".join(str(d) for d in np.atleast_1d(data)))

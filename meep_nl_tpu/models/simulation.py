@@ -67,8 +67,43 @@ class DiffractedPlanewave:
     p: complex = 0.0
 
 
+class Symmetry:
+    """Base symmetry declaration (python/simulation.py Symmetry)."""
+
+
 @dataclasses.dataclass
-class Mirror:
+class Identity(Symmetry):
+    """The trivial symmetry (accepted and ignored, as in the
+    reference)."""
+    direction: str = "x"
+    phase: int = 1
+
+
+@dataclasses.dataclass
+class BinaryPartition:
+    """Chunk-layout description (python/simulation.py BinaryPartition).
+
+    Accepted for API parity and stored on the Simulation; this framework
+    shards the grid UNIFORMLY over the jax device mesh (GSPMD handles
+    placement and the XLA latency-hiding scheduler overlaps comms), so a
+    user-provided split tree is advisory only — SURVEY.md 2.3 argues the
+    cost model away on TPU's homogeneous chips."""
+    data: Any = None
+    split_dir: Any = None
+    split_pos: Any = None
+    left: Any = None
+    right: Any = None
+    proc_id: Any = None
+
+    def numchunks(self) -> int:
+        if self.left is None and self.right is None:
+            return 1
+        return ((self.left.numchunks() if self.left else 0)
+                + (self.right.numchunks() if self.right else 0))
+
+
+@dataclasses.dataclass
+class Mirror(Symmetry):
     """Mirror-symmetry declaration (python/simulation.py Mirror;
     src/symmetry.cpp mirror_symmetry).  The cell is halved along
     `direction`: the symmetry plane through the cell center becomes a PEC
@@ -93,7 +128,7 @@ def _mirror_parity(comp: str, d: str) -> float:
 
 
 @dataclasses.dataclass
-class Rotate2:
+class Rotate2(Symmetry):
     """C2 rotational-symmetry declaration (python/simulation.py Rotate2;
     vec.hpp:1189-1232 symmetry::rotate2).  The cell is halved along the
     first axis perpendicular to `direction` (the rotation axis), with the
@@ -118,7 +153,7 @@ class Rotate2:
 
 
 @dataclasses.dataclass
-class Rotate4:
+class Rotate4(Symmetry):
     """C4 rotational-symmetry declaration (python/simulation.py Rotate4;
     vec.hpp:1189-1232 symmetry::rotate4).  The cell is QUARTERED: both
     axes perpendicular to `direction` are halved (square extents and
@@ -236,10 +271,25 @@ class Simulation:
                  kz_2d: str = "complex",
                  material_function=None,
                  epsilon_func=None,
+                 chunk_layout=None,
+                 geometry_center=None,
+                 extra_materials=(),
                  dtype=np.float32):
         self.cell_size = _v3(cell_size)
         self.resolution = float(resolution)
         self.geometry = list(geometry)
+        # chunk_layout (BinaryPartition / int) is advisory: the grid is
+        # sharded uniformly over the jax device mesh (GSPMD)
+        self.chunk_layout = chunk_layout
+        self.extra_materials = list(extra_materials)
+        if geometry_center is not None:
+            gc = _v3(geometry_center)
+            if any(abs(v) > 1e-300 for v in gc):
+                import dataclasses as _dc
+                self.geometry = [
+                    _dc.replace(g, center=Vector3(*(np.asarray(list(_v3(
+                        g.center))) + np.asarray(list(gc)))))
+                    if hasattr(g, "center") else g for g in self.geometry]
         self.sources = list(sources)
         self.boundary_layers = list(boundary_layers)
         self.default_material = default_material or Medium()
@@ -372,6 +422,8 @@ class Simulation:
                     self._boundaries[(fold_d, "low")] = "none"
                     self._rot2 = (fax, axes.index(flip_d), w,
                                   int(sym.phase))
+                    continue
+                if isinstance(sym, Identity):
                     continue
                 if not isinstance(sym, Mirror):
                     raise NotImplementedError(
@@ -967,6 +1019,21 @@ class Simulation:
     def init_sim(self):
         if self._plan is not None:
             return
+        from .source import EigenModeSource as _EMS
+        ems = [s for s in self.sources if isinstance(s, _EMS)]
+        if ems:
+            self.sources = [s for s in self.sources
+                            if not isinstance(s, _EMS)]
+            for s in ems:
+                par = s.eig_parity
+                if par is not None and not isinstance(par, str):
+                    par = None           # component-constant hints: default
+                self.add_eigenmode_source(
+                    s.src, s.center, s.size,
+                    direction=s.launch_direction(),
+                    mode_band=int(getattr(s.eig_band, "band", s.eig_band))
+                    if not hasattr(s.eig_band, "g") else s.eig_band,
+                    amplitude=s.amplitude, eig_parity=par)
         live_e, live_h = self._live_components()
         # geometry objects whose material is a callable (per-object
         # epsilon functions) rasterize as vacuum placeholders; the
@@ -1190,6 +1257,7 @@ class Simulation:
         self._dft_specs += specs
         h = _FluxHandle(name, freqs)
         h._nregions = len(regions)
+        h._sim = self
         self._handles.append(h)
         return h
 
@@ -1206,6 +1274,7 @@ class Simulation:
                                              s_ax, freqs,
                                              decimation=self._resolve_decimation(decimation_factor, freqs))
         h = _DftFieldsHandle(name, list(components), freqs)
+        h._sim = self
         self._handles.append(h)
         return h
 
@@ -1286,6 +1355,7 @@ class Simulation:
                                           self.default_material, 2)[0])
         h = _N2FHandle(name, freqs, surfaces, eps=eps_amb,
                        m=float(self.m or 0.0), periodic=tuple(periodic))
+        h._sim = self
         self._handles.append(h)
         return h
 
@@ -2011,6 +2081,7 @@ class Simulation:
                                              live=live)
         h = _FluxHandle(name, freqs)
         h._nregions = len(regions)
+        h._sim = self
         self._handles.append(h)
         return h
 
@@ -2035,6 +2106,7 @@ class Simulation:
         # specs are created at init (sources are discretized then); mark it
         self._want_ldos = True
         h = _FluxHandle(name, freqs)
+        h._sim = self
         self._handles.append(h)
         return h
 
@@ -2081,6 +2153,7 @@ class Simulation:
                                           live=live, weight=fac,
                                           decimation=self._resolve_decimation(decimation_factor, freqs))
         h = _FluxHandle(name, freqs)
+        h._sim = self
         self._handles.append(h)
         return h
 
@@ -2651,9 +2724,28 @@ class Simulation:
             eps, _ = self._unfold("eps", eps, coords)
         return eps
 
+    def get_mu(self) -> np.ndarray:
+        """Permeability grid at the first live H component's lattice
+        (identity unless mu materials are present)."""
+        self.init_sim()
+        live_h = [s.ec for s in self._plan.eh_specs_h]
+        c = live_h[0] if live_h else "hz"
+        key = f"{c}:u"
+        if key in self._plan.coefs:
+            u = np.asarray(self._plan.coefs[key])
+            u = u[tuple(slice(0, n + 1) for n in self.gv.num)]
+            return 1.0 / np.maximum(u, 1e-300)
+        return np.ones(self.gv.shape)
+
     def _field_np(self, c, state=None) -> np.ndarray:
         """Host view of a field component, recombining the real-pair
         channel axis into a complex array when plan.real_pair."""
+        if state is None and c[0] in "hb":
+            # synchronized_magnetic(...) step funcs: serve H/B averaged
+            # onto E's time grid (fields::synchronize_magnetic_fields)
+            ov = getattr(self, "_hb_override", None)
+            if ov is not None and c in ov:
+                return ov[c]
         st = state if state is not None else self._state
         arr = np.asarray(st["f"][c])
         if self._plan.real_pair and arr.ndim == self.gv.ndim + 1:
@@ -2934,3 +3026,79 @@ def _apply_absorbers(gv, mat, absorbers, live_e, live_h):
                 mat.cond[key] = mat.cond[key] + arr
             else:
                 mat.cond[key] = arr
+
+
+# ---------------------------------------------------------------------------
+# module-level monitor accessors (python/simulation.py exposes these as free
+# functions operating on the dft objects; handles carry a ._sim backref)
+# ---------------------------------------------------------------------------
+
+
+def _handle_sim(handle):
+    sim = getattr(handle, "_sim", None)
+    if sim is None:
+        raise ValueError("monitor handle is not attached to a Simulation")
+    return sim
+
+
+def get_fluxes(flux) -> np.ndarray:
+    return _handle_sim(flux).get_fluxes(flux)
+
+
+def get_flux_freqs(flux):
+    return list(np.asarray(flux.freqs))
+
+
+def get_forces(force) -> np.ndarray:
+    return _handle_sim(force).get_forces(force)
+
+
+def get_force_freqs(force):
+    return list(np.asarray(force.freqs))
+
+
+def get_energy_freqs(en):
+    return list(np.asarray(en.freqs))
+
+
+def get_electric_energy(en) -> np.ndarray:
+    return _handle_sim(en).get_electric_energy(en)
+
+
+def get_magnetic_energy(en) -> np.ndarray:
+    return _handle_sim(en).get_magnetic_energy(en)
+
+
+def get_total_energy(en) -> np.ndarray:
+    return _handle_sim(en).get_total_energy(en)
+
+
+def get_ldos_freqs(ldos):
+    return list(np.asarray(ldos.freqs))
+
+
+def get_near2far_freqs(n2f):
+    return list(np.asarray(n2f.freqs))
+
+
+def get_eigenmode_freqs(flux):
+    return list(np.asarray(flux.freqs))
+
+
+def quiet(quietval: bool = True):
+    """Verbosity shim (python/simulation.py quiet)."""
+    import meep_nl_tpu as _m
+    _m.verbosity.set(0 if quietval else 1)
+
+
+# dft-object class names (python/simulation.py DftFlux/DftForce/...):
+# the reference returns typed wrapper objects from add_flux et al.; here
+# the same roles are played by the handle classes
+DftObj = object
+DftFlux = _FluxHandle
+DftNear2Far = _N2FHandle
+DftFields = _DftFieldsHandle
+DftEnergy = _FluxHandle
+DftForce = _FluxHandle
+Ldos = _FluxHandle
+dft_ldos = _FluxHandle

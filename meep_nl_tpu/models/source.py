@@ -318,3 +318,43 @@ class GaussianBeamSource(Source):
                     * np.exp(1j * (k * z + 0.5 * k * r2 * Rinv - gouy)))
 
         self.amp_func = amp
+
+
+@dataclasses.dataclass
+class EigenModeSource:
+    """Waveguide-eigenmode source declaration (python/source.py
+    EigenModeSource): accepted in Simulation(sources=[...]) and
+    translated to Simulation.add_eigenmode_source at init_sim time
+    (which solves the cross-section mode and injects the equivalent
+    J = n x H / M = -n x E currents, mpb.cpp:830)."""
+    src: SourceTime
+    center: Any = None
+    size: Any = None
+    eig_band: int = 1
+    direction: Any = None            # None/AUTOMATIC: from eig_kpoint sign
+    eig_kpoint: Any = None
+    eig_parity: Any = None           # 'TM'/'TE'/ODD_Z/EVEN_Z style strings
+    eig_match_freq: bool = True
+    amplitude: complex = 1.0
+    component: Any = None            # parity via ODD_Z-style component hint
+    eig_lattice_size: Any = None     # accepted for parity; modes solve on
+    eig_lattice_center: Any = None   # the monitor cross-section directly
+    eig_resolution: int = 0
+    eig_tolerance: float = 1e-12
+
+    def launch_direction(self) -> int:
+        if isinstance(self.direction, (int, float)) \
+                and self.direction in (-1, +1):
+            return int(self.direction)
+        if self.eig_kpoint is not None:
+            k = list(self.eig_kpoint)
+            for v in k:
+                if abs(v) > 1e-12:
+                    return +1 if v > 0 else -1
+        return +1
+
+
+# exact beams in 2D and 3D share the complex-source-point construction
+# (meep.hpp:1707); the reference exposes dimension-suffixed names
+GaussianBeam2DSource = GaussianBeamSource
+GaussianBeam3DSource = GaussianBeamSource
