@@ -23,6 +23,7 @@ from .models.geom import (Vector3, Medium, Sphere, Block, Cylinder, Cone,
                           NoisyDrudeSusceptibility,
                           GyrotropicLorentzianSusceptibility,
                           GyrotropicDrudeSusceptibility,
+                          GyrotropicSaturatedSusceptibility,
                           Susceptibility, Transition,
                           MultilevelAtom, vacuum, air,
                           Volume, Matrix, Lattice, get_rotation_matrix,

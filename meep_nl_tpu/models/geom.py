@@ -120,6 +120,18 @@ class GyrotropicLorentzianSusceptibility(LorentzianSusceptibility):
 
 
 @dataclasses.dataclass
+class GyrotropicSaturatedSusceptibility(GyrotropicLorentzianSusceptibility):
+    """Linearized Landau-Lifshitz-Gilbert gyrotropy (python/geom.py
+    GyrotropicSaturatedSusceptibility; susceptibility.cpp:519
+    GYROTROPIC_SATURATED): `frequency` is the Larmor precession
+    frequency, `gamma` the off-diagonal loss rate, `alpha` the diagonal
+    (Gilbert) loss factor; `bias` sets the precession AXIS only (its
+    magnitude is ignored — the medium is saturated)."""
+    alpha: float = 0.0
+    saturated: bool = True
+
+
+@dataclasses.dataclass
 class Transition:
     """One atomic transition (python/geom.py Transition)."""
     from_level: int

@@ -308,14 +308,27 @@ def rasterize(gv: G.GridVolume, geometry: Sequence[GeometricObject],
                     ml_Gamma=Gamma, ml_N0=N0, ml_alpha=alpha,
                     ml_omega=omega, ml_gamma=gam, ml_sigmat=sigmat))
 
+    from .geom import GyrotropicSaturatedSusceptibility
+
     def _kind_of(sus):
         if isinstance(sus, MultilevelAtom):
-            return ("multilevel", 0.0, (0.0, 0.0, 0.0))
+            return ("multilevel", 0.0, (0.0, 0.0, 0.0), 0.0, False)
+        if isinstance(sus, GyrotropicSaturatedSusceptibility):
+            # saturated media: the bias sets the axis only
+            # (susceptibility.cpp:356 b = bias/|bias|)
+            b = np.asarray(tuple(sus.bias), float)
+            nb = np.linalg.norm(b)
+            if nb == 0:
+                raise ValueError(
+                    "GyrotropicSaturatedSusceptibility needs a nonzero "
+                    "bias axis")
+            return ("gyrotropic", 0.0, tuple(b / nb), float(sus.alpha),
+                    True)
         if isinstance(sus, GyrotropicLorentzianSusceptibility):
-            return ("gyrotropic", 0.0, tuple(sus.bias))
+            return ("gyrotropic", 0.0, tuple(sus.bias), 0.0, False)
         if isinstance(sus, NoisyLorentzianSusceptibility):
-            return ("noisy", sus.noise_amp, (0.0, 0.0, 0.0))
-        return ("lorentzian", 0.0, (0.0, 0.0, 0.0))
+            return ("noisy", sus.noise_amp, (0.0, 0.0, 0.0), 0.0, False)
+        return ("lorentzian", 0.0, (0.0, 0.0, 0.0), 0.0, False)
 
     pols: List[PolSpec] = []
     sus_keys = {}
@@ -328,7 +341,8 @@ def rasterize(gv: G.GridVolume, geometry: Sequence[GeometricObject],
         for s in m.H_susceptibilities:
             key = (s.frequency, s.gamma, s.drude, "h") + _kind_of(s)
             sus_keys.setdefault(key, []).append((m, s))
-    for (f0, gam, drude, ft, kind, namp, bias), pairs in sus_keys.items():
+    for (f0, gam, drude, ft, kind, namp, bias, g_alpha,
+         g_sat), pairs in sus_keys.items():
         sigma: Dict[Tuple[str, str], np.ndarray] = {}
         live = live_e if ft == "e" else live_h
         for c in live:
@@ -345,7 +359,8 @@ def rasterize(gv: G.GridVolume, geometry: Sequence[GeometricObject],
                 sv = 0.0
                 for s in sus:
                     if (s.frequency, s.gamma, s.drude) == (f0, gam, drude) \
-                            and _kind_of(s) == (kind, namp, bias):
+                            and _kind_of(s) == (kind, namp, bias,
+                                                g_alpha, g_sat):
                         sv += tuple(s.sigma_vec())[dind]
                 if sv != 0.0:
                     any_nonzero = True
@@ -356,7 +371,8 @@ def rasterize(gv: G.GridVolume, geometry: Sequence[GeometricObject],
         if sigma:
             pols.append(PolSpec(field_type=ft, omega0=f0, gamma=gam,
                                 sigma=sigma, drude=drude, kind=kind,
-                                noise_amp=namp, bias=bias))
+                                noise_amp=namp, bias=bias,
+                                gyro_alpha=g_alpha, saturated=g_sat))
 
     return MaterialSpec(chi1inv=chi1inv, cond=cond, chi2=chi2, chi3=chi3,
                         nr_chi2=nr_chi2, pols=pols + ml_pols)

@@ -52,6 +52,11 @@ class PolSpec:
     kind: str = "lorentzian"             # | noisy | gyrotropic | multilevel
     noise_amp: float = 0.0
     bias: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # saturated (linearized Landau-Lifshitz-Gilbert) gyrotropy
+    # (susceptibility.cpp:519): bias is the unit precession axis,
+    # gyro_alpha the Gilbert damping
+    gyro_alpha: float = 0.0
+    saturated: bool = False
     # multilevel-atom parameters (multilevel-atom.cpp; meep.hpp:340):
     #   L levels, T transitions; Gamma (L,L) relaxation/pumping matrix;
     #   N0 (L,) initial populations; alpha (L,T) transition couplings;

@@ -891,9 +891,11 @@ def _pol_update_multilevel(plan: Plan, C, pi: int, p: PolSpec, state):
 
 
 def _pol_update_gyro(plan: Plan, C, pi: int, p: PolSpec, state):
-    """Gyrotropic Lorentzian/Drude precession
-    (gyrotropic_susceptibility::update_P, susceptibility.cpp:445-517):
-    per-site 3x3 skew-symmetric solve with bias vector b."""
+    """Gyrotropic precession: Lorentzian/Drude
+    (gyrotropic_susceptibility::update_P, susceptibility.cpp:445-517) or
+    saturated linearized Landau-Lifshitz-Gilbert (susceptibility.cpp:519
+    GYROTROPIC_SATURATED): per-site 3x3 skew-symmetric solve with bias
+    vector b (unit axis in the saturated model)."""
     dt = plan.dt
     w2pidt = 2 * math.pi * p.omega0 * dt
     g2pidt = 2 * math.pi * p.gamma * dt
@@ -901,11 +903,19 @@ def _pol_update_gyro(plan: Plan, C, pi: int, p: PolSpec, state):
     gamma1 = 1 - g2pidt / 2
     diag = 2 - (0.0 if p.drude else omega0dtsqr)
     pt = math.pi * dt
+    dt2pi = 2 * math.pi * dt
+    alpha = p.gyro_alpha
     bx, by, bz = p.bias
     # gyro tensor g[i][j] = eps_ijk b_k (skew)
     gmat = np.array([[0.0, bz, -by], [-bz, 0.0, bx], [by, -bx, 0.0]])
-    gd = 1 + g2pidt / 2
-    gx, gy, gz = pt * bx, pt * by, pt * bz
+    if p.saturated:
+        # LLG: (1/2)(P+ - P-) = -g2pidt P + g.(alpha/2 (P- + P+)
+        #       - w2pidt P + dt2pi s W); the alpha P+ term rides the
+        #       skew inverse below
+        gd, gx, gy, gz = 0.5, -0.5 * alpha * bx, -0.5 * alpha * by, \
+            -0.5 * alpha * bz
+    else:
+        gd, gx, gy, gz = 1 + g2pidt / 2, pt * bx, pt * by, pt * bz
     invdet = 1.0 / gd / (gd * gd + gx * gx + gy * gy + gz * gz)
     inv = np.array([
         [invdet * (gd * gd + gx * gx), invdet * (gx * gy + gd * gz),
@@ -937,24 +947,33 @@ def _pol_update_gyro(plan: Plan, C, pi: int, p: PolSpec, state):
         c2 = c[0] + d2
         w1 = W(c1)
         w2 = W(c2)
-        drive1 = 0.0
-        drive2 = 0.0
+        avg1 = 0.0
+        avg2 = 0.0
         if w1 is not None and gv.has_direction(d1):
-            drive1 = omega0dtsqr * s_arr * _avg4(plan, w1, ax_own,
-                                                gv.axis_of(d1), sgn)
+            avg1 = _avg4(plan, w1, ax_own, gv.axis_of(d1), sgn)
         if w2 is not None and gv.has_direction(d2):
-            drive2 = omega0dtsqr * s_arr * _avg4(plan, w2, ax_own,
-                                                gv.axis_of(d2), sgn)
+            avg2 = _avg4(plan, w2, ax_own, gv.axis_of(d2), sgn)
         p0, p1v, p2v = (pol_st["p"][c], pol_st["p"][f"{c}#1"],
                         pol_st["p"][f"{c}#2"])
         pp0, pp1, pp2 = (pol_st["pp"][c], pol_st["pp"][f"{c}#1"],
                          pol_st["pp"][f"{c}#2"])
-        r0 = diag * p0 - gamma1 * pp0 + omega0dtsqr * s_arr * w0 \
-            - pt * gmat[i0][i1] * pp1 - pt * gmat[i0][i2] * pp2
-        r1 = diag * p1v - gamma1 * pp1 + drive1 \
-            - pt * gmat[i1][i0] * pp0 - pt * gmat[i1][i2] * pp2
-        r2 = diag * p2v - gamma1 * pp2 + drive2 \
-            - pt * gmat[i2][i1] * pp1 - pt * gmat[i2][i0] * pp0
+        if p.saturated:
+            q0 = -w2pidt * p0 + 0.5 * alpha * pp0 + dt2pi * s_arr * w0
+            q1 = -w2pidt * p1v + 0.5 * alpha * pp1 + dt2pi * s_arr * avg1
+            q2 = -w2pidt * p2v + 0.5 * alpha * pp2 + dt2pi * s_arr * avg2
+            r0 = 0.5 * pp0 - g2pidt * p0 \
+                + gmat[i0][i1] * q1 + gmat[i0][i2] * q2
+            r1 = 0.5 * pp1 - g2pidt * p1v \
+                + gmat[i1][i2] * q2 + gmat[i1][i0] * q0
+            r2 = 0.5 * pp2 - g2pidt * p2v \
+                + gmat[i2][i0] * q0 + gmat[i2][i1] * q1
+        else:
+            r0 = diag * p0 - gamma1 * pp0 + omega0dtsqr * s_arr * w0 \
+                - pt * gmat[i0][i1] * pp1 - pt * gmat[i0][i2] * pp2
+            r1 = diag * p1v - gamma1 * pp1 + omega0dtsqr * s_arr * avg1 \
+                - pt * gmat[i1][i0] * pp0 - pt * gmat[i1][i2] * pp2
+            r2 = diag * p2v - gamma1 * pp2 + omega0dtsqr * s_arr * avg2 \
+                - pt * gmat[i2][i1] * pp1 - pt * gmat[i2][i0] * pp0
         new_pp[c], new_pp[f"{c}#1"], new_pp[f"{c}#2"] = p0, p1v, p2v
         new_p[c] = inv[i0][i0] * r0 + inv[i0][i1] * r1 + inv[i0][i2] * r2
         new_p[f"{c}#1"] = inv[i1][i0] * r0 + inv[i1][i1] * r1 + inv[i1][i2] * r2

@@ -95,3 +95,77 @@ def test_bfast_stable_and_off_by_default():
     # silently drop the s*dH/dt term (the round-1 silent narrowing)
     with pytest.raises(ValueError, match="single partner"):
         run(mp.Vector3(0.5, 0, 0))
+
+
+def _kgyro(freq, epsn, f0, gamma, sigma, b0=None, alpha=None,
+           drude=False):
+    """Analytic Faraday rotation rate (circular birefringence of a
+    z-biased gyrotropic medium; standard magneto-optics dispersion)."""
+    if alpha is not None:                       # linearized LLG
+        df1 = f0 - 1j * freq * alpha
+        df2 = freq + 1j * gamma
+        eperp = epsn + sigma * df1 / (df1 ** 2 - df2 ** 2)
+        eta = sigma * df2 / (df1 ** 2 - df2 ** 2)
+    else:
+        dfsq = (0.0 if drude else f0 ** 2) - 1j * freq * gamma - freq ** 2
+        eperp = epsn + sigma * f0 ** 2 * dfsq / (dfsq ** 2
+                                                 - (freq * b0) ** 2)
+        eta = sigma * f0 ** 2 * freq * b0 / (dfsq ** 2 - (freq * b0) ** 2)
+    return 2 * np.pi * freq * np.sqrt(
+        0.5 * (eperp - np.sqrt(eperp ** 2 - eta ** 2)))
+
+
+def _rotation_angle(susc, epsn, freq=0.8, L=12.0, zsrc=-4.5, zout=4.0,
+                    res=24, tmax=100.0):
+    """Linearly-polarized CW wave along the bias axis; rotation angle
+    from the Ex/Ey steady-state amplitudes (test_faraday_rotation.py
+    check_rotation)."""
+    med = mp.Medium(epsilon=epsn, E_susceptibilities=[susc])
+    w = 8.0 / res
+    sim = mp.Simulation(cell_size=mp.Vector3(w, w, L), resolution=res,
+                        default_material=med, k_point=mp.Vector3(0, 0, 0),
+                        sources=[mp.Source(
+                            mp.ContinuousSource(frequency=freq),
+                            component=mp.Ex,
+                            center=mp.Vector3(0, 0, zsrc),
+                            size=mp.Vector3(w, w, 0))],
+                        boundary_layers=[mp.PML(1.0, direction="z")])
+    pex = mp.FieldProbe("ex", mp.Vector3(0, 0, zout))
+    pey = mp.FieldProbe("ey", mp.Vector3(0, 0, zout))
+    sim.run(pex, pey, until=tmax)
+    half = len(pex.data) // 2
+    ex_rel = np.max(np.abs(np.fft.fft(np.asarray(pex.data[half:], float))))
+    ey_rel = np.max(np.abs(np.fft.fft(np.asarray(pey.data[half:], float))))
+    return np.arctan2(ey_rel, ex_rel) * 180 / np.pi
+
+
+def _expected_angle(k, zsrc=-4.5, zout=4.0):
+    return np.arctan2(abs(np.sin(k * (zout - zsrc)).real),
+                      abs(np.cos(k * (zout - zsrc)).real)) * 180 / np.pi
+
+
+@pytest.mark.slow
+def test_faraday_rotation_quantitative():
+    """Rotation angle vs the analytic dispersion for all three
+    gyrotropy models (test_faraday_rotation.py; 1.5-degree gate)."""
+    epsn, f0, gamma, sn, b0 = 1.5, 1.0, 1e-3, 0.1, 0.15
+    # gyrotropic Lorentzian
+    ang = _rotation_angle(mp.GyrotropicLorentzianSusceptibility(
+        frequency=f0, gamma=gamma, sigma=sn, bias=mp.Vector3(0, 0, b0)),
+        epsn)
+    exp = _expected_angle(_kgyro(0.8, epsn, f0, gamma, sn, b0=b0))
+    assert abs(ang - exp) < 1.5, ("lorentzian", ang, exp)
+    # gyrotropic Drude
+    ang = _rotation_angle(mp.GyrotropicDrudeSusceptibility(
+        frequency=f0, gamma=gamma, sigma=sn, bias=mp.Vector3(0, 0, b0)),
+        epsn)
+    exp = _expected_angle(_kgyro(0.8, epsn, f0, gamma, sn, b0=b0,
+                                 drude=True))
+    assert abs(ang - exp) < 1.5, ("drude", ang, exp)
+    # saturated (linearized Landau-Lifshitz-Gilbert)
+    alpha = 1e-5
+    ang = _rotation_angle(mp.models.geom.GyrotropicSaturatedSusceptibility(
+        frequency=f0, gamma=gamma, sigma=sn, alpha=alpha,
+        bias=mp.Vector3(0, 0, 1.0)), epsn)
+    exp = _expected_angle(_kgyro(0.8, epsn, f0, gamma, sn, alpha=alpha))
+    assert abs(ang - exp) < 1.5, ("saturated", ang, exp)
