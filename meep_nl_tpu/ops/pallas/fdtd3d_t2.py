@@ -691,9 +691,15 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
             out_entries.append(("pkgo", name, pl.BlockSpec(
                 shp, lambda i: (0,) * len(shp), memory_space=pltpu.VMEM)))
     if periodic is not None or edge_pkg:
-        assert depth == 2 and first and last and not disp, \
-            "periodic/edge t2: single linear depth-2 call only"
+        assert depth == 2 and first and last, \
+            "periodic/edge t2: single depth-2 call only"
+        assert periodic is None or not disp, \
+            "periodic t2: linear only"
         assert not (periodic is not None and edge_pkg)
+        # edge_pkg + disp (sharded dispersive t2) is admitted when the
+        # caller guarantees the disp/NL support clears every shard
+        # boundary (fused_mesh_t2._disp_clear_of_boundaries): the
+        # boundary strips are then exactly linear
         for g in carry_keys:
             for nm in ("wrapc1", "wrapc2"):
                 in_entries.append(("pkg", f"{nm}:{g}", pl.BlockSpec(
@@ -1736,6 +1742,13 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                 sw = coefF(f"{s.ec}:sigw")
                 e_new = prev[f"{FX}{key}"] + (kw + sw) * lin2 \
                     - (kw - sw) * lin1
+                if dispc:
+                    # x_uniform x-stores span the window rows: the chain
+                    # must see the overlaid (true-E) lin there (mirrors
+                    # the y/z slab branch below)
+                    e_disp = prev[f"{FX}{key}"] + (kw + sw) * lin2f \
+                        - (kw - sw) * lin1f
+                    e_new = sel(dselF, e_disp, e_new)
                 aux_put2(key, True, e_new, xselF)
                 continue
             for side, (a, b) in (("lo", lor), ("hi", hir)):

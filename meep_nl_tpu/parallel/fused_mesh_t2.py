@@ -23,7 +23,10 @@ call with dyn_xoff (masks and source one-hots compare global
 coordinates) and edge_pkg (the three boundary products arrive as pkg
 inputs, zeroed by axis_index at the physical walls).
 
-Envelope: the linear fdtd3d envelope (no dispersive window), span
+Envelope: the fdtd3d envelope (the dispersive window is admitted when
+its support clears every shard boundary by >= 4 planes, so the strips
+stay linear; the x_uniform layout widens the window full-x with exact
+identity rows), span
 block-aligned with >= 2 blocks per shard, and every source at least 2
 planes clear of each shard boundary (the strip recompute does not
 re-inject currents).
@@ -41,7 +44,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.pallas import fdtd3d as F1
 from ..ops.pallas import fdtd3d_t2 as T2
-from ..ops.pallas.fdtd3d import compute_halos
+from ..ops.pallas.fdtd3d import compute_halos, compute_nl_halos
 from ..ops.pallas.strip import (b_half_plane, d_half_plane,
                                 e_assemble_plane)
 from .fused_mesh import ShardedFdtd3d, e_eff_plane, sharded_supported
@@ -93,11 +96,47 @@ def _strip_state_local(plan, L, state, x, fu_pieces, w_pieces):
     return st
 
 
+def _disp_clear_of_boundaries(plan, n_shards: int) -> bool:
+    """Dispersive/NL support (pol sigma, chi2/chi3/nrchi2 boxes) must
+    clear every shard boundary by >= 4 x-planes on both sides: the
+    two-plane boundary strips plus the halo-in-time recompute's one-
+    plane reach are then exactly linear, and the stored-E/P identity
+    rows make the x_uniform widened window exact at the strips."""
+    boxes = getattr(plan, "support_boxes", None) or {}
+    S = tuple(plan.storage_shape or plan.gv.shape)
+    span = S[0] // n_shards
+    keys = []
+    for pi, p in enumerate(plan.pol_specs_e + plan.pol_specs_h):
+        for (c, d) in p.sigma:
+            keys.append(f"pol{pi}:{c}:{d}")
+    for s in plan.eh_specs_e:
+        if s.has_chi3:
+            keys += [f"{s.ec}:chi3", f"{s.ec}:chi2"]
+        if s.has_nr:
+            keys += [f"{s.ec}:nrchi2"]
+    for key in keys:
+        b = boxes.get(key)
+        if b is None:
+            continue
+        x0, x1 = b[0]
+        for g in range(span, S[0], span):
+            if x0 < g + 4 and x1 > g - 4:
+                return False
+    return True
+
+
 def sharded_t2_supported(plan, n_shards: int, bx: Optional[int] = None
                          ) -> bool:
-    """Envelope for the sharded depth-2 driver."""
-    if F1._has_disp(plan) or any(plan.periodic):
+    """Envelope for the sharded depth-2 driver (linear or dispersive
+    with shard-boundary clearance)."""
+    if any(plan.periodic):
         return False
+    if F1._has_disp(plan):
+        from ..ops.pallas import fdtd3d_t2 as _T2
+        if not _T2.supported(plan, depth=2):
+            return False
+        if not _disp_clear_of_boundaries(plan, n_shards):
+            return False
     if not sharded_supported(plan, n_shards, bx):
         return False
     from .fused_mesh import _fit_bx
@@ -148,7 +187,8 @@ class ShardedFdtd3dT2:
         s1_xn = nblk_l if side else 0
         s2_x0 = "all" if side else None
         self.call = T2._build_call2(self.Ll, 0, nblk_l, side, True, True,
-                                    s1_xn, s2_x0, depth=2, disp=False,
+                                    s1_xn, s2_x0, depth=2,
+                                    disp=self.Ll.disp is not None,
                                     dyn_xoff=True, edge_pkg=True)
         self.skeys, self.fu_pieces, self.w_pieces = _strip_keys(
             plan, self.Lg)
@@ -327,6 +367,12 @@ class ShardedFdtd3dT2:
             for g in call.halo_keys:
                 halos[g] = halos[g].at[-1:].set(
                     jnp.where(idx == n - 1, 0.0, e_p0[g]).astype(dtype))
+            if call.nlh_keys:
+                # NL next-plane halos: local, zero-padded at the shard
+                # edge (exact: NL support clears every boundary by >= 4,
+                # _disp_clear_of_boundaries)
+                halos = {**halos, **compute_nl_halos(
+                    Ll, bx, call.nlh_keys, state_l, C_l)}
 
             xs2 = dict(xscal)
             xs2["xoff"] = (idx * span).reshape(1, 1).astype(jnp.int32)

@@ -98,3 +98,69 @@ def test_sharded_run_selects_t2():
         np.testing.assert_allclose(np.asarray(out["f"][c]),
                                    np.asarray(ref["f"][c]),
                                    atol=3e-6 * scale, err_msg=f"f[{c}]")
+
+
+def _plan_disp(with_nr=False, cells=(64, 16, 16), res=8.0, src_x=-1.0):
+    """Lorentz pol (+ optional chi2-NR) window interior to shard 1 of 4
+    (clear of every shard boundary by >= 4 planes)."""
+    from meep_nl_tpu.stepper.plan import PolSpec
+    size = [n / res for n in cells]
+    gv = G.GridVolume.create("3d", size, res)
+    shape = gv.shape
+    win = np.zeros(shape)
+    # storage pads 65 -> 72: span 18, boundaries {18, 36, 54}; the
+    # window [24, 30) clears both neighbors by >= 4 planes
+    win[24:30, 4:12, 4:12] = 1.0
+    pols = [PolSpec(field_type="e", omega0=2.0, gamma=0.05,
+                    sigma={("ex", "x"): 0.2 * win,
+                           ("ey", "y"): 0.2 * win,
+                           ("ez", "z"): 0.2 * win})]
+    nr = {}
+    if with_nr:
+        chi2 = np.zeros(shape)
+        # NL support must clear the y/z PML slabs by the +1 stencil
+        chi2[24:30, 6:10, 6:10] = 0.05
+        nr = {c: chi2 for c in ("ex", "ey", "ez")}
+    src_t = mnt.GaussianSource(frequency=1.0, fwidth=0.5)
+    pts = gv.interp_weights("ez", [src_x, 0.0, 0.0])
+    idx = np.array([p for p, w in pts], np.int32)
+    amps = np.array([w for p, w in pts], np.complex128)
+    src = SrcVolSpec("ez", idx, amps, src_t)
+    plan = compile_plan(gv, MaterialSpec(chi1inv={}, pols=pols,
+                                         nr_chi2=nr),
+                        pmls=[PMLSpec(d, 0.5) for d in "xyz"],
+                        sources=[src], pad_to_multiple=(8, 1, 1))
+    plan.slab_opt = True
+    return plan
+
+
+def test_sharded_t2_dispersive_lorentz():
+    _compare(_plan_disp(), 12)
+
+
+def test_sharded_t2_dispersive_nr_chi2():
+    # source outside the NL stencil reach (the kernel's NL invariant)
+    _compare(_plan_disp(with_nr=True, src_x=-2.5), 12)
+
+
+def test_sharded_t2_rejects_window_on_boundary():
+    # a pol window straddling the shard-1/2 boundary (x=36) must fall off
+    from meep_nl_tpu.stepper.plan import PolSpec
+    plan = _plan_disp()
+    res, cells = 8.0, (64, 16, 16)
+    size = [n / res for n in cells]
+    gv = G.GridVolume.create("3d", size, res)
+    win = np.zeros(gv.shape)
+    win[33:39, 4:12, 4:12] = 1.0
+    pols = [PolSpec(field_type="e", omega0=2.0, gamma=0.05,
+                    sigma={("ez", "z"): 0.2 * win})]
+    src_t = mnt.GaussianSource(frequency=1.0, fwidth=0.5)
+    pts = gv.interp_weights("ez", [-1.0, 0.0, 0.0])
+    idx = np.array([p for p, w in pts], np.int32)
+    amps = np.array([w for p, w in pts], np.complex128)
+    plan2 = compile_plan(gv, MaterialSpec(chi1inv={}, pols=pols),
+                         pmls=[PMLSpec(d, 0.5) for d in "xyz"],
+                         sources=[SrcVolSpec("ez", idx, amps, src_t)],
+                         pad_to_multiple=(8, 1, 1))
+    assert sharded_t2_supported(plan, 4)
+    assert not sharded_t2_supported(plan2, 4)
