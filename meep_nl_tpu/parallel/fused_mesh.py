@@ -324,6 +324,21 @@ def sharded_hybrid_run(plan, mesh: Mesh, state: Dict[str, Any],
     plan.slab_opt = True
     sk = ShardedFdtd3d(plan, mesh)
     step = sk.make_step()
+    # depth-2 halo-in-time pairs inside each cycle when the plan fits
+    # (the single-device hybrid's 2/1-step mix under SPMD)
+    step2 = None
+    npair2 = 0
+    if d >= 2:
+        try:
+            from .fused_mesh_t2 import (ShardedFdtd3dT2,
+                                        sharded_t2_supported)
+            if sharded_t2_supported(plan, sk.n, sk.bx):
+                sk2 = ShardedFdtd3dT2(plan, mesh, bx=sk.bx)
+                step2 = sk2.make_step()
+                npair2 = d // 2
+        except Exception:                  # noqa: BLE001
+            step2 = None
+            npair2 = 0
 
     t = t0
     if prefix:
@@ -340,8 +355,16 @@ def sharded_hybrid_run(plan, mesh: Mesh, state: Dict[str, Any],
 
         def body(carry, xc):
             comp, dft = carry
-            for j in range(d):
-                comp = step(comp, {k: xc[k][j] for k in xc}, C)
+            if step2 is not None:
+                for q in range(npair2):
+                    comp = step2(comp,
+                                 {k: xc[k][2 * q:2 * q + 2] for k in xc},
+                                 C)
+                for j in range(2 * npair2, d):
+                    comp = step(comp, {k: xc[k][j] for k in xc}, C)
+            else:
+                for j in range(d):
+                    comp = step(comp, {k: xc[k][j] for k in xc}, C)
             # DFT-only sample from the read-only full view (E at
             # (t+1)dt, H at (t+1/2)dt == the jnp in-step sampling)
             full = sk.to_full(comp, C)

@@ -233,3 +233,50 @@ def test_sharded_disp_envelope():
     # clearance 3), rejected for 8 (boundary 40 inside the block)
     assert sharded_supported(plan, 4, 8)
     assert not sharded_supported(plan, 8)
+
+
+def test_sharded_hybrid_dft_depth2_pairs():
+    """Monitored sharded runs take depth-2 halo-in-time pairs inside
+    each DFT cycle when the plan fits the sharded t2 envelope (source
+    clear of shard boundaries): outputs must match the jnp SPMD path."""
+    from meep_nl_tpu.stepper.step import init_state
+    from meep_nl_tpu.stepper import monitors as M
+    from meep_nl_tpu.parallel.fused_mesh import sharded_hybrid_run
+    from meep_nl_tpu.parallel.fused_mesh_t2 import sharded_t2_supported
+    res, cells = 8.0, (63, 16, 16)
+    size = [n / res for n in cells]
+    gv = G.GridVolume.create("3d", size, res)
+    src_t = mnt.GaussianSource(frequency=1.0, fwidth=0.5)
+    pts = gv.interp_weights("ez", [-0.9, 0.0, 0.0])
+    idx = np.array([p for p, w in pts], np.int32)
+    amps = np.array([w for p, w in pts], np.complex128)
+    src = SrcVolSpec("ez", idx, amps, src_t)
+    freqs = np.linspace(0.9, 1.1, 3)
+    specs = M.flux_specs(gv, "flux0:0", "x", [size[0] / 4, 0.0, 0.0],
+                         [0.0, 1.2, 1.2], freqs, decimation=4)
+    plan = compile_plan(gv, MaterialSpec(chi1inv={}),
+                        pmls=[PMLSpec(d, 0.5) for d in "xyz"],
+                        sources=[src], dfts=specs,
+                        pad_to_multiple=(8, 1, 1))
+    plan.slab_opt = True
+    mesh = PM.make_mesh(4, shape=(4,))
+    assert sharded_t2_supported(plan, 4), "pair path must engage"
+    nsteps = 96
+    st_f = sharded_hybrid_run(plan, mesh, init_state(plan), nsteps, 0)
+    assert st_f is not None
+    st_j = PM.sharded_run(plan, mesh, init_state(plan), nsteps,
+                          prefer_fused=False)
+    scale = max(float(np.max(np.abs(np.asarray(v))))
+                for v in st_j["f"].values())
+    assert scale > 0
+    for c in st_j["f"]:
+        np.testing.assert_allclose(np.asarray(st_f["f"][c]),
+                                   np.asarray(st_j["f"][c]),
+                                   atol=3e-6 * scale, err_msg=c)
+    dscale = max(float(np.abs(np.asarray(v)).max())
+                 for v in st_j["dft"].values())
+    assert dscale > 0
+    for k in st_j["dft"]:
+        np.testing.assert_allclose(np.asarray(st_f["dft"][k]),
+                                   np.asarray(st_j["dft"][k]),
+                                   atol=1e-5 * dscale, err_msg=f"dft[{k}]")
