@@ -164,3 +164,38 @@ def test_sharded_t2_rejects_window_on_boundary():
                          pad_to_multiple=(8, 1, 1))
     assert sharded_t2_supported(plan, 4)
     assert not sharded_t2_supported(plan2, 4)
+
+
+def test_sharded_t2_conductivity_fold_route():
+    """Lossy (D-conductivity) plans fold onto the chain coefs
+    (ops/pallas/condfold) and route through the sharded depth-2 driver;
+    outputs match the jnp SPMD path."""
+    res, cells = 8.0, (64, 16, 16)
+    size = [n / res for n in cells]
+    gv = G.GridVolume.create("3d", size, res)
+    sig = np.zeros(gv.shape)
+    sig[24:30, 6:10, 6:10] = 0.4
+    cond = {c: sig for c in ("dx", "dy", "dz")}
+    src_t = mnt.GaussianSource(frequency=1.0, fwidth=0.5)
+    pts = gv.interp_weights("ez", [-1.0, 0.0, 0.0])
+    idx = np.array([p for p, w in pts], np.int32)
+    amps = np.array([w for p, w in pts], np.complex128)
+    plan = compile_plan(gv, MaterialSpec(chi1inv={}, cond=cond),
+                        pmls=[PMLSpec(d, 0.5) for d in "xyz"],
+                        sources=[SrcVolSpec("ez", idx, amps, src_t)],
+                        pad_to_multiple=(8, 1, 1))
+    plan.slab_opt = True
+    from meep_nl_tpu.ops.pallas.condfold import cond_fold_of
+    fold = cond_fold_of(plan)
+    assert fold is not None and sharded_t2_supported(fold, 4)
+    mesh = PM.make_mesh(4, shape=(4,))
+    out = PM.sharded_run(plan, mesh, init_state(plan), 24)
+    ref = PM.sharded_run(plan, mesh, init_state(plan), 24,
+                         prefer_fused=False)
+    scale = max(float(np.max(np.abs(np.asarray(v))))
+                for v in ref["f"].values())
+    assert scale > 0
+    for c in ref["f"]:
+        np.testing.assert_allclose(np.asarray(out["f"][c]),
+                                   np.asarray(ref["f"][c]),
+                                   atol=3e-6 * scale, err_msg=f"f[{c}]")
