@@ -46,10 +46,21 @@ from .models.simulation import (Simulation, PML, Absorber, FluxRegion,
                                 get_total_energy, get_ldos_freqs,
                                 get_near2far_freqs, get_eigenmode_freqs,
                                 quiet, DftObj, DftFlux, DftForce, DftEnergy,
-                                DftFields, DftNear2Far, Ldos)
+                                DftFields, DftNear2Far, Ldos,
+                                scale_flux_fields,
+                                bands_to_diffractedplanewave, complexarray,
+                                find_root_deriv, divide_parallel_processes,
+                                get_num_groups, get_group_masters,
+                                am_master, am_really_master,
+                                count_processors)
 from .analysis.harminv import Harminv, harminv
 from .analysis.bands import ModeSolver, ModeSolver3D, retrieve_gap
 from .analysis.mpb_data import MPBData
+from .analysis.modes import Mode1D, Mode2D
+EigenmodeData = Mode2D      # get_eigenmode's return type (3d full-vector)
+from .models.geom import (geometric_object_duplicates,
+                          geometric_objects_duplicates,
+                          geometric_objects_lattice_duplicates)
 
 inf = float("inf")
 

@@ -906,3 +906,48 @@ def interpolate(n: int, nums: Sequence):
                        else (v[0] if v.size == 1 else v))
     out.append(items[-1])
     return out
+
+
+def geometric_object_duplicates(shift_vector, min_multiple, max_multiple,
+                                obj):
+    """Copies of obj at center + k*shift for k in
+    [min_multiple, max_multiple] (libctl geometric-object-duplicates)."""
+    sv = np.asarray(list(_v3(shift_vector)), float)
+    out = []
+    for k in range(int(min_multiple), int(max_multiple) + 1):
+        c = np.asarray(list(_v3(obj.center))) + k * sv
+        out.append(dataclasses.replace(obj, center=Vector3(*c)))
+    return out
+
+
+def geometric_objects_duplicates(shift_vector, min_multiple, max_multiple,
+                                 objs):
+    out = []
+    for obj in objs:
+        out += geometric_object_duplicates(shift_vector, min_multiple,
+                                           max_multiple, obj)
+    return out
+
+
+def geometric_objects_lattice_duplicates(lat, objs, *usize):
+    """Duplicate objs to tile the lattice cell (libctl
+    geometric-objects-lattice-duplicates): one copy per unit cell along
+    each basis direction covering lat.size (or the given usize)."""
+    u = list(usize) + [1.0] * (3 - len(usize))
+    sz = list(_v3(lat.size))
+    out = list(objs)
+    for ax, b in enumerate((lat.basis1, lat.basis2, lat.basis3)):
+        n = int(round(sz[ax] / u[ax])) if u[ax] else 1
+        if n <= 1:
+            continue
+        bv = np.asarray(list(_v3(b)), float)
+        bv = bv / (np.linalg.norm(bv) or 1.0) * u[ax]
+        lo = -(n // 2)
+        hi = lo + n - 1
+        new = []
+        for obj in out:
+            for k in range(lo, hi + 1):
+                c = np.asarray(list(_v3(obj.center))) + k * bv
+                new.append(dataclasses.replace(obj, center=Vector3(*c)))
+        out = new
+    return out

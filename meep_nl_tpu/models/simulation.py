@@ -2195,6 +2195,48 @@ class Simulation:
                 dft[key] = dft[key] - jnp.asarray(arr)
         self._state = {**self._state, "dft": dft}
 
+    def load_flux_data(self, handle, data):
+        """Replace this monitor's DFT fields with a snapshot
+        (load_flux_data)."""
+        self.init_sim()
+        import jax.numpy as jnp
+        dft = dict(self._state["dft"])
+        for key, arr in data.items():
+            if key in dft:
+                dft[key] = jnp.asarray(arr)
+        self._state = {**self._state, "dft": dft}
+
+    def save_flux(self, fname, handle):
+        """Save a monitor's DFT fields to an .npz (the reference's HDF5
+        save_flux role)."""
+        np.savez(fname if fname.endswith(".npz") else fname + ".npz",
+                 **self.get_flux_data(handle))
+
+    def load_flux(self, fname, handle):
+        with np.load(fname if fname.endswith(".npz")
+                     else fname + ".npz") as z:
+            self.load_flux_data(handle, dict(z))
+
+    def load_minus_flux(self, fname, handle):
+        with np.load(fname if fname.endswith(".npz")
+                     else fname + ".npz") as z:
+            self.load_minus_flux_data(handle, dict(z))
+
+    # same prefix-keyed snapshot mechanics for every DFT monitor type
+    # (get_force_data / load_minus_force_data etc. in the reference)
+    get_force_data = get_flux_data
+    load_minus_force_data = load_minus_flux_data
+    get_near2far_data = get_flux_data
+    load_minus_near2far_data = load_minus_flux_data
+    get_energy_data = get_flux_data
+    load_minus_energy_data = load_minus_flux_data
+    save_force = save_flux
+    load_force = load_flux
+    load_minus_force = load_minus_flux
+    save_near2far = save_flux
+    load_near2far = load_flux
+    load_minus_near2far = load_minus_flux
+
     def get_dft_array(self, handle, component, num_freq=None):
         arr = _dview(self._state["dft"][f"{handle.name}:{component}"])
         if num_freq is not None:
@@ -3102,3 +3144,108 @@ DftEnergy = _FluxHandle
 DftForce = _FluxHandle
 Ldos = _FluxHandle
 dft_ldos = _FluxHandle
+
+
+def scale_flux_fields(s, flux):
+    """Scale the Fourier-transformed fields of a monitor by the complex
+    number s (python/simulation.py scale_flux_fields; load_minus_flux ==
+    load_flux + scale by -1).  Accumulators are (..., nfreq, 2) re/im
+    stacks, so complex s is a 2x2 rotation on the last axis."""
+    sim = _handle_sim(flux)
+    sim.init_sim()
+    s = complex(s)
+    dft = dict(sim._state["dft"])
+    for key in list(dft):
+        if key.startswith(flux.name + ":"):
+            re = dft[key][..., 0]
+            im = dft[key][..., 1]
+            dft[key] = jnp.stack([s.real * re - s.imag * im,
+                                  s.real * im + s.imag * re], axis=-1)
+    sim._state = {**sim._state, "dft": dft}
+
+
+def bands_to_diffractedplanewave(where, bands):
+    """Normalize a DiffractedPlanewave band spec against its monitor
+    region (python/simulation.py bands_to_diffractedplanewave): fills
+    the default axis (the region's first in-plane direction) and checks
+    it is nonzero."""
+    axis = bands.axis
+    if axis is None:
+        sz = tuple(_v3(where.size if hasattr(where, "size") else Vector3()))
+        for i, d in enumerate("xyz"):
+            if sz[i] != 0:
+                axis = Vector3(*(1.0 if j == i else 0.0 for j in range(3)))
+                break
+        if axis is None:
+            raise ValueError(
+                "axis parameter of DiffractedPlanewave must be a "
+                "non-zero Vector3")
+    a = np.asarray(tuple(_v3(axis)), float)
+    if np.linalg.norm(a) == 0:
+        raise ValueError(
+            "axis parameter of DiffractedPlanewave must be a non-zero "
+            "Vector3")
+    return dataclasses.replace(bands, axis=Vector3(*(a / np.linalg.norm(a))))
+
+
+def complexarray(re, im):
+    """re + 1j*im elementwise (python/simulation.py complexarray)."""
+    return np.asarray(re) + 1j * np.asarray(im)
+
+
+def find_root_deriv(f, tol, x_min, x_max, x_guess=None):
+    """Newton's method with bisection fallback for f returning
+    (value, derivative) (libctl find-root-deriv semantics)."""
+    lo, hi = float(x_min), float(x_max)
+    x = float(x_guess) if x_guess is not None else 0.5 * (lo + hi)
+    for _ in range(200):
+        val, dv = f(x)
+        if abs(val) < tol:
+            return x
+        if val > 0:
+            hi = min(hi, x)
+        else:
+            lo = max(lo, x)
+        x_new = x - val / dv if dv != 0 else 0.5 * (lo + hi)
+        if not (lo < x_new < hi):
+            x_new = 0.5 * (lo + hi)
+        x = x_new
+    return x
+
+
+# ---- process groups (single-controller JAX: the mesh plays MPI's role;
+# parallel/groups.py runs real device-group sweeps) --------------------------
+
+_n_groups = 1
+
+
+def divide_parallel_processes(n: int) -> int:
+    """Declare n independent simulation groups (divide_parallel_processes).
+    Under the single-controller JAX runtime every group runs in this
+    process (use parallel.groups.run_parameter_sweep for real
+    device-group parallelism); returns this controller's group index."""
+    global _n_groups
+    _n_groups = int(n)
+    return 0
+
+
+def get_num_groups() -> int:
+    return _n_groups
+
+
+def get_group_masters():
+    """Rank of each group's master (all 0 under one controller)."""
+    return [0] * _n_groups
+
+
+def am_master() -> bool:
+    return True
+
+
+def am_really_master() -> bool:
+    return True
+
+
+def count_processors() -> int:
+    import jax
+    return max(1, jax.device_count())

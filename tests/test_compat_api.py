@@ -130,3 +130,59 @@ def test_volume_matrix_lattice_misc():
     assert bp.numchunks() == 1
     sim.run(until=1)
     assert np.isfinite(np.asarray(sim.fields_state["f"]["ez"])).all()
+
+
+def test_flux_data_scale_save_load(tmp_path):
+    """scale_flux_fields(-1) == load_minus after load; npz save/load
+    round trip preserves the accumulators."""
+    def make():
+        sim = mp.Simulation(cell_size=mp.Vector3(6, 6, 0), resolution=10,
+                            sources=[mp.Source(
+                                mp.GaussianSource(frequency=1.0,
+                                                  fwidth=0.5),
+                                component=mp.Ez, center=mp.Vector3(-1, 0))],
+                            boundary_layers=[mp.PML(1.0)])
+        fl = sim.add_flux(1.0, 0.2, 3, mp.FluxRegion(
+            center=mp.Vector3(1.5, 0), size=mp.Vector3(0, 3)))
+        return sim, fl
+
+    sim, fl = make()
+    sim.run(until=20)
+    base = np.asarray(sim.get_fluxes(fl))
+    assert np.abs(base).max() > 0
+    data = sim.get_flux_data(fl)
+    fname = str(tmp_path / "norm")
+    sim.save_flux(fname, fl)
+
+    # scale by -1 flips the stored fields; flux is QUADRATIC in them,
+    # so get_fluxes is unchanged (that's why load_minus_flux == load_flux
+    # + scale(-1) subtracts when the second run accumulates on top)
+    mp.scale_flux_fields(-1.0, fl)
+    np.testing.assert_allclose(np.asarray(sim.get_fluxes(fl)), base,
+                               rtol=1e-6)
+    d1 = sim.get_flux_data(fl)
+    for k in data:
+        np.testing.assert_allclose(d1[k], -data[k], atol=1e-12)
+    # complex scale: 1j rotates re/im; |flux| magnitude-preserving for
+    # the quadratic flux assembly up to cross terms -> just check the
+    # accumulators rotated exactly
+    sim.load_flux_data(fl, data)
+    mp.scale_flux_fields(1j, fl)
+    d2 = sim.get_flux_data(fl)
+    for k in data:
+        np.testing.assert_allclose(d2[k][..., 0], -data[k][..., 1],
+                                   atol=1e-12)
+        np.testing.assert_allclose(d2[k][..., 1], data[k][..., 0],
+                                   atol=1e-12)
+
+    # fresh sim: load from file, then load_minus_flux zeroes it
+    sim2, fl2 = make()
+    sim2.init_sim()
+    sim2.load_flux(fname, fl2)
+    np.testing.assert_allclose(np.asarray(sim2.get_fluxes(fl2)), base,
+                               rtol=1e-6)
+    snap = sim2.get_flux_data(fl2)
+    sim2.load_minus_flux_data(fl2, snap)
+    for k in snap:
+        np.testing.assert_allclose(
+            np.asarray(sim2.get_flux_data(fl2)[k]), 0.0, atol=1e-14)
