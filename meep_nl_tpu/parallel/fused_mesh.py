@@ -784,65 +784,76 @@ class ShardedFdtd3d:
                 out_specs=sspecs,
                 check_rep=False)
             new_state = sm(state, C, self.bcoef)
-            # ---- sources: post-kernel scatter into D ------------------
-            # Exact because E is virtual (recomputed from D) at the
-            # source sites — except where an eh store array COVERS the
-            # site (x_uniform/z_full widened identity regions, where
-            # e == lin == u*d holds): update those by u * dD too.
-            for si, s in enumerate(plan.sources):
-                ec = s.component
-                dc = "d" + ec[1]
-                if dc not in new_state:
-                    continue
-                kre = f"src{si}:cur_re"
-                if kre not in x_t:
-                    continue
-                w_re = jnp.asarray(x_t[kre], dtype)
-                w_im = jnp.asarray(x_t[f"src{si}:cur_im"], dtype)
-                a_re = C[f"src{si}:amp_re"]
-                a_im = C[f"src{si}:amp_im"]
-                amp = (w_re * a_re - w_im * a_im) * plan.dt
-                idxs = C[f"src{si}:idx"]
-                new_state[dc] = new_state[dc].at[tuple(idxs.T)].add(-amp)
-                spec = Lg.eh_by_ec.get(ec)
-                if spec is None:
-                    continue
-                pts = np.asarray(s.indices)
-                if Lg.disp is not None and ec in Lg.de_comps:
-                    # stored-E window fixup: E is linear in D at source
-                    # sites (the envelope keeps sources out of NL stencil
-                    # reach; pol P is unchanged by injection), so the
-                    # stored value moves by u * dD exactly like E
-                    wy0, wy1 = Lg.win_y
-                    insw = (pts[:, 1] >= wy0) & (pts[:, 1] < wy1)
-                    if insw.any():
-                        wpts = pts[insw].copy()
-                        wpts[:, 1] -= wy0
-                        uw = C[f"{ec}:u"][tuple(pts[insw].T)] \
-                            if spec.has_u else 1.0
-                        new_state[f"de:{ec}"] = new_state[f"de:{ec}"].at[
-                            tuple(wpts.T)].add(-amp[insw] * uw)
-                if ec not in Lg.eh_store:
-                    continue
-                ax, lor, hir = Lg.eh_store[ec]
-                for side, (a, b) in (("lo", lor), ("hi", hir)):
-                    if b <= a:
-                        continue
-                    inside = (pts[:, ax] >= a) & (pts[:, ax] < b)
-                    if not inside.any():
-                        continue
-                    key = Lg.key("eh", ec, side)
-                    lpts = pts[inside].copy()
-                    lpts[:, ax] -= a
-                    ui = 1.0
-                    if spec.has_u:
-                        ui = C[f"{ec}:u"][tuple(pts[inside].T)]
-                    new_state[key] = new_state[key].at[
-                        tuple(lpts.T)].add(-amp[inside] * ui)
+            self._scatter_sources(new_state, x_t, C)
             new_state["t"] = state["t"] + 1
             return new_state
 
         return step
+
+    def _scatter_sources(self, new_state, x_t, C, imag: bool = False):
+        """Post-kernel source scatter into D (in place on the dict).
+
+        Exact because E is virtual (recomputed from D) at the source
+        sites — except where an eh store array COVERS the site
+        (x_uniform/z_full widened identity regions, where
+        e == lin == u*d holds): those move by u * dD too.  imag=True
+        injects Im[w a] instead of Re[w a] (the pair-channel drivers'
+        second channel)."""
+        plan, Lg = self.plan, self.Lg
+        dtype = plan.dtype
+        for si, s in enumerate(plan.sources):
+            ec = s.component
+            dc = "d" + ec[1]
+            if dc not in new_state:
+                continue
+            kre = f"src{si}:cur_re"
+            if kre not in x_t:
+                continue
+            w_re = jnp.asarray(x_t[kre], dtype)
+            w_im = jnp.asarray(x_t[f"src{si}:cur_im"], dtype)
+            a_re = C[f"src{si}:amp_re"]
+            a_im = C[f"src{si}:amp_im"]
+            if imag:
+                amp = (w_re * a_im + w_im * a_re) * plan.dt
+            else:
+                amp = (w_re * a_re - w_im * a_im) * plan.dt
+            idxs = C[f"src{si}:idx"]
+            new_state[dc] = new_state[dc].at[tuple(idxs.T)].add(-amp)
+            spec = Lg.eh_by_ec.get(ec)
+            if spec is None:
+                continue
+            pts = np.asarray(s.indices)
+            if Lg.disp is not None and ec in Lg.de_comps:
+                # stored-E window fixup: E is linear in D at source
+                # sites (the envelope keeps sources out of NL stencil
+                # reach; pol P is unchanged by injection), so the
+                # stored value moves by u * dD exactly like E
+                wy0, wy1 = Lg.win_y
+                insw = (pts[:, 1] >= wy0) & (pts[:, 1] < wy1)
+                if insw.any():
+                    wpts = pts[insw].copy()
+                    wpts[:, 1] -= wy0
+                    uw = C[f"{ec}:u"][tuple(pts[insw].T)] \
+                        if spec.has_u else 1.0
+                    new_state[f"de:{ec}"] = new_state[f"de:{ec}"].at[
+                        tuple(wpts.T)].add(-amp[insw] * uw)
+            if ec not in Lg.eh_store:
+                continue
+            ax, lor, hir = Lg.eh_store[ec]
+            for side, (a, b) in (("lo", lor), ("hi", hir)):
+                if b <= a:
+                    continue
+                inside = (pts[:, ax] >= a) & (pts[:, ax] < b)
+                if not inside.any():
+                    continue
+                key = Lg.key("eh", ec, side)
+                lpts = pts[inside].copy()
+                lpts[:, ax] -= a
+                ui = 1.0
+                if spec.has_u:
+                    ui = C[f"{ec}:u"][tuple(pts[inside].T)]
+                new_state[key] = new_state[key].at[
+                    tuple(lpts.T)].add(-amp[inside] * ui)
 
     def run(self, state, nsteps: int, t0: int = 0):
         xs_all = build_xs(self.plan, nsteps, t0)

@@ -151,9 +151,15 @@ def sharded_run(plan: Plan, mesh: Mesh, state: Dict[str, Any], nsteps: int,
                 # x-periodic: ring-topology driver (the wrap is one more
                 # shard boundary with the Bloch phase on it)
                 from .periodic_ring import (ShardedPeriodicX,
-                                            sharded_periodic_supported)
-                if sharded_periodic_supported(run_plan, n):
+                                            ShardedPairPeriodicX,
+                                            sharded_periodic_supported,
+                                            sharded_pair_periodic_supported)
+                sk = None
+                if sharded_pair_periodic_supported(run_plan, n):
+                    sk = ShardedPairPeriodicX(run_plan, mesh)
+                if sk is None and sharded_periodic_supported(run_plan, n):
                     sk = ShardedPeriodicX(run_plan, mesh)
+                if sk is not None:
                     comp = sk.from_full(state)
                     comp = sk.run(comp, nsteps, t0=t0)
                     full = jax.jit(sk.to_full)(comp)

@@ -95,3 +95,76 @@ def test_sharded_run_routes_periodic_ring():
         np.testing.assert_allclose(np.asarray(out["f"][c]),
                                    np.asarray(ref["f"][c]),
                                    atol=3e-6 * scale, err_msg=f"f[{c}]")
+
+
+def test_pair_ring_oblique_bloch():
+    """Arbitrary-k_x Bloch over the shard ring (two real channels with
+    2x2 wrap rotations) must match the complex jnp SPMD stepper."""
+    from meep_nl_tpu.parallel.periodic_ring import (
+        ShardedPairPeriodicX, sharded_pair_periodic_supported)
+    kx = 0.22 / 7.0                  # oblique: phase exp(2 pi i kx Lx)
+    res, cells = 8.0, (56, 16, 16)
+    size = [n / res for n in cells]
+    gv = G.GridVolume.create("3d", size, res)
+    src_t = mnt.GaussianSource(frequency=1.0, fwidth=0.5)
+    pts = gv.interp_weights("ez", [0.3, 0.0, 0.0])
+    idx = np.array([p for p, w in pts], np.int32)
+    amps = np.array([w for p, w in pts], np.complex128)
+    plan = compile_plan(gv, MaterialSpec(chi1inv={}),
+                        pmls=[PMLSpec(d, 0.5) for d in "yz"],
+                        periodic=(True, False, False),
+                        bloch_k=(kx, 0.0, 0.0),
+                        sources=[SrcVolSpec("ez", idx, amps, src_t)],
+                        pad_to_multiple=(8, 1, 1),
+                        complex_fields=True)
+    plan.real_pair = True
+    plan.slab_opt = True
+    assert sharded_pair_periodic_supported(plan, 4)
+    mesh = PM.make_mesh(4, shape=(4,))
+    sk = ShardedPairPeriodicX(plan, mesh)
+    nsteps = 96
+    import jax
+    full_k = jax.jit(sk.to_full)(sk.run(sk.init_state(), nsteps))
+    st_j = run(plan, init_state(plan), nsteps)
+    scale = max(float(np.max(np.abs(np.asarray(v))))
+                for v in st_j["f"].values())
+    assert scale > 0
+    for c in st_j["f"]:
+        np.testing.assert_allclose(np.asarray(full_k["f"][c]),
+                                   np.asarray(st_j["f"][c]),
+                                   atol=4e-6 * scale, err_msg=f"f[{c}]")
+    # the wrap is live AND carries a genuinely complex phase: both
+    # channels have energy at the re-entry planes
+    for ch in (0, 1):
+        ez = np.asarray(st_j["f"]["ez"])[ch]
+        assert np.abs(ez[:2]).max() > 1e-6 * scale, ch
+
+
+def test_sharded_run_routes_pair_ring():
+    kx = 0.22 / 7.0
+    res, cells = 8.0, (56, 16, 16)
+    size = [n / res for n in cells]
+    gv = G.GridVolume.create("3d", size, res)
+    src_t = mnt.GaussianSource(frequency=1.0, fwidth=0.5)
+    pts = gv.interp_weights("ez", [0.3, 0.0, 0.0])
+    idx = np.array([p for p, w in pts], np.int32)
+    amps = np.array([w for p, w in pts], np.complex128)
+    plan = compile_plan(gv, MaterialSpec(chi1inv={}),
+                        pmls=[PMLSpec(d, 0.5) for d in "yz"],
+                        periodic=(True, False, False),
+                        bloch_k=(kx, 0.0, 0.0),
+                        sources=[SrcVolSpec("ez", idx, amps, src_t)],
+                        pad_to_multiple=(8, 1, 1), complex_fields=True)
+    plan.real_pair = True
+    plan.slab_opt = True
+    mesh = PM.make_mesh(4, shape=(4,))
+    out = PM.sharded_run(plan, mesh, init_state(plan), 24)
+    ref = PM.sharded_run(plan, mesh, init_state(plan), 24,
+                         prefer_fused=False)
+    scale = max(float(np.max(np.abs(np.asarray(v))))
+                for v in ref["f"].values())
+    assert scale > 0
+    for c in ref["f"]:
+        np.testing.assert_allclose(np.asarray(out["f"][c]),
+                                   np.asarray(ref["f"][c]),
+                                   atol=3e-6 * scale, err_msg=f"f[{c}]")
