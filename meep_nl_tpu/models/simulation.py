@@ -2444,6 +2444,16 @@ class Simulation:
                 series[k].append(arr)
         else:
             if self.use_fused:
+                # VMEM-resident whole-grid path first: 1D/2D/cyl/small-3D
+                # plans whose entire state fits on-chip run the full time
+                # loop in ONE Mosaic program (zero per-step HBM traffic)
+                from ..ops.pallas.resident import resident_run
+                out = resident_run(self._plan, self._state, nsteps,
+                                   self._t)
+                if out is not None:
+                    self._state = out
+                    self._t += nsteps
+                    return
                 # hybrid production path: fused Mosaic kernel between DFT
                 # sample steps, one jnp step on each sample step (exact:
                 # build_xs zeroes the phase rows off-sample)

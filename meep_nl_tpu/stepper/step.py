@@ -1068,6 +1068,20 @@ def _compute_fmp(plan: Plan, C: Dict[str, Any], ft: str,
             if key not in xs:
                 continue
             w_re, w_im = xs[key], xs[f"src{si}:dip_im"]
+            if getattr(plan, "scatter_free", False):
+                # dense integrated dipoles (no cndinv on this path)
+                dre = C[f"src{si}:dense_re"]
+                dim_ = C[f"src{si}:dense_im"]
+                if _is_pair(plan):
+                    fmp[dc] = fmp[dc] - jnp.stack(
+                        [w_re * dre - w_im * dim_,
+                         w_re * dim_ + w_im * dre])
+                elif plan.complex_fields:
+                    fmp[dc] = fmp[dc] - (w_re + 1j * w_im) \
+                        * (dre + 1j * dim_)
+                else:
+                    fmp[dc] = fmp[dc] - (w_re * dre - w_im * dim_)
+                continue
             a_re, a_im = C[f"src{si}:amp_re"], C[f"src{si}:amp_im"]
             idx = C[f"src{si}:idx"]
             if _is_pair(plan):
@@ -1118,6 +1132,25 @@ def _apply_sources(plan: Plan, C: Dict[str, Any], ft2: str,
         if dc not in f:
             continue
         w_re, w_im = xs[key], xs[f"src{si}:cur_im"]
+        if getattr(plan, "scatter_free", False):
+            # dense-source mode (ops/pallas/resident): the per-index
+            # scatter-adds do not lower to Mosaic, so the amplitude (and
+            # cndinv) pattern is pre-scattered into full-grid dense
+            # arrays and the injection is a multiply-add
+            dre = C[f"src{si}:dense_re"]
+            dim_ = C[f"src{si}:dense_im"]
+            if _is_pair(plan):
+                delta = jnp.stack([(w_re * dre - w_im * dim_) * dt,
+                                   (w_re * dim_ + w_im * dre) * dt])
+            elif plan.complex_fields:
+                delta = (w_re + 1j * w_im) * (dre + 1j * dim_) * dt
+            else:
+                delta = (w_re * dre - w_im * dim_) * dt
+            f[dc] = f[dc] - delta
+            for aux in (f_cond, f_u):
+                if dc in aux:
+                    aux[dc] = aux[dc] - delta
+            continue
         a_re, a_im = C[f"src{si}:amp_re"], C[f"src{si}:amp_im"]
         idx = C[f"src{si}:idx"]
         if _is_pair(plan):
@@ -1217,6 +1250,21 @@ def _dft_update(plan: Plan, C: Dict[str, Any], state: Dict[str, Any],
             if fi is not None:
                 cr = cr - wi * fi
             ci = (ci + wi * fr) if ci is not None else wi * fr
+        if getattr(plan, "dft_front", False):
+            # frequency-major accumulator layout (nfreq, 2, region...):
+            # the resident kernel (ops/pallas/resident) keeps the region
+            # axes minor so Mosaic tiles them on the (8,128) lanes
+            # instead of padding the tiny (nfreq, 2) tail
+            shp = (-1,) + (1,) * cr.ndim
+            phr_ = jnp.reshape(phr, shp)
+            phi_ = jnp.reshape(phi, shp)
+            dre = phr_ * cr[None]
+            dim = phi_ * cr[None]
+            if ci is not None:
+                dre = dre - phi_ * ci[None]
+                dim = dim + phr_ * ci[None]
+            dft[m.name] = dft[m.name] + jnp.stack([dre, dim], axis=1)
+            continue
         dre = cr[..., None] * phr
         dim = cr[..., None] * phi
         if ci is not None:
@@ -1250,6 +1298,15 @@ def _axis_specials(plan: Plan, C, ft2: str, state):
 
     def set_ring(arr, val, i=0):
         off = arr.ndim - gv.ndim
+        if getattr(plan, "scatter_free", False):
+            # where-based ring write (the .at[].set below lowers to a
+            # dynamic_update_slice, which Mosaic rejects in-kernel)
+            n = arr.shape[rax + off]
+            io = jax.lax.iota(jnp.int32, n)
+            shape = [1] * arr.ndim
+            shape[rax + off] = n
+            return jnp.where(io.reshape(shape) == i,
+                             jnp.expand_dims(val, rax + off), arr)
         idx = [slice(None)] * arr.ndim
         idx[rax + off] = i
         return arr.at[tuple(idx)].set(val)
