@@ -2425,6 +2425,15 @@ class Simulation:
         if probes:
             ys = None
             if self.use_fused:
+                # resident probed path first: whole-grid-in-VMEM time
+                # loop with per-step SMEM probe series (covers the pair/
+                # complex and dispersive plans fused_probed_run declines)
+                from ..ops.pallas.resident import resident_probed_run
+                out = resident_probed_run(self._plan, self._state, nsteps,
+                                          self._t, probes)
+                if out is not None:
+                    self._state, ys = out
+            if ys is None and self.use_fused:
                 # probe-emitting fused path: per-step point samples
                 # gathered from the compact kernel state (Harminv /
                 # FieldProbe collectors leave the jnp stepper)

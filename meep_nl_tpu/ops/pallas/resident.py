@@ -277,6 +277,137 @@ class ResidentKernel:
         r = self._runners[key] = jax.jit(build)
         return r
 
+    def _runner_probed(self, nchunk: int, treedef, xs_keys, coef_keys,
+                       pdefs):
+        """Probed variant: per-step weighted point samples written to
+        SMEM series outputs at the loop index (the analog of stepper
+        run()'s scan-emitted probes, monitor.cpp get_field series)."""
+        key = ("probed", nchunk, tuple(xs_keys), tuple(coef_keys), pdefs)
+        r = self._runners.get(key)
+        if r is not None:
+            return r
+        from ...stepper.step import make_step
+        step = make_step(self.rplan)
+        n_state = treedef.num_leaves
+        n_coef = len(coef_keys)
+        n_xs = len(xs_keys)
+        n_probe = len(pdefs)
+        pair = bool(getattr(self.rplan, "real_pair", False)
+                    and self.rplan.complex_fields)
+
+        def kernel(*refs):
+            srefs = refs[:n_state]
+            crefs = refs[n_state:n_state + n_coef]
+            xrefs = refs[n_state + n_coef:n_state + n_coef + n_xs]
+            orefs = refs[n_state + n_coef + n_xs:
+                         n_state + n_coef + n_xs + n_state]
+            prefs = refs[n_state + n_coef + n_xs + n_state:]
+            C = {k: r[...] for k, r in zip(coef_keys, crefs)}
+
+            def body(i, leaves):
+                st = dict(jax.tree_util.tree_unflatten(treedef, leaves))
+                st["t"] = jnp.int32(0)
+                xt = {}
+                for k, r in zip(xs_keys, xrefs):
+                    xt[k] = r[i] if len(r.shape) == 1 else r[pl.ds(i, 1)]
+                st = step(st, xt, C)
+                for pr, (name, comp, pts, wr, wi) in zip(prefs, pdefs):
+                    arr = st["f"][comp]
+                    if pair:
+                        vr = jnp.float32(0.0)
+                        vi = jnp.float32(0.0)
+                        for (ij, a, b) in zip(pts, wr, wi):
+                            fr = arr[(0,) + ij]
+                            fi = arr[(1,) + ij]
+                            vr = vr + fr * a - fi * b
+                            vi = vi + fr * b + fi * a
+                        pr[i, 0] = vr
+                        pr[i, 1] = vi
+                    else:
+                        v = jnp.float32(0.0)
+                        for (ij, a) in zip(pts, wr):
+                            v = v + arr[ij] * a
+                        pr[i] = v
+                del st["t"]
+                return tuple(jax.tree_util.tree_leaves(st))
+
+            leaves0 = tuple(r[...] for r in srefs)
+            out = jax.lax.fori_loop(0, nchunk, body, leaves0)
+            for r, v in zip(orefs, out):
+                r[...] = v
+
+        def build(state_leaves, C_list, xs_list):
+            out_shape = (
+                [jax.ShapeDtypeStruct(l.shape, l.dtype)
+                 for l in state_leaves]
+                + [jax.ShapeDtypeStruct((nchunk, 2) if pair
+                                        else (nchunk,), jnp.float32)
+                   for _ in range(n_probe)])
+            in_specs = (
+                [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_state
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_coef
+                + [_xs_spec(v) for v in xs_list])
+            out_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] * n_state
+                         + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+                         * n_probe)
+            fn = pl.pallas_call(
+                kernel,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                out_shape=out_shape,
+                input_output_aliases={i: i for i in range(n_state)},
+                interpret=_interpret(),
+            )
+            res = fn(*state_leaves, *C_list, *xs_list)
+            return res[:n_state], res[n_state:]
+
+        r = self._runners[key] = jax.jit(build)
+        return r
+
+    def run_probed(self, state, nsteps: int, t0: int, probes):
+        """(state, {name: series}) with per-step probe samples; series
+        are (nsteps,) real or (nsteps, 2) pair rows."""
+        from ...stepper.step import build_xs
+        rplan = self.rplan
+        pair = bool(getattr(rplan, "real_pair", False)
+                    and rplan.complex_fields)
+        pdefs = []
+        for p in probes:
+            idx = np.asarray(p.indices)
+            w = np.asarray(p.weights)
+            if not pair and np.iscomplexobj(w) \
+                    and np.abs(w.imag).max() > 0:
+                raise ValueError("complex probe weights need pair fields")
+            pts = tuple(tuple(int(q) for q in row) for row in idx)
+            wr = tuple(float(x) for x in np.real(w))
+            wi = tuple(float(x) for x in np.imag(w))
+            pdefs.append((p.name, p.component, pts, wr, wi))
+        pdefs = tuple(pdefs)
+        state = dict(state)
+        state["dft"] = {k: jnp.moveaxis(v, (-2, -1), (0, 1))
+                        for k, v in state.get("dft", {}).items()}
+        t, leaves, treedef = self._split_state(state)
+        series = {p.name: [] for p in probes}
+        done = 0
+        while done < nsteps:
+            n = min(nsteps - done, MAX_CHUNK)
+            xs = build_xs(rplan, n, t0 + done)
+            xs_keys = sorted(xs)
+            xs_list = [xs[k] for k in xs_keys]
+            runner = self._runner_probed(n, treedef, xs_keys,
+                                         self.coef_keys, pdefs)
+            leaves, ys = runner(leaves, self._C_list, xs_list)
+            for p, arr in zip(probes, ys):
+                series[p.name].append(arr)
+            done += n
+        out = dict(jax.tree_util.tree_unflatten(treedef, leaves))
+        out["dft"] = {k: jnp.moveaxis(v, (0, 1), (-2, -1))
+                      for k, v in out.get("dft", {}).items()}
+        out["t"] = t + nsteps
+        ys = {k: jnp.concatenate(v) if len(v) > 1 else v[0]
+              for k, v in series.items()}
+        return out, ys
+
     # -----------------------------------------------------------------------
     def run(self, state, nsteps: int, t0: int = 0):
         """Advance `state` by nsteps entirely on-chip (chunked pallas
@@ -331,6 +462,38 @@ def validate_lowering(plan, nsteps: int = 8) -> int:
     exp = export.export(runner, platforms=["tpu"])(
         sds(leaves), sds(ker._C_list), sds(xs_list))
     return len(exp.mlir_module())
+
+
+def resident_probed_run(plan, state, nsteps: int, t0: int, probes
+                        ) -> Optional[tuple]:
+    """Probe-emitting production entry: (state, {name: series}) through
+    the resident kernel, or None outside the envelope (caller falls back
+    to fused_probed_run / the jnp scan)."""
+    if getattr(plan, "_resident_broken", False):
+        return None
+    if jax.default_backend() == "cpu" \
+            and os.environ.get("MNT_RESIDENT_CPU") != "1":
+        return None
+    if getattr(plan, "slab_store", False):
+        return None
+    if not resident_supported(plan):
+        return None
+    for p in probes:
+        if p.component not in state.get("f", {}):
+            return None
+    try:
+        ker = getattr(plan, "_resident_kernel", None)
+        if ker is None:
+            ker = plan._resident_kernel = ResidentKernel(plan)
+        return ker.run_probed(state, nsteps, t0, probes)
+    except Exception as e:                       # noqa: BLE001
+        import warnings
+        plan._resident_broken = True
+        warnings.warn(
+            "resident probed kernel failed to build "
+            f"({type(e).__name__}: {str(e)[:200]}); falling back",
+            stacklevel=2)
+        return None
 
 
 def resident_run(plan, state, nsteps: int, t0: int

@@ -201,6 +201,62 @@ def test_chunked_run_matches_single(resident_cpu, monkeypatch):
     assert np.abs(a1 - a2).max() < 1e-6 * max(np.abs(a1).max(), 1e-30)
 
 
+def test_probed_series_match(resident_cpu):
+    """Per-step probe series from the in-kernel SMEM emitters match the
+    jnp scan's probe outputs (monitor.cpp get_field series analog)."""
+    from meep_nl_tpu.stepper import step as S
+    from meep_nl_tpu.stepper.step import ProbeSpec
+    from meep_nl_tpu.ops.pallas.resident import ResidentKernel
+
+    s = _mk_2d()
+    s.init_sim()
+    pr = ProbeSpec(name="p0", component="ez",
+                   indices=np.array([[30, 28], [30, 29]]),
+                   weights=np.array([0.6, 0.4]))
+    st1, ys1 = S.run(s._plan, s._state, 100, t0=0, probes=[pr])
+    ker = ResidentKernel(s._plan)
+    st2, ys2 = ker.run_probed(s._state, 100, 0, [pr])
+    a1 = np.asarray(ys1["p0"])
+    a2 = np.asarray(ys2["p0"])
+    scale = max(np.abs(a1).max(), 1e-30)
+    assert np.abs(a1 - a2).max() / scale < 1e-5
+    f1 = np.asarray(st1["f"]["ez"])
+    f2 = np.asarray(st2["f"]["ez"])
+    assert np.abs(f1 - f2).max() / max(np.abs(f1).max(), 1e-30) < 1e-5
+
+
+def test_probed_pair_series(resident_cpu, monkeypatch):
+    """Pair-channel probe series (complex fields) through the resident
+    emitters match the jnp scan."""
+    monkeypatch.setenv("MNT_REAL_PAIR", "1")
+    from meep_nl_tpu.stepper import step as S
+    from meep_nl_tpu.stepper.step import ProbeSpec
+    from meep_nl_tpu.ops.pallas.resident import ResidentKernel
+
+    s = _mk_bloch()
+    s.init_sim()
+    pr = ProbeSpec(name="p0", component="ez",
+                   indices=np.array([[20, 14]]),
+                   weights=np.array([1.0 + 0.5j]))
+    st1, ys1 = S.run(s._plan, s._state, 80, t0=0, probes=[pr])
+    ker = ResidentKernel(s._plan)
+    st2, ys2 = ker.run_probed(s._state, 80, 0, [pr])
+    a1 = np.asarray(ys1["p0"])
+    a2 = np.asarray(ys2["p0"])
+    assert a1.shape == a2.shape == (80, 2)
+    scale = max(np.abs(a1).max(), 1e-30)
+    assert np.abs(a1 - a2).max() / scale < 1e-5
+
+
+def test_probed_routing_harminv(resident_cpu):
+    """A Harminv collector run engages the resident probed path."""
+    s = _mk_2d()
+    h = mp.Harminv(mp.Ez, mp.Vector3(1.0, 0.3), 0.5, 0.4)
+    s.run(h, until_after_sources=20)
+    assert getattr(s._plan, "_resident_kernel", None) is not None
+    assert len(h.data) > 0
+
+
 def test_lowering_2d_flux():
     """The 2D+PML+DFT program lowers through the full Pallas->Mosaic
     pipeline for the TPU backend."""
@@ -209,6 +265,40 @@ def test_lowering_2d_flux():
                                           size=mp.Vector3(0, 3)))
     s.init_sim()
     assert validate_lowering(s._plan, nsteps=8) > 0
+
+
+@pytest.mark.slow
+def test_lowering_probed():
+    """The probed runner (SMEM series stores at the loop index) lowers
+    for the TPU backend."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export
+    from meep_nl_tpu.ops.pallas.resident import ResidentKernel
+    from meep_nl_tpu.stepper.step import build_xs, init_state
+
+    s = _mk_2d()
+    s.init_sim()
+    ker = ResidentKernel(s._plan)
+    st = dict(init_state(ker.rplan, _slab_ok=False))
+    st["dft"] = {k: jnp.moveaxis(v, (-2, -1), (0, 1))
+                 for k, v in st["dft"].items()}
+    _, leaves, treedef = ker._split_state(st)
+    xs = build_xs(ker.rplan, 8, 0)
+    xs_keys = sorted(xs)
+    xs_list = [xs[k] for k in xs_keys]
+    pdefs = (("hm0", "ez", ((10, 10), (10, 11)), (0.5, 0.5),
+              (0.0, 0.0)),)
+    runner = ker._runner_probed(8, treedef, xs_keys, ker.coef_keys,
+                                pdefs)
+
+    def sds(lst):
+        return [jax.ShapeDtypeStruct(np.asarray(v).shape,
+                                     np.asarray(v).dtype) for v in lst]
+
+    exp = export.export(runner, platforms=["tpu"])(
+        sds(leaves), sds(ker._C_list), sds(xs_list))
+    assert len(exp.mlir_module()) > 0
 
 
 @pytest.mark.slow
