@@ -21,10 +21,89 @@ import time
 _T_PROC = time.perf_counter()   # process start, for the re-measure budget
 
 
+def run_resident():
+    """2D measurement through the VMEM-resident whole-grid kernel
+    (ops/pallas/resident): the entire time loop runs as one Mosaic
+    program with zero per-step HBM traffic — the production path for the
+    reference's 2D configs (tests/bench.cpp:33-90 measures 2D cases)."""
+    import numpy as np
+    import jax
+    if os.environ.get("BENCH_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+        os.environ.setdefault("MNT_RESIDENT_CPU", "1")
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/mnt_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+    size_env = os.environ.get("BENCH_GRID", "768,768")
+    nx, ny = (int(s) for s in size_env.split(",")[:2])
+    steps = int(os.environ.get("BENCH_STEPS", "1000"))
+
+    import meep_nl_tpu as mnt
+    from meep_nl_tpu.core import grid as G
+    from meep_nl_tpu.stepper.plan import (MaterialSpec, PMLSpec,
+                                          SrcVolSpec, compile_plan)
+    from meep_nl_tpu.stepper.step import init_state
+    from meep_nl_tpu.ops.pallas.resident import ResidentKernel
+
+    res = 16.0
+    cx, cy = nx - 1, ny - 1
+    gv = G.GridVolume.create("2d", [cx / res, cy / res], res)
+    # eps disk (the ring-resonator class structure)
+    shape = gv.shape
+    xs_c, ys_c = [gv.comp_coords("ez", ax) for ax in range(2)]
+    ctr = [0.5 * (c[0] + c[-1]) for c in (xs_c, ys_c)]
+    XX, YY = np.meshgrid(xs_c - ctr[0], ys_c - ctr[1], indexing="ij")
+    eps = np.ones(shape)
+    eps[XX ** 2 + YY ** 2 < (cx / res / 6) ** 2] = 12.0
+    mat = MaterialSpec(chi1inv={"ez": {"z": 1.0 / eps}})
+    src_t = mnt.GaussianSource(frequency=1.0, fwidth=0.5)
+    pts = gv.interp_weights("ez", [ctr[0] - cx / res / 3, 0.0])
+    idx = np.array([p for p, w in pts], np.int32)
+    amps = np.array([w for p, w in pts], np.complex128)
+    src = SrcVolSpec("ez", idx, amps, src_t)
+    pmls = [PMLSpec(d, 1.0) for d in ("x", "y")]
+    plan = compile_plan(gv, mat, pmls=pmls, sources=[src],
+                        pad_to_multiple=(8, 128))
+    ker = ResidentKernel(plan)
+    state = init_state(ker.rplan, _slab_ok=False)
+
+    def fence(st):
+        return float(st["f"]["ez"][1, 1])
+
+    out = ker.run(state, steps, 0)          # compile + warmup
+    _ = fence(out)
+    t0 = time.perf_counter()
+    out = ker.run(state, steps, 0)
+    _ = fence(out)
+    dt_wall = time.perf_counter() - t0
+    deadline = _T_PROC + float(os.environ.get("BENCH_TIMEOUT", "540")) - 60.0
+    while time.perf_counter() + dt_wall * 1.3 < deadline:
+        t0 = time.perf_counter()
+        out = ker.run(state, steps, 0)
+        _ = fence(out)
+        dt_wall = min(dt_wall, time.perf_counter() - t0)
+    cells = cx * cy
+    gcells = cells * steps / dt_wall / 1e9
+    print(json.dumps({
+        "metric": "yee_cell_updates_2d_resident_fp32",
+        "value": round(gcells, 3),
+        "unit": "GCells/s",
+        "vs_baseline": 0.0,
+        "grid": [cx, cy],
+        "steps": steps,
+        "kernel": "resident",
+    }))
+
+
 def run_one():
     """Single measurement at BENCH_GRID (invoked as a subprocess)."""
     import numpy as np
     import jax
+    if os.environ.get("BENCH_RESIDENT"):
+        run_resident()
+        return
     if os.environ.get("BENCH_CPU"):
         # testing escape hatch: the ambient JAX_PLATFORMS=axon tunnel
         # selection wins over env overrides, so force CPU via config
@@ -303,6 +382,18 @@ def main():
         if krec is not None:
             rec["bloch_pair_value"] = krec["value"]
             rec["bloch_pair_kernel"] = krec["kernel"]
+    # 2D whole-grid-in-VMEM resident kernel (the reference's 2D bench
+    # class; ring-resonator-type structure)
+    if not os.environ.get("BENCH_SKIP_RESIDENT"):
+        for rgrid in os.environ.get("BENCH_RESIDENT_LADDER",
+                                    "768,768;512,512").split(";"):
+            rrec = _probe(rgrid, timeout,
+                          {"BENCH_RESIDENT": "1",
+                           "BENCH_TIMEOUT": str(timeout)})
+            if rrec is not None:
+                rec["resident2d_value"] = rrec["value"]
+                rec["resident2d_grid"] = rrec["grid"]
+                break
     print(json.dumps(rec))
 
 
