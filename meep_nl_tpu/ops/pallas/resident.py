@@ -157,18 +157,17 @@ def _used_coef_keys(rplan) -> List[str]:
 
 def resident_supported(plan) -> bool:
     """Static envelope: everything the jnp stepper supports except RNG
-    (noisy media), the multilevel stack, symmetry folds, complex-dtype
-    storage (the pair layout is admitted), fp64, 1D grids (Mosaic wants
-    >= 2D arrays), and plans whose state overflows the VMEM budget (the
-    precise used-coefs accounting happens at kernel build)."""
+    (noisy media), the multilevel stack, complex-dtype storage (the pair
+    layout is admitted), fp64, 1D grids (Mosaic wants >= 2D arrays), and
+    plans whose state overflows the VMEM budget (the precise used-coefs
+    accounting happens at kernel build).  Symmetry folds (mirror and
+    rot2/rot4) are in: their ghost-plane writes take the where-based
+    form under plan.scatter_free (step._curl set_plane0)."""
     if plan.gv.ndim < 2:
         return False
     if plan.dtype == np.float64:
         return False
     if plan.complex_fields and not getattr(plan, "real_pair", False):
-        return False
-    if getattr(plan, "rot2", None) is not None \
-            or getattr(plan, "rot4", None) is not None:
         return False
     for p in plan.pol_specs_e + plan.pol_specs_h:
         if p.kind in ("noisy", "multilevel"):

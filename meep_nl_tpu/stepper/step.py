@@ -315,21 +315,31 @@ def _curl(plan: Plan, spec: CurlSpec, f: Dict[str, Any],
     """
     dtdx = plan.courant
 
+    def set_plane0(sh, ax, ghost):
+        """Write the (size-1) ghost onto plane 0 along `ax`; where-based
+        under plan.scatter_free (the resident kernel: value DUS does not
+        lower to Mosaic)."""
+        if getattr(plan, "scatter_free", False):
+            io = jax.lax.iota(jnp.int32, sh.shape[ax])
+            shape = [1] * sh.ndim
+            shape[ax] = sh.shape[ax]
+            return jnp.where(io.reshape(shape) == 0, ghost, sh)
+        osl = [slice(None)] * sh.ndim
+        osl[ax] = slice(0, 1)
+        return sh.at[tuple(osl)].set(ghost)
+
     def diff(g, a, gname=None):
         if spec.is_d:   # backward difference
             sh = _sh(plan, g, a, -1)
             if plan.rot2 is not None and a == plan.rot2[0] \
                     and gname is not None:
                 off = g.ndim - plan.gv.ndim
-                osl = [slice(None)] * g.ndim
-                osl[a + off] = slice(0, 1)
-                sh = sh.at[tuple(osl)].set(_rot2_ghost(plan, g, gname))
+                sh = set_plane0(sh, a + off, _rot2_ghost(plan, g, gname))
             if plan.rot4 is not None and a in plan.rot4[:2] \
                     and gname is not None:
                 off = g.ndim - plan.gv.ndim
-                osl = [slice(None)] * g.ndim
-                osl[a + off] = slice(0, 1)
-                sh = sh.at[tuple(osl)].set(_rot4_ghost(plan, f, gname, a))
+                sh = set_plane0(sh, a + off,
+                                _rot4_ghost(plan, f, gname, a))
             return g - sh
         return _sh(plan, g, a, +1) - g  # forward difference
 

@@ -85,6 +85,35 @@ def _mk_bfast():
         bfast_scaled_k=mp.Vector3(0.3, 0, 0))
 
 
+def _mk_rot2():
+    med = mp.Medium(epsilon=4)
+    return mp.Simulation(
+        cell_size=mp.Vector3(8, 8, 0), resolution=10,
+        boundary_layers=[mp.PML(1.0)],
+        geometry=[mp.Cylinder(radius=0.47, center=mp.Vector3(0.9, -0.9),
+                              material=med),
+                  mp.Cylinder(radius=0.47, center=mp.Vector3(-0.9, 0.9),
+                              material=med)],
+        sources=[mp.Source(mp.GaussianSource(frequency=1.0, fwidth=0.5),
+                           component=mp.Ez,
+                           center=mp.Vector3(1.23, 0.71))],
+        symmetries=[mp.Rotate2("z", phase=1)],
+        eps_averaging=False)
+
+
+def _mk_rot4():
+    return mp.Simulation(
+        cell_size=mp.Vector3(8, 8, 0), resolution=10,
+        boundary_layers=[mp.PML(1.0)],
+        geometry=[mp.Cylinder(radius=0.47, center=mp.Vector3(0.9, 1.6),
+                              material=mp.Medium(epsilon=4))],
+        sources=[mp.Source(mp.GaussianSource(frequency=1.0, fwidth=0.5),
+                           component=mp.Ez,
+                           center=mp.Vector3(1.23, 0.71))],
+        symmetries=[mp.Rotate4("z", phase=1)],
+        eps_averaging=False)
+
+
 def _mk_3d():
     return mp.Simulation(
         cell_size=mp.Vector3(3, 3, 3), resolution=8,
@@ -141,6 +170,18 @@ def test_bfast(resident_cpu, monkeypatch):
 
 def test_small_3d(resident_cpu):
     _compare(_mk_3d)
+
+
+def test_rot2(resident_cpu):
+    """C2 fold-plane ghosts (where-based plane-0 writes under
+    scatter_free) match the jnp stepper's scatter form."""
+    _compare(_mk_rot2)
+
+
+def test_rot4(resident_cpu):
+    """C4 transposed component-swapped ghosts through the resident
+    kernel match the jnp stepper."""
+    _compare(_mk_rot4)
 
 
 def test_dft_accumulators_match(resident_cpu):
@@ -304,7 +345,8 @@ def test_lowering_probed():
 @pytest.mark.slow
 @pytest.mark.parametrize("mk,pair", [
     (_mk_bloch, True), (_mk_cyl, True), (_mk_disp, False),
-    (_mk_bfast, True), (_mk_3d, False)])
+    (_mk_bfast, True), (_mk_3d, False), (_mk_rot2, False),
+    (_mk_rot4, False)])
 def test_lowering_families(mk, pair, monkeypatch):
     if pair:
         monkeypatch.setenv("MNT_REAL_PAIR", "1")
