@@ -187,6 +187,14 @@ class PML:
     pml_profile: Any = None     # arbitrary callable u in [0,1] -> weight
     #                             (python/simulation.py PML pml_profile)
 
+    def __post_init__(self):
+        # accept the mp.Low/mp.High ("low"/"high") spellings the python
+        # reference API uses and normalize onto the numeric convention
+        # every consumer (plan.py:346, _periodic) expects
+        if isinstance(self.side, str):
+            self.side = {"low": -1, "high": +1, "all": 0, "both": 0}[
+                self.side.lower()]
+
 
 @dataclasses.dataclass
 class Absorber(PML):
@@ -350,13 +358,36 @@ class Simulation:
         self._rot4 = None           # (ax1, ax2, w_letter, phase)
         origin = None
         if self.symmetries:
-            if k_point is not None:
-                raise ValueError("symmetries with k_point are not supported")
+            def _absorbing_both_sides(dletter):
+                lo = hi = False
+                for bl in self.boundary_layers:
+                    dirs_ = (("x", "y", "z", "r")
+                             if bl.direction == ALL else (bl.direction,))
+                    if dletter in dirs_:
+                        if bl.side in (0, -1):
+                            lo = True
+                        if bl.side in (0, +1):
+                            hi = True
+                return lo and hi
+
+            def _k_along(dletter):
+                if k_point is None:
+                    return 0.0
+                kp_ = _v3(k_point)
+                return {"x": kp_.x, "y": kp_.y, "z": kp_.z,
+                        "r": kp_.x, "p": 0.0}.get(dletter, 0.0)
+
             axes = G._DIM_AXES[self.dim]
             dx = 1.0 / self.resolution
             origin = [0.0 if (self.dim == "cyl" and d == "r")
                       else -s / 2 for d, s in zip(axes, size)]
             for sym in self.symmetries:
+                if isinstance(sym, (Rotate2, Rotate4)) and \
+                        k_point is not None:
+                    raise ValueError(
+                        "rotational symmetries with k_point are not "
+                        "supported (the rotation maps k onto its image; "
+                        "only k=0 is invariant)")
                 if isinstance(sym, Rotate4):
                     if self.dim not in ("2d", "3d"):
                         raise NotImplementedError(
@@ -436,6 +467,18 @@ class Simulation:
                 d = sym.direction
                 if d not in axes:
                     raise ValueError(f"no grid axis {d} in {self.dim}")
+                if k_point is not None and (
+                        _k_along(d) != 0.0 or not _absorbing_both_sides(d)):
+                    # a mirror commutes with the Bloch phase only when k
+                    # has no component along the mirror normal AND the
+                    # folded axis is not itself Bloch-wrapped (the fold
+                    # wall replaces the wrap; absorbing layers both sides
+                    # make the wrap inert — see _periodic); matches the
+                    # reference's symmetry/k compatibility
+                    # (structure.cpp via symmetry.cpp transforms)
+                    raise ValueError(
+                        f"Mirror({d}) with k_point requires k.{d} == 0 "
+                        f"and absorbing layers on both {d} sides")
                 ax = axes.index(d)
                 n_full = int(round(size[ax] * self.resolution))
                 if sym.phase == -1:

@@ -143,3 +143,58 @@ def test_mirror_flux_dropped_half_region():
 def test_mirror_flux_asymmetric_straddle_rejected():
     with pytest.raises(ValueError, match="straddles"):
         _flux_sim(True, -1, mp.Vector3(2.0, -0.5), mp.Vector3(0, 3))
+
+
+def _bloch_mirror_sim(sym):
+    """Waveguide strip along x with Bloch kx and a y-mirror: the mirror
+    normal is orthogonal to k and y is PML-covered, so the fold composes
+    with the Bloch wrap (reference symmetry.cpp transforms commute with
+    the x phase)."""
+    return mp.Simulation(
+        cell_size=mp.Vector3(1, 6.1, 0), resolution=10,
+        geometry=[mp.Block(center=mp.Vector3(0, 0),
+                           size=mp.Vector3(1e20, 1.2, 1e20),
+                           material=mp.Medium(epsilon=13))],
+        sources=[mp.Source(mp.GaussianSource(0.25, fwidth=0.2), mp.Ez,
+                           center=mp.Vector3(0.1, 0))],
+        boundary_layers=[mp.PML(1.0, direction='y')],
+        k_point=mp.Vector3(0.4, 0, 0),
+        symmetries=[mp.Mirror('y', phase=1)] if sym else [])
+
+
+def test_mirror_with_orthogonal_k_point_matches_full_cell():
+    s_full = _bloch_mirror_sim(False)
+    s_half = _bloch_mirror_sim(True)
+    s_full.run(until=20)
+    s_half.run(until=20)
+    ez_f = np.asarray(s_full.get_array(component='ez'))
+    ez_h = np.asarray(s_half.get_array(component='ez'))
+    m = np.abs(ez_f).max()
+    assert m > 1e-6
+    assert np.abs(ez_f - ez_h).max() <= 1e-5 * m
+
+
+def test_mirror_with_parallel_k_point_rejected():
+    with pytest.raises(ValueError, match="k\\.y == 0"):
+        mp.Simulation(
+            cell_size=mp.Vector3(1, 6.1, 0), resolution=10,
+            boundary_layers=[mp.PML(1.0, direction='y')],
+            k_point=mp.Vector3(0, 0.3, 0),
+            symmetries=[mp.Mirror('y', phase=1)])
+
+
+def test_mirror_with_k_needs_absorbing_cover():
+    with pytest.raises(ValueError, match="absorbing"):
+        mp.Simulation(
+            cell_size=mp.Vector3(1, 6.1, 0), resolution=10,
+            boundary_layers=[],
+            k_point=mp.Vector3(0.4, 0, 0),
+            symmetries=[mp.Mirror('y', phase=1)])
+
+
+def test_pml_side_string_normalized():
+    """mp.Low/'low' side spellings map onto the numeric convention every
+    consumer uses (plan.py:346, Simulation._periodic)."""
+    assert mp.PML(1.0, side=mp.Low).side == -1
+    assert mp.PML(1.0, side=mp.High).side == +1
+    assert mp.PML(1.0).side == 0
