@@ -258,7 +258,10 @@ def _medium_build(props, state):
 
 
 def _metal_build(props, state):
-    return mp.Metallic
+    # the reference's `metal` material: epsilon -> -infinity makes
+    # chi1inv -> 0, so E is pinned at 0 inside (materials.scm / meep
+    # python mp.metal semantics)
+    return mp.Medium(epsilon=-INFINITY)
 
 
 def _lattice_build(props, state):
@@ -330,7 +333,6 @@ def make_class_table() -> Dict[str, CtlClass]:
     reg("medium", _medium_build)
     reg("dielectric", _medium_build)
     reg("perfect-metal", _metal_build)
-    reg("metal", _metal_build)
     reg("material-function", _material_function_build)
     reg("material-type", _medium_build)
 
@@ -582,12 +584,18 @@ def install(env: Environment, state: CtlState) -> None:
     consts = {
         "no-size": NO_SIZE, "infinity": INFINITY, "CYLINDRICAL":
         mp.CYLINDRICAL, "AUTOMATIC": -1, "ALL": mp.ALL,
+        # libctl geom: prism center derived from its vertices
+        "auto-center": None,
         "X": mp.X, "Y": mp.Y, "Z": mp.Z, "R": mp.R, "P": "p",
         "Low": mp.Low, "High": mp.High,
         "ODD-Z": Parity("tm"), "EVEN-Z": Parity("te"),
         "ODD-Y": Parity("odd-y"), "EVEN-Y": Parity("even-y"),
         "TE": Parity("te"), "TM": Parity("tm"), "NO-PARITY": None,
         "air": mp.air, "vacuum": mp.vacuum,
+        # material VALUES (meep.scm.in: metal as epsilon -> -infinity)
+        "metal": mp.Medium(epsilon=-INFINITY),
+        "perfect-electric-conductor": mp.Medium(epsilon=-INFINITY),
+        "perfect-magnetic-conductor": mp.Medium(mu=-INFINITY),
     }
     for comp in ("Ex", "Ey", "Ez", "Er", "Ep", "Hx", "Hy", "Hz", "Hr",
                  "Hp", "Dx", "Dy", "Dz", "Bx", "By", "Bz"):

@@ -354,6 +354,7 @@ class Simulation:
         # mirror symmetries: halve the cell, put the right wall at the plane
         self.symmetries = list(symmetries)
         self._mirrors = []          # (axis_index, direction_letter, phase)
+        self._mirror_node = set()   # axes whose mirror plane is ON a node
         self._rot2 = None           # (fold_ax, flip_ax, w_letter, phase)
         self._rot4 = None           # (ax1, ax2, w_letter, phase)
         origin = None
@@ -490,12 +491,18 @@ class Simulation:
                     size[ax] = size[ax] / 2
                     origin[ax] = 0.0
                     self._boundaries[(d, "low")] = "metal"
+                elif n_full % 2 == 0:
+                    # phase=+1 on an even count: the plane lands ON a
+                    # whole grid site.  No wall expresses an even mirror
+                    # at a node; the stepper reads a mirror ghost across
+                    # the plane instead (plan.mirror_node, matching the
+                    # reference's symmetry-transformed ghost points,
+                    # boundaries.cpp loop over symmetry images)
+                    size[ax] = size[ax] / 2
+                    origin[ax] = 0.0
+                    self._boundaries[(d, "low")] = "none"
+                    self._mirror_node.add(ax)
                 else:
-                    if n_full % 2 == 0:
-                        raise ValueError(
-                            f"Mirror({d}, phase=+1) needs an odd cell "
-                            f"count along {d} (have {n_full}) so the "
-                            "symmetry plane lands on a half-offset site")
                     size[ax] = size[ax] / 2 + dx / 2
                     origin[ax] = -dx / 2
                     self._boundaries[(d, "low")] = "magnetic"
@@ -694,9 +701,39 @@ class Simulation:
                                amplitude=s.amplitude * sign)
         return s
 
+    def _mirror_fix_dft_specs(self, specs):
+        """Half-offset-aligned mirrors put the first CENTERED tangential
+        row ON the plane; its Yee->center average along that axis saw the
+        zero ghost layer below the wall, so the stored value is half the
+        full cell's for even components (and spurious for odd ones).
+        Restore with the component parity: weight x(1+s) — even comps get
+        the image's half back, odd comps' full-cell centered row is
+        identically zero.  Applied only to axes _fold_region folded
+        symmetrically (a region that genuinely starts at the plane keeps
+        the one-sided average, same as the full cell)."""
+        axes_sym = getattr(self, "_fold_sym_axes", set())
+        for spec in specs:
+            if not getattr(spec, "centered", True):
+                continue
+            for ax, d, phase in self._mirrors:
+                node = (phase == -1) or (ax in self._mirror_node)
+                if node or ax not in axes_sym:
+                    continue
+                if spec.region[ax][0] != 0:
+                    continue
+                s = phase * _mirror_parity(spec.component, d)
+                w = np.array(spec.weights, dtype=float)
+                sl = [slice(None)] * w.ndim
+                sl[ax] = slice(0, 1)
+                w[tuple(sl)] *= (1.0 + s)
+                spec.weights = w
+        return specs
+
     def _fold_region(self, center, size, parity_fn):
         """Fold a DFT monitor region on a mirrored cell onto the retained
-        half, returning (center, size, factor).
+        half, returning (center, size, factor).  Also records which axes
+        were folded symmetrically in self._fold_sym_axes (consumed by
+        _mirror_fix_dft_specs).
 
         `parity_fn(d)` is the parity of the monitored *product* quantity
         under the mirror in direction `d` (cf. symmetry-aware
@@ -709,6 +746,7 @@ class Simulation:
         center = list(center)
         size = list(size)
         factor = 1.0
+        self._fold_sym_axes = set()
         if self._rot4 is not None:
             a1, a2, _w, _phase = self._rot4
             for ax_ in (a1, a2):
@@ -765,14 +803,18 @@ class Simulation:
                 factor *= par
             elif abs(center[i]) < 1e-9:       # symmetric about the plane
                 lo2 = 0.0
-                if phase == -1:
+                if phase == -1 or ax in self._mirror_node:
                     # whole-site plane alignment: the plane is midway
                     # between centered columns — extend the edge to just
                     # inside -dx/2 so the first retained column keeps its
-                    # interior weight (see the Rotate2 branch above); the
-                    # phase +1 half-offset alignment puts a column ON the
-                    # plane and is already exact with lo2 = 0
+                    # interior weight (see the Rotate2 branch above)
                     lo2 = -0.5 * self.gv.dx * (1.0 - 1e-6)
+                else:
+                    # half-offset alignment: the plane IS centered row 0;
+                    # lo2=0 gives it the edge-on-site half weight and
+                    # _mirror_fix_dft_specs restores the image's share
+                    # with the component parity (x(1+s))
+                    self._fold_sym_axes.add(ax)
                 center[i] = 0.5 * (lo2 + hi)
                 size[i] = hi - lo2
                 factor *= (1.0 + par)
@@ -852,8 +894,17 @@ class Simulation:
             center = _vec_to_axes(gv, s.center)
             size = _vec_to_axes(gv, s.size) if s.size is not None else \
                 [0.0] * gv.ndim
+            mirror_axes = {axq for axq, _, _ in self._mirrors}
             if all(sz == 0 for sz in size):
                 pts = gv.interp_weights(comp, center)
+                if mirror_axes:
+                    # a source near the mirror plane may interpolate onto
+                    # the below-plane ghost row (half-offset alignment
+                    # keeps one at -dx/2): that weight belongs to the
+                    # image row the symmetry already supplies — drop it
+                    pts = [(p, w) for p, w in pts if all(
+                        gv.comp_coords(comp, axq)[p[axq]] > -1e-9
+                        for axq in mirror_axes)]
                 idx = np.array([p for p, w in pts], np.int32)
                 amps = np.array([w * s.amplitude for p, w in pts],
                                 np.complex128)
@@ -872,6 +923,21 @@ class Simulation:
                     if w == 0:
                         continue
                     gidx = tuple(b + i for b, i in zip(base, ind))
+                    if mirror_axes:
+                        drop = False
+                        for axq in mirror_axes:
+                            cv = gv.comp_coords(comp, axq)[gidx[axq]]
+                            if cv < -1e-9:
+                                drop = True        # ghost-row spill
+                            elif cv <= 1e-9 and \
+                                    center[axq] - size[axq] / 2 < -1e-9:
+                                # plane row of a region extending below
+                                # the plane: the grid clip gave it the
+                                # EDGE weight; the full-cell row is
+                                # interior — restore its other half
+                                w = w * 2.0
+                        if drop:
+                            continue
                     amp = s.amplitude * w
                     if s.amp_func is not None:
                         # meep convention: amp_func receives the point
@@ -1180,6 +1246,8 @@ class Simulation:
             boundaries=self._boundaries or None,
             rot2=self._rot2,
             rot4=self._rot4,
+            mirror_node=tuple((ax_, d_, p_) for ax_, d_, p_
+                              in self._mirrors if ax_ in self._mirror_node),
             # sublane-align the x storage of 3D cells so the fused
             # kernels get a usable block depth (dead rows are masked;
             # prime site counts would otherwise force bx=1).  rot4 wedges
@@ -1293,10 +1361,11 @@ class Simulation:
             # n == d (Poynting vector transforms as a vector)
             center, size, fac = self._fold_region(
                 center, size, lambda dd: 1.0 if dd != normal else -1.0)
-            specs += M.flux_specs(self.gv, f"{name}:{ri}", normal, center,
-                                  size, freqs, weight=reg.weight * fac,
-                                  live=live,
-                                  decimation=self._resolve_decimation(decimation_factor, freqs))
+            specs += self._mirror_fix_dft_specs(M.flux_specs(
+                self.gv, f"{name}:{ri}", normal, center,
+                size, freqs, weight=reg.weight * fac, live=live,
+                decimation=self._resolve_decimation(decimation_factor,
+                                                    freqs)))
         self._dft_specs += specs
         h = _FluxHandle(name, freqs)
         h._nregions = len(regions)
@@ -1488,6 +1557,30 @@ class Simulation:
             out[key] = np.asarray(eps, np.float64).reshape(uu.shape)
         return out["u"], out["v"], out["n"]
 
+    def _mirror_full_line(self, comp, tang_ax):
+        """Full-cell component coordinates along a mirrored tangential
+        axis, with each entry's folded-grid index (-1 for dropped-half
+        rows).  Mode cross-sections must be solved on the FULL line (the
+        reference's MPB solve always sees the unfolded eig_vol,
+        mpb.cpp:830); the folded run then injects/overlaps only the
+        retained rows — their images are implied by the symmetry ghosts.
+        Returns None when tang_ax carries no mirror."""
+        if not any(axq == tang_ax for axq, _, _ in self._mirrors):
+            return None
+        yc = self.gv.comp_coords(comp, tang_ax)
+        hi_x = self.gv.num[tang_ax] * self.gv.dx
+        if tang_ax not in self._mirror_node:
+            hi_x -= 0.5 * self.gv.dx     # half-offset plane alignment
+        pos = np.where(yc > 1e-9)[0]
+        pos_im = pos[yc[pos] <= hi_x + 1e-9]
+        onp = np.where(np.abs(yc) <= 1e-9)[0]   # on-plane rows only;
+        # below-plane ghost rows (half-offset alignment keeps one at
+        # -dx/2) are already covered by the mirrored images — skip them
+        yfull = np.concatenate([-yc[pos_im][::-1], yc[onp], yc[pos]])
+        fidx = np.concatenate([np.full(len(pos_im), -1, np.int64),
+                               onp, pos])
+        return yfull, fidx
+
     def add_eigenmode_source(self, src, center, size, direction=+1,
                              mode_band=1, amplitude=1.0, eig_parity=None):
         """Launch a waveguide eigenmode (add_eigenmode_source, mpb.cpp:830).
@@ -1520,8 +1613,14 @@ class Simulation:
         s_ax = _vec_to_axes(gv, size)
         norm_ax = 0 if s_ax[0] == 0 else 1
         tang_ax = 1 - norm_ax
-        # epsilon profile along the line at Ez sites
+        # epsilon profile along the line at Ez sites; on a mirrored cell
+        # solve on the FULL (unfolded) cross-section — the half line's
+        # implicit wall would give the wrong mode (see _mirror_full_line)
         ycoords = gv.comp_coords("ez", tang_ax)
+        fidx_line = None
+        mfl = self._mirror_full_line("ez", tang_ax)
+        if mfl is not None:
+            ycoords, fidx_line = mfl
         lo = c_ax[tang_ax] - s_ax[tang_ax] / 2
         hi = c_ax[tang_ax] + s_ax[tang_ax] / 2
         sel = np.where((ycoords >= lo - 1e-9) & (ycoords <= hi + 1e-9))[0]
@@ -1567,21 +1666,28 @@ class Simulation:
         # cancels (calibrated against the flux directionality drive)
         jz = -sgn * (m.beta / w) * m.ez
         my = m.ez
-        # electric current at Ez sites on the line
-        npts = len(sel)
+        # electric current at Ez sites on the line; on a mirrored cell
+        # inject only the retained rows (the symmetry supplies the image)
+        if fidx_line is not None:
+            keep = np.where(fidx_line[sel] >= 0)[0]
+            tang_idx = fidx_line[sel][keep]
+        else:
+            keep = np.arange(len(sel))
+            tang_idx = sel
+        npts = len(keep)
         idx_e = np.zeros((npts, 2), np.int32)
-        idx_e[:, tang_ax] = sel
+        idx_e[:, tang_ax] = tang_idx
         xline = gv.comp_coords("ez", norm_ax)
         ixe = int(np.argmin(np.abs(xline - c_ax[norm_ax])))
         idx_e[:, norm_ax] = ixe
-        amps_e = (jz * amplitude * self.resolution).astype(np.complex128)
+        amps_e = (jz[keep] * amplitude * self.resolution
+                  ).astype(np.complex128)
         self._extra_srcs = getattr(self, "_extra_srcs", [])
         self._extra_srcs.append(SrcVolSpec("ez", idx_e, amps_e, src))
         # magnetic current at Hy sites (staggered half cell in x):
         # interpolate each (x0, y_i) onto the hy lattice
-        hyy = gv.comp_coords("hy", tang_ax)
         idx_list, amp_list = [], []
-        for k, yv in enumerate(ycoords[sel]):
+        for k, yv in zip(keep, ycoords[sel][keep]):
             pt = [0.0, 0.0]
             pt[norm_ax] = c_ax[norm_ax]
             pt[tang_ax] = yv
@@ -1606,8 +1712,13 @@ class Simulation:
         norm_ax = 0 if s_ax[0] == 0 else 1
         tang_ax = 1 - norm_ax
         # epsilon along the line at the Hz/Ey shared tangential lattice
-        # (both sit at half-integer tangential sites)
+        # (both sit at half-integer tangential sites); mirrored cells
+        # solve on the full unfolded line (_mirror_full_line)
         ycoords = gv.comp_coords("hz", tang_ax)
+        fidx_line = None
+        mfl = self._mirror_full_line("hz", tang_ax)
+        if mfl is not None:
+            ycoords, fidx_line = mfl
         lo = c_ax[tang_ax] - s_ax[tang_ax] / 2
         hi = c_ax[tang_ax] + s_ax[tang_ax] / 2
         sel = np.where((ycoords >= lo - 1e-9) & (ycoords <= hi + 1e-9))[0]
@@ -1627,19 +1738,26 @@ class Simulation:
         jy = -m.hz
         mz = -sgn * m.ey
         self._extra_srcs = getattr(self, "_extra_srcs", [])
+        if fidx_line is not None:
+            keep = np.where(fidx_line[sel] >= 0)[0]
+            tang_idx = fidx_line[sel][keep]
+        else:
+            keep = np.arange(len(sel))
+            tang_idx = sel
         # electric current at the tangential-E sites on the line (same
         # tangential lattice as the mode profile)
-        npts = len(sel)
+        npts = len(keep)
         idx_e = np.zeros((npts, 2), np.int32)
-        idx_e[:, tang_ax] = sel
+        idx_e[:, tang_ax] = tang_idx
         xline = gv.comp_coords(e_tan, norm_ax)
         ixe = int(np.argmin(np.abs(xline - c_ax[norm_ax])))
         idx_e[:, norm_ax] = ixe
-        amps_e = (jy * amplitude * self.resolution).astype(np.complex128)
+        amps_e = (jy[keep] * amplitude * self.resolution
+                  ).astype(np.complex128)
         self._extra_srcs.append(SrcVolSpec(e_tan, idx_e, amps_e, src))
         # magnetic current at Hz sites (staggered half cell along normal)
         idx_list, amp_list = [], []
-        for k, yv in enumerate(ycoords[sel]):
+        for k, yv in zip(keep, ycoords[sel][keep]):
             pt = [0.0, 0.0]
             pt[norm_ax] = c_ax[norm_ax]
             pt[tang_ax] = yv
@@ -1888,6 +2006,33 @@ class Simulation:
                               dE_plane / w_t_dv[:, None], 0.0)
         dH = np.tensordot(w_n, np.moveaxis(dH, norm_pos, 0), axes=1)
         ys = (np.arange(reg[tang_ax][0], reg[tang_ax][1]) + 0.5) * self.gv.dx             + self.gv.origin[tang_ax]
+        mirrored_tang = False
+        mir = next(((axq, dq, pq) for axq, dq, pq in self._mirrors
+                    if axq == tang_ax), None)
+        if mir is not None:
+            # folded cell: reconstruct the FULL cross-section lines — the
+            # mode overlap must see the whole mode, not the half the
+            # retained region stores (reference: symmetry-aware
+            # loop_in_chunks feeds the full eig_vol, mpb.cpp:925)
+            _, dmir, pmir = mir
+            spec_h = next(mspec for mspec in self._plan.dfts
+                          if mspec.name == key_h)
+            sE = pmir * _mirror_parity(spec_e.component, dmir)
+            sH = pmir * _mirror_parity(spec_h.component, dmir)
+            pos = np.where(ys > 1e-9)[0]
+            onp = np.where(np.abs(ys) <= 1e-9)[0]
+            ys = np.concatenate([-ys[pos][::-1], ys[onp], ys[pos]])
+            # the on-plane centered row's Yee average saw the zero ghost
+            # below the wall: the true full-cell value is (1+s)x the
+            # stored half (cf. _mirror_fix_dft_specs; the unweighting
+            # above divided the spec's own (1+s) back out)
+            dE_raw = np.concatenate(
+                [sE * dE_raw[pos][::-1], (1.0 + sE) * dE_raw[onp],
+                 dE_raw[pos]])
+            # dH keeps its tangential spec weight in the data, so the
+            # (1+s) restoration already rode in via _mirror_fix_dft_specs
+            dH = np.concatenate([sH * dH[pos][::-1], dH[onp], dH[pos]])
+            mirrored_tang = True
         xpos = (reg[1 - tang_ax][0] + 0.5) * self.gv.dx + self.gv.origin[1 - tang_ax]
         pts = np.zeros((len(ys), 3))
         pts[:, tang_ax] = ys
@@ -1908,6 +2053,10 @@ class Simulation:
             # branch projections (measured: per-order conservation
             # between two monitor depths 0.5-1.1x raw vs 1.00 exact).
             def _u_line(name, avg_norm=True):
+                if mirrored_tang:
+                    # folded region covers half the line; fall back to
+                    # the analytic rasterization on the full line
+                    return None
                 u = self._plan.coefs.get(name)
                 if u is None:
                     return None
@@ -2118,10 +2267,9 @@ class Simulation:
                 center, size,
                 lambda dd: (-1.0 if fd == dd else 1.0)
                 * (-1.0 if normal == dd else 1.0))
-            self._dft_specs += M.force_specs(self.gv, f"{name}:{ri}", fd,
-                                             normal, center, size, freqs,
-                                             weight=reg.weight * fac,
-                                             live=live)
+            self._dft_specs += self._mirror_fix_dft_specs(M.force_specs(
+                self.gv, f"{name}:{ri}", fd, normal, center, size, freqs,
+                weight=reg.weight * fac, live=live))
         h = _FluxHandle(name, freqs)
         h._nregions = len(regions)
         h._sim = self
@@ -2192,9 +2340,9 @@ class Simulation:
         live = sum(self._live_components(), [])
         # energy density u = (E*.D + H*.B)/2 is even under any mirror
         c_ax, s_ax, fac = self._fold_region(c_ax, s_ax, lambda dd: 1.0)
-        self._dft_specs += M.energy_specs(self.gv, name, c_ax, s_ax, freqs,
-                                          live=live, weight=fac,
-                                          decimation=self._resolve_decimation(decimation_factor, freqs))
+        self._dft_specs += self._mirror_fix_dft_specs(M.energy_specs(
+            self.gv, name, c_ax, s_ax, freqs, live=live, weight=fac,
+            decimation=self._resolve_decimation(decimation_factor, freqs)))
         h = _FluxHandle(name, freqs)
         h._sim = self
         self._handles.append(h)
@@ -2727,11 +2875,28 @@ class Simulation:
             c_ax = coords[ax]
             pos = np.where(c_ax > 1e-12)[0]
             onp = np.where(np.abs(c_ax) <= 1e-12)[0]
+            # node alignment: the image may only reach down to the full
+            # cell's low edge — a half-offset overhang site past the fold
+            # extent (hi = extent + dx/2) has no mirror partner
+            if ax in self._mirror_node:
+                hi_x = self.gv.num[ax] * self.gv.dx
+                pos_im = pos[c_ax[pos] <= hi_x + 1e-9]
+            else:
+                pos_im = pos
             a_pos = np.take(arr, pos, axis=ax)
-            parts = [s * np.flip(a_pos, axis=ax)]
-            cparts = [-np.flip(c_ax[pos])]
+            parts = [s * np.flip(np.take(arr, pos_im, axis=ax), axis=ax)]
+            cparts = [-np.flip(c_ax[pos_im])]
             if len(onp):
-                parts.append(np.take(arr, onp, axis=ax))
+                a_on = np.take(arr, onp, axis=ax)
+                if ax in self._mirror_node and G.yee_shift(
+                        component, self.gv.dim).get(d, 0) \
+                        and component != "eps":
+                    # node-aligned fold, half-offset component: the
+                    # centered on-plane column was averaged with a ZERO
+                    # below-plane ghost; the true ghost is the mirror
+                    # image of the first half-site, i.e. s * itself
+                    a_on = a_on * (1.0 + s)
+                parts.append(a_on)
                 cparts.append(c_ax[onp])
             parts.append(a_pos)
             cparts.append(c_ax[pos])

@@ -118,6 +118,8 @@ def supported(plan, bx: int = None, allow_disp: bool = True,
         return False
     if getattr(plan, "rot2", None) is not None or getattr(plan, "rot4", None) is not None:
         return False        # C2 fold ghost not taught to the fused kernels
+    if getattr(plan, "mirror_node", ()):
+        return False        # node-plane mirror ghost not taught either
     bx = _pick_bx(plan, bx)
     if plan.pol_specs_h:
         return False

@@ -37,6 +37,8 @@ from ...core import grid as G
 def pallas_supported(plan) -> bool:
     if getattr(plan, 'rot2', None) is not None or getattr(plan, 'rot4', None) is not None:
         return False
+    if getattr(plan, 'mirror_node', ()):
+        return False
     if plan.gv.dim != "3d" or plan.complex_fields or plan.bfast_k is not None:
         return False
     if plan.pol_specs_e or plan.pol_specs_h:

@@ -275,6 +275,14 @@ class Plan:
     #: at the reflected source row, with the rotation-matrix sign.
     #: (ax1, ax2, w_letter, phase) or None
     rot4: Optional[Tuple[Any, ...]] = None
+    #: node-aligned mirror folds (vec.hpp:1189 mirror_symmetry with the
+    #: plane ON a whole grid site, i.e. phase=+1 on an even cell count):
+    #: the cell is halved along each (ax, d_letter, phase) with the plane
+    #: at site 0 and NO wall; backward differences across the plane read
+    #: the mirror ghost phase * mirror_parity(g, d) * g[1 - yee_shift].
+    #: Half-offset-plane (+1/odd) and metal-node (-1/even) mirrors keep
+    #: the wall-mask implementation and do not appear here.
+    mirror_node: Tuple[Tuple[Any, ...], ...] = ()
     #: 2D out-of-plane wavenumber (the reference's special_kz / kz_2d,
     #: fields.cpp beta): fields carry an exact e^{i beta z} dependence,
     #: so every dropped z-derivative curl term becomes the constant
@@ -398,6 +406,7 @@ def compile_plan(
     boundaries=None,   # {(dir_letter, 'low'|'high'): 'metal'|'magnetic'}
     rot2=None,         # (fold_ax, flip_ax, w_ax, phase) C2 fold (Plan.rot2)
     rot4=None,         # (ax1, ax2, w_ax, phase) C4 fold (Plan.rot4)
+    mirror_node=(),    # ((ax, d_letter, phase), ...) node-plane mirrors
     beta: float = 0.0,  # 2D out-of-plane wavenumber (special_kz, Plan.beta)
 ) -> Plan:
     import jax.numpy as jnp
@@ -856,6 +865,7 @@ def compile_plan(
         mask_planes=mask_planes, support_boxes=support_boxes,
         rot2=tuple(rot2) if rot2 is not None else None,
         rot4=tuple(rot4) if rot4 is not None else None,
+        mirror_node=tuple(tuple(mn) for mn in mirror_node),
         beta=float(beta))
 
 

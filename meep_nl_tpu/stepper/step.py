@@ -231,6 +231,32 @@ def plan_seed(plan) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _mirror_node_ghost(plan: Plan, g: jnp.ndarray, gname: str,
+                       ax: int, d_letter: str, phase: int) -> jnp.ndarray:
+    """Mirror-fold ghost plane for a backward difference across a
+    NODE-aligned mirror plane at site 0 (vec.hpp:1189 mirror_symmetry;
+    symmetry planes on whole grid sites arise for phase=+1 on even cell
+    counts, e.g. the reference's default (make mirror-sym ...) cells):
+
+        f_g(-x) = phase * P_g(d) * f_g(+x)
+
+    with P_g the vector/pseudovector parity (E_d, H_t odd; E_t, H_d
+    even).  The reflected source plane is index 1 - yee_shift for
+    node components and 0 for half-offset ones (their first site sits
+    at +dx/2, reflecting onto -dx/2)."""
+    gv = plan.gv
+    off = g.ndim - gv.ndim
+    ys = G.yee_shift(gname, gv.dim)
+    if gname[0] in ("e", "d"):
+        s = float(phase) * (-1.0 if gname[1] == d_letter else 1.0)
+    else:
+        s = float(phase) * (1.0 if gname[1] == d_letter else -1.0)
+    k0 = 1 - ys[d_letter]
+    sl = [slice(None)] * g.ndim
+    sl[ax + off] = slice(k0, k0 + 1)
+    return s * g[tuple(sl)]
+
+
 def _rot2_ghost(plan: Plan, g: jnp.ndarray, gname: str) -> jnp.ndarray:
     """The C2-fold ghost plane for a backward difference across the
     rotation-axis plane at fold-axis site 0 (vec.hpp:1189-1232 rotate2):
@@ -331,6 +357,12 @@ def _curl(plan: Plan, spec: CurlSpec, f: Dict[str, Any],
     def diff(g, a, gname=None):
         if spec.is_d:   # backward difference
             sh = _sh(plan, g, a, -1)
+            if plan.mirror_node and gname is not None:
+                for (max_, md, mp_) in plan.mirror_node:
+                    if max_ == a:
+                        off = g.ndim - plan.gv.ndim
+                        sh = set_plane0(sh, a + off, _mirror_node_ghost(
+                            plan, g, gname, max_, md, mp_))
             if plan.rot2 is not None and a == plan.rot2[0] \
                     and gname is not None:
                 off = g.ndim - plan.gv.ndim

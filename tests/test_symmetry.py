@@ -68,12 +68,14 @@ def test_mirror_alignment_errors():
     with pytest.raises(ValueError, match="even cell count"):
         mp.Simulation(cell_size=mp.Vector3(8, 8.1), resolution=10,
                       symmetries=[mp.Mirror(mp.Y, phase=-1)])
-    with pytest.raises(ValueError, match="odd cell count"):
+    # phase=+1 accepts BOTH parities now: odd -> half-offset wall,
+    # even -> node-aligned ghost fold (plan.mirror_node)
+    sim = mp.Simulation(cell_size=mp.Vector3(8, 8), resolution=10,
+                        symmetries=[mp.Mirror(mp.Y, phase=+1)])
+    assert sim._mirror_node
+    with pytest.raises(ValueError, match="k\\.y == 0"):
         mp.Simulation(cell_size=mp.Vector3(8, 8), resolution=10,
-                      symmetries=[mp.Mirror(mp.Y, phase=+1)])
-    with pytest.raises(ValueError, match="k_point"):
-        mp.Simulation(cell_size=mp.Vector3(8, 8), resolution=10,
-                      k_point=mp.Vector3(0.1, 0),
+                      k_point=mp.Vector3(0, 0.1),
                       symmetries=[mp.Mirror(mp.Y, phase=-1)])
 
 
@@ -198,3 +200,90 @@ def test_pml_side_string_normalized():
     assert mp.PML(1.0, side=mp.Low).side == -1
     assert mp.PML(1.0, side=mp.High).side == +1
     assert mp.PML(1.0).side == 0
+
+
+# ---------------------------------------------------------------------------
+# node-aligned phase=+1 mirrors (plane ON a whole grid site, even counts)
+# and the half-offset monitor/source corrections
+
+
+def _node_mirror_sim(sym, comp_src):
+    return mp.Simulation(
+        cell_size=mp.Vector3(8, 8, 0), resolution=10,   # even count in y
+        geometry=[mp.Cylinder(center=mp.Vector3(1.0, 0), radius=0.83,
+                              material=mp.Medium(epsilon=12))],
+        sources=[mp.Source(mp.GaussianSource(0.5, fwidth=0.3), comp_src,
+                           center=mp.Vector3(-2, 0))],
+        boundary_layers=[mp.PML(1.0)],
+        symmetries=[mp.Mirror('y', phase=1)] if sym else [])
+
+
+@pytest.mark.parametrize("comp,src", [("ez", mp.Ez), ("hx", mp.Ez),
+                                      ("hy", mp.Ez), ("ex", mp.Ex),
+                                      ("ey", mp.Ex), ("hz", mp.Ex)])
+def test_node_mirror_matches_full_cell(comp, src):
+    """phase=+1 on an EVEN cell count: the plane lands on a node and the
+    stepper reads the mirror ghost (plan.mirror_node) instead of a wall;
+    every component of the folded run must reproduce the full cell."""
+    f = _node_mirror_sim(False, src)
+    h = _node_mirror_sim(True, src)
+    f.run(until=12)
+    h.run(until=12)
+    af = np.asarray(f.get_array(component=comp))
+    ah = np.asarray(h.get_array(component=comp))
+    assert af.shape == ah.shape
+    m = np.abs(af).max()
+    assert m > 1e-4
+    assert np.abs(af - ah).max() <= 2e-5 * m
+
+
+@pytest.mark.parametrize("sy", [8.0, 8.1])   # node / half-offset alignment
+def test_mirror_symmetric_flux_region_exact(sy):
+    """A symmetric flux plane on a mirrored cell integrates to the full
+    cell's value exactly for BOTH plane alignments (the half-offset
+    centered row-0 parity restoration, _mirror_fix_dft_specs)."""
+    def flux(sym):
+        sim = mp.Simulation(
+            cell_size=mp.Vector3(8, sy, 0), resolution=10,
+            sources=[mp.Source(mp.GaussianSource(0.5, fwidth=0.3), mp.Ez,
+                               center=mp.Vector3(-2, 0))],
+            boundary_layers=[mp.PML(1.0)],
+            symmetries=[mp.Mirror('y', phase=1)] if sym else [])
+        h = sim.add_flux(0.5, 0.2, 3, mp.FluxRegion(
+            center=mp.Vector3(2, 0), size=mp.Vector3(0, 6)))
+        sim.run(until=15)
+        return np.asarray(sim.get_fluxes(h))
+    ff, fh = flux(False), flux(True)
+    assert np.abs(ff - fh).max() <= 5e-5 * np.abs(ff).max()
+
+
+@pytest.mark.parametrize("sy", [11.0, 11.2])   # half-offset / node
+def test_mirror_eigenmode_source_and_coefficients(sy):
+    """Eigenmode source + mode decomposition on a mirrored waveguide:
+    the cross-section eigenproblem is solved on the FULL unfolded line
+    (_mirror_full_line / _mode_monitor_ctx unfold) so launch amplitude,
+    flux, and S-parameter coefficients match the full cell."""
+    def em(sym):
+        sx = 12.0
+        fcen = 1 / 6.67
+        sim = mp.Simulation(
+            cell_size=mp.Vector3(sx, sy, 0), resolution=15,
+            geometry=[mp.Block(center=mp.Vector3(0, 0),
+                               size=mp.Vector3(1e20, 1.0, 1e20),
+                               material=mp.Medium(epsilon=12))],
+            sources=[mp.EigenModeSource(
+                mp.GaussianSource(fcen, fwidth=0.2 * fcen),
+                center=mp.Vector3(-0.5 * sx + 2.6, 0),
+                size=mp.Vector3(0, sy - 4), eig_band=1, eig_parity='TM')],
+            boundary_layers=[mp.PML(2.0, direction='x'),
+                             mp.PML(2.0, direction='y')],
+            symmetries=[mp.Mirror('y', phase=1)] if sym else [])
+        fl = sim.add_flux(fcen, 0, 1, mp.FluxRegion(
+            center=mp.Vector3(-0.5 * sx + 4.1, 0),
+            size=mp.Vector3(0, sy - 4)))
+        sim.run(until_after_sources=60)
+        return (np.asarray(sim.get_fluxes(fl)),
+                np.asarray(sim.get_eigenmode_coefficients(fl, [1])))
+    (flf, af), (flh, ah) = em(False), em(True)
+    assert np.abs(flf - flh).max() <= 1e-4 * np.abs(flf).max()
+    assert np.abs(np.abs(af) - np.abs(ah)).max() <= 1e-3 * np.abs(af).max()
