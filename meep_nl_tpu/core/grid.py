@@ -149,13 +149,18 @@ _DIM_AXES = {
 }
 
 _DIM_E = {
-    "1d": ("ex",),
+    # 1d carries BOTH transverse polarizations (Ex/Hy and Ey/Hx), like the
+    # reference (fields.cpp require_component in D1): gyrotropic media and
+    # circularly-polarized sources couple them (e.g. Faraday rotation).
+    # The live-component closure keeps single-polarization runs on the
+    # two-component fast set.
+    "1d": ("ex", "ey"),
     "2d": ("ex", "ey", "ez"),
     "3d": ("ex", "ey", "ez"),
     "cyl": ("er", "ep", "ez"),
 }
 _DIM_H = {
-    "1d": ("hy",),
+    "1d": ("hx", "hy"),
     "2d": ("hx", "hy", "hz"),
     "3d": ("hx", "hy", "hz"),
     "cyl": ("hr", "hp", "hz"),

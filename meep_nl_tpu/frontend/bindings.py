@@ -388,6 +388,11 @@ def _cook_prop(name: str, args: List[Any]) -> Any:
 
     Multi-arg vector properties become Vector3 (libctl ctl-io semantics:
     `(center 1 2)` == `(center (vector3 1 2))`)."""
+    if name.lower() in ("e_susceptibilities", "h_susceptibilities",
+                        "transitions", "initial_populations", "vertices"):
+        if len(args) == 1 and isinstance(args[0], (list, tuple)):
+            return list(args[0])
+        return list(args)
     if len(args) == 1:
         val = args[0]
         if name in _VEC_PROPS and isinstance(val, (int, float)) \
@@ -396,9 +401,6 @@ def _cook_prop(name: str, args: List[Any]) -> Any:
         if name in _VEC_PROPS and isinstance(val, (list, tuple)):
             return _v3(*val)
         return val
-    if name in ("e_susceptibilities", "h_susceptibilities", "transitions",
-                "initial_populations", "vertices"):
-        return list(args)
     if all(isinstance(a, (int, float)) for a in args):
         return _v3(*args)
     return list(args)
@@ -748,15 +750,21 @@ def install(env: Environment, state: CtlState) -> None:
 
     def to_appended(fname, *fns):
         # reference appends successive outputs along a new dim into one h5
-        # (meep.scm.in:1058); our h5 writers timestamp per call, so run the
-        # wrapped outputs as-is (files land beside the reference's layout).
-        wrapped = _wrap_steps(fns)
-
-        def step(sim):
-            for f in wrapped:
-                f(sim)
-        return step
+        # (meep.scm.in:1058); our h5 writers timestamp per call, so pass
+        # the wrapped step functions (and combinator tuples like at-end)
+        # through to run's own parser — the files land beside the
+        # reference's layout.
+        return list(_wrap_steps(fns))
     E["to-appended"] = to_appended
+
+    def _flatten_steps(fns):
+        out = []
+        for f in fns:
+            if isinstance(f, list):
+                out.extend(_flatten_steps(f))
+            else:
+                out.append(f)
+        return out
 
     def output_real_field_function(name, cs, func, *h5):
         """Pointwise function of field components, written as one dataset
@@ -820,7 +828,7 @@ def install(env: Environment, state: CtlState) -> None:
         sim = state.get_sim()
         if isinstance(cond, Procedure):
             cond = _wrap_cond(cond)
-        sim.run(*_wrap_steps(step_funcs), until=cond)
+        sim.run(*_wrap_steps(_flatten_steps(step_funcs)), until=cond)
         if state.harminv_collectors:
             _publish_harminv()
         print(f"run {state.run_index} finished at t = "
@@ -831,7 +839,8 @@ def install(env: Environment, state: CtlState) -> None:
         sim = state.get_sim()
         if isinstance(cond, Procedure):
             cond = _wrap_cond(cond)
-        sim.run(*_wrap_steps(step_funcs), until_after_sources=cond)
+        sim.run(*_wrap_steps(_flatten_steps(step_funcs)),
+                until_after_sources=cond)
         if state.harminv_collectors:
             _publish_harminv()
         print(f"run {state.run_index} finished at t = "

@@ -592,6 +592,26 @@ class Simulation:
                 need.add(s.component)
         need |= {s.component for s in getattr(self, "_extra_srcs", [])}
         need |= {m.component for m in self._dft_specs}
+        # gyrotropic media precess P about the bias axis, coupling every
+        # component of the susceptibility's field type
+        # (susceptibility.cpp:519); pull the partners in if any driven
+        # component carries such a pole
+        all_media = [getattr(g, "material", None) for g in self.geometry]
+        all_media.append(self.default_material)
+        all_media += list(self.extra_materials)
+        for med in all_media:
+            if med is None or not hasattr(med, "E_susceptibilities"):
+                continue
+            for ft, sus_list in (("e", med.E_susceptibilities),
+                                 ("h", med.H_susceptibilities)):
+                if any(getattr(s_, "bias", None) is not None and
+                       np.linalg.norm(list(_v3(s_.bias))) > 0
+                       for s_ in sus_list
+                       if hasattr(s_, "bias")):
+                    comps = self.gv.e_components if ft == "e" \
+                        else self.gv.h_components
+                    if need & set(comps) or not need:
+                        need |= set(comps)
         live = set(need)
         changed = True
         while changed:

@@ -893,6 +893,17 @@ def _infer_live(gv: G.GridVolume, mat: MaterialSpec, sources, dfts, ft: str
                 need.add(c[0] + d)
     for c in list(mat.chi2) + list(mat.chi3) + list(mat.nr_chi2):
         need.add(c)
+    # gyrotropic/saturated susceptibilities precess the polarization about
+    # the bias axis, coupling the two perpendicular components of their
+    # field type (susceptibility.cpp:519 LLG / gyrotropic update): if any
+    # component with such a pole is live, its partners must be stepped too
+    for p in getattr(mat, "pols", []):
+        if p.kind != "gyrotropic" and not p.saturated:
+            continue
+        for (c, _d) in p.sigma:
+            need.add(c)
+            for d in "xyz":
+                need.add(c[0] + d)
     if not need:
         need = set(all_e + all_h)
     # closure over curl relations

@@ -983,18 +983,29 @@ def _pol_update_gyro(plan: Plan, C, pi: int, p: PolSpec, state):
         i0 = "xyz".index(d0)
         i1 = "xyz".index(d1)
         i2 = "xyz".index(d2)
-        ax_own = gv.axis_of(d0)
+        # own-axis stagger may be absent on reduced grids (1d: ex/ey
+        # share the z lattice, so the gs_2 average degrades gracefully
+        # to 2-point / identity; step_generic.cpp's LOOP handles this
+        # via the collapsed stride)
+        ax_own = gv.axis_of(d0) if gv.has_direction(d0) else None
         w0 = W(c)
         c1 = c[0] + d1
         c2 = c[0] + d2
         w1 = W(c1)
         w2 = W(c2)
-        avg1 = 0.0
-        avg2 = 0.0
-        if w1 is not None and gv.has_direction(d1):
-            avg1 = _avg4(plan, w1, ax_own, gv.axis_of(d1), sgn)
-        if w2 is not None and gv.has_direction(d2):
-            avg2 = _avg4(plan, w2, ax_own, gv.axis_of(d2), sgn)
+
+        def _avg(w, d_other):
+            ax_off = gv.axis_of(d_other) if gv.has_direction(d_other) \
+                else None
+            if ax_own is not None and ax_off is not None:
+                return _avg4(plan, w, ax_own, ax_off, sgn)
+            if ax_own is not None:
+                return 0.5 * (w + _sh(plan, w, ax_own, sgn))
+            if ax_off is not None:
+                return 0.5 * (w + _sh(plan, w, ax_off, -sgn))
+            return w
+        avg1 = _avg(w1, d1) if w1 is not None else 0.0
+        avg2 = _avg(w2, d2) if w2 is not None else 0.0
         p0, p1v, p2v = (pol_st["p"][c], pol_st["p"][f"{c}#1"],
                         pol_st["p"][f"{c}#2"])
         pp0, pp1, pp2 = (pol_st["pp"][c], pol_st["pp"][f"{c}#1"],
