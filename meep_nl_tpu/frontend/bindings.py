@@ -142,8 +142,9 @@ def _v3_close(a, b, tol=1e-7):
                for x, y in zip(_vec_items(a), _vec_items(b)))
 
 
-def _rotate_v3(axis, v, theta):
-    """Rodrigues rotation (libctl vector3 rotate-vector3)."""
+def _rotate_v3(axis, theta, v):
+    """Rodrigues rotation; libctl argument order (axis theta v)
+    (libctl utils.scm rotate-vector3)."""
     u = _unit_v3(axis)
     par = _v3_scale(_v3_dot(u, v), u)
     perp = _v3_sub(_v3(v), par)
@@ -349,8 +350,6 @@ def make_class_table() -> Dict[str, CtlClass]:
              mp.GyrotropicDrudeSusceptibility),
             ("gyrotropic-saturated-susceptibility",
              mp.GyrotropicSaturatedSusceptibility),
-            ("multilevel-atom", mp.MultilevelAtom),
-            ("transition", mp.Transition),
             ("block", mp.Block),
             ("sphere", mp.Sphere),
             ("cylinder", mp.Cylinder),
@@ -371,6 +370,38 @@ def make_class_table() -> Dict[str, CtlClass]:
             ("gaussian-beam-src", mp.GaussianBeamSource),
     ):
         reg(ctl, _plain(cls))
+    def _multilevel_build(props, state):
+        """ctl multilevel-atom: levels are 1-BASED (scheme examples use
+        from-level 1 for the ground state); the python API is 0-based.
+        Shift, and pad initial-populations out to the level count."""
+        import dataclasses as _dc
+        props = dict(props)
+        trans = list(props.get("transitions", []))
+        if trans and min(min(t.from_level, t.to_level)
+                         for t in trans) >= 1:
+            trans = [_dc.replace(t, from_level=t.from_level - 1,
+                                 to_level=t.to_level - 1) for t in trans]
+        L = 1 + max((max(t.from_level, t.to_level) for t in trans),
+                    default=0)
+        pops = list(props.get("initial_populations", []))
+        if not isinstance(pops, list):
+            pops = [pops]
+        pops = pops + [0.0] * (L - len(pops))
+        props["transitions"] = trans
+        props["initial_populations"] = pops
+        if "sigma_diag" in props:
+            sd = _vec_items(props.pop("sigma_diag"))
+            props["sigma_diag"] = mp.Vector3(*sd)
+        return mp.MultilevelAtom(**props)
+    reg("multilevel-atom", _multilevel_build)
+
+    def _transition_build(props, state):
+        props = dict(props)
+        if "sigma" in props:     # (sigma s) == sigma-diag s s s
+            s = props.pop("sigma")
+            props["sigma_diag"] = mp.Vector3(s, s, s)
+        return mp.Transition(**props)
+    reg("transition", _transition_build)
     reg("lattice", _lattice_build)
     reg("pml", _pml_build(mp.PML))
     reg("absorber", _pml_build(mp.Absorber))
@@ -575,6 +606,8 @@ def install(env: Environment, state: CtlState) -> None:
 
     for name, default in _INPUT_VAR_DEFAULTS.items():
         defvar(name, default)
+    E["fields"] = []                 # '() until (init-fields)
+    E["structure"] = []
     E["geometry-lattice"] = mp.Lattice(size=mp.Vector3(1, 1, 1))
     E["default-material"] = mp.Medium(epsilon=1.0)
 
@@ -585,7 +618,8 @@ def install(env: Environment, state: CtlState) -> None:
     # -- constants ------------------------------------------------------
     consts = {
         "no-size": NO_SIZE, "infinity": INFINITY, "CYLINDRICAL":
-        mp.CYLINDRICAL, "AUTOMATIC": -1, "ALL": mp.ALL,
+        mp.CYLINDRICAL, "AUTOMATIC": -1, "NO-DIRECTION": None,
+        "ALL": mp.ALL,
         # libctl geom: prism center derived from its vertices
         "auto-center": None,
         "X": mp.X, "Y": mp.Y, "Z": mp.Z, "R": mp.R, "P": "p",
@@ -631,8 +665,8 @@ def install(env: Environment, state: CtlState) -> None:
             np.linalg.inv(_m33_np(m))),
         "matrix3x3-determinant": lambda m: np.linalg.det(_m33_np(m)),
         "rotation-matrix3x3": lambda axis, th: _m33_from_np(
-            np.array([_vec_items(_rotate_v3(axis, mp.Vector3(
-                *(1.0 * (np.arange(3) == i))), th)) for i in range(3)]).T),
+            np.array([_vec_items(_rotate_v3(axis, th, mp.Vector3(
+                *(1.0 * (np.arange(3) == i))))) for i in range(3)]).T),
         "deg->rad": math.radians, "rad->deg": math.degrees,
         "sqr": lambda x: x * x,
         "random": lambda *a: (_random.uniform(a[0], a[1]) if len(a) == 2
@@ -656,6 +690,8 @@ def install(env: Environment, state: CtlState) -> None:
     # -- sim-touching functions ------------------------------------------
     def init_fields():
         state.get_sim().init_sim()
+        E["fields"] = state          # non-null token: (null? fields) -> #f
+        E["structure"] = state
 
     def reset_meep():
         state.reset()
@@ -720,8 +756,8 @@ def install(env: Environment, state: CtlState) -> None:
         "after-sources+": lambda t, *f: mp.after_sources_and_time(
             t, *_wrap_steps(f)),
         "during-sources": lambda *f: mp.during_sources(*_wrap_steps(f)),
-        "in-volume": lambda v, *f: mp.in_volume(v, *_wrap_steps(f)),
-        "in-point": lambda p, *f: mp.in_point(p, *_wrap_steps(f)),
+        "in-volume": lambda v, *f: _in_region(mp.in_volume, v, f),
+        "in-point": lambda p, *f: _in_region(mp.in_point, p, f),
         "synchronized-magnetic": lambda *f: mp.synchronized_magnetic(
             *_wrap_steps(f)),
         "when-true": lambda c, *f: mp.when_true(_wrap_cond(c),
@@ -756,6 +792,34 @@ def install(env: Environment, state: CtlState) -> None:
         # reference's layout.
         return list(_wrap_steps(fns))
     E["to-appended"] = to_appended
+
+    def _in_region(region_fn, where, fns):
+        """(in-volume v ...) distributes over nested combinators: ctl
+        composes (in-volume v (at-end output-...)) freely
+        (meep.scm.in in-volume wraps the eval-step-func protocol)."""
+        out = []
+        for f in _wrap_steps(fns):
+            if isinstance(f, tuple) and f:
+                tag = f[0]
+                if tag == "at_every":
+                    out.append((tag, f[1], tuple(
+                        _unwrap1(region_fn, where, g) for g in f[2])))
+                elif isinstance(f[-1], (tuple, list)):
+                    out.append(tuple(list(f[:-1]) + [tuple(
+                        _unwrap1(region_fn, where, g) for g in f[-1])]))
+                else:
+                    out.append(f)
+            else:
+                out.append(_unwrap1(region_fn, where, f))
+        return out
+
+    def _unwrap1(region_fn, where, g):
+        # region_fn returns ("at_every", 0.0, (wrapped,)) for one fn —
+        # extract the wrapped callable so it nests inside any combinator
+        res = region_fn(where, g)
+        if isinstance(res, tuple) and res[0] == "at_every":
+            return res[2][0]
+        return res
 
     def _flatten_steps(fns):
         out = []
@@ -1098,11 +1162,22 @@ def install(env: Environment, state: CtlState) -> None:
         vgrp = np.zeros(alpha.shape[:2])
         return [alpha, vgrp, [], []]
 
-    def solve_cw(tol=1e-8, maxiters=10000, L=2):
+    def solve_cw(*args):
+        # (meep-fields-solve-cw fields tol maxiters L) SWIG spelling or
+        # bare (solve-cw tol maxiters L)
+        if args and not isinstance(args[0], (int, float)):
+            args = args[1:]
+        tol = args[0] if len(args) > 0 else 1e-8
+        maxiters = args[1] if len(args) > 1 else 10000
         return state.get_sim().solve_cw(tol=tol, maxiters=int(maxiters))
 
-    def initialize_field(c, func):
-        f = (lambda p: apply_proc(func, [_v3(*np.asarray(p, float))])) \
+    def initialize_field(*args):
+        # (initialize-field c func) or the SWIG spelling
+        # (meep-fields-initialize-field fields c func)
+        if len(args) == 3:
+            args = args[1:]
+        c, func = args
+        f = (lambda p: apply_proc(func, [_v3(p.x, p.y, p.z)])) \
             if isinstance(func, Procedure) else func
         return state.get_sim().initialize_field(c, f)
 

@@ -133,6 +133,15 @@ def _atom(tok: str, line: int) -> Any:
         return float(tok)
     except ValueError:
         pass
+    if tok and tok[-1] in "iI" and any(ch.isdigit() for ch in tok):
+        # guile complex literal: 0-1i, +2.5i, 1+i, 3e2-1.5e-1i
+        body = tok[:-1]
+        if not body or body[-1] in "+-":
+            body += "1"
+        try:
+            return complex(body + "j")
+        except ValueError:
+            pass
     return Symbol(tok)
 
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Any, Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -151,6 +151,10 @@ class MultilevelAtom:
     initial_populations: List[float] = dataclasses.field(default_factory=list)
     transitions: List[Transition] = dataclasses.field(default_factory=list)
     sigma: float = 1.0
+    #: optional per-direction coupling (the ctl frontend's
+    #: (sigma-diag sx sy sz) on the atom, scheme/meep.scm.in
+    #: multilevel-atom class); None = isotropic `sigma`
+    sigma_diag: Any = None
 
     def to_matrices(self):
         """(Gamma LxL, N0 L, alpha LxT, omega T, gamma T, sigmat Tx3) for
@@ -181,6 +185,8 @@ class MultilevelAtom:
             alpha[t.from_level, k] = +1.0 / (2 * np.pi * t.frequency)
             alpha[t.to_level, k] = -1.0 / (2 * np.pi * t.frequency)
             sigmat[k] = tuple(_v3(t.sigma_diag))
+        if self.sigma_diag is not None:
+            sigmat = sigmat * np.asarray(tuple(_v3(self.sigma_diag)))
         return Gamma, np.asarray(self.initial_populations, float), \
             alpha, omega, gam, sigmat
 

@@ -1157,11 +1157,21 @@ class Simulation:
                 par = s.eig_parity
                 if par is not None and not isinstance(par, str):
                     par = None           # component-constant hints: default
+                band = int(getattr(s.eig_band, "band", s.eig_band)) \
+                    if not hasattr(s.eig_band, "g") else s.eig_band
+                if not hasattr(band, "g") and s.eig_kpoint is not None \
+                        and self.k_point is not None and band == 1:
+                    # oblique planewave launch via eig_kpoint (the
+                    # reference's add_eigenmode_source with a kpoint in a
+                    # Bloch-periodic cell, mpb.cpp:830): band 1 at the
+                    # cell's k is the zeroth-order planewave — route it
+                    # through the DiffractedPlanewave injector, which
+                    # builds the analytic ky = 2 pi k_t wave
+                    band = DiffractedPlanewave(g=(0, 0, 0))
                 self.add_eigenmode_source(
                     s.src, s.center, s.size,
                     direction=s.launch_direction(),
-                    mode_band=int(getattr(s.eig_band, "band", s.eig_band))
-                    if not hasattr(s.eig_band, "g") else s.eig_band,
+                    mode_band=band,
                     amplitude=s.amplitude, eig_parity=par)
         live_e, live_h = self._live_components()
         # geometry objects whose material is a callable (per-object

@@ -112,8 +112,8 @@ def test_vector3_algebra():
                         env) == 6
     c = eval_program("(vector3-cross (vector3 1 0 0) (vector3 0 1 0))", env)
     assert (c.x, c.y, c.z) == (0, 0, 1)
-    r = eval_program("(rotate-vector3 (vector3 0 0 1) (vector3 1 0 0)"
-                     " (/ pi 2))", env)
+    r = eval_program("(rotate-vector3 (vector3 0 0 1) (/ pi 2)"
+                     " (vector3 1 0 0))", env)
     assert abs(r.y - 1) < 1e-12 and abs(r.x) < 1e-12
     assert eval_program("(vector3-close? (unit-vector3 (vector3 3 4 0))"
                         " (vector3 0.6 0.8 0) 1e-12)", env) is True
