@@ -206,22 +206,39 @@ class Near2FarSurface:
     dft_name: str           # key into state['dft'] (weights include s*dV)
 
 
+def _current_parity(c0: str, d: str) -> float:
+    """Sign of equivalent-current component c0 under a mirror in d.
+
+    Electric currents J transform as E (polar vector), magnetic currents
+    M as H (pseudovector); the surface normal flip is already baked in:
+    J' = n' x H' = (Mn) x (-p MH) = p M (n x H) (symmetry.cpp
+    transform applied to the equivalence currents)."""
+    if c0[0] in ("e", "d"):
+        return -1.0 if c0[1] == d else 1.0
+    return 1.0 if c0[1] == d else -1.0
+
+
 def farfield(surfaces: Sequence[Near2FarSurface], state, freqs,
              x: Sequence[float], dim: str, eps: float = 1.0, mu: float = 1.0,
-             m: float = 0.0, periodic: Sequence = ()) -> np.ndarray:
+             m: float = 0.0, periodic: Sequence = (),
+             mirrors: Sequence = ()) -> np.ndarray:
     """(6, nfreq) far fields at x (farfield_lowlevel, near2far.cpp:340).
 
     `periodic` entries (axis_index, nper, phase_per_period, period)
     replicate the near surface over 2*nper+1 lattice images with the
     Bloch phase e^{i n k L} each (near2far.cpp:33-41, 370-380).
+    `mirrors` entries (axis_index, d_letter, phase) add the mirror image
+    of every stored surface (reflected coords, current-parity-weighted
+    amplitudes) — the role of the reference's symmetry transforms in
+    loop_in_chunks feeding the Green's sum.
     dim == 'cyl' integrates the ring sources via greencyl (m = azimuthal
     number)."""
     x = np.asarray(x, np.float64)
     nfreq = len(freqs)
     EH = np.zeros((6, nfreq), np.complex128)
 
-    def images(coords, f0):
-        """Extend (coords, amplitudes) over the periodic image lattice."""
+    def images(coords, f0, c0):
+        """Extend (coords, amplitudes) over periodic + mirror images."""
         cs, fs = [coords], [f0]
         for (ax, nper, kphase, period) in periodic:
             cs2, fs2 = [], []
@@ -232,6 +249,19 @@ def farfield(surfaces: Sequence[Near2FarSurface], state, freqs,
                     cs2.append(cc)
                     fs2.append(f_ * np.exp(1j * n * kphase))
             cs, fs = cs2, fs2
+        for (ax, d, phase) in mirrors:
+            # image amplitudes pick up the current parity; points ON the
+            # plane self-image with the engine's half weight, so stored +
+            # image sum to (1+s)/2 of the full-cell row there — exact for
+            # both parities (odd currents vanish on the plane)
+            s = float(phase) * _current_parity(c0, d)
+            cs2, fs2 = list(cs), list(fs)
+            for c_, f_ in zip(cs, fs):
+                cc = c_.copy()
+                cc[:, ax] = -cc[:, ax]
+                cs2.append(cc)
+                fs2.append(s * f_)
+            cs, fs = cs2, fs2
         return np.concatenate(cs, axis=0), np.concatenate(fs, axis=0)
 
     for surf in surfaces:
@@ -239,8 +269,8 @@ def farfield(surfaces: Sequence[Near2FarSurface], state, freqs,
         dft = np.asarray(dft_view(np.asarray(state["dft"][surf.dft_name])))
         flat = dft.reshape(-1, nfreq)
         for i, f in enumerate(freqs):
-            coords, f0 = images(surf.coords, flat[:, i]) if periodic \
-                else (surf.coords, flat[:, i])
+            coords, f0 = images(surf.coords, flat[:, i], surf.c0) \
+                if (periodic or mirrors) else (surf.coords, flat[:, i])
             if dim == "cyl":
                 EH[:, i] += greencyl_w(x, f, eps, mu, coords,
                                        surf.c0, m) @ f0

@@ -855,10 +855,14 @@ def install(env: Environment, state: CtlState) -> None:
         bands = []
         for h in state.harminv_collectors:
             for m_ in h.modes:
-                b = [complex(m_.freq, -m_.decay), m_.amplitude, m_.err]
+                # meep band convention: complex frequency f - i*gamma with
+                # gamma = decay/(2 pi), so Q = f/(2 gamma) = pi f / decay
+                # (= Mode.Q; meep.scm.in:1129 harminv-freq-im)
+                gim = m_.decay / (2.0 * math.pi)
+                b = [complex(m_.freq, -gim), m_.amplitude, m_.err]
                 bands.append(b)
                 _print_run_data("harminv", [
-                    m_.freq, -m_.decay, m_.Q, abs(m_.amplitude),
+                    m_.freq, -gim, m_.Q, abs(m_.amplitude),
                     m_.amplitude, m_.err])
         E["harminv-results"] = bands
         state.harminv_collectors = []
@@ -1096,6 +1100,12 @@ def install(env: Environment, state: CtlState) -> None:
         "get-farfield": get_farfield,
         "get-farfields": get_farfields,
         "output-farfields": output_farfields,
+        # (flux n2f direction where resolution): Poynting flux through a
+        # far surface from the near2far transform (near2far.cpp:506)
+        "flux": lambda n2f, d, where, res=1.0: list(np.atleast_1d(
+            state.get_sim().near2far_flux(
+                n2f, d, center=getattr(where, "center", None),
+                size=getattr(where, "size", None), resolution=res))),
         "dft-ldos": dft_ldos,
         "flux-in-box": lambda d, *a: state.get_sim().flux_in_box(
             d, **_box_kw(a)),

@@ -224,6 +224,7 @@ class _N2FHandle:
     mu: float = 1.0
     m: float = 0.0            # cylindrical azimuthal number
     periodic: tuple = ()      # (axis, nper, phase_per_period, period)
+    mirrors: tuple = ()       # (axis, d_letter, phase) fold image terms
 
 
 @dataclasses.dataclass
@@ -1411,6 +1412,20 @@ class Simulation:
         name = f"dftf{len(self._handles)}"
         c_ax = _vec_to_axes(self.gv, center if center is not None else Vector3())
         s_ax = _vec_to_axes(self.gv, size if size is not None else Vector3())
+        folded_axes = {ax for ax, _, _ in self._mirrors}
+        if self._rot2 is not None:
+            folded_axes.add(self._rot2[0])
+        if self._rot4 is not None:
+            folded_axes.update(self._rot4[:2])
+        for ax in folded_axes:
+            if c_ax[ax] - s_ax[ax] / 2 < -1e-9:
+                # per-point DFT storage has no scalar fold factor; data in
+                # the dropped half would silently come back clamped
+                raise ValueError(
+                    "add_dft_fields region extends into the dropped half "
+                    f"of the folded {self.gv.axes[ax]} axis; restrict it "
+                    "to the retained half (get_dft_array values there "
+                    "equal the full cell's)")
         for c in components:
             self._dft_specs += M.field_specs(self.gv, f"{name}:{c}", c, c_ax,
                                              s_ax, freqs,
@@ -1445,27 +1460,72 @@ class Simulation:
                 zero_axes = [self.gv.axes[i] for i, sz in enumerate(size)
                              if sz == 0]
                 normal = zero_axes[0]
-            if self._mirrors or self._rot2 is not None \
-                    or self._rot4 is not None:
-                # folding a near-surface needs image Green's sources, not a
-                # scalar weight; reject rather than return half the fields
-                folded = [(self.gv.axes.index(d), d)
-                          for _, d, _ in self._mirrors if d in self.gv.axes]
+            skip_surface = False
+            fold_touch_axes = []
+            if self._rot2 is not None or self._rot4 is not None:
+                folded = []
                 if self._rot2 is not None:
-                    folded.append((self._rot2[0],
-                                   self.gv.axes[self._rot2[0]]))
+                    folded.append(self._rot2[0])
                 if self._rot4 is not None:
-                    for ax_ in self._rot4[:2]:
-                        folded.append((ax_, self.gv.axes[ax_]))
-                for i, d in folded:
+                    folded += list(self._rot4[:2])
+                for i in folded:
                     if center[i] - 0.5 * size[i] < -1e-9:
                         raise ValueError(
-                            f"near2far region extends into the dropped "
-                            f"half of the {d}-folded cell; place the "
-                            "near surface in the retained half")
+                            "near2far with a rotational fold needs the "
+                            "near surface in the retained wedge")
+            for i, d, phase in self._mirrors:
+                lo = center[i] - 0.5 * size[i]
+                hi = center[i] + 0.5 * size[i]
+                if lo >= -1e-9:
+                    continue                       # fully retained
+                node = (phase == -1) or (i in self._mirror_node)
+                if not node:
+                    raise ValueError(
+                        f"near2far on a half-offset-aligned {d} mirror "
+                        "is not supported; use an even cell count (the "
+                        "plane then lands on a grid site)")
+                if hi <= 1e-9:
+                    # fully in the dropped half: its contribution is the
+                    # mirror image of the partner face the (symmetric)
+                    # box also carries — nothing to store
+                    skip_surface = True
+                    break
+                if abs(center[i]) > 1e-9:
+                    raise ValueError(
+                        f"near2far region straddles the {d} mirror "
+                        "plane asymmetrically")
+                # symmetric straddle: clip to the retained half; the
+                # far-field Green's sum adds the mirror image term
+                # (handle.mirrors below)
+                center[i] = hi / 2
+                size[i] = hi
+                fold_touch_axes.append((i, d))
+            if skip_surface:
+                continue
             specs, surfs = M.near2far_specs(self.gv, f"{name}:{ri}", normal,
                                             center, size, freqs,
                                             weight=reg.weight, live=live)
+            for i, d in fold_touch_axes:
+                # first-row weights on the clipped edge: components whose
+                # lattice is half-offset along d got a split edge weight
+                # against the (nonexistent) below-plane site — their image
+                # covers the full pair, so the first retained row keeps
+                # its interior weight; on-plane-lattice components keep
+                # the half weight (stored + self-image = (1+s)/2, exact)
+                for spec in specs:
+                    if spec.region[i][0] != 0:
+                        continue
+                    if not G.yee_shift(spec.component,
+                                       self.gv.dim).get(d, 0):
+                        continue
+                    w = np.array(spec.weights)
+                    if w.shape[i] < 2:
+                        continue
+                    sl0 = [slice(None)] * w.ndim
+                    sl1 = [slice(None)] * w.ndim
+                    sl0[i], sl1[i] = 0, 1
+                    w[tuple(sl0)] = w[tuple(sl1)]
+                    spec.weights = w
             self._dft_specs += specs
             surfaces += surfs
             # periodic image setup (near2far.cpp:609-622): a tangential
@@ -1496,7 +1556,9 @@ class Simulation:
             eps_amb = float(scene._eps_of(idxm, self.geometry,
                                           self.default_material, 2)[0])
         h = _N2FHandle(name, freqs, surfaces, eps=eps_amb,
-                       m=float(self.m or 0.0), periodic=tuple(periodic))
+                       m=float(self.m or 0.0), periodic=tuple(periodic),
+                       mirrors=tuple(
+                           (ax_, d_, p_) for ax_, d_, p_ in self._mirrors))
         h._sim = self
         self._handles.append(h)
         return h
@@ -1508,7 +1570,8 @@ class Simulation:
         x = _vec_to_axes(self.gv, pt)
         return farfield(handle.surfaces, self._state, handle.freqs, x,
                         self.gv.dim, eps=handle.eps, mu=handle.mu,
-                        m=handle.m, periodic=handle.periodic)
+                        m=handle.m, periodic=handle.periodic,
+                        mirrors=getattr(handle, "mirrors", ()))
 
     def get_farfields(self, handle, resolution, center=None, size=None):
         """Far fields on a grid (get_farfields_array, near2far.cpp:400)."""
@@ -1531,7 +1594,8 @@ class Simulation:
         from ..analysis.near2far import farfield
         return farfield(handle.surfaces, self._state, handle.freqs, x_axes,
                         self.gv.dim, eps=handle.eps, mu=handle.mu,
-                        m=handle.m, periodic=handle.periodic)
+                        m=handle.m, periodic=handle.periodic,
+                        mirrors=getattr(handle, "mirrors", ()))
 
     def near2far_flux(self, handle, direction, center=None, size=None,
                       resolution=1.0):

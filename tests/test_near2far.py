@@ -186,3 +186,35 @@ def test_n2f_far_surface_flux():
                            size=mp.Vector3(S, 0), resolution=res_far)[0]
     assert p_near > 0
     np.testing.assert_allclose(F, p_near, rtol=0.05)
+
+
+def test_near2far_mirror_images_match_full_cell():
+    """A symmetric near-surface box on a node-mirrored cell: far fields
+    must equal the full cell's (the Green's sum adds the mirror-image
+    surfaces with current parities — the role of the reference's
+    symmetry transforms feeding loop_in_chunks)."""
+    def run(sym):
+        sim = mp.Simulation(
+            cell_size=mp.Vector3(8, 8, 0), resolution=10,
+            sources=[mp.Source(mp.GaussianSource(0.6, fwidth=0.3), mp.Ez,
+                               center=mp.Vector3(0, 0))],
+            boundary_layers=[mp.PML(1.0)],
+            symmetries=[mp.Mirror('y', phase=1)] if sym else [])
+        s = 1.5
+        h = sim.add_near2far(
+            0.6, 0, 1,
+            mp.Near2FarRegion(center=mp.Vector3(s, 0),
+                              size=mp.Vector3(0, 2 * s)),
+            mp.Near2FarRegion(center=mp.Vector3(-s, 0),
+                              size=mp.Vector3(0, 2 * s), weight=-1),
+            mp.Near2FarRegion(center=mp.Vector3(0, s),
+                              size=mp.Vector3(2 * s, 0), direction='y'),
+            mp.Near2FarRegion(center=mp.Vector3(0, -s),
+                              size=mp.Vector3(2 * s, 0), direction='y',
+                              weight=-1))
+        sim.run(until_after_sources=30)
+        pts = [mp.Vector3(40 * np.cos(t), 40 * np.sin(t))
+               for t in np.linspace(0.1, np.pi / 2, 5)]
+        return np.array([sim.get_farfield(h, p) for p in pts])
+    ff, fh = run(False), run(True)
+    assert np.abs(ff - fh).max() <= 2e-3 * np.abs(ff).max()
