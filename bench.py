@@ -208,11 +208,12 @@ def run_one():
     if depth_env:
         depth = int(depth_env)
     else:
+        # let _pick_bx choose the block depth per schedule: vacuum
+        # 255^3 lands at bx=2 (VMEM), dispersive windows require bx=8
+        # (sub-sublane disp blocks FailedPrecondition on this backend)
         depth = 3
-        if bxv is None:
-            bxv = 2
         if not fdtd3d_t2.supported(plan, bxv, depth=3):
-            depth, bxv = 2, int(bx_env) if bx_env else None
+            depth = 2
     steps -= steps % depth
     use_t2 = (plain and not os.environ.get("BENCH_T1")
               and steps % depth == 0
@@ -355,16 +356,31 @@ def main():
         mgrid = os.environ.get("BENCH_MAT_GRID", "128,128,128")
         # full flagship (Lorentz + chi2-Newton; NL windows run the 2-step
         # schedule)
-        mrec = _probe(mgrid, timeout,
-                      {"BENCH_MAT": "1", "BENCH_TIMEOUT": str(timeout)})
+        # depth ladder: if the deepest schedule fails on this tunnel
+        # (dispatch FailedPrecondition class), fall back so the recorded
+        # line always carries a material number
+        mrec = None
+        for mdepth in (None, "2", "1"):
+            env = {"BENCH_MAT": "1", "BENCH_TIMEOUT": str(timeout)}
+            if mdepth:
+                env["MNT_T2_DEPTH"] = mdepth
+            mrec = _probe(mgrid, timeout, env)
+            if mrec is not None:
+                break
         if mrec is not None:
             rec["material_value"] = mrec["value"]
             rec["material_grid"] = mrec["grid"]
             rec["material_kernel"] = mrec["kernel"]
         # pure-ADE Lorentz (BASELINE config-4 class), eligible for the
         # 3-step schedule
-        prec = _probe(mgrid, timeout,
-                      {"BENCH_MAT": "pol", "BENCH_TIMEOUT": str(timeout)})
+        prec = None
+        for mdepth in (None, "2", "1"):
+            env = {"BENCH_MAT": "pol", "BENCH_TIMEOUT": str(timeout)}
+            if mdepth:
+                env["MNT_T2_DEPTH"] = mdepth
+            prec = _probe(mgrid, timeout, env)
+            if prec is not None:
+                break
         if prec is not None:
             rec["lorentz_value"] = prec["value"]
             rec["lorentz_kernel"] = prec["kernel"]

@@ -45,6 +45,12 @@ from .fdtd3d import (_Layout, _full_slice, _cdiv, compute_halos,
                      compute_nl_halos, _has_disp)
 
 
+def _interpret_mode() -> bool:
+    """True when Pallas kernels run interpreted (CPU tests): backend
+    faults of the real Mosaic TPU pipeline don't apply there."""
+    return bool(int(os.environ.get("MNT_PALLAS_INTERPRET", "0")))
+
+
 def _disp_fits(plan, bx, depth) -> bool:
     """The t2 schedule needs the disp window clear of the edge calls by
     an extra depth-1 blocks (the window call's stage-1 over-run)."""
@@ -86,9 +92,17 @@ def _pick_bx(plan, requested=None, depth: int = 2) -> int:
     while bx > 1 and (tiles * bx * plane > 90 * 2 ** 20 or S[0] % bx):
         bx //= 2
     if disp:
+        # depth-3 dispersive windows on the REAL Mosaic TPU backend
+        # require FULL sublane-tile blocks (bx == 8): sub-sublane block
+        # grids FailedPrecondition at dispatch (bisected at 64^3 and
+        # 128^3, bx in {2,4}, pure-ADE and NL alike —
+        # scripts/probe_depth3_nl.py), while bx=8 runs exact.  Interpret
+        # mode (CPU tests) has no such fault.
+        min_b3 = 8 if depth >= 3 and not _interpret_mode() else 1
         b = bx
         while b >= 2:
-            if S[0] % b == 0 and _disp_fits(plan, b, depth):
+            if b >= min_b3 and S[0] % b == 0 \
+                    and _disp_fits(plan, b, depth):
                 return b
             b //= 2
     return bx
@@ -140,6 +154,15 @@ def supported(plan, bx: int = None, depth: int = 2) -> bool:
     for s in plan.eh_specs_h:
         if s.has_u:
             return False
+    if disp and depth == 3 and bx < 8 and not _interpret_mode():
+        # known Mosaic TPU backend fault: the depth-3 dispersive window
+        # at sub-sublane block depth (bx < 8) dies at dispatch with
+        # FailedPrecondition — pure-ADE and NL alike, any grid size
+        # (bisected in scripts/probe_depth3_nl.py).  bx=8 runs exact
+        # (2.1e-7 vs jnp at 128^3 on-chip), so callers either get bx=8
+        # from _pick_bx (VMEM permitting) or fall back to depth 2.
+        # Interpret mode (CPU tests) has no such fault.
+        return False
     L = _Layout(plan, bx)
     if disp and depth == 3 and L.nl_specs and bx < 2:
         # the NL (chi2-Newton/chi3) next-plane rebuild consumes e_eff

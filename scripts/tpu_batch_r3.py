@@ -41,7 +41,10 @@ plan = _dplan(with_pol=True, res=16.0, cells=(128, 128, 128))
 assert fdtd3d_t2.supported(plan, depth=3), "depth3 unsupported"
 ker = fdtd3d_t2.Fdtd3dT2Kernel(plan, depth=3)
 st = ker.init_state()
-st = ker.run(st, 30)                                    # warm/compile
+# warm at the MEASURED step count: ker.run jits a scan of length
+# nsteps//depth, so a different warm length would leave the measured
+# call compile-dominated (the round-3 batch hit exactly that)
+st = ker.run(st, 201)
 _ = float(np.asarray(ker.to_full(st)["f"]["ez"][1, 1, 1]))
 st = ker.init_state()
 t0 = time.perf_counter()
