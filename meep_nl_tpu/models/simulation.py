@@ -1823,10 +1823,35 @@ class Simulation:
         eps_line = _scene._eps_of(idxm, self.geometry,
                                   self.default_material, 2)
         fcen = src.frequency
-        modes = solve_te_modes(eps_line, gv.dx, fcen, num_modes=mode_band)
-        if len(modes) < mode_band:
-            raise ValueError(f"only {len(modes)} guided TE modes found")
-        m = modes[mode_band - 1]
+        if isinstance(mode_band, DiffractedPlanewave):
+            # TE diffraction-order injection (the TM branch's duality
+            # image; mpb.cpp add_eigenmode_source with a
+            # diffractedplanewave at TE parity): the analytic / layered
+            # Bloch order-g planewave of the periodic cell
+            from ..analysis.modes import (planewave_mode_te,
+                                          bloch_planewave_mode_te)
+            g_t = mode_band.g[tang_ax]
+            kp_t = tuple(_v3(self.k_point))[tang_ax] \
+                if self.k_point is not None else 0.0
+            L_mon = len(sel) * gv.dx
+            ky = 2 * np.pi * (kp_t + g_t / L_mon)
+            ys_loc = (ycoords[sel] - ycoords[sel[0]])
+            if float(eps_line.max()) > 1.01 * float(eps_line.min()):
+                m = bloch_planewave_mode_te(fcen, eps_line, ky, ys_loc,
+                                            gv.dx, dt=self.dt)
+            else:
+                eps0 = float(np.median(eps_line))
+                m = planewave_mode_te(fcen, eps0, ky, ys_loc, gv.dx,
+                                      dt=self.dt)
+            if m is None:
+                raise ValueError("requested diffraction order is evanescent "
+                                 "at the source frequency")
+        else:
+            modes = solve_te_modes(eps_line, gv.dx, fcen,
+                                   num_modes=mode_band)
+            if len(modes) < mode_band:
+                raise ValueError(f"only {len(modes)} guided TE modes found")
+            m = modes[mode_band - 1]
         sgn = 1.0 if direction > 0 else -1.0
         e_tan = "e" + ("y" if tang_ax == 1 else "x")
         jy = -m.hz

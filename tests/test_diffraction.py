@@ -208,3 +208,31 @@ def test_stratified_orders_conserved():
     assert 0.9 * P1[0] < np.sum(net1) < 1.12 * P1[0]
     # and each requested order's forward power is bounded by its branch
     assert np.all(p1 <= np.max(np.abs(al1[0][:, 0]) ** 2) * 1.05)
+
+
+def test_te_diffracted_planewave_source():
+    """TE (Hz) DiffractedPlanewave injection: add_eigenmode_source with
+    eig_parity='TE' and an order-(0,1,0) band launches the oblique TE
+    planewave — downstream TE decomposition attributes the power to
+    g=+1, unidirectionally (the TM branch's duality image)."""
+    fcen = 1.5
+    sim = mp.Simulation(
+        cell_size=mp.Vector3(8, 1), resolution=20,
+        k_point=mp.Vector3(),
+        sources=[],
+        boundary_layers=[mp.PML(1.0, direction=mp.X)])
+    sim.add_eigenmode_source(
+        mp.GaussianSource(frequency=fcen, fwidth=0.2),
+        center=mp.Vector3(-2.5, 0), size=mp.Vector3(0, 1),
+        direction=+1, mode_band=mp.DiffractedPlanewave((0, 1, 0)),
+        eig_parity="TE")
+    fr = mp.FluxRegion(center=mp.Vector3(2.5, 0), size=mp.Vector3(0, 1))
+    flux = sim.add_flux(fcen, 0, 1, fr)
+    sim.run(until_after_sources=mp.stop_when_dft_decayed())
+    bands = [mp.DiffractedPlanewave((0, g, 0)) for g in (0, 1)]
+    alpha = sim.get_eigenmode_coefficients(flux, bands, eig_parity="TE")
+    p0 = abs(alpha[0, 0, 0]) ** 2
+    p1 = abs(alpha[1, 0, 0]) ** 2
+    p1_back = abs(alpha[1, 0, 1]) ** 2
+    assert p1 > 50 * p0, (p1, p0)
+    assert p1 > 20 * p1_back, (p1, p1_back)
