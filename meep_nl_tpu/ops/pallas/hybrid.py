@@ -279,6 +279,60 @@ def fused_probed_run(plan, state: Dict[str, Any], nsteps: int, t0: int,
     return out_state, ys
 
 
+def _dft_plane_meta(plan, L):
+    """Static per-monitor gather plan for the plane-sampled DFT update:
+    (component, x0, x1e, avg_axes, yz_slices) per monitor, or None when
+    any monitor falls outside the exact envelope (component not
+    assemblable from the compact state, x-centered averaging touching
+    the live edge, pair/complex fields, periodic wraps) or the gather
+    would not clearly beat the full-grid reconstruction."""
+    from ...core import grid as G
+    gv = plan.gv
+    if gv.dim != "3d" or not plan.dfts:
+        return None
+    if any(plan.periodic) or getattr(plan, "complex_fields", False) \
+            or getattr(plan, "real_pair", False):
+        return None
+    S0 = (plan.storage_shape or gv.shape)[0]
+    meta, total = [], 0
+    for m in plan.dfts:
+        c = m.component
+        if c not in L.eh_by_ec or len(m.region) != 3:
+            return None
+        ys = G.yee_shift(c, gv.dim)
+        avg = tuple(ax for ax, d2 in enumerate(gv.axes)
+                    if ys[d2] == 0) if m.centered else ()
+        x0, x1 = int(m.region[0][0]), int(m.region[0][1])
+        x1e = x1 + (1 if 0 in avg else 0)
+        if x1e > S0 or (0 in avg and x1 >= gv.num[0]):
+            return None
+        meta.append((c, x0, x1e, avg,
+                     (slice(*m.region[1]), slice(*m.region[2]))))
+        total += x1e - x0
+    if total > max(8, S0 // 3):
+        return None                 # to_full is no worse at this size
+    return meta
+
+
+def _fv_planes(plan, L, C, comp_state, meta_mi):
+    """Region-sliced, centered-averaged monitor values assembled from
+    the kernel's COMPACT state: E_eff/H_eff on the monitor's x-planes
+    only (fused_mesh.e_eff_plane — overlays included, identical to
+    to_full's view), so the DFT cycle never reconstructs the grid."""
+    from ...parallel.fused_mesh import e_eff_plane
+    from ...stepper.step import _sh
+    c, x0, x1e, avg, sl_yz = meta_mi
+    planes = [e_eff_plane(plan, L, comp_state, C, c, x)
+              for x in range(x0, x1e)]
+    sub = planes[0] if len(planes) == 1 else jnp.concatenate(planes, 0)
+    if 0 in avg:                    # dft.cpp:277 avg along x: gathered
+        sub = 0.5 * (sub[:-1] + sub[1:])   # one extra plane above
+    for ax in avg:
+        if ax != 0:                 # in-plane axes: full extent, exact
+            sub = 0.5 * (sub + _sh(plan, sub, ax, +1))
+    return sub[(slice(None),) + sl_yz]
+
+
 def hybrid_run(plan, state: Dict[str, Any], nsteps: int, t0: int
                ) -> Optional[Dict[str, Any]]:
     """Advance the FULL jnp state by nsteps via the hybrid path.
@@ -375,6 +429,11 @@ def _hybrid_run_inner(plan, state: Dict[str, Any], nsteps: int, t0: int
     cache = getattr(plan, "_hybrid_cache", None)
     if cache is None:
         cache = plan._hybrid_cache = {}
+    k1 = getattr(ker, "_k1", None)
+    plane_meta = (_dft_plane_meta(plan, k1.L)
+                  if k1 is not None and hasattr(k1, "L")
+                  and os.environ.get("MNT_HYBRID_PLANE_DFT", "1") == "1"
+                  else None)
     runner_c = cache.get((d, ncyc))
     if runner_c is None:
         step2 = ker.make_fused_step()
@@ -404,12 +463,25 @@ def _hybrid_run_inner(plan, state: Dict[str, Any], nsteps: int, t0: int
                 if rem:
                     x1 = {k: xc[k][d - 1] for k in xc if k in kxs}
                     comp = step1(comp, x1, C)
-                # DFT-only sample from the read-only full view (E at
-                # (t+1)dt, H at (t+1/2)dt == the jnp in-step sampling)
-                full = ker.to_full(comp, C)
                 x_last = {k: xc[k][d - 1] for k in xc}
-                dft = _dft_update(plan, C, {"f": full["f"], "dft": dft},
-                                  x_last)["dft"]
+                if plane_meta is not None:
+                    # plane-sampled DFT (dft.cpp:265 in-step semantics):
+                    # monitor x-planes assembled straight from the
+                    # COMPACT state — no full-grid reconstruction per
+                    # DFT cycle
+                    dft = _dft_update(
+                        plan, C, {"dft": dft}, x_last,
+                        fv_of=lambda mi, m: _fv_planes(
+                            plan, k1.L, C, comp,
+                            plane_meta[mi]))["dft"]
+                else:
+                    # DFT-only sample from the read-only full view (E at
+                    # (t+1)dt, H at (t+1/2)dt == the jnp in-step
+                    # sampling)
+                    full = ker.to_full(comp, C)
+                    dft = _dft_update(plan, C,
+                                      {"f": full["f"], "dft": dft},
+                                      x_last)["dft"]
                 return (comp, dft), None
 
             (comp, dft), _ = jax.lax.scan(body, (comp0, full_state["dft"]),

@@ -1265,21 +1265,32 @@ def dft_store(c, dtype=None):
 
 
 def _dft_update(plan: Plan, C: Dict[str, Any], state: Dict[str, Any],
-                xs: Dict[str, Any]) -> Dict[str, Any]:
+                xs: Dict[str, Any], fv_of=None) -> Dict[str, Any]:
+    """DTFT accumulator update (dft.cpp:265 in-step sampling).
+
+    `fv_of(mi, m)` optionally supplies each monitor's region-sliced,
+    centered-averaged field values directly — the hybrid fused driver
+    uses it to sample from x-planes assembled out of the kernel's
+    COMPACT state, so no full-grid `to_full` reconstruction is paid per
+    DFT cycle (state then only needs a "dft" entry)."""
     dft = dict(state["dft"])
     for mi, m in enumerate(plan.dfts):
         key = f"dft{mi}:ph_re"
         if key not in xs:
             continue
-        if m.centered:
-            favg = _centered_avg(plan, m.component, state["f"][m.component])
+        if fv_of is not None:
+            fv = fv_of(mi, m)
         else:
-            favg = state["f"][m.component]
-        sl = tuple(slice(a, b) for a, b in m.region)
-        if favg.ndim > plan.gv.ndim:          # real-pair channel axis
-            fv = favg[(slice(None),) + sl]
-        else:
-            fv = favg[sl]
+            if m.centered:
+                favg = _centered_avg(plan, m.component,
+                                     state["f"][m.component])
+            else:
+                favg = state["f"][m.component]
+            sl = tuple(slice(a, b) for a, b in m.region)
+            if favg.ndim > plan.gv.ndim:      # real-pair channel axis
+                fv = favg[(slice(None),) + sl]
+            else:
+                fv = favg[sl]
         # fully-REAL accumulation (the axon TPU tunnel has no complex
         # compute): c = w*fv expanded into (cr, ci) real parts, then
         # acc_re += cr ph_re - ci ph_im, acc_im += cr ph_im + ci ph_re

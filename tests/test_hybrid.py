@@ -184,3 +184,21 @@ def test_fused_probed_run():
     scale = np.abs(b).max()
     assert scale > 0
     np.testing.assert_allclose(a, b, atol=5e-6 * scale)
+
+
+def test_hybrid_plane_dft_engages():
+    """The plane-sampled DFT cycle (no full-grid to_full per sample)
+    must ENGAGE for a plain x-normal flux monitor — guards against a
+    silent fallback to the reconstruction path."""
+    from meep_nl_tpu.ops.pallas import hybrid as H
+
+    sim_h, flux_h = _sim(True)
+    sim_h.run(until=2.0)
+    ker = H._get_kernel(sim_h._plan)
+    meta = H._dft_plane_meta(sim_h._plan, ker._k1.L)
+    assert meta is not None
+    # all four tangential flux components gathered, small x-extents
+    assert len(meta) == len(sim_h._plan.dfts)
+    for (c, x0, x1e, avg, _) in meta:
+        # a plane monitor: <= 2 component planes + 1 x-averaging plane
+        assert x1e - x0 <= 3
