@@ -16,9 +16,12 @@ from .stepper.step import init_state, make_step, build_xs, run
 from .models.source import (GaussianSource, ContinuousSource, CustomSource,
                             Source, SourceTime, GaussianBeamSource,
                             GaussianBeam2DSource, GaussianBeam3DSource,
-                            EigenModeSource, IndexedSource)
+                            EigenModeSource, IndexedSource,
+                            check_positive, get_equiv_sources)
 from .models.geom import (Vector3, Medium, Sphere, Block, Cylinder, Cone,
-                          Wedge, Ellipsoid, Prism, LorentzianSusceptibility,
+                          Wedge, Ellipsoid, Prism, GeometricObject,
+                          check_nonnegative, init_do_averaging, memoize,
+                          LorentzianSusceptibility,
                           DrudeSusceptibility, NoisyLorentzianSusceptibility,
                           NoisyDrudeSusceptibility,
                           GyrotropicLorentzianSusceptibility,
@@ -32,7 +35,11 @@ from .models.geom import (Vector3, Medium, Sphere, Block, Cylinder, Cone,
                           lattice_to_reciprocal, reciprocal_to_lattice,
                           reciprocal_to_cartesian, cartesian_to_reciprocal)
 from .models.simulation import (Simulation, PML, Absorber, FluxRegion,
-                                Near2FarRegion,
+                                Near2FarRegion, ForceRegion, EnergyRegion,
+                                FieldsRegion, fix_dft_args, get_num_args,
+                                vec, py_v3_to_vec,
+                                scale_force_fields, scale_energy_fields,
+                                scale_near2far_fields, dft_ldos,
                                 after_sources,
                                 Ex, Ey, Ez, Hx, Hy, Hz, Dx, Dy, Dz,
                                 Bx, By, Bz, Er, Ep, Hr, Hp, Dielectric,
@@ -54,6 +61,8 @@ from .models.simulation import (Simulation, PML, Absorber, FluxRegion,
                                 am_master, am_really_master,
                                 count_processors)
 from .analysis.harminv import Harminv, harminv
+from .analysis.pade import PadeDFT
+from .parallel.groups import merge_subgroup_data
 from .analysis.bands import ModeSolver, ModeSolver3D, retrieve_gap
 from .analysis.mpb_data import MPBData
 from .analysis.modes import Mode1D, Mode2D
@@ -98,7 +107,10 @@ from .models.run_control import (at_every, at_beginning, at_end,
                                  output_sfield_r, output_sfield_p,
                                  output_dpwr, output_hpwr, output_tot_pwr,
                                  output_png, output_mu, output_epsilon,
+                                 output_dfield, output_bfield,
+                                 to_appended, with_prefix, convert_h5,
                                  display_progress, display_run_data,
+                                 display_csv, data_to_str,
                                  FieldProbe)
 from .io.gdsii import (get_GDSII_prisms, GDSII_prisms, GDSII_layers,
                        GDSII_vol)
@@ -108,13 +120,17 @@ from .utils.visualization import plot2D, plot3D, plot_fields, Animate2D
 CYLINDRICAL = "cyl"
 
 
-class _Verbosity:
-    """Shared verbosity shim (python/verbosity_mgr.py parity): levels
-    0 = quiet .. 3 = debug; only gates this package's optional prints."""
+class Verbosity:
+    """Shared verbosity shim (python/verbosity_mgr.py Verbosity): levels
+    0 = quiet .. 3 = debug; only gates this package's optional prints.
+    The cvar/name constructor args of the reference (C-library verbosity
+    globals) are accepted and recorded for API parity."""
 
-    def __init__(self):
-        self.meep = 1
-        self.mpb = 1
+    def __init__(self, cvar=None, name=None, initial_level=1):
+        self.meep = int(initial_level)
+        self.mpb = int(initial_level)
+        if name:
+            setattr(self, name, int(initial_level))
 
     def __call__(self, level=None):
         if level is not None:
@@ -126,4 +142,7 @@ class _Verbosity:
         return self.meep
 
 
-verbosity = _Verbosity()
+_Verbosity = Verbosity          # round-2 name, kept for callers
+verbosity = Verbosity()
+
+from . import mpb  # noqa: E402  (python/solver.py surface: mp.mpb.*)

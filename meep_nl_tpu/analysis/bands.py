@@ -101,19 +101,24 @@ class ModeSolver:
         ky = (float(k[1]) + self._g[:, 1]) * by
         return kx, ky
 
-    def run_tm(self) -> np.ndarray:
+    def run_tm(self, *band_functions) -> np.ndarray:
         """TM bands; returns (n_k, num_bands) frequencies in c/a units
-        and stores them in .all_freqs."""
+        and stores them in .all_freqs.  Band functions are applied per
+        k point (solver.py run_parity: one-arg funcs once per k,
+        two-arg funcs once per band)."""
         from scipy.linalg import eigh
         self._setup()
+        self.parity = "tm"
         out = []
-        for k in self.k_points:
+        for ki, k in enumerate(self.k_points):
             kv = tuple(k) if not hasattr(k, "x") else (k.x, k.y, k.z)
             kx, ky = self._kg(kv)
             A = np.diag(kx ** 2 + ky ** 2).astype(complex)
             w2 = eigh(A, self._B_eps,
                       eigvals_only=True)[: self.num_bands]
             out.append(np.sqrt(np.maximum(w2, 0.0)) / (2 * np.pi))
+            self.all_freqs = np.array(out)
+            _apply_band_funcs(self, band_functions, ki)
         self.all_freqs = np.array(out)
         return self.all_freqs
 
@@ -147,13 +152,13 @@ class ModeSolver:
                                   + float(kv[1]) * f[None, :]))
         return u * ph
 
-    def run_te(self) -> np.ndarray:
+    def run_te(self, *band_functions) -> np.ndarray:
         """TE bands; returns (n_k, num_bands) frequencies in c/a units."""
         from scipy.linalg import eigh
         self._setup()
-        kgs = []
+        self.parity = "te"
         out = []
-        for k in self.k_points:
+        for ki, k in enumerate(self.k_points):
             kv = tuple(k) if not hasattr(k, "x") else (k.x, k.y, k.z)
             kx, ky = self._kg(kv)
             dot = np.outer(kx, kx) + np.outer(ky, ky)
@@ -161,7 +166,19 @@ class ModeSolver:
             H = 0.5 * (H + H.conj().T)
             w2 = eigh(H, eigvals_only=True)[: self.num_bands]
             out.append(np.sqrt(np.maximum(w2, 0.0)) / (2 * np.pi))
+            self.all_freqs = np.array(out)
+            _apply_band_funcs(self, band_functions, ki)
         self.all_freqs = np.array(out)
+        return self.all_freqs
+
+    def run(self, *band_functions) -> np.ndarray:
+        """NO_PARITY run (solver.py:971): in 2D the TE and TM problems
+        decouple, so the unpolarized spectrum is their sorted union."""
+        tm = np.array(self.run_tm())
+        te = np.array(self.run_te(*band_functions))
+        both = np.sort(np.concatenate([tm, te], axis=1), axis=1)
+        self.parity = None
+        self.all_freqs = both[:, : self.num_bands]
         return self.all_freqs
 
 
@@ -318,38 +335,55 @@ class ModeSolver3D:
         w2 = eigh(Mh, eigvals_only=True)[: self.num_bands]
         return np.sqrt(np.maximum(w2, 0.0)) / (2 * np.pi)
 
-    def run(self) -> np.ndarray:
-        """All bands at every k point; also records kdom and z parities."""
+    def run(self, *band_functions) -> np.ndarray:
+        """All bands at every k point; also records kdom and y/z
+        parities; band functions applied per k point (solver.py
+        run_parity semantics)."""
         self._setup()
         out = []
         self.kdom = []
         self.zparities = []
-        for k in self.k_points:
+        self.yparities = []
+        key = None
+        for ki, k in enumerate(self.k_points):
             kv = (k.x, k.y, k.z) if hasattr(k, "x") else tuple(k)
             freqs, V, K, mag, e1, e2 = self._solve_k(kv, want_vectors=True)
             out.append(freqs)
             N = len(K)
             kd = []
             zp = []
+            yp = []
+            if key is None:
+                key = {tuple(g): i for i, g in enumerate(self._g)}
+
+            def mirror_parity(Hvec, axis):
+                # sigma_axis expectation: overlap of H with its mirror
+                # image (G_axis -> -G_axis; H is a pseudovector, so the
+                # axis component stays and the others flip)
+                sign = -np.ones(3)
+                sign[axis] = 1.0
+                Hm = np.zeros_like(Hvec)
+                for i, g in enumerate(self._g):
+                    gm = list(g)
+                    gm[axis] = -gm[axis]
+                    Hm[i] = Hvec[key[tuple(gm)]] * sign
+                num = np.real(np.sum(np.conj(Hvec) * Hm))
+                den = np.real(np.sum(np.conj(Hvec) * Hvec))
+                return num / max(den, 1e-300)
+
             for b in range(len(freqs)):
                 h = V[:, b].reshape(N, 2)
                 amp2 = np.sum(np.abs(h) ** 2, axis=1)
                 gi = int(np.argmax(amp2))
                 kd.append(K[gi] / (2 * np.pi))
-                # sigma_z expectation: overlap of H with its z-mirror image
-                # (z -> -z flips Gz and the pseudovector components)
                 Hvec = h[:, 0:1] * e1 + h[:, 1:2] * e2        # (N, 3)
-                key = {tuple(g): i for i, g in enumerate(self._g)}
-                Hm = np.zeros_like(Hvec)
-                for i, g in enumerate(self._g):
-                    j = key[(g[0], g[1], -g[2])]
-                    # H is a pseudovector: Hx,Hy flip; Hz stays
-                    Hm[i] = Hvec[j] * np.array([-1.0, -1.0, 1.0])
-                num = np.real(np.sum(np.conj(Hvec) * Hm))
-                den = np.real(np.sum(np.conj(Hvec) * Hvec))
-                zp.append(num / max(den, 1e-300))
+                zp.append(mirror_parity(Hvec, 2))
+                yp.append(mirror_parity(Hvec, 1))
             self.kdom.append(np.array(kd))
             self.zparities.append(np.array(zp))
+            self.yparities.append(np.array(yp))
+            self.all_freqs = np.array(out)
+            _apply_band_funcs(self, band_functions, ki)
         self.all_freqs = np.array(out)
         return self.all_freqs
 
@@ -427,3 +461,295 @@ class ModeSolver3D:
             # chain rule: k_cart = kfrac @ B  =>  dw/dk_cart = dw/dfrac B^-T
             out.append(dwdfrac @ np.linalg.inv(B.T) * (2 * np.pi))
         return np.array(out)
+
+
+# ---------------------------------------------------------------------------
+# MPB band functions (python/solver.py:971-1100 band-function machinery):
+# one-arg functions run once per k point, two-arg functions once per band.
+# Output functions save .npy unit-cell grids named like MPB's h5 datasets.
+# ---------------------------------------------------------------------------
+
+
+def get_num_args(func) -> int:
+    import inspect
+    if inspect.ismethod(func):
+        return func.__code__.co_argcount - 1
+    try:
+        return func.__code__.co_argcount
+    except AttributeError:          # callable object
+        return func.__call__.__code__.co_argcount - 1
+
+
+def apply_band_func_thunk(ms, band_func, band, run_now: bool):
+    """Apply band_func to one band if run_now (solver.py
+    apply_band_func_thunk)."""
+    if run_now:
+        band_func(ms, band)
+
+
+def apply_band_func(ms, band_func, band):
+    """Apply band_func to `band` once that band has converged — every
+    band is converged by the time our direct eigensolve returns, so this
+    applies immediately (solver.py apply_band_func)."""
+    apply_band_func_thunk(ms, band_func, band, True)
+
+
+def _apply_band_funcs(ms, band_functions, k_index: int):
+    ms.current_k_index = k_index
+    ms.current_k = ms.k_points[k_index]
+    for f in band_functions:
+        if get_num_args(f) == 1:
+            f(ms)
+        else:
+            for b in range(1, ms.num_bands + 1):
+                apply_band_func(ms, f, b)
+
+
+def combine_band_functions(*band_funcs):
+    """Combine zero or more band functions into one (solver.py
+    combine_band_functions)."""
+    def _combine(ms, band):
+        for f in band_funcs:
+            if get_num_args(f) == 1:
+                f(ms)
+            else:
+                f(ms, band)
+    return _combine
+
+
+def output_at_kpoint(kpoint, *band_funcs):
+    """Apply band_funcs only at the given k point (solver.py
+    output_at_kpoint)."""
+    inner = combine_band_functions(*band_funcs)
+
+    def _output_at_kpoint(ms, band):
+        kv = ms.current_k
+        kv = (kv.x, kv.y, kv.z) if hasattr(kv, "x") else tuple(kv) + (
+            (0.0,) * (3 - len(tuple(kv))))
+        kt = (kpoint.x, kpoint.y, kpoint.z) if hasattr(kpoint, "x") else \
+            tuple(kpoint) + ((0.0,) * (3 - len(tuple(kpoint))))
+        if np.allclose(kv[: len(kt)], kt[: len(kv)], atol=1e-12):
+            inner(ms, band)
+    return _output_at_kpoint
+
+
+def _get_field(ms, letter: str, band: int) -> np.ndarray:
+    """Fetch one band's real-space field from whatever getters the
+    solver provides (2D TM: E only; 3D: H/D/E)."""
+    ki = getattr(ms, "current_k_index", 0)
+    if letter == "e" and hasattr(ms, "get_efield_tm") and \
+            getattr(ms, "parity", None) != "te":
+        return ms.get_efield_tm(ki, band)
+    getter = getattr(ms, f"get_{letter}field", None)
+    if getter is None:
+        raise AttributeError(
+            f"this solver cannot synthesize {letter.upper()} fields")
+    return getter(ki, band)
+
+
+def _fix_phase(arr: np.ndarray) -> np.ndarray:
+    """Canonicalize the global phase: the largest-|.| sample becomes
+    real and positive (the fix_*field_phase contract)."""
+    flat = np.asarray(arr).ravel()
+    i = int(np.argmax(np.abs(flat)))
+    ph = flat[i]
+    if abs(ph) == 0:
+        return arr
+    return arr * (abs(ph) / ph)
+
+
+def fix_hfield_phase(ms, band):
+    getattr(ms, "_phase_fixed", None) or setattr(ms, "_phase_fixed", set())
+    ms._phase_fixed.add("h")
+
+
+def fix_bfield_phase(ms, band):
+    fix_hfield_phase(ms, band)
+    ms._phase_fixed.add("b")
+
+
+def fix_dfield_phase(ms, band):
+    getattr(ms, "_phase_fixed", None) or setattr(ms, "_phase_fixed", set())
+    ms._phase_fixed.add("d")
+
+
+def fix_efield_phase(ms, band):
+    getattr(ms, "_phase_fixed", None) or setattr(ms, "_phase_fixed", set())
+    ms._phase_fixed.add("e")
+
+
+def _output_field_letter(letter):
+    def fn(ms, band):
+        arr = _get_field(ms, letter, band)
+        if letter in getattr(ms, "_phase_fixed", ()):
+            arr = _fix_phase(arr)
+        ki = getattr(ms, "current_k_index", 0)
+        np.save(f"{letter}.k{ki + 1:02d}.b{band:02d}.npy", arr)
+    fn.__name__ = f"output_{letter}field"
+    return fn
+
+
+output_hfield = _output_field_letter("h")
+output_dfield = _output_field_letter("d")
+output_efield = _output_field_letter("e")
+output_bfield = output_hfield      # mu == 1 in this solver: B == H
+
+
+def output_bpwr(ms, band):
+    """|H|^2 density (MPB bpwr with mu == 1)."""
+    arr = _get_field(ms, "h", band)
+    ki = getattr(ms, "current_k_index", 0)
+    np.save(f"bpwr.k{ki + 1:02d}.b{band:02d}.npy",
+            np.sum(np.abs(arr) ** 2, axis=-1))
+
+
+output_hpwr = output_bpwr
+
+
+def output_dpwr(ms, band):
+    """E*.D density (MPB dpwr)."""
+    D = _get_field(ms, "d", band)
+    E = _get_field(ms, "e", band)
+    ki = getattr(ms, "current_k_index", 0)
+    np.save(f"dpwr.k{ki + 1:02d}.b{band:02d}.npy",
+            np.real(np.sum(np.conj(E) * D, axis=-1)))
+
+
+def output_dpwr_in_objects(band_func, min_energy, *objects):
+    """Apply band_func only when the fraction of E*.D energy inside
+    `objects` exceeds min_energy (solver.py output_dpwr_in_objects)."""
+    def _obj_gate(ms, band):
+        D = _get_field(ms, "d", band)
+        E = _get_field(ms, "e", band)
+        u = np.real(np.sum(np.conj(E) * D, axis=-1))
+        n = u.shape[0]
+        ax = getattr(ms, "lattice_size", (1.0, 1.0))
+        dims = u.ndim
+        axes = [(np.arange(n) + 0.5) / n * ax[i] - ax[i] / 2
+                if i < len(ax) else np.zeros(1) for i in range(dims)]
+        grids = np.meshgrid(*axes, indexing="ij")
+        pts = np.zeros(grids[0].shape + (3,))
+        for i, g in enumerate(grids):
+            pts[..., i] = g
+        inside = np.zeros(u.shape, bool)
+        for ob in objects:
+            inside |= np.asarray(ob.inside(pts.reshape(-1, 3))
+                                 ).reshape(u.shape)
+        frac = float(u[inside].sum() / max(u.sum(), 1e-300))
+        if frac >= min_energy:
+            band_func(ms, band)
+    return _obj_gate
+
+
+def output_charge_density(ms, band):
+    """Bound-charge density -div(E) * (eps - 1)-ish: rho_b = -div P
+    computed spectrally from D - E (MPB output_charge_density role)."""
+    D = _get_field(ms, "d", band)
+    E = _get_field(ms, "e", band)
+    P = np.asarray(D) - np.asarray(E)
+    n = P.shape[0]
+    rho = np.zeros(P.shape[:-1], complex)
+    for ax in range(P.ndim - 1):
+        kf = np.fft.fftfreq(P.shape[ax]) * P.shape[ax] * 2j * np.pi
+        shape = [1] * (P.ndim - 1)
+        shape[ax] = P.shape[ax]
+        rho -= np.fft.ifft(
+            np.fft.fft(P[..., ax], axis=ax) * kf.reshape(shape), axis=ax)
+    ki = getattr(ms, "current_k_index", 0)
+    np.save(f"charge.k{ki + 1:02d}.b{band:02d}.npy", rho)
+
+
+def display_zparities(ms):
+    ki = getattr(ms, "current_k_index", 0)
+    zp = getattr(ms, "zparities", None)
+    if zp is None or ki >= len(zp):
+        raise RuntimeError("z parities are recorded by ModeSolver3D.run")
+    print("zparity:, " + ", ".join(f"{p:.6f}" for p in zp[ki]))
+
+
+def display_yparities(ms):
+    ki = getattr(ms, "current_k_index", 0)
+    yp = getattr(ms, "yparities", None)
+    if yp is None or ki >= len(yp):
+        raise RuntimeError("y parities are recorded by ModeSolver3D.run")
+    print("yparity:, " + ", ".join(f"{p:.6f}" for p in yp[ki]))
+
+
+def display_group_velocities(ms):
+    vg = ms.compute_group_velocities()
+    ki = getattr(ms, "current_k_index", 0)
+    for b, v in enumerate(np.atleast_2d(vg[ki])):
+        print(f"velocity:, {b + 1}, " + ", ".join(f"{c:.6f}" for c in v))
+
+
+class MPBArray(np.ndarray):
+    """ndarray subclass carrying the lattice / k-point metadata MPBData
+    needs (python/mpb_data.py MPBArray)."""
+
+    def __new__(cls, input_array, lattice=None, kpoint=None,
+                bloch_phase: bool = True):
+        obj = np.asarray(input_array).view(cls)
+        obj.lattice = lattice
+        obj.kpoint = kpoint
+        obj.bloch_phase = bloch_phase
+        return obj
+
+    def __array_finalize__(self, obj):
+        if obj is None:
+            return
+        self.lattice = getattr(obj, "lattice", None)
+        self.kpoint = getattr(obj, "kpoint", None)
+        self.bloch_phase = getattr(obj, "bloch_phase", True)
+
+
+def _output_field_comp(letter, axis):
+    def fn(ms, band):
+        arr = np.asarray(_get_field(ms, letter, band))
+        comp = arr[..., axis] if arr.ndim >= 1 and arr.shape[-1] == 3 \
+            else arr
+        if letter in getattr(ms, "_phase_fixed", ()):
+            comp = _fix_phase(comp)
+        ki = getattr(ms, "current_k_index", 0)
+        np.save(f"{letter}{'xyz'[axis]}.k{ki + 1:02d}.b{band:02d}.npy",
+                comp)
+    fn.__name__ = f"output_{letter}field_{'xyz'[axis]}"
+    return fn
+
+
+for _l in "hbde":
+    for _ax in range(3):
+        globals()[f"output_{_l}field_{'xyz'[_ax]}"] = _output_field_comp(
+            "h" if _l == "b" else _l, _ax)
+
+
+def output_tot_pwr(ms, band):
+    """(E*.D + |H|^2)/2 density (solver.py output_tot_pwr)."""
+    D = _get_field(ms, "d", band)
+    E = _get_field(ms, "e", band)
+    H = _get_field(ms, "h", band)
+    u = 0.5 * (np.real(np.sum(np.conj(E) * D, axis=-1))
+               + np.sum(np.abs(H) ** 2, axis=-1))
+    ki = getattr(ms, "current_k_index", 0)
+    np.save(f"tot_pwr.k{ki + 1:02d}.b{band:02d}.npy", u)
+
+
+def _output_poynting(axis):
+    def fn(ms, band):
+        E = np.asarray(_get_field(ms, "e", band))
+        H = np.asarray(_get_field(ms, "h", band))
+        S = np.real(np.cross(np.conj(E), H))
+        ki = getattr(ms, "current_k_index", 0)
+        if axis is None:
+            np.save(f"flux.k{ki + 1:02d}.b{band:02d}.npy", S)
+        else:
+            np.save(f"flux.{'xyz'[axis]}.k{ki + 1:02d}.b{band:02d}.npy",
+                    S[..., axis])
+    fn.__name__ = "output_poynting" + (
+        "" if axis is None else f"_{'xyz'[axis]}")
+    return fn
+
+
+output_poynting = _output_poynting(None)
+output_poynting_x = _output_poynting(0)
+output_poynting_y = _output_poynting(1)
+output_poynting_z = _output_poynting(2)

@@ -16,6 +16,33 @@ from typing import Any, Callable, List, Optional, Sequence, Tuple
 import numpy as np
 
 
+def check_nonnegative(prop, val):
+    """Constructor guard (python/geom.py:22)."""
+    if val >= 0:
+        return val
+    raise ValueError(f"{prop} cannot be negative. Got {val}")
+
+
+def init_do_averaging(mat_func):
+    """Default the do_averaging attribute of a user material function
+    (python/geom.py:29)."""
+    if not hasattr(mat_func, "do_averaging"):
+        mat_func.do_averaging = False
+
+
+def memoize(f):
+    """Single-argument memoizer (python/geom.py:1676)."""
+    tab = {}
+
+    def _mem(y=None):
+        val = tab.get(y)
+        if val is None:
+            val = f(y)
+            tab[y] = val
+        return val
+    return _mem
+
+
 class Vector3:
     """Minimal Vector3 compatible with the reference's python/geom.py:Vector3."""
 

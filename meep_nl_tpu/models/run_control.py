@@ -178,6 +178,15 @@ def _is_collector(x) -> bool:
 
 def parse_step_funcs(step_funcs) -> StepFuncs:
     out = StepFuncs([], [], [], [], [])
+    # flatten lists (with_prefix / to_appended / convert_h5 return lists
+    # of rewrapped combinators)
+    flat = []
+    for sf in step_funcs:
+        if isinstance(sf, list):
+            flat.extend(sf)
+        else:
+            flat.append(sf)
+    step_funcs = flat
     for sf in step_funcs:
         if _is_collector(sf):
             out.collectors.append((sf, False))
@@ -372,9 +381,124 @@ class stop_when_energy_decayed:
 # ---------------------------------------------------------------------------
 
 
+# output redirection context: with_prefix pushes a filename prefix,
+# to_appended swaps the per-call file write for an in-memory append
+# (written once as a single stacked file at the end of the run), and
+# convert_h5 installs a post-write hook (simulation.py:5197-5530 roles)
+_output_ctx = {"prefix": "", "append": None, "hook": None}
+
+
 def _save(sim, tag, arr):
-    np.save(f"{tag}-{int(round(sim.meep_time() * 1000)):08d}.npy",
-            np.asarray(arr))
+    arr = np.asarray(arr)
+    if _output_ctx["append"] is not None:
+        _output_ctx["append"].setdefault(tag, []).append(arr)
+        return
+    pre = _output_ctx["prefix"] + (getattr(sim, "filename_prefix", None)
+                                   or "")
+    fname = f"{pre}{tag}-{int(round(sim.meep_time() * 1000)):08d}.npy"
+    np.save(fname, arr)
+    if _output_ctx["hook"] is not None:
+        _output_ctx["hook"](fname)
+
+
+def _map_step_funcs(wrap, step_funcs):
+    """Rewrap every plain callable inside tuple combinators (at_every/
+    at_beginning/...) and bare callables with `wrap`, preserving the
+    combinator structure — the _eval_step_func recursion of the
+    reference, applied statically."""
+    out = []
+    for sf in step_funcs:
+        if isinstance(sf, tuple) and sf and isinstance(sf[0], str):
+            head, fns = sf[:-1], sf[-1]
+            out.append(head + (tuple(wrap(f) for f in fns),))
+        elif callable(sf):
+            out.append(wrap(sf))
+        else:
+            out.append(sf)
+    return out
+
+
+def with_prefix(pre, *step_funcs):
+    """Prepend `pre` to the file names of any output functions among
+    step_funcs (simulation.py:5446)."""
+    def wrap(fn):
+        def inner(sim, **kw):
+            saved = _output_ctx["prefix"]
+            _output_ctx["prefix"] = pre + saved
+            try:
+                fn(sim, **kw)
+            finally:
+                _output_ctx["prefix"] = saved
+        return inner
+    return _map_step_funcs(wrap, step_funcs)
+
+
+def to_appended(fname, *step_funcs):
+    """Modify output functions among step_funcs to append their data to
+    datasets in a single file named `fname` (plus extension), adding an
+    extra leading dimension corresponding to time
+    (simulation.py:5197).  Written at the end of the run as HDF5 when
+    h5py imports, .npz otherwise."""
+    acc: dict = {}
+
+    def wrap(fn):
+        def inner(sim, **kw):
+            saved = _output_ctx["append"]
+            _output_ctx["append"] = acc
+            try:
+                fn(sim, **kw)
+            finally:
+                _output_ctx["append"] = saved
+        return inner
+
+    def flush(sim, **kw):
+        if not acc:
+            return
+        pre = _output_ctx["prefix"] + (getattr(sim, "filename_prefix",
+                                               None) or "")
+        data = {tag: np.stack(frames) for tag, frames in acc.items()}
+        try:
+            import h5py
+            path = f"{pre}{fname}.h5"
+            with h5py.File(path, "w") as h5:
+                for tag, arr in data.items():
+                    h5.create_dataset(tag, data=arr)
+        except ImportError:
+            path = f"{pre}{fname}.npz"
+            np.savez(path, **data)
+        if _output_ctx["hook"] is not None:
+            _output_ctx["hook"](path)
+        acc.clear()
+
+    return _map_step_funcs(wrap, step_funcs) + [("at_end", (flush,))]
+
+
+def convert_h5(rm_h5, convert_cmd, *step_funcs):
+    """Run `convert_cmd` (e.g. h5topng flags) on each file written by the
+    wrapped output functions, optionally removing the original
+    (simulation.py:5509)."""
+    import subprocess
+
+    def hook(path):
+        cmd = convert_cmd.split() + [path]
+        try:
+            ret = subprocess.call(cmd)
+        except OSError:
+            return
+        if ret == 0 and rm_h5:
+            import os
+            os.remove(path)
+
+    def wrap(fn):
+        def inner(sim, **kw):
+            saved = _output_ctx["hook"]
+            _output_ctx["hook"] = hook
+            try:
+                fn(sim, **kw)
+            finally:
+                _output_ctx["hook"] = saved
+        return inner
+    return _map_step_funcs(wrap, step_funcs)
 
 
 def _output_component(tag, comp):
@@ -406,6 +530,22 @@ def output_efield(sim, volume=None):
 
 def output_hfield(sim, volume=None):
     for c in ("hx", "hy", "hz"):
+        try:
+            _save(sim, c, sim.get_array(component=c))
+        except KeyError:
+            pass
+
+
+def output_dfield(sim, volume=None):
+    for c in ("dx", "dy", "dz"):
+        try:
+            _save(sim, c, sim.get_array(component=c))
+        except KeyError:
+            pass
+
+
+def output_bfield(sim, volume=None):
+    for c in ("bx", "by", "bz"):
         try:
             _save(sim, c, sim.get_array(component=c))
         except KeyError:
@@ -542,5 +682,23 @@ def display_progress(t0, t_end, dt):
     return ("at_every", dt, (fn,))
 
 
+def data_to_str(d):
+    """Complex-aware datum formatting (simulation.py:5492)."""
+    if isinstance(d, complex) or (isinstance(d, np.generic)
+                                  and np.iscomplexobj(d)):
+        d = complex(d)
+        sign = "+" if d.imag >= 0 else ""
+        return f"{d.real}{sign}{d.imag}i"
+    return str(d)
+
+
 def display_run_data(sim, data_name, data):
-    print(f"{data_name}:, " + ", ".join(str(d) for d in np.atleast_1d(data)))
+    print(f"{data_name}:, "
+          + ", ".join(data_to_str(d) for d in np.atleast_1d(data).tolist()))
+
+
+def display_csv(sim, name, data):
+    """Print each row of `data` as a `name:,`-prefixed CSV line
+    (simulation.py:5463)."""
+    for d in data:
+        display_run_data(sim, name, d)

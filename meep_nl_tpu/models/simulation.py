@@ -216,6 +216,80 @@ Near2FarRegion = FluxRegion
 
 
 @dataclasses.dataclass
+class ForceRegion(FluxRegion):
+    """Stress-tensor monitor region (python/simulation.py:571): the
+    `direction` field is the force direction; the surface normal is
+    inferred from the zero-size axis as for FluxRegion."""
+
+
+@dataclasses.dataclass
+class EnergyRegion(FluxRegion):
+    """Energy-density monitor region (python/simulation.py:598)."""
+
+
+@dataclasses.dataclass
+class FieldsRegion:
+    """add_dft_fields region spec (python/simulation.py:613): either a
+    Volume in `where` or an explicit center+size pair."""
+    where: Any = None
+    center: Any = None
+    size: Any = None
+
+
+def fix_dft_args(args, i):
+    """Normalize (fcen, df, nfreq) triples in a positional arg tuple to
+    a frequency array (python/simulation.py:72)."""
+    if (len(args) > i + 2
+            and isinstance(args[i], (int, float))
+            and isinstance(args[i + 1], (int, float))
+            and isinstance(args[i + 2], int)):
+        fcen, df, nfreq = args[i], args[i + 1], args[i + 2]
+        freq = ([fcen] if nfreq == 1
+                else np.linspace(fcen - 0.5 * df, fcen + 0.5 * df, nfreq))
+        return args[:i] + (freq,) + args[i + 3:]
+    if not isinstance(args[i], (np.ndarray, list, tuple)):
+        raise TypeError("add_dft functions only accept fcen,df,nfreq "
+                        "(3 numbers) or freq (array/list)")
+    return args
+
+
+def get_num_args(func):
+    """Argument count of a step function or Harminv/PadeDFT-style
+    collector (python/simulation.py:96)."""
+    import inspect
+    from ..analysis.harminv import Harminv as _Hv
+    from ..analysis.pade import PadeDFT as _Pd
+    if isinstance(func, (_Hv, _Pd)):
+        return 2
+    if inspect.ismethod(func):
+        return func.__code__.co_argcount - 1
+    return func.__code__.co_argcount
+
+
+def vec(*args):
+    """Vector3 constructor accepting vec(x[,y[,z]]) or vec(iterable)
+    (python/simulation.py:105; the SWIG mp._vec role)."""
+    if len(args) == 1 and not isinstance(args[0], (int, float)):
+        args = tuple(args[0])
+    return Vector3(*args)
+
+
+def py_v3_to_vec(dims: int, iterable, is_cylindrical: bool = False):
+    """Project a Vector3-like onto the grid's live coordinates
+    (python/simulation.py:122): 1d keeps z, cylindrical keeps (r, z)."""
+    v = Vector3(*tuple(iterable))
+    if dims == 1:
+        return (v.z,)
+    if dims == 2:
+        if is_cylindrical:
+            return (v.x, v.z)
+        return (v.x, v.y, v.z)   # z retained for special_kz handling
+    if dims == 3:
+        return (v.x, v.y, v.z)
+    raise ValueError(f"Invalid dimensions in Volume: {dims}")
+
+
+@dataclasses.dataclass
 class _N2FHandle:
     name: str
     freqs: np.ndarray
@@ -936,6 +1010,11 @@ class Simulation:
                 # same integration scheme as monitors; amplitude-function
                 # support via s.amp_func
                 idx_list, amp_list = [], []
+                amp_func = s.amp_func
+                if amp_func is None and getattr(s, "amp_data", None) \
+                        is not None:
+                    from .source import amp_data_func
+                    amp_func = amp_data_func(s.amp_data, size)
                 slices, w_arr = _volume_sites(gv, comp, center, size)
                 it = np.ndindex(*w_arr.shape)
                 base = [sl.start for sl in slices]
@@ -960,14 +1039,14 @@ class Simulation:
                         if drop:
                             continue
                     amp = s.amplitude * w
-                    if s.amp_func is not None:
+                    if amp_func is not None:
                         # meep convention: amp_func receives the point
                         # RELATIVE to the source center (python/source.py)
                         pt = _site_coord(gv, comp, gidx)
                         c3 = _v3(s.center)
                         rel = Vector3(pt.x - c3[0], pt.y - c3[1],
                                       pt.z - c3[2])
-                        amp = amp * s.amp_func(rel)
+                        amp = amp * amp_func(rel)
                     idx_list.append(gidx)
                     amp_list.append(amp)
                 idx = np.array(idx_list, np.int32).reshape(-1, gv.ndim)
@@ -3508,6 +3587,21 @@ def scale_flux_fields(s, flux):
             dft[key] = jnp.stack([s.real * re - s.imag * im,
                                   s.real * im + s.imag * re], axis=-1)
     sim._state = {**sim._state, "dft": dft}
+
+
+def scale_force_fields(s, force):
+    """scale_flux_fields for a force monitor (simulation.py:6030)."""
+    scale_flux_fields(s, force)
+
+
+def scale_energy_fields(s, ef):
+    """scale_flux_fields for an energy monitor (simulation.py:6075)."""
+    scale_flux_fields(s, ef)
+
+
+def scale_near2far_fields(s, near2far):
+    """scale_flux_fields for a near2far monitor (simulation.py:6058)."""
+    scale_flux_fields(s, near2far)
 
 
 def bands_to_diffractedplanewave(where, bands):

@@ -148,15 +148,77 @@ class CustomSource(SourceTime):
         return self.fwidth
 
 
+def check_positive(prop, val):
+    """Constructor guard (python/source.py:11)."""
+    if val > 0:
+        return val
+    raise ValueError(f"{prop} must be positive. Got {val}")
+
+
 @dataclasses.dataclass
 class Source:
-    """A current source over a point/volume (python/source.py Source)."""
+    """A current source over a point/volume (python/source.py Source).
+
+    `amp_data` (python/source.py amp_data): a complex array sampled
+    uniformly over the source extent (one axis per nonzero size axis),
+    multilinearly interpolated at each source site — the array analog of
+    `amp_func`."""
     src: SourceTime
     component: str                      # 'ez', 'hx', ...
     center: Sequence[float]
     size: Optional[Sequence[float]] = None
     amplitude: complex = 1.0
     amp_func: Optional[Callable] = None
+    amp_data: Optional[Any] = None
+
+
+def amp_data_func(amp_data, size) -> Callable:
+    """amp_func equivalent of an amp_data array: positions RELATIVE to
+    the source center map linearly onto the array's index space, one
+    array axis per nonzero `size` axis (python/typemap_utils.cpp
+    amp_data interpolation role)."""
+    data = np.asarray(amp_data)
+    live = [i for i, sz in enumerate(size) if sz > 0]
+    # drop trailing singleton axes (the reference ships (nx,ny,nz,)
+    # grids with 1-extent dead axes)
+    while data.ndim > max(len(live), 1) and data.shape[-1] == 1:
+        data = data[..., 0]
+    if data.ndim != len(live):
+        raise ValueError(
+            f"amp_data with {data.ndim} axes does not match a source "
+            f"with {len(live)} nonzero size axes")
+
+    def f(rel):
+        rel = tuple(rel)
+        out = data
+        # interpolate highest axis first so earlier indices stay valid
+        for k in range(len(live) - 1, -1, -1):
+            ax, n = live[k], data.shape[k]
+            u = (rel[ax] / size[ax] + 0.5) * (n - 1)
+            u = min(max(u, 0.0), float(n - 1))
+            i0 = int(np.floor(u))
+            i1 = min(i0 + 1, n - 1)
+            w = u - i0
+            out = np.take(out, i0, axis=k) * (1 - w) + \
+                np.take(out, i1, axis=k) * w
+        return complex(out)
+    return f
+
+
+def get_equiv_sources(field, normal_vec, time_src, center, size):
+    """Equivalence-principle sources of a field slice
+    (python/source.py:777): electric current K = n x H, magnetic
+    current N = -n x E, each returned as an amp_data Source."""
+    Ex, Ey, Ez, Hx, Hy, Hz = field
+    n = normal_vec
+    K = (n[1] * Hz - n[2] * Hy, n[2] * Hx - n[0] * Hz,
+         n[0] * Hy - n[1] * Hx)
+    N = (n[2] * Ey - n[1] * Ez, n[0] * Ez - n[2] * Ex,
+         n[1] * Ex - n[0] * Ey)
+    comps = {"ex": K[0], "ey": K[1], "ez": K[2],
+             "hx": N[0], "hy": N[1], "hz": N[2]}
+    return [Source(time_src, comp, center=center, size=size, amp_data=arr)
+            for comp, arr in comps.items() if np.sum(np.abs(arr))]
 
 
 @dataclasses.dataclass
