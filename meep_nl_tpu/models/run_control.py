@@ -396,6 +396,10 @@ def _save(sim, tag, arr):
     pre = _output_ctx["prefix"] + (getattr(sim, "filename_prefix", None)
                                    or "")
     fname = f"{pre}{tag}-{int(round(sim.meep_time() * 1000)):08d}.npy"
+    outdir = getattr(sim, "_output_dir", None)
+    if outdir:
+        import os
+        fname = os.path.join(outdir, fname)
     np.save(fname, arr)
     if _output_ctx["hook"] is not None:
         _output_ctx["hook"](fname)

@@ -32,7 +32,7 @@ def _dview(arr) -> "np.ndarray":
     """Host complex view of a real-pair DFT accumulator."""
     return np.asarray(S.dft_view(np.asarray(arr)))
 from . import scene
-from .geom import Medium, Vector3, _v3
+from .geom import Medium, Vector3, _v3, get_center_and_size
 from .source import Source, SourceTime
 
 # component constants (python API surface parity)
@@ -350,6 +350,7 @@ class Simulation:
                  use_fused: bool = True,
                  slab_store: bool = False,
                  epsilon_input_file: str = None,
+                 filename_prefix: str = None,
                  symmetries: Sequence = (),
                  kz_2d: str = "complex",
                  material_function=None,
@@ -389,6 +390,9 @@ class Simulation:
         self.use_fused = use_fused
         self.slab_store = slab_store
         self.epsilon_input_file = epsilon_input_file
+        self.filename_prefix = filename_prefix
+        self._output_dir = None
+        self._eps_override = None        # set_epsilon() array override
         # 2D + k_point.z != 0 (the reference's special_kz): fields carry
         # an exact e^{i kz z} dependence; accepted values mirror meep's
         # kz_2d — this implementation always integrates the complex (or
@@ -1123,11 +1127,18 @@ class Simulation:
         epsilon_input_file; meepgeom epsilon input): the dataset spans the
         cell and is sampled (multi-linear) at each live E component's Yee
         sites; geometry objects still overlay it."""
-        import h5py
         from scipy.ndimage import map_coordinates
-        with h5py.File(self.epsilon_input_file, "r") as f:
-            name = "eps" if "eps" in f else list(f.keys())[0]
-            eps_bg = np.asarray(f[name], np.float64)
+        replace_all = False
+        if self._eps_override is not None:
+            # set_epsilon(): a raw array replaces epsilon EVERYWHERE
+            # (structure::set_epsilon role), not just the default medium
+            eps_bg = np.asarray(self._eps_override, np.float64)
+            replace_all = True
+        else:
+            import h5py
+            with h5py.File(self.epsilon_input_file, "r") as f:
+                name = "eps" if "eps" in f else list(f.keys())[0]
+                eps_bg = np.asarray(f[name], np.float64)
         gv = self.gv
         lo = [gv.origin[a] for a in range(gv.ndim)]
         span = [max(gv.num[a] * gv.dx, 1e-30) for a in range(gv.ndim)]
@@ -1150,7 +1161,8 @@ class Simulation:
             if row is None:
                 row = np.ones(eps_s.shape)
             bg = 1.0 / eps_s
-            mat.chi1inv[c][dind] = np.where(idx == -1, bg, row)
+            mat.chi1inv[c][dind] = bg if replace_all else np.where(
+                idx == -1, bg, row)
 
     def initialize_field(self, component, func):
         """Set the initial field of `component` from a spatial function
@@ -1274,7 +1286,7 @@ class Simulation:
         if (self.material_function is not None
                 or self.epsilon_func is not None or fn_objs):
             self._apply_material_function(mat, geometry, fn_objs, live_e)
-        if self.epsilon_input_file:
+        if self.epsilon_input_file or self._eps_override is not None:
             self._apply_epsilon_input(mat, live_e)
         pmls = []
         absorbers = []
@@ -3411,6 +3423,794 @@ class Simulation:
         self._state = {**self._state, **self._pairify(out["mode"])}
         return out
 
+    # -------------------------------------------- reference-API parity tail
+    # (python/simulation.py Simulation methods not covered elsewhere; each
+    # cites its reference line range in the docstring)
+
+    def timestep(self) -> int:
+        """Elapsed timesteps (simulation.py:2625)."""
+        self.init_sim()
+        return self._t
+
+    def round_time(self) -> float:
+        """Simulation time rounded to the timestep grid
+        (fields::round_time)."""
+        return self.meep_time()
+
+    def using_real_fields(self) -> bool:
+        """Whether this run steps real fields (simulation.py
+        using_real_fields)."""
+        cond1 = self.dim == "cyl" and self.m != 0
+        cond2 = any(getattr(s, "phase", 1).imag for s in self.symmetries
+                    if hasattr(s, "phase"))
+        kp = _v3(self.k_point) if self.k_point is not None else None
+        cond3 = kp is None
+        cond4 = (kp is not None and self.dim == "2d"
+                 and kp.x == 0 and kp.y == 0)
+        cond5 = not (cond3 or cond4 or (kp is not None and tuple(kp)
+                                        == (0.0, 0.0, 0.0)))
+        return not (self.force_complex_fields or cond1 or cond2 or cond5)
+
+    def require_dimensions(self):
+        """Record the inferred dimensionality (simulation.py
+        require_dimensions; dimensions are fixed at construction here)."""
+        self.dimensions = {"1d": 1, "2d": 2, "3d": 3, "cyl": -2}[self.dim]
+        return self.dimensions
+
+    def has_mu(self) -> bool:
+        """True if any material carries a non-identity permeability
+        (simulation.py has_mu)."""
+        def _mu(medium):
+            if not isinstance(medium, Medium):
+                return False
+            if tuple(medium.mu_diag_vec()) != (1.0, 1.0, 1.0):
+                return True
+            return bool(getattr(medium, "H_susceptibilities", ()))
+        return any(_mu(getattr(g, "material", None)) for g in self.geometry) \
+            or any(_mu(m) for m in self.extra_materials) \
+            or _mu(self.default_material)
+
+    def get_estimated_memory_usage(self) -> int:
+        """Bytes held by the field state (simulation.py
+        get_estimated_memory_usage; exact rather than estimated — the
+        state pytree is dense and already allocated)."""
+        self.init_sim()
+        import jax
+        return sum(np.prod(v.shape) * v.dtype.itemsize
+                   for v in jax.tree_util.tree_leaves(self._state)
+                   if hasattr(v, "shape"))
+
+    def get_estimated_costs(self):
+        """Per-shard stepping cost (structure::estimated_cost): uniform
+        GSPMD shards make every shard's cost cells/n."""
+        import jax
+        n = max(jax.device_count(), 1)
+        cells = float(np.prod(self.gv.num))
+        return [cells / n] * n
+
+    def _get_chunk_communication_areas(self):
+        import jax
+        n = max(jax.device_count(), 1)
+        if n == 1:
+            return [0.0]
+        # uniform 1-d split over the leading axis: each interior boundary
+        # exchanges one plane of every stepped component, both directions
+        plane = float(np.prod(self.gv.num[1:])) if self.gv.ndim > 1 else 1.0
+        ncomp = len(self._state["f"]) if self._state else 6
+        return [2 * plane * ncomp] * (n - 1)
+
+    def get_max_chunk_communication_area(self):
+        """Maximum inter-chunk halo area (simulation.py:
+        get_max_chunk_communication_area)."""
+        return max(self._get_chunk_communication_areas())
+
+    def get_avg_chunk_communication_area(self):
+        import jax
+        return (sum(self._get_chunk_communication_areas())
+                / max(jax.device_count(), 1))
+
+    # -- filename prefix / output directory --------------------------------
+    def get_filename_prefix(self) -> str:
+        """Prefix prepended to output file names (simulation.py
+        get_filename_prefix): the script name minus .py unless
+        filename_prefix is set ('' disables)."""
+        if isinstance(self.filename_prefix, str):
+            return self.filename_prefix
+        if self.filename_prefix is None:
+            import sys
+            fname = os.path.split(sys.argv[0])[1]
+            return fname[:-3] + "-" if fname.endswith(".py") else ""
+        raise TypeError("filename_prefix must be a string or None")
+
+    def use_output_directory(self, dname: str = ""):
+        """Send all output files to a (created) subdirectory
+        (simulation.py use_output_directory)."""
+        if not dname:
+            dname = self.get_filename_prefix() + "-out"
+            self.filename_prefix = None
+        os.makedirs(dname, exist_ok=True)
+        self._output_dir = dname
+        return dname
+
+    # -- structure mutation -------------------------------------------------
+    def _uninitialize(self):
+        self._plan = None
+        self._state = None
+        self._t = 0
+
+    def _rebuild_preserving_fields(self):
+        """Re-derive the plan from the current scene attributes, carrying
+        shape-compatible state arrays (incl. DFT accumulators) over."""
+        old_state, old_t = self._state, self._t
+        self._uninitialize()
+        self.init_sim()
+        if old_state is not None:
+            def merge(new, old):
+                if isinstance(new, dict) and isinstance(old, dict):
+                    return {k: (merge(new[k], old[k]) if k in old else new[k])
+                            for k in new}
+                if hasattr(new, "shape") and hasattr(old, "shape") \
+                        and new.shape == old.shape \
+                        and new.dtype == old.dtype:
+                    return old
+                return new
+            self._state = merge(self._state, old_state)
+            self._t = old_t
+
+    def set_materials(self, geometry=None, default_material=None):
+        """Swap the geometry / default material, keeping the fields
+        (simulation.py set_materials; callable from step functions)."""
+        if geometry is not None:
+            self.geometry = list(geometry)
+        if default_material is not None:
+            self.default_material = default_material
+        if self._plan is not None:
+            self._rebuild_preserving_fields()
+
+    def set_epsilon(self, eps):
+        """Replace epsilon everywhere from a raw array spanning the cell
+        (structure::set_epsilon role)."""
+        self._eps_override = np.asarray(eps, np.float64)
+        if self._plan is not None:
+            self._rebuild_preserving_fields()
+
+    def phase_in_material(self, structure, time, nstages: int = 16):
+        """Linearly morph the current material coefficients into another
+        Simulation's over `time` (fields::phase_in_material,
+        structure::mix_with).  TPU adaptation: the interpolation is
+        piecewise-constant over `nstages` sub-blocks instead of per step
+        (coefficients are jit ARGUMENTS, so each stage costs no
+        recompile)."""
+        other = structure if isinstance(structure, Simulation) else None
+        if other is None:
+            raise TypeError("phase_in_material takes the other Simulation")
+        self.init_sim()
+        other.init_sim()
+        import jax.numpy as jnp
+        old = {k: v for k, v in self._plan.coefs.items()}
+        new = other._plan.coefs
+        keys = [k for k in old
+                if k in new and getattr(old[k], "shape", None)
+                == getattr(new[k], "shape", None)
+                and np.issubdtype(np.asarray(old[k]).dtype, np.floating)]
+        steps_total = max(1, int(round(time / self.dt)))
+        nstages = max(1, min(nstages, steps_total))
+        done = 0
+        for s in range(nstages):
+            target = (s + 1) * steps_total // nstages
+            frac = (s + 0.5) / nstages
+            self._plan.coefs = {
+                k: ((1 - frac) * old[k] + frac * jnp.asarray(new[k])
+                    if k in keys else v)
+                for k, v in old.items()}
+            if target > done:
+                self.step(target - done)
+                done = target
+        self._plan.coefs = {k: (jnp.asarray(new[k]) if k in keys else v)
+                            for k, v in old.items()}
+
+    def add_sources(self):
+        """(Re)inject Simulation.sources into the run plan
+        (simulation.py add_sources)."""
+        if self._plan is None:
+            self.init_sim()
+        else:
+            self._rebuild_preserving_fields()
+
+    def change_sources(self, new_sources):
+        """Replace the source list, keeping the fields (simulation.py
+        change_sources)."""
+        self.sources = list(new_sources)
+        if self._plan is not None:
+            self._rebuild_preserving_fields()
+
+    def change_k_point(self, k):
+        """Change the Bloch k vector (simulation.py change_k_point);
+        fields restart (the field storage layout may change)."""
+        self.k_point = k
+        if self._plan is not None:
+            self._uninitialize()
+
+    def change_m(self, m):
+        """Change the cylindrical azimuthal number (simulation.py
+        change_m); fields restart."""
+        self.m = m
+        if self._plan is not None:
+            self._uninitialize()
+
+    def restart_fields(self):
+        """Zero the fields and the clock, keeping DFT accumulators
+        (simulation.py restart_fields)."""
+        if self._state is None:
+            self.init_sim()
+            return
+        import jax.numpy as jnp
+
+        def zero(tree):
+            if isinstance(tree, dict):
+                return {k: zero(v) for k, v in tree.items()}
+            if hasattr(tree, "shape"):
+                return jnp.zeros_like(tree)
+            return tree
+        self._state = {k: (v if k in ("dft", "rng") else zero(v))
+                       for k, v in self._state.items()}
+        self._t = 0
+
+    def reset_meep(self):
+        """Forget fields, structure, and monitors (simulation.py
+        reset_meep)."""
+        self._uninitialize()
+        self._dft_specs = []
+        self._handles = []
+
+    def clear_dft_monitors(self):
+        """Drop every DFT monitor (simulation.py clear_dft_monitors);
+        fields are preserved."""
+        old_state, old_t = self._state, self._t
+        self._dft_specs = []
+        self._handles = []
+        if old_state is not None:
+            self._uninitialize()
+            self.init_sim()
+
+            def merge(new, old):
+                if isinstance(new, dict) and isinstance(old, dict):
+                    return {k: (merge(new[k], old[k]) if k in old else new[k])
+                            for k in new}
+                if hasattr(new, "shape") and hasattr(old, "shape") \
+                        and new.shape == old.shape:
+                    return old
+                return new
+            self._state = {k: (v if k == "dft"
+                               else merge(v, old_state.get(k, v)))
+                           for k, v in self._state.items()}
+            self._t = old_t
+
+    # -- k-point band sweeps -------------------------------------------------
+    def run_k_point(self, t: float = None, k=None):
+        """One Bloch run: restart fields at k, Harminv at the first
+        source's point/component over the union of source bandwidths
+        (simulation.py run_k_point)."""
+        from ..analysis.harminv import Harminv as _Hv
+        if not self.sources:
+            raise ValueError("run_k_point needs at least one source")
+        lo, hi = [], []
+        for s in self.sources:
+            f0 = getattr(s.src, "frequency", None)
+            w = getattr(s.src, "fwidth", None)
+            if f0 is None or w is None:
+                continue
+            lo.append(f0 - w / 2)
+            hi.append(f0 + w / 2)
+        fmin, fmax = min(lo), max(hi)
+        self.change_k_point(k)
+        self.restart_fields() if self._state is not None else None
+        h = _Hv(self.sources[0].component, self.sources[0].center,
+                0.5 * (fmin + fmax), fmax - fmin)
+        self.run(after_sources(h), until_after_sources=t if t is not None
+                 else 50.0)
+        return h
+
+    def run_k_points(self, t: float = None, k_points=None):
+        """Harminv eigenfrequencies per Bloch k (simulation.py
+        run_k_points): returns a list (per k) of complex frequencies and
+        prints freqs:/freqs-im: CSV lines."""
+        all_freqs = []
+        k_index = 0
+        for k in (k_points or []):
+            k_index += 1
+            h = self.run_k_point(t, k)
+            freqs = [complex(m.freq, m.decay) for m in h.modes]
+            print(f"freqs:, {k_index}, "
+                  + ", ".join(f"{tuple(_v3(k))[i]}" for i in range(3))
+                  + ", " + ", ".join(str(f.real) for f in freqs))
+            print(f"freqs-im:, {k_index}, "
+                  + ", ".join(f"{tuple(_v3(k))[i]}" for i in range(3))
+                  + ", " + ", ".join(str(f.imag) for f in freqs))
+            all_freqs.append(freqs)
+        return all_freqs
+
+    # -- point material queries ----------------------------------------------
+    def _material_medium_at(self, pt):
+        c3 = _v3(pt)
+        pts = np.array([[c3.x, c3.y, c3.z]])
+        idx = scene._material_at(pts, list(self.geometry),
+                                 self.default_material)
+        i = int(idx[0])
+        if i == -1:
+            return self.default_material
+        mobj = self.geometry[i].material
+        return mobj if isinstance(mobj, Medium) else self.default_material
+
+    def get_epsilon_point(self, pt=None, frequency: float = 0.0):
+        """Average permittivity eigenvalue at a point (simulation.py
+        get_epsilon_point): frequency 0 samples the smoothed grid;
+        frequency != 0 evaluates the material's dispersive tensor."""
+        if frequency == 0.0:
+            self.init_sim()
+            from scipy.ndimage import map_coordinates
+            eps = np.real(np.asarray(self.get_epsilon()))
+            ax = _vec_to_axes(self.gv, pt if pt is not None else Vector3())
+            coords = []
+            for a in range(self.gv.ndim):
+                cs = self.gv.comp_coords("ez" if "ez" in
+                                         self._state["f"] else
+                                         list(self._state["f"])[0], a)
+                cs = cs[: eps.shape[a]]
+                coords.append([np.interp(ax[a], cs, np.arange(len(cs)))])
+            return float(map_coordinates(eps, coords, order=1,
+                                         mode="nearest")[0])
+        med = self._material_medium_at(pt)
+        t = np.asarray(med.epsilon(frequency))
+        return complex(np.trace(t.reshape(3, 3)) / 3) if t.size == 9 \
+            else complex(np.mean(t))
+
+    def get_mu_point(self, pt=None, frequency: float = 0.0):
+        """Average permeability eigenvalue at a point (simulation.py
+        get_mu_point)."""
+        med = self._material_medium_at(pt)
+        t = np.asarray(med.mu(frequency) if frequency != 0.0
+                       else (np.eye(3) if med.mu_diag is None
+                             else np.diag(tuple(_v3(med.mu_diag)))))
+        return complex(np.trace(t.reshape(3, 3)) / 3) if t.size == 9 \
+            else complex(np.mean(t))
+
+    # -- monitors / data ------------------------------------------------------
+    def add_mode_monitor(self, *args, **kwargs):
+        """add_flux for use with get_eigenmode_coefficients
+        (simulation.py:add_mode_monitor)."""
+        kwargs.pop("yee_grid", None)
+        return self.add_flux(*args, **kwargs)
+
+    def get_dft_data(self, handle):
+        """All of a monitor's DFT accumulators, flattened complex
+        (simulation.py get_dft_data)."""
+        self.init_sim()
+        out = []
+        for key in sorted(self._state["dft"]):
+            if key.startswith(handle.name + ":"):
+                out.append(_dview(self._state["dft"][key]).ravel())
+        return np.concatenate(out) if out else np.zeros(0, np.complex128)
+
+    def output_dft(self, dft_fields, fname: str):
+        """Write a dft_fields monitor to <fname>.h5 with <comp>_<n>.r/.i
+        datasets (simulation.py output_dft)."""
+        self.init_sim()
+        import h5py
+        path = fname if fname.endswith(".h5") else fname + ".h5"
+        with h5py.File(path, "w") as h5:
+            for c in dft_fields.components:
+                arr = np.asarray(self.get_dft_array(dft_fields, c))
+                for fi in range(arr.shape[-1]):
+                    h5.create_dataset(f"{c}_{fi}.r",
+                                      data=np.real(arr[..., fi]))
+                    h5.create_dataset(f"{c}_{fi}.i",
+                                      data=np.imag(arr[..., fi]))
+        return path
+
+    def save_energy(self, fname, energy):
+        """save_flux for an energy monitor (simulation.py save_energy)."""
+        self.save_flux(fname, energy)
+
+    def load_energy(self, fname, energy):
+        self.load_flux(fname, energy)
+
+    def load_minus_energy(self, fname, energy):
+        self.load_minus_flux(fname, energy)
+
+    def load_near2far_data(self, near2far, n2fdata):
+        self.load_flux_data(near2far, n2fdata)
+
+    def load_force_data(self, force, fdata):
+        self.load_flux_data(force, fdata)
+
+    def display_fluxes(self, *fluxes):
+        """CSV table of frequencies + flux spectra (simulation.py
+        display_fluxes)."""
+        from .run_control import display_csv
+        display_csv(self, "flux", zip(get_flux_freqs(fluxes[0]),
+                                      *[get_fluxes(f) for f in fluxes]))
+
+    def display_forces(self, *forces):
+        from .run_control import display_csv
+        display_csv(self, "force", zip(get_force_freqs(forces[0]),
+                                       *[self.get_forces(f)
+                                         for f in forces]))
+
+    def display_electric_energy(self, *energys):
+        from .run_control import display_csv
+        display_csv(self, "electric_energy",
+                    zip(get_energy_freqs(energys[0]),
+                        *[self.get_electric_energy(e) for e in energys]))
+
+    def display_magnetic_energy(self, *energys):
+        from .run_control import display_csv
+        display_csv(self, "magnetic_energy",
+                    zip(get_energy_freqs(energys[0]),
+                        *[self.get_magnetic_energy(e) for e in energys]))
+
+    def display_total_energy(self, *energys):
+        from .run_control import display_csv
+        display_csv(self, "total_energy",
+                    zip(get_energy_freqs(energys[0]),
+                        *[self.get_total_energy(e) for e in energys]))
+
+    def output_farfields(self, near2far, fname=None, resolution=None,
+                         where=None, center=None, size=None):
+        """Far fields on a `resolution` grid over a (possibly
+        outside-the-cell) volume, written as ex.r/ex.i/... datasets
+        (simulation.py output_farfields)."""
+        if where is not None:
+            center, size = get_center_and_size(where)
+        arr = self.get_farfields(near2far, resolution, center=center,
+                                 size=size)      # (6, nfreq) + grid
+        comps = ("ex", "ey", "ez", "hx", "hy", "hz")
+        data = {}
+        for ci, c in enumerate(comps):
+            a = np.moveaxis(arr[ci], 0, -1)      # grid + (nfreq,)
+            data[c + ".r"] = np.real(a)
+            data[c + ".i"] = np.imag(a)
+        if fname is None:
+            return data
+        import h5py
+        path = fname if fname.endswith(".h5") else fname + ".h5"
+        with h5py.File(path, "w") as h5:
+            for k, v in data.items():
+                h5.create_dataset(k, data=v)
+        return path
+
+    def modal_volume_in_box(self, box=None, center=None, size=None):
+        """Purcell modal volume int(eps |E|^2) / max(eps |E|^2)
+        (simulation.py modal_volume_in_box)."""
+        self.init_sim()
+        if box is not None:
+            center, size = get_center_and_size(box)
+        eps = np.real(np.asarray(self.get_epsilon()))
+        u = None
+        for c in ("ex", "ey", "ez", "er", "ep"):
+            if c not in self._state["f"]:
+                continue
+            arr = np.abs(np.asarray(self.get_array(
+                component=c, center=center, size=size))) ** 2
+            if u is None:
+                u = np.zeros(np.minimum(arr.shape, eps.shape))
+            sl = tuple(slice(0, n) for n in u.shape)
+            u = u + arr[sl]
+        if center is None and size is None:
+            sl = tuple(slice(0, n) for n in u.shape)
+            u = u * eps[sl]
+        dv = self.gv.dx ** self.gv.ndim
+        return float(u.sum() * dv / max(u.max(), 1e-300))
+
+    # -- field functions ------------------------------------------------------
+    def _field_function_grid(self, cs, fields2=None, cs2=()):
+        """(pts, value arrays) on the common centered lattice for field
+        functions (integrate.cpp role)."""
+        arrs = [np.asarray(self.get_array(component=c)) for c in cs]
+        arrs += [np.asarray(fields2.get_array(component=c)) for c in cs2]
+        shp = tuple(min(a.shape[i] for a in arrs)
+                    for i in range(arrs[0].ndim))
+        arrs = [a[tuple(slice(0, n) for n in shp)] for a in arrs]
+        coords = [self.gv.comp_coords(cs[0], a)[: shp[a]]
+                  for a in range(self.gv.ndim)]
+        return coords, arrs
+
+    def max_abs_field_function(self, cs, func, where=None, center=None,
+                               size=None):
+        """max |func(r, fields...)| over the grid (simulation.py
+        max_abs_field_function)."""
+        coords, arrs = self._field_function_grid(cs)
+        best = 0.0
+        for ind in np.ndindex(*arrs[0].shape):
+            pt = [coords[a][ind[a]] for a in range(len(coords))]
+            v3 = Vector3(*(pt + [0.0] * (3 - len(pt))))
+            best = max(best, abs(func(v3, *[a[ind] for a in arrs])))
+        return best
+
+    def integrate2_field_function(self, fields2, cs1, cs2, func,
+                                  where=None, center=None, size=None):
+        """Two-simulation field-function integral (simulation.py
+        integrate2_field_function / integrate2.cpp)."""
+        coords, arrs = self._field_function_grid(cs1, fields2, cs2)
+        dv = self.gv.dx ** self.gv.ndim
+        total = 0.0
+        for ind in np.ndindex(*arrs[0].shape):
+            pt = [coords[a][ind[a]] for a in range(len(coords))]
+            v3 = Vector3(*(pt + [0.0] * (3 - len(pt))))
+            total += func(v3, *[a[ind] for a in arrs])
+        return total * dv
+
+    def output_field_function(self, name, cs, func, real_only=False,
+                              h5file=None):
+        """Evaluate func over the grid and save it under `name`
+        (simulation.py output_field_function)."""
+        coords, arrs = self._field_function_grid(cs)
+        out = np.zeros(arrs[0].shape, complex)
+        for ind in np.ndindex(*arrs[0].shape):
+            pt = [coords[a][ind[a]] for a in range(len(coords))]
+            v3 = Vector3(*(pt + [0.0] * (3 - len(pt))))
+            out[ind] = func(v3, *[a[ind] for a in arrs])
+        from .run_control import _save
+        if real_only:
+            _save(self, name, np.real(out))
+        else:
+            _save(self, name + ".r", np.real(out))
+            _save(self, name + ".i", np.imag(out))
+
+    def output_component(self, c, h5file=None, frequency=0):
+        """Save one component over the cell (simulation.py
+        output_component)."""
+        from .run_control import _save
+        arr = self.get_epsilon() if c == Dielectric else \
+            self.get_array(component=c)
+        _save(self, c if isinstance(c, str) else str(c), arr)
+
+    def output_components(self, fname, *components):
+        """Save several components into one .npz (simulation.py
+        output_components)."""
+        data = {}
+        for c in components:
+            data[c] = np.asarray(self.get_epsilon() if c == Dielectric
+                                 else self.get_array(component=c))
+        np.savez(fname if fname.endswith(".npz") else fname + ".npz",
+                 **data)
+
+    def h5topng(self, rm_h5, option, *step_funcs):
+        """convert_h5 preconfigured for h5topng (simulation.py
+        h5topng)."""
+        from .run_control import convert_h5
+        return convert_h5(rm_h5, f"h5topng {option}", *step_funcs)
+
+    def get_source(self, component, vol=None, center=None, size=None):
+        """Spatial source amplitude array for `component` at the current
+        time, on the component lattice (simulation.py get_source)."""
+        self.init_sim()
+        shape = tuple(n + 1 for n in self.gv.num)
+        out = np.zeros(shape, np.complex128)
+        t = self.meep_time()
+        for s in self._plan.sources:
+            if s.component != component:
+                continue
+            cur = s.src_time.current(t, self.dt)
+            idx = np.asarray(s.indices)
+            amps = np.asarray(s.amps)
+            for k in range(len(idx)):
+                ind = tuple(int(i) for i in idx[k])
+                if all(i < n for i, n in zip(ind, shape)):
+                    out[ind] += amps[k] * cur
+        return out
+
+    def get_array_slice_dimensions(self, component, vol=None, center=None,
+                                   size=None):
+        """(dims, min_corner, max_corner) of a get_array slice
+        (simulation.py get_array_slice_dimensions)."""
+        if vol is not None:
+            center, size = get_center_and_size(vol)
+        coords, _ = self.get_array_metadata(component=component,
+                                            center=center, size=size)
+        dims = [len(c) for c in coords]
+        lo = [float(c[0]) for c in coords]
+        hi = [float(c[-1]) for c in coords]
+        pad = [0.0] * (3 - len(lo))
+        return dims, Vector3(*(lo + pad)), Vector3(*(hi + pad))
+
+    # -- timing ---------------------------------------------------------------
+    _TIME_SINKS = {0: "stepping", 1: "connecting chunks",
+                   2: "copying boundaries", 3: "all-all communication",
+                   4: "1-1 communication", 5: "outputting fields",
+                   6: "fourier transforming", 7: "mpb mode solver",
+                   8: "near-to-far-field transform", 21: "everything else"}
+
+    def mean_time_spent_on(self, time_sink):
+        """Mean (single process: the) wall time for a work category;
+        accepts the reference's integer time-sink codes or this
+        framework's category strings (simulation.py
+        mean_time_spent_on)."""
+        if isinstance(time_sink, int):
+            time_sink = self._TIME_SINKS.get(time_sink, "")
+        return self.timers.time_spent_on(time_sink)
+
+    def get_timing_data(self):
+        """category -> [seconds per process] (simulation.py
+        get_timing_data)."""
+        return {k: [v] for k, v in self.timers.summary().items()}
+
+    def output_times(self, fname):
+        """CSV of the timing table (simulation.py output_times)."""
+        if not fname.endswith(".csv"):
+            fname += ".csv"
+        data = self.timers.summary()
+        with open(fname, "w") as f:
+            f.write(",".join(data.keys()) + "\n")
+            f.write(",".join(f"{v:.6f}" for v in data.values()) + "\n")
+        return fname
+
+    # -- stacked field getters -------------------------------------------------
+    def _get_field_family(self, letter, snap=False):
+        if self.dim == "cyl":
+            comps = (letter + "r", letter + "p")
+        else:
+            comps = (letter + "x", letter + "y", letter + "z")
+        arrs = []
+        for c in comps:
+            try:
+                arrs.append(np.asarray(self.get_array(component=c,
+                                                      snap=snap)))
+            except KeyError:
+                arrs.append(None)
+        shp = tuple(min(a.shape[i] for a in arrs if a is not None)
+                    for i in range(next(a.ndim for a in arrs
+                                        if a is not None)))
+        arrs = [np.zeros(shp) if a is None
+                else a[tuple(slice(0, n) for n in shp)] for a in arrs]
+        return np.stack(arrs, axis=-1)
+
+    def get_efield(self, snap=False):
+        """All E components stacked on the last axis (simulation.py
+        get_efield)."""
+        return self._get_field_family("e", snap)
+
+    def get_hfield(self, snap=False):
+        return self._get_field_family("h", snap)
+
+    def get_dfield(self, snap=False):
+        return self._get_field_family("d", snap)
+
+    def get_bfield(self, snap=False):
+        # B == H storage unless mu materials introduce separate b arrays
+        try:
+            return self._get_field_family("b", snap)
+        except StopIteration:
+            return self._get_field_family("h", snap)
+
+    def get_sfield(self, snap=False):
+        """Poynting E x H with synchronized magnetic fields
+        (simulation.py get_sfield)."""
+        self._hb_override = self._synchronized_hb()
+        try:
+            E = self.get_efield(snap)
+            H = self.get_hfield(snap)
+        finally:
+            self._hb_override = None
+        return np.cross(np.conj(E), H)
+
+    def get_hpwr(self, snap=False):
+        """Magnetic energy density grid (simulation.py get_hpwr)."""
+        from .run_control import _energy_density
+        return _energy_density(self, "h")
+
+    def get_dpwr(self, snap=False):
+        from .run_control import _energy_density
+        return _energy_density(self, "e")
+
+    def get_tot_pwr(self, snap=False):
+        from .run_control import _energy_density
+        return _energy_density(self, "e") + _energy_density(self, "h")
+
+    # -- plotting wrappers -------------------------------------------------------
+    def plot2D(self, **kwargs):
+        """utils.visualization.plot2D bound as a method (simulation.py
+        plot2D)."""
+        from ..utils.visualization import plot2D as _p
+        return _p(self, **kwargs)
+
+    def plot_fields(self, **kwargs):
+        from ..utils.visualization import plot_fields as _p
+        return _p(self, **kwargs)
+
+    def plot3D(self, **kwargs):
+        from ..utils.visualization import plot3D as _p
+        return _p(self, **kwargs)
+
+    def visualize_chunks(self):
+        """Show the uniform shard decomposition over the device mesh
+        (simulation.py visualize_chunks)."""
+        import jax
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        n = max(jax.device_count(), 1)
+        fig, ax = plt.subplots()
+        sx = self.gv.num[0]
+        sy = self.gv.num[1] if self.gv.ndim > 1 else 1
+        for i in range(n):
+            x0 = i * sx / n
+            ax.add_patch(plt.Rectangle((x0, 0), sx / n, sy,
+                                       facecolor=plt.cm.tab20(i % 20),
+                                       edgecolor="k"))
+            ax.text(x0 + sx / (2 * n), sy / 2, str(i), ha="center")
+        ax.set_xlim(0, sx)
+        ax.set_ylim(0, sy)
+        ax.set_title(f"{n} uniform shards")
+        return fig
+
+    # -- dump/load split (structure vs fields) -----------------------------------
+    def get_load_dump_dirname(self, dirname=None,
+                              single_parallel_file=None):
+        """Dump dirname, rank-suffixed for sharded dumps (simulation.py
+        get_load_dump_dirname)."""
+        if single_parallel_file:
+            return dirname
+        return os.path.join(dirname, "rank00")
+
+    def dump_structure(self, fname: str = None,
+                       single_parallel_file: bool = True):
+        """Save the static material/PML coefficient arrays
+        (structure_dump.cpp:89 role)."""
+        self.init_sim()
+        np.savez(fname if fname.endswith(".npz") else fname + ".npz",
+                 **{k: np.asarray(v) for k, v in self._plan.coefs.items()})
+
+    def load_structure(self, fname: str = None,
+                       single_parallel_file: bool = True):
+        """Load coefficient arrays saved by dump_structure (shapes must
+        match the current layout, as the reference requires)."""
+        import jax.numpy as jnp
+        self.init_sim()
+        path = fname if fname.endswith(".npz") else fname + ".npz"
+        with np.load(path) as z:
+            coefs = dict(self._plan.coefs)
+            for k in z.files:
+                if k in coefs and z[k].shape != np.shape(coefs[k]):
+                    raise ValueError(
+                        f"structure file {k} shape {z[k].shape} != "
+                        f"{np.shape(coefs[k])} (same-layout rule)")
+                coefs[k] = jnp.asarray(z[k])
+            self._plan.coefs = coefs
+
+    def dump_fields(self, fname: str = None,
+                    single_parallel_file: bool = True):
+        """Checkpoint the field state (fields_dump.cpp role)."""
+        self.dump(fname)
+
+    def load_fields(self, fname: str = None,
+                    single_parallel_file: bool = True):
+        self.load(fname)
+
+    def dump_chunk_layout(self, fname: str = None):
+        """Record the (uniform) shard layout (structure_dump.cpp
+        dump_chunk_layout)."""
+        import jax
+        import json
+        with open(fname, "w") as f:
+            json.dump({"n_shards": max(jax.device_count(), 1),
+                       "grid": [int(n) for n in self.gv.num]}, f)
+
+    def load_chunk_layout(self, br=None, source=None):
+        """Verify a layout saved by dump_chunk_layout matches this run
+        (load requires the same chunk layout, meep.hpp:880)."""
+        import jax
+        import json
+        if isinstance(source, Simulation):
+            return
+        with open(source if source is not None else br) as f:
+            info = json.load(f)
+        if info["grid"] != [int(n) for n in self.gv.num] or \
+                info["n_shards"] != max(jax.device_count(), 1):
+            raise ValueError("chunk layout mismatch: saved "
+                             f"{info} vs current grid "
+                             f"{[int(n) for n in self.gv.num]}")
+
     # ---------------------------------------------------------- checkpoint
     def dump(self, path: str):
         """Checkpoint fields+monitors+time (fields_dump.cpp:108 analog)."""
@@ -3425,6 +4225,63 @@ class Simulation:
         self.init_sim()
         self._state = CK.load_state(path, self._plan)
         self._t = CK.load_t(path)
+
+
+def _install_component_getters():
+    """get_{e,h,d,b}field_{x,y,z,r,p} and get_sfield_* methods
+    (simulation.py:5596-5956 family): thin get_array / Poynting
+    wrappers, generated once."""
+    def field_getter(comp):
+        def g(self, snap=False):
+            return self.get_array(component=comp, snap=snap)
+        g.__name__ = f"get_{comp[0]}field_{comp[1]}"
+        g.__doc__ = (f"Array of {comp} over the cell (simulation.py "
+                     f"get_{comp[0]}field_{comp[1]})." )
+        return g
+
+    def sfield_getter(d):
+        cyc = {"x": ("y", "z"), "y": ("z", "x"), "z": ("x", "y"),
+               "r": ("p", "z"), "p": ("z", "r")}
+
+        def g(self, snap=False):
+            p, q = cyc[d]
+            self._hb_override = self._synchronized_hb()
+            try:
+                def get(c):
+                    try:
+                        return np.asarray(self.get_array(component=c,
+                                                         snap=snap))
+                    except KeyError:
+                        return None
+                ep_, eq_ = get("e" + p), get("e" + q)
+                hp_, hq_ = get("h" + p), get("h" + q)
+            finally:
+                self._hb_override = None
+            arrs = [a for a in (ep_, eq_, hp_, hq_) if a is not None]
+            if not arrs:
+                raise KeyError(f"no in-plane components for S{d}")
+            shp = tuple(min(a.shape[i] for a in arrs)
+                        for i in range(arrs[0].ndim))
+
+            def crop(a):
+                return np.zeros(shp) if a is None else \
+                    a[tuple(slice(0, n) for n in shp)]
+            return (np.conj(crop(ep_)) * crop(hq_)
+                    - np.conj(crop(eq_)) * crop(hp_))
+        g.__name__ = f"get_sfield_{d}"
+        g.__doc__ = (f"Poynting S{d} = (E x H*){d} with synchronized "
+                     f"magnetic fields (simulation.py get_sfield_{d}).")
+        return g
+
+    for fam in "ehdb":
+        for d in "xyzrp":
+            comp = ("h" if fam == "b" else fam) + d
+            setattr(Simulation, f"get_{fam}field_{d}", field_getter(comp))
+    for d in "xyzrp":
+        setattr(Simulation, f"get_sfield_{d}", sfield_getter(d))
+
+
+_install_component_getters()
 
 
 def _volume_sites(gv: G.GridVolume, comp: str, center, size):
