@@ -128,3 +128,28 @@ def unfilter_design(target, processing: Callable, maxiter: int = 100,
             break
         prev = float(v)
     return np.asarray(x)
+
+
+class Basis:
+    """Abstract design-variable basis (python/adjoint/basis.py:15):
+    rho vector over a volume, evaluated pointwise via __call__."""
+
+    def __init__(self, rho_vector=None, volume=None, size=None,
+                 center=None):
+        from ..models.geom import Vector3, Volume
+        self.volume = volume or Volume(center=center or Vector3(),
+                                       size=size)
+        self.rho_vector = rho_vector
+
+    def func(self):
+        def _f(p):
+            return self(p)
+        return _f
+
+    def get_basis_vjp(self, *a, **kw):
+        raise NotImplementedError(
+            "derived class must implement get_basis_vjp")
+
+    def __call__(self, p=(0.0, 0.0)):
+        raise NotImplementedError(
+            "derived class must implement __call__()")

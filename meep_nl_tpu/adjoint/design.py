@@ -43,18 +43,43 @@ class DesignVariables:
 
 @dataclasses.dataclass
 class DesignRegion:
-    """A box of the cell whose epsilon is controlled by a density grid."""
-    variables: DesignVariables
-    center: Sequence[float]          # grid-axis coordinates
-    size: Sequence[float]
+    """A box of the cell whose epsilon is controlled by a density grid.
+
+    Reference-compatible construction (python/adjoint/utils.py
+    DesignRegion): `DesignRegion(material_grid, volume=mp.Volume(...))`
+    — `design_parameters` aliases `variables` and a `volume` supplies
+    center/size as Vector3s (converted to grid axes at bind time)."""
+    variables: Any = None
+    center: Sequence[float] = None   # grid-axis coordinates (or Vector3)
+    size: Sequence[float] = None
+    volume: Any = None
+    design_parameters: dataclasses.InitVar[Any] = None
 
     # filled at bind time:
     _site_maps: Optional[Dict[str, Tuple]] = None
+
+    def __post_init__(self, design_parameters):
+        if self.variables is None and design_parameters is not None:
+            self.variables = design_parameters
+        if self.volume is not None and self.center is None:
+            from ..models.geom import get_center_and_size
+            self.center, self.size = get_center_and_size(self.volume)
+
+    def update_design_parameters(self, x):
+        """Reference DesignRegion.update_design_parameters: forward to
+        the MaterialGrid."""
+        self.variables.update_weights(np.asarray(x))
 
     def bind(self, gv: G.GridVolume, live_e: Sequence[str]):
         """Precompute, per E component, the site slice inside the region and
         the fractional design-grid coordinates of each site (for bilinear
         interpolation; material_grid_val meepgeom.cpp:489)."""
+        # Vector3-style center/size (reference DesignRegion volumes)
+        # convert to grid-axis coordinates here, where gv is known
+        if self.center is not None and hasattr(self.center, "x"):
+            from ..models.simulation import _vec_to_axes
+            self.center = _vec_to_axes(gv, self.center)
+            self.size = _vec_to_axes(gv, self.size)
         maps = {}
         for c in live_e:
             slices = []
@@ -151,3 +176,26 @@ class MaterialGrid(DesignVariables):
         self.grid_type = grid_type
         self.do_averaging = do_averaging
         self.damping = float(damping)
+        self.num_params = int(np.prod(gs))
+
+    def check_weights(self, w):
+        """Clip (with a warning) weights outside [0, 1]
+        (python/geom.py MaterialGrid.check_weights)."""
+        w = np.asarray(w)
+        if w.size and (w.min() < 0.0 or w.max() > 1.0):
+            import warnings
+            warnings.warn("The weights parameter of MaterialGrid must "
+                          "be in the range [0,1].")
+            w = np.clip(w, 0.0, 1.0)
+        return w
+
+    def update_weights(self, x):
+        """Reset the design weights (python/geom.py
+        MaterialGrid.update_weights)."""
+        x = np.asarray(x)
+        if x.size != self.num_params:
+            raise ValueError(
+                f"weights of size {x.size} do not match the grid "
+                f"dimension {self.num_params}")
+        self.weights = self.check_weights(x).reshape(self.shape) \
+            .astype(np.float64)

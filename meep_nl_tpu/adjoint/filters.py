@@ -302,3 +302,59 @@ def gray_indicator(x):
     """Grayness measure: mean(4 x (1-x)) * 100 (%); < 2% is well binarized
     (Lazarov 2016)."""
     return jnp.mean(4.0 * x * (1.0 - x)) * 100.0
+
+
+def mesh_grid(radius, Lx, Ly, resolution, periodic_axes=None):
+    """Design-grid size and quarter-kernel coordinate grids
+    (python/adjoint/filters.py:212 mesh_grid): returns (Nx, Ny, X, Y)
+    with X/Y sparse meshgrids over the kernel's positive quadrant;
+    periodic axes extend the kernel to ceil(2 r / L) periods."""
+    res = np.atleast_1d(np.asarray(resolution, float))
+    if res.size == 1:
+        res = np.array([res[0], res[0]])
+    Nx = int(round(Lx * res[0])) + 1
+    Ny = int(round(Ly * res[1])) + 1
+    if Nx <= 1 and Ny <= 1:
+        raise AssertionError(
+            "The grid size is improper. Check the size and resolution "
+            "of the design region.")
+    xv = np.arange(0, Lx / 2, 1 / res[0]) if res[0] > 0 else np.array([0.0])
+    yv = np.arange(0, Ly / 2, 1 / res[1]) if res[1] > 0 else np.array([0.0])
+    if periodic_axes is not None:
+        pax = np.atleast_1d(np.asarray(periodic_axes))
+        if 0 in pax and res[0] > 0:
+            xv = np.arange(0, np.ceil(2 * radius / Lx) * Lx / 2, 1 / res[0])
+        if 1 in pax and res[1] > 0:
+            yv = np.arange(0, np.ceil(2 * radius / Ly) * Ly / 2, 1 / res[1])
+    X, Y = np.meshgrid(xv, yv, sparse=True, indexing="ij")
+    return Nx, Ny, X, Y
+
+
+def convolve_design_weights_and_kernel(x, h, periodic_axes=None):
+    """FFT convolution of design weights with a kernel of the same shape
+    (python/adjoint/filters.py:120): edge-padded for aperiodic axes,
+    wrapped for periodic ones; preserves the input shape."""
+    x = jnp.asarray(x)
+    h = np.asarray(h)
+    if periodic_axes is None:
+        # normalize and convolve with edge padding (the role of the
+        # quarter-to-full unfold + zero pad of the reference)
+        k = h / max(np.sum(h), 1e-300)
+        return _kernel_fft_filter(x, k)
+    # periodic: circular convolution along the periodic axes, edge pad
+    # along the rest
+    pax = set(int(a) for a in np.atleast_1d(np.asarray(periodic_axes)))
+    k = h / max(np.sum(h), 1e-300)
+    pads = [(0, 0) if i in pax else (k.shape[i] // 2,
+                                     k.shape[i] - k.shape[i] // 2 - 1)
+            for i in range(x.ndim)]
+    xp = jnp.pad(x, pads, mode="edge") if any(p != (0, 0) for p in pads) \
+        else x
+    k_full = np.zeros(xp.shape)
+    sl = tuple(slice(0, s) for s in k.shape)
+    k_full[sl] = k
+    k_full = np.roll(k_full, [-(s // 2) for s in k.shape],
+                     axis=tuple(range(x.ndim)))
+    y = jnp.real(jnp.fft.ifftn(jnp.fft.fftn(xp)
+                               * jnp.fft.fftn(jnp.asarray(k_full))))
+    return y[tuple(slice(p[0], p[0] + n) for p, n in zip(pads, x.shape))]

@@ -77,10 +77,23 @@ class OptimizationProblem:
     nsteps / run_time: duration of the forward run.
     """
     simulation: Any
-    objective: Callable[[Dict[str, Any]], jnp.ndarray]
-    design_regions: List[DesignRegion]
-    run_time: float
+    objective: Optional[Callable[[Dict[str, Any]], jnp.ndarray]] = None
+    design_regions: Optional[List[DesignRegion]] = None
+    run_time: Optional[float] = None
     block: Optional[int] = None
+    # reference-signature alternative (optimization_problem.py:12):
+    # objective_functions over ObjectiveQuantity values, a frequency
+    # list, and a run bound — translated to the native form below
+    objective_functions: Optional[Sequence[Callable]] = None
+    objective_arguments: Optional[Sequence[Any]] = None
+    frequencies: Optional[Sequence[float]] = None
+    fcen: Optional[float] = None
+    df: Optional[float] = None
+    nf: int = 1
+    maximum_run_time: Optional[float] = None
+    decay_by: float = 1e-11
+    minimum_run_time: float = 0.0
+    finite_difference_step: float = 1e-3
     # "ad": native jax.grad through the lax.scan time loop (exact, jnp
     #   stepper, sqrt-T remat).  "pair": physical forward/adjoint run pair
     #   through the production fast path (adjoint/tworun.py — the
@@ -90,6 +103,44 @@ class OptimizationProblem:
 
     def __post_init__(self):
         sim = self.simulation
+        # reference-style construction: register the objective monitors
+        # BEFORE the plan is built, then compose the dft-dict objective
+        # from the objective functions over the quantities' values
+        if self.objective is None and self.objective_functions:
+            from .compat import ObjectiveQuantity
+            if self.frequencies is None:
+                fc = self.fcen if self.fcen is not None else 1.0
+                dfv = self.df if self.df is not None else 0.0
+                self.frequencies = (
+                    [fc] if self.nf == 1
+                    else np.linspace(fc - dfv / 2, fc + dfv / 2, self.nf))
+            quantities = list(self.objective_arguments or [])
+            for q in quantities:
+                if isinstance(q, ObjectiveQuantity) and q._handle is None:
+                    q.register_monitors(self.frequencies)
+            if self.run_time is None:
+                last = max((s.src.last_time() for s in sim.sources),
+                           default=0.0)
+                extra = self.maximum_run_time \
+                    if self.maximum_run_time is not None else 100.0
+                self.run_time = last + float(extra)
+            fns_cell = {}
+
+            def composed(dfts):
+                if "fns" not in fns_cell:
+                    fns_cell["fns"] = [
+                        q.make_fn() if isinstance(q, ObjectiveQuantity)
+                        else q for q in quantities]
+                vals = [fn(dfts) for fn in fns_cell["fns"]]
+                outs = [f(*vals) for f in self.objective_functions]
+                return outs[0] if len(outs) == 1 else jnp.stack(
+                    [jnp.asarray(o) for o in outs])
+            self.objective = composed
+        if self.design_regions is None:
+            self.design_regions = []
+        if self.run_time is None:
+            raise ValueError("OptimizationProblem needs run_time (or "
+                             "objective_functions + maximum_run_time)")
         sim.init_sim()
         self.plan = sim.plan
         live_e = [s.ec for s in self.plan.eh_specs_e]
@@ -119,13 +170,16 @@ class OptimizationProblem:
             state = run_differentiable(self.plan, self.nsteps, coefs,
                                        block=self.block)
             from ..stepper.step import dft_view
-            return self.objective({k: dft_view(v)
-                                   for k, v in state["dft"].items()})
+            dfts = {k: dft_view(v) for k, v in state["dft"].items()}
+            # dfts ride along as aux so reference-style ObjectiveQuantity
+            # instances can report get_evaluation() after a call
+            return self.objective(dfts), dfts
 
-        self._J = jax.jit(J)
+        self._J = jax.jit(lambda *r: J(*r)[0])   # scalar-only (composable)
+        self._J_aux = jax.jit(J)                 # (scalar, dfts)
         if self.gradient_method != "pair":
             self._vg = jax.jit(jax.value_and_grad(J, argnums=tuple(
-                range(len(self.design_regions)))))
+                range(len(self.design_regions))), has_aux=True))
 
     def _pair_call(self, *rhos):
         """Forward/adjoint-pair evaluation: J and per-region rho gradient
@@ -148,14 +202,39 @@ class OptimizationProblem:
         return Jval, grads
 
     def __call__(self, *rhos, need_gradient: bool = True):
+        if not rhos:
+            # reference opt(): evaluate at the design regions' current
+            # MaterialGrid weights
+            rhos = []
+            for dr in self.design_regions:
+                w = getattr(dr.variables, "weights", None)
+                if w is None:
+                    raise ValueError(
+                        "no design variables passed and the design "
+                        "region's MaterialGrid has no weights")
+                rhos.append(np.asarray(w, np.float64).reshape(
+                    dr.variables.shape))
         rhos = [jnp.asarray(r) for r in rhos]
         if need_gradient:
             if self.gradient_method == "pair":
                 f0, grads = self._pair_call(*rhos)
                 return np.asarray(f0), grads
-            f0, grads = self._vg(*rhos)
+            (f0, dfts), grads = self._vg(*rhos)
+            self._stash_quantity_values(dfts)
             return np.asarray(f0), [np.asarray(g) for g in grads]
-        return np.asarray(self._J(*rhos)), None
+        f0, dfts = self._J_aux(*rhos)
+        self._stash_quantity_values(dfts)
+        return np.asarray(f0), None
+
+    def _stash_quantity_values(self, dfts):
+        """Record each reference-style ObjectiveQuantity's value from the
+        run's DTFTs so get_evaluation() works after a call."""
+        if not self.objective_arguments:
+            return
+        from .compat import ObjectiveQuantity
+        for q in self.objective_arguments:
+            if isinstance(q, ObjectiveQuantity):
+                q._eval = np.asarray(q.make_fn()(dfts))
 
     def calculate_fd_gradient(self, rho, idx, drho=1e-4, region: int = 0):
         """Central finite difference for one density entry (the validation

@@ -97,6 +97,39 @@ class Vector3:
     def unit(self):
         return self / self.norm()
 
+    def conj(self):
+        """Componentwise conjugate (python/geom.py Vector3.conj)."""
+        return Vector3(np.conjugate(self.x), np.conjugate(self.y),
+                       np.conjugate(self.z))
+
+    def scale(self, s):
+        return Vector3(self.x * s, self.y * s, self.z * s)
+
+    def cdot(self, v):
+        """conj(self) dot v (python/geom.py Vector3.cdot)."""
+        return self.conj().dot(v)
+
+    def close(self, v, tol=1.0e-7):
+        """Componentwise |self - v| <= tol (python/geom.py
+        Vector3.close)."""
+        return (abs(self.x - v.x) <= tol and abs(self.y - v.y) <= tol
+                and abs(self.z - v.z) <= tol)
+
+    def rotate(self, axis, theta):
+        """Rotate by theta radians about axis (python/geom.py
+        Vector3.rotate)."""
+        return get_rotation_matrix(axis, theta) * self
+
+    def rotate_lattice(self, axis, theta, lat):
+        a = lattice_to_cartesian(axis, lat)
+        v = lattice_to_cartesian(self, lat)
+        return cartesian_to_lattice(v.rotate(a, theta), lat)
+
+    def rotate_reciprocal(self, axis, theta, lat):
+        a = reciprocal_to_cartesian(axis, lat)
+        v = reciprocal_to_cartesian(self, lat)
+        return cartesian_to_reciprocal(v.rotate(a, theta), lat)
+
 
 def _v3(v) -> Vector3:
     if isinstance(v, Vector3):
@@ -320,6 +353,41 @@ class Medium:
         for i in range(3):
             out[:, i, i] += 1j * cv[i] / np.where(fr == 0, np.inf, fr)
         return out[0] if np.isscalar(freq) else out
+
+    def transform(self, m):
+        """Transform epsilon, mu, and susceptibility sigmas by the 3x3
+        matrix M: chi -> M chi M^T / |det M| (python/geom.py
+        Medium.transform, transformation optics)."""
+        M = np.asarray(m.m if hasattr(m, "m") else m, float).reshape(3, 3)
+        det = abs(np.linalg.det(M))
+
+        def xf(diag, offdiag):
+            d = tuple(diag)
+            o = tuple(_v3(offdiag)) if offdiag is not None else (0, 0, 0)
+            chi = np.array([[d[0], o[0], o[1]],
+                            [o[0], d[1], o[2]],
+                            [o[1], o[2], d[2]]], float)
+            t = M @ chi @ M.T / det
+            return (Vector3(t[0, 0], t[1, 1], t[2, 2]),
+                    Vector3(t[0, 1], t[0, 2], t[1, 2]))
+        ed, eo = xf(self.eps_diag_vec(), self.epsilon_offdiag)
+        self.epsilon_diag, self.epsilon_offdiag = ed, eo
+        self.epsilon = _MediumEval(1.0, self, "e")   # tensor now in diag
+        md, _mo = xf(self.mu_diag_vec(), None)
+        self.mu_diag = md
+        self.mu = _MediumEval(1.0, self, "h")
+        for s in list(self.E_susceptibilities) + \
+                list(self.H_susceptibilities):
+            sd, so = xf(s.sigma_vec(), getattr(s, "sigma_offdiag", None))
+            s.sigma_diag = sd
+            if hasattr(s, "sigma_offdiag"):
+                s.sigma_offdiag = so
+        return self
+
+    def rotate(self, axis, theta):
+        """Rotate the material tensors about `axis` by `theta`
+        (python/geom.py Medium.rotate)."""
+        return self.transform(get_rotation_matrix(axis, theta))
 
     # NOTE: `epsilon` and `mu` are dataclass FIELDS (instantaneous
     # scalars) that __post_init__ wraps in _MediumEval, a float subclass
@@ -791,6 +859,11 @@ class Matrix:
 
     def determinant(self):
         return float(np.linalg.det(self.m))
+
+    def conj(self):
+        out = Matrix()
+        out.m = np.conjugate(self.m)
+        return out
 
     def scale(self, s):
         return self * s

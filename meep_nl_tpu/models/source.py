@@ -171,6 +171,13 @@ class Source:
     amp_func: Optional[Callable] = None
     amp_data: Optional[Any] = None
 
+    def add_source(self, sim):
+        """Inject this source into a Simulation (python/source.py
+        Source.add_source hook used by Simulation.add_sources)."""
+        if not any(s is self for s in sim.sources):
+            sim.sources.append(self)
+        sim.add_sources()
+
 
 def amp_data_func(amp_data, size) -> Callable:
     """amp_func equivalent of an amp_data array: positions RELATIVE to
@@ -414,6 +421,22 @@ class EigenModeSource:
                 if abs(v) > 1e-12:
                     return +1 if v > 0 else -1
         return +1
+
+    def eig_power(self, freq) -> float:
+        """Total injected power at `freq` (python/source.py
+        EigenModeSource.eig_power): |amplitude * src spectrum|^2."""
+        amp = self.amplitude
+        ft = getattr(self.src, "fourier_transform", None)
+        if callable(ft):
+            amp = amp * ft(freq)
+        return abs(amp) ** 2
+
+    def add_source(self, sim):
+        """Inject this source into a Simulation (python/source.py
+        add_source hook used by Simulation.add_sources)."""
+        if not any(s is self for s in sim.sources):
+            sim.sources.append(self)
+        sim.add_sources()
 
 
 # exact beams in 2D and 3D share the complex-source-point construction
