@@ -43,6 +43,9 @@ from .models.simulation import (Simulation, PML, Absorber, FluxRegion,
                                 after_sources,
                                 Ex, Ey, Ez, Hx, Hy, Hz, Dx, Dy, Dz,
                                 Bx, By, Bz, Er, Ep, Hr, Hp, Dielectric,
+                                Dr, Dp, Br, Bp, Permeability,
+                                Sx, Sy, Sz, Sr, Sp, EnergyDensity,
+                                D_EnergyDensity, H_EnergyDensity,
                                 X, Y, Z, R, ALL,
                                 Low, High, Metallic, Magnetic, Mirror, Rotate2, Rotate4,
                                 Symmetry, Identity, BinaryPartition,

@@ -41,7 +41,29 @@ Hx, Hy, Hz = "hx", "hy", "hz"
 Dx, Dy, Dz = "dx", "dy", "dz"
 Bx, By, Bz = "bx", "by", "bz"
 Er, Ep, Hr, Hp = "er", "ep", "hr", "hp"
+Dr, Dp, Br, Bp = "dr", "dp", "br", "bp"
 Dielectric = "eps"
+Permeability = "mu"
+
+# derived components (vec.hpp:84 derived_component): Poynting flux and
+# energy densities, computed on demand from the stored fields exactly as
+# monitor.cpp:71 get_field(derived_component) does
+Sx, Sy, Sz, Sr, Sp = "sx", "sy", "sz", "sr", "sp"
+EnergyDensity = "energy_density"
+D_EnergyDensity = "d_energy_density"
+H_EnergyDensity = "h_energy_density"
+
+# S_c = Re{conj(E_a) H_b} - Re{conj(E_b) H_a} with (a, b) the cyclic
+# partners of c (monitor.cpp:75-106)
+_S_TERMS = {
+    "sx": (("ey", "hz"), ("ez", "hy")),
+    "sy": (("ez", "hx"), ("ex", "hz")),
+    "sz": (("ex", "hy"), ("ey", "hx")),
+    "sr": (("ep", "hz"), ("ez", "hp")),
+    "sp": (("ez", "hr"), ("er", "hz")),
+}
+_DERIVED = set(_S_TERMS) | {EnergyDensity, D_EnergyDensity,
+                            H_EnergyDensity}
 
 X, Y, Z = "x", "y", "z"
 ALL = "all"
@@ -2917,6 +2939,11 @@ class Simulation:
         self.init_sim()
         if component == Dielectric:
             return self.get_epsilon()
+        if component == Permeability:
+            return self.get_mu()
+        if component in _DERIVED:
+            return self._derived_array(component, center=center,
+                                       size=size, snap=snap)
         arr = self._field_np(component)
         # crop padded storage to the live grid
         arr = arr[tuple(slice(0, n + 1) for n in self.gv.num)]
@@ -2953,6 +2980,62 @@ class Simulation:
             i1 = int(np.searchsorted(coords[ax], hi + 1e-9))
             sl.append(slice(i0, max(i1, i0 + 1)))
         return arr[tuple(sl)]
+
+    def _derived_array(self, component, center=None, size=None,
+                       snap: bool = False) -> np.ndarray:
+        """Poynting flux / energy-density arrays assembled from the
+        constituent field slices (monitor.cpp:71 get_field on a
+        derived_component, applied pointwise on the slice lattice).
+        Components this simulation does not carry contribute zero."""
+        have = set(self._state["f"].keys())
+
+        def g(c):
+            return self.get_array(c, center=center, size=size, snap=snap)
+
+        def prod(a, b):
+            # half-shifted components collapse onto the integer lattice
+            # with one extra trailing point per shifted axis: crop both
+            # factors to the common leading window (positions align at
+            # x = i*dx from the cell's low corner)
+            sl = tuple(slice(0, min(na, nb))
+                       for na, nb in zip(a.shape, b.shape))
+            return np.real(np.conj(a[sl]) * b[sl])
+
+        def acc(out, t, sign=1.0):
+            if out is None:
+                return sign * t
+            sl = tuple(slice(0, min(na, nb))
+                       for na, nb in zip(out.shape, t.shape))
+            return out[sl] + sign * t[sl]
+
+        if component in _S_TERMS:
+            (a1, b1), (a2, b2) = _S_TERMS[component]
+            out = None
+            if a1 in have and b1 in have:
+                out = prod(g(a1), g(b1))
+            if a2 in have and b2 in have:
+                out = acc(out, prod(g(a2), g(b2)), -1.0)
+            if out is None:
+                raise ValueError(
+                    f"{component}: neither Poynting term's components "
+                    "exist on this cell")
+            return out
+        out = None
+        for fam, aux in ((("e",), "d"), (("h",), "b")):
+            if component == "d_energy_density" and fam[0] == "h":
+                continue
+            if component == "h_energy_density" and fam[0] == "e":
+                continue
+            for c in sorted(have):
+                if c[0] != fam[0]:
+                    continue
+                partner = aux + c[1:]
+                if partner not in have:
+                    continue
+                out = acc(out, prod(g(c), g(partner)))
+        if out is None:
+            raise ValueError(f"{component}: no field pairs on this cell")
+        return 0.5 * out
 
     def _unfold(self, component, arr, coords):
         """Reconstruct the full mirrored cell from the retained half:
@@ -3226,6 +3309,14 @@ class Simulation:
             if ov is not None and c in ov:
                 return ov[c]
         st = state if state is not None else self._state
+        if c not in st["f"] and len(c) == 2 and c[0] in "ehdb" \
+                and c[1] in "xyzrp":
+            # a valid component this simulation does not carry (e.g. Ex
+            # on a 2D TM cell): the reference's array slices return
+            # zeros for unallocated fields
+            any_arr = next(iter(st["f"].values()))
+            return np.zeros(np.asarray(any_arr.shape)[-self.gv.ndim:],
+                            dtype=np.float64)
         arr = np.asarray(st["f"][c])
         if self._plan.real_pair and arr.ndim == self.gv.ndim + 1:
             return arr[0] + 1j * arr[1]
@@ -3233,6 +3324,25 @@ class Simulation:
 
     def get_field_point(self, component, pt) -> complex:
         self.init_sim()
+        if component in _DERIVED:
+            # monitor.cpp:71: derived quantities from interpolated
+            # constituent fields at the same point
+            have = set(self._state["f"].keys())
+
+            def g(c):
+                return self.get_field_point(c, pt) if c in have else 0.0
+
+            if component in _S_TERMS:
+                (a1, b1), (a2, b2) = _S_TERMS[component]
+                return (np.conj(g(a1)) * g(b1)
+                        - np.conj(g(a2)) * g(b2)).real
+            tot = 0.0
+            for c in sorted(have):
+                if c[0] == "e" and component != "h_energy_density":
+                    tot += (np.conj(g(c)) * g("d" + c[1:])).real
+                if c[0] == "h" and component != "d_energy_density":
+                    tot += (np.conj(g(c)) * g("b" + c[1:])).real
+            return 0.5 * tot
         pts = self.gv.interp_weights(component, _vec_to_axes(self.gv, pt))
         arr = self._state["f"][component]
         # index on-device, transfer scalars only: the axon TPU tunnel
