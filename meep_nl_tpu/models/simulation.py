@@ -2949,6 +2949,17 @@ class Simulation:
         arr = arr[tuple(slice(0, n + 1) for n in self.gv.num)]
         coords = [self.gv.comp_coords(component, ax)
                   for ax in range(self.gv.ndim)]
+        # Rotate4 in-plane components: the rotated quadrants carry the
+        # SWAPPED component, so the unfold must run on the RAW Yee
+        # lattice (each full-cell site of `component` maps by quarter
+        # turns onto a raw wedge site of `component` or its partner) —
+        # BEFORE the centered collapse, which then applies on the full
+        # cell with the reference's zero outer ghosts
+        rot4_inplane = (self._rot4 is not None and len(component) == 2
+                        and component[0] in "ehdb"
+                        and component[1] != self._rot4[2])
+        if rot4_inplane:
+            arr, coords = self._unfold_rot4_inplane(component, arr, coords)
         if not snap:
             ys = G.yee_shift(component, self.gv.dim)
             for ax, d in enumerate(self.gv.axes):
@@ -2967,7 +2978,8 @@ class Simulation:
                     coords[ax] = np.concatenate(
                         [cs - 0.5 * self.gv.dx,
                          [cs[-1] + 0.5 * self.gv.dx]])
-        arr, coords = self._unfold(component, arr, coords)
+        if not rot4_inplane:
+            arr, coords = self._unfold(component, arr, coords)
         if center is None and size is None:
             return arr
         c_ax = _vec_to_axes(self.gv, center if center is not None else Vector3())
@@ -3036,6 +3048,80 @@ class Simulation:
         if out is None:
             raise ValueError(f"{component}: no field pairs on this cell")
         return 0.5 * out
+
+    def _unfold_rot4_inplane(self, component, arr, coords):
+        """Full-cell reconstruction of an in-plane vector component on a
+        Rotate4 cell, on the RAW Yee lattice (symmetry.cpp transform /
+        vec.hpp:1189-1232 rotate4 applied in reverse).
+
+        With R the +90-degree rotation taking axis a1 into a2 and irrep
+        phase p, F(R r) = p rho(R) F(r): pulling a full-cell site back by
+        one quarter turn ((X, Y) -> (Y, -X)) swaps the in-plane component
+        with its partner and picks up -p (a1-directed) / +p (a2-directed)
+        — the same signs as the stepper's ghost reads (step._rot4_ghost).
+        The rotation maps the two in-plane Yee sublattices onto each
+        other exactly, so every mapped site is an on-lattice read of the
+        wedge's `component` (even number of turns) or its x<->y-swapped
+        partner (odd)."""
+        a1, a2, w, phase = self._rot4
+        axes = self.gv.axes
+        l1, l2 = axes[a1], axes[a2]
+        p = float(phase)
+        partner = component[0] + (l2 if component[1] == l1 else l1)
+        arr2 = self._field_np(partner)
+        arr2 = arr2[tuple(slice(0, n + 1) for n in self.gv.num)]
+        coords2 = [self.gv.comp_coords(partner, ax)
+                   for ax in range(self.gv.ndim)]
+        dx = self.gv.dx
+        hi1 = self.gv.num[a1] * dx
+        hi2 = self.gv.num[a2] * dx
+        cw1, cw2 = coords[a1], coords[a2]
+        # phantom sites past the live high edge have no image inside the
+        # cell: mirror only the live span into the negative wings
+        full1 = np.concatenate(
+            [-np.flip(cw1[(cw1 > 1e-12) & (cw1 <= hi1 + 1e-9)]), cw1])
+        full2 = np.concatenate(
+            [-np.flip(cw2[(cw2 > 1e-12) & (cw2 <= hi2 + 1e-9)]), cw2])
+        X = full1[:, None] + 0 * full2[None, :]
+        Y = 0 * full1[:, None] + full2[None, :]
+        sgn = np.ones_like(X)
+        par = np.zeros(X.shape, dtype=int)     # quarter turns applied
+        base1 = component[1] == l1
+        for _k in range(3):
+            neg = (X < -1e-12) | (Y < -1e-12)
+            if not np.any(neg):
+                break
+            cur1 = ((par % 2) == 0) == base1   # a1-directed at this turn
+            fac = np.where(cur1, -p, p)
+            sgn = np.where(neg, sgn * fac, sgn)
+            par = np.where(neg, par + 1, par)
+            Xn = np.where(neg, Y, X)           # R^-1: (x, y) -> (y, -x)
+            Yn = np.where(neg, -X, Y)
+            X, Y = Xn, Yn
+        arr = np.asarray(arr)
+        arr2 = np.asarray(arr2)
+
+        def take_of(a):
+            return np.moveaxis(np.moveaxis(a, a1, 0),
+                               a2 if a2 > a1 else a2 + 1, 1)
+
+        def idx(cw, V):
+            return np.clip(np.round((V - cw[0]) / dx).astype(int),
+                           0, len(cw) - 1)
+
+        take_c = take_of(arr)
+        take_p = take_of(arr2)
+        out_c = take_c[idx(cw1, X), idx(cw2, Y)]
+        out_p = take_p[idx(coords2[a1], X), idx(coords2[a2], Y)]
+        trail = (1,) * (take_c.ndim - 2)
+        sel = ((par % 2) == 0).reshape(par.shape + trail)
+        out = np.where(sel, out_c, out_p) * sgn.reshape(sgn.shape + trail)
+        out = np.moveaxis(np.moveaxis(out, 1, a2 if a2 > a1
+                                      else a2 + 1), 0, a1)
+        coords = list(coords)
+        coords[a1] = full1
+        coords[a2] = full2
+        return out, coords
 
     def _unfold(self, component, arr, coords):
         """Reconstruct the full mirrored cell from the retained half:

@@ -102,12 +102,17 @@ def test_rot4_3d():
             symmetries=[mnt.Rotate4("z")] if sym else [],
             eps_averaging=False)
         sim.run(until=4.0)
-        return np.asarray(sim.get_array(component=mnt.Ez))
-    a, b = run(False), run(True)
-    assert a.shape == b.shape
-    scale = np.max(np.abs(a))
-    assert scale > 1e-8
-    np.testing.assert_allclose(b, a, atol=5e-6 * scale)
+        return sim
+    fa, fb = run(False), run(True)
+    # the rotation-axis component plus one in-plane pair member (the
+    # latter exercises the swapped-component raw-lattice unfold in 3D)
+    for comp in (mnt.Ez, mnt.Hx):
+        a = np.asarray(fa.get_array(component=comp))
+        b = np.asarray(fb.get_array(component=comp))
+        assert a.shape == b.shape, comp
+        scale = np.max(np.abs(a))
+        assert scale > 1e-8
+        np.testing.assert_allclose(b, a, atol=5e-6 * scale, err_msg=comp)
 
 
 def test_rot4_source_fold_and_guards():
@@ -138,3 +143,30 @@ def test_rot4_source_fold_and_guards():
     with pytest.raises(ValueError, match="quadrant"):
         sim.add_flux(1.0, 0, 1, mnt.FluxRegion(
             center=mnt.Vector3(0.0, 2.0), size=mnt.Vector3(3.0, 0)))
+
+
+@pytest.mark.parametrize("phase", [1, -1])
+def test_rot4_inplane_get_array(phase):
+    """get_array of the in-plane ex/ey on a quartered TE cell: the
+    rotated quadrants are swapped-component reads with the rotation-
+    matrix signs (simulation._unfold_rot4_inplane), on both the raw
+    (snap=True) and the centered-collapsed lattices."""
+    def run(sym):
+        sim = mnt.Simulation(
+            cell_size=mnt.Vector3(8, 8, 0), resolution=10,
+            boundary_layers=[mnt.PML(1.0)],
+            sources=_orbit_sources(phase, sym, comp=mnt.Hz),
+            symmetries=[mnt.Rotate4("z", phase=phase)] if sym else [],
+            eps_averaging=False)
+        sim.run(until=6.0)
+        return sim
+    full, quarter = run(False), run(True)
+    for comp in (mnt.Ex, mnt.Ey):
+        for snap in (False, True):
+            a = np.asarray(full.get_array(component=comp, snap=snap))
+            b = np.asarray(quarter.get_array(component=comp, snap=snap))
+            assert a.shape == b.shape, (comp, snap, a.shape, b.shape)
+            scale = np.max(np.abs(a))
+            assert scale > 1e-6
+            np.testing.assert_allclose(b, a, atol=3e-6 * scale,
+                                       err_msg=f"{comp} snap={snap}")
