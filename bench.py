@@ -97,12 +97,70 @@ def run_resident():
     }))
 
 
+def run_monitored():
+    """Monitored (DFT flux) production run through the PUBLIC Simulation
+    API: the hybrid fused driver with plane-sampled DFT cycles — the
+    number a user's flux-monitored run actually sees (dft.cpp:265
+    in-step DTFT semantics)."""
+    import numpy as np
+    import jax
+    if os.environ.get("BENCH_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/mnt_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+    size_env = os.environ.get("BENCH_GRID", "128,128,128")
+    nx, ny, nz = (int(s) for s in size_env.split(","))
+    steps = int(os.environ.get("BENCH_STEPS", "600"))
+    import meep_nl_tpu as mp
+    res = 16.0
+    cells = (nx - 1, ny - 1, nz - 1)
+    size = [n / res for n in cells]
+    fcen = 1.0
+    sim = mp.Simulation(
+        cell_size=mp.Vector3(*size), resolution=res,
+        sources=[mp.Source(mp.GaussianSource(frequency=fcen, fwidth=0.4),
+                           component=mp.Ez,
+                           center=mp.Vector3(-size[0] * 0.25, 0, 0))],
+        boundary_layers=[mp.PML(0.5)],
+        use_fused=True)
+    sim.add_flux(fcen, 0.2, 3,
+                 mp.FluxRegion(center=mp.Vector3(size[0] * 0.25, 0, 0),
+                               size=mp.Vector3(0, size[1] * 0.4,
+                                               size[2] * 0.4)))
+    dt = sim.dt
+    sim.run(until=steps * dt)               # compile + warm
+    t0 = time.perf_counter()
+    sim.run(until=sim._t * dt + steps * dt)
+    dt_wall = time.perf_counter() - t0
+    deadline = _T_PROC + float(os.environ.get("BENCH_TIMEOUT", "540")) - 60.0
+    while time.perf_counter() + dt_wall * 1.3 < deadline:
+        t0 = time.perf_counter()
+        sim.run(until=sim._t * dt + steps * dt)
+        dt_wall = min(dt_wall, time.perf_counter() - t0)
+    ncell = int(np.prod(cells))
+    print(json.dumps({
+        "metric": "yee_cell_updates_3d_monitored_flux_fp32",
+        "value": round(ncell * steps / dt_wall / 1e9, 3),
+        "unit": "GCells/s",
+        "vs_baseline": 0.0,
+        "grid": list(cells),
+        "steps": steps,
+        "kernel": "hybrid",
+    }))
+
+
 def run_one():
     """Single measurement at BENCH_GRID (invoked as a subprocess)."""
     import numpy as np
     import jax
     if os.environ.get("BENCH_RESIDENT"):
         run_resident()
+        return
+    if os.environ.get("BENCH_MONITORED"):
+        run_monitored()
         return
     if os.environ.get("BENCH_CPU"):
         # testing escape hatch: the ambient JAX_PLATFORMS=axon tunnel
@@ -398,6 +456,16 @@ def main():
         if krec is not None:
             rec["bloch_pair_value"] = krec["value"]
             rec["bloch_pair_kernel"] = krec["kernel"]
+    # monitored production run (flux DFT through the hybrid fused
+    # driver, public Simulation API) — the number a user's monitored
+    # run sees
+    if not os.environ.get("BENCH_SKIP_MONITORED"):
+        mgrid2 = os.environ.get("BENCH_MON_GRID", "128,128,128")
+        mon = _probe(mgrid2, timeout,
+                     {"BENCH_MONITORED": "1", "BENCH_TIMEOUT": str(timeout)})
+        if mon is not None:
+            rec["monitored_value"] = mon["value"]
+            rec["monitored_grid"] = mon["grid"]
     # 2D whole-grid-in-VMEM resident kernel (the reference's 2D bench
     # class; ring-resonator-type structure)
     if not os.environ.get("BENCH_SKIP_RESIDENT"):

@@ -479,29 +479,14 @@ def bloch_planewave_mode_tm(freq: float, eps_line: np.ndarray, ky: float,
     return m
 
 
-def bloch_planewave_mode_te(freq: float, eps_line: np.ndarray, ky: float,
-                            ys: np.ndarray, dx: float,
-                            dt: Optional[float] = None,
-                            inv_nodes: Optional[np.ndarray] = None,
-                            inv_edges: Optional[np.ndarray] = None
-                            ) -> Optional[Mode1D]:
-    """TE (Hz-polarized) stratified diffraction order: the Bloch
-    eigenmode of the generalized problem
-        [-G^H diag(1/eps_edge) G + wt^2 I] h = lam_x diag(1/eps) h
-    with quasi-periodic wrap (edge eps between the last and first sites
-    is their arithmetic mean, the tangential Yee rule of
-    solve_te_modes).  Reduces to planewave_mode_te for uniform eps.
-
-    `inv_nodes` / `inv_edges` optionally supply the EXACT per-site
-    1/eps rows the FDTD ran with (the plan's ey:u / ex:u coefficient
-    rows, which include subpixel smoothing) so the eigenproblem is the
-    simulation's own discrete operator: inv_nodes[k] at the Hz/Ey line
-    sites, inv_edges[k] at the integer tangential site BELOW node k
-    (so the edge between nodes k and k+1 is inv_edges[k+1], and the
-    periodic wrap edge is inv_edges[0])."""
+def _bloch_matrix_te(eps_line, ky, dx, wt2, inv_nodes=None,
+                     inv_edges=None):
+    """Discrete TE (Hz-polarized) Bloch cross-section operator pair
+    (A, inv_eps) of the generalized problem A h = lam_x diag(inv_eps) h
+    with quasi-periodic wrap phase e^{i ky L}; `inv_nodes`/`inv_edges`
+    optionally supply the exact per-site 1/eps rows the FDTD ran with
+    (see bloch_planewave_mode_te)."""
     n = len(eps_line)
-    w = 2 * np.pi * freq
-    wt2 = (2 / dt * np.sin(w * dt / 2)) ** 2 if dt is not None else w * w
     eps_line = np.asarray(eps_line, np.float64)
     inv_eps = (np.asarray(inv_nodes, np.float64) if inv_nodes is not None
                else 1.0 / eps_line)
@@ -526,6 +511,70 @@ def bloch_planewave_mode_te(freq: float, eps_line: np.ndarray, ky: float,
     A[i[1:], i[1:] - 1] = inv_edge / dx ** 2
     A[n - 1, 0] += ph * inv_wrap / dx ** 2
     A[0, n - 1] += np.conj(ph) * inv_wrap / dx ** 2
+    return A, inv_eps
+
+
+def bloch_branch_modes_te(freq: float, eps_line: np.ndarray, kb: float,
+                          ys: np.ndarray, dx: float,
+                          dt: Optional[float] = None,
+                          inv_nodes: Optional[np.ndarray] = None,
+                          inv_edges: Optional[np.ndarray] = None
+                          ) -> List[Mode1D]:
+    """ALL propagating TE (Hz-polarized) Bloch branches of a (possibly
+    stratified) cross-section at Bloch phase kb, one unit-flux Mode1D
+    per eigenvector — the TE analog of bloch_branch_modes_tm.  The
+    generalized eigenvectors are diag(inv_eps)-orthogonal, which is
+    exactly the TE flux inner product (S ~ (beta/w) sum inv_eps |hz|^2),
+    so the branches PARTITION the monitor flux in a stratified output
+    medium where diffraction orders do not."""
+    n = len(eps_line)
+    w = 2 * np.pi * freq
+    wt2 = (2 / dt * np.sin(w * dt / 2)) ** 2 if dt is not None else w * w
+    A, inv_eps = _bloch_matrix_te(eps_line, kb, dx, wt2,
+                                  inv_nodes, inv_edges)
+    from scipy.linalg import eigh
+    vals, vecs = eigh(A, np.diag(inv_eps))
+    out = []
+    for j in range(n):
+        if not (1e-9 < vals[j] <= (2.0 / dx) ** 2 * (1 + 1e-12)):
+            continue
+        beta = _disc_beta(vals[j], freq, dx, dt)
+        if beta is None:
+            continue
+        prof = vecs[:, j].astype(np.complex128)
+        p = (beta / w) * np.sum(inv_eps * np.abs(prof) ** 2) * dx
+        prof = prof / np.sqrt(abs(p))
+        m = Mode1D(freq=freq, beta=beta, y=ys, ez=None, hz=prof)
+        m.ey = (beta / w) * inv_eps * prof
+        m.k_tangential = kb
+        out.append(m)
+    return out
+
+
+def bloch_planewave_mode_te(freq: float, eps_line: np.ndarray, ky: float,
+                            ys: np.ndarray, dx: float,
+                            dt: Optional[float] = None,
+                            inv_nodes: Optional[np.ndarray] = None,
+                            inv_edges: Optional[np.ndarray] = None
+                            ) -> Optional[Mode1D]:
+    """TE (Hz-polarized) stratified diffraction order: the Bloch
+    eigenmode of the generalized problem
+        [-G^H diag(1/eps_edge) G + wt^2 I] h = lam_x diag(1/eps) h
+    with quasi-periodic wrap (edge eps between the last and first sites
+    is their arithmetic mean, the tangential Yee rule of
+    solve_te_modes).  Reduces to planewave_mode_te for uniform eps.
+
+    `inv_nodes` / `inv_edges` optionally supply the EXACT per-site
+    1/eps rows the FDTD ran with (the plan's ey:u / ex:u coefficient
+    rows, which include subpixel smoothing) so the eigenproblem is the
+    simulation's own discrete operator: inv_nodes[k] at the Hz/Ey line
+    sites, inv_edges[k] at the integer tangential site BELOW node k
+    (so the edge between nodes k and k+1 is inv_edges[k+1], and the
+    periodic wrap edge is inv_edges[0])."""
+    w = 2 * np.pi * freq
+    wt2 = (2 / dt * np.sin(w * dt / 2)) ** 2 if dt is not None else w * w
+    A, inv_eps = _bloch_matrix_te(eps_line, ky, dx, wt2,
+                                  inv_nodes, inv_edges)
     from scipy.linalg import eigh
     vals, vecs = eigh(A, np.diag(inv_eps))
     # eigh(A, B) returns B-orthonormal vectors; re-orthonormalize in the

@@ -2440,35 +2440,51 @@ class Simulation:
                 alpha[bi, fi, 1] = am * boost
         return alpha
 
-    def get_bloch_branch_coefficients(self, flux_handle):
-        """Decompose a 2D TM flux monitor into ALL propagating Bloch
+    def get_bloch_branch_coefficients(self, flux_handle, eig_parity=None):
+        """Decompose a 2D flux monitor into ALL propagating Bloch
         branches of its cross-section at the cell's Bloch phase.  Unlike
         diffraction ORDERS (get_eigenmode_coefficients with
         DiffractedPlanewave bands), the branches are the orthogonal
         eigenmodes of the x-uniform output medium and PARTITION the
         monitor flux even when the cross-section is stratified (where
         +/-g harmonics hybridize into standing branches with different
-        beta).  Returns (betas, alpha): betas[nfreq] lists of branch
-        propagation constants, alpha[nfreq] matching complex arrays of
-        shape (nbranch, 2) = forward/backward coefficients, so
+        beta).  eig_parity: None/'TM' decomposes the (ez, hy) pair, 'TE'
+        the (ey, hz) pair.  Returns (betas, alpha): betas[nfreq] lists of
+        branch propagation constants, alpha[nfreq] matching complex
+        arrays of shape (nbranch, 2) = forward/backward coefficients, so
         sum |alpha[:, 0]|^2 - |alpha[:, 1]|^2 ~= get_fluxes."""
         if self.gv.dim != "2d":
-            raise NotImplementedError("branch decomposition is 2D TM only")
-        from ..analysis.modes import (bloch_branch_modes_tm,
-                                      mode_overlap_tm,
+            raise NotImplementedError("branch decomposition is 2D only")
+        from ..analysis.modes import (bloch_branch_modes_te,
+                                      bloch_branch_modes_tm,
+                                      mode_overlap_te, mode_overlap_tm,
                                       monitor_average_boost)
-        ctx = self._mode_monitor_ctx(flux_handle, te=False)
-        dE_pw, dH_pw = ctx.deconv_lines()
+        te = str(eig_parity).upper() == "TE"
+        ctx = self._mode_monitor_ctx(flux_handle, te=te)
+        if te:
+            # ey/hz sit at half-integer tangential sites: raw lines are
+            # already on the mode lattice (no centered-average deconv)
+            dE_pw, dH_pw = ctx.dE_raw, ctx.dH
+        else:
+            dE_pw, dH_pw = ctx.deconv_lines()
         kb = 2 * np.pi * ctx.kp_t
         betas, alphas = [], []
         for fi, f in enumerate(ctx.freqs):
-            modes = bloch_branch_modes_tm(f, ctx.eps_line_tm, kb,
-                                          ctx.ys_loc, self.gv.dx,
-                                          dt=self.dt)
+            if te:
+                modes = bloch_branch_modes_te(f, ctx.eps_line, kb,
+                                              ctx.ys_loc, self.gv.dx,
+                                              dt=self.dt,
+                                              inv_nodes=ctx.inv_nodes,
+                                              inv_edges=ctx.inv_edges)
+            else:
+                modes = bloch_branch_modes_tm(f, ctx.eps_line_tm, kb,
+                                              ctx.ys_loc, self.gv.dx,
+                                              dt=self.dt)
             a = np.zeros((len(modes), 2), np.complex128)
+            overlap = mode_overlap_te if te else mode_overlap_tm
             for mi, m in enumerate(modes):
-                ap, am = mode_overlap_tm(m, dE_pw[:, fi], dH_pw[:, fi],
-                                         self.gv.dx)
+                ap, am = overlap(m, dE_pw[:, fi], dH_pw[:, fi],
+                                 self.gv.dx)
                 boost = monitor_average_boost(m.beta, self.gv.dx)
                 a[mi, 0] = ap * boost
                 a[mi, 1] = am * boost

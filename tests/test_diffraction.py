@@ -236,3 +236,36 @@ def test_te_diffracted_planewave_source():
     p1_back = abs(alpha[1, 0, 1]) ** 2
     assert p1 > 50 * p0, (p1, p0)
     assert p1 > 20 * p1_back, (p1, p1_back)
+
+
+def test_te_stratified_branches_conserved():
+    """TE (Hz-polarized) Bloch-branch decomposition in a stratified
+    output medium: the TE analog of test_stratified_orders_conserved's
+    branch gates.  The generalized TE eigenvectors are diag(1/eps)-
+    orthogonal — exactly the TE flux inner product — so the propagating
+    branches partition the monitor flux, and per-branch net power is
+    conserved between two monitor depths (x-uniform medium)."""
+    fcen = 1.5
+    sim = mp.Simulation(
+        cell_size=mp.Vector3(8, 1), resolution=20,
+        k_point=mp.Vector3(),
+        geometry=[mp.Block(center=mp.Vector3(0, 0.3),
+                           size=mp.Vector3(mp.inf, 0.4, mp.inf),
+                           material=mp.Medium(epsilon=4))],
+        sources=[mp.Source(mp.GaussianSource(frequency=fcen, fwidth=0.3),
+                           component=mp.Hz, center=mp.Vector3(-2.5, 0),
+                           size=mp.Vector3(0, 1))],
+        boundary_layers=[mp.PML(1.0, direction=mp.X)])
+    fr1 = mp.FluxRegion(center=mp.Vector3(1.5, 0), size=mp.Vector3(0, 1))
+    fr2 = mp.FluxRegion(center=mp.Vector3(3.0, 0), size=mp.Vector3(0, 1))
+    fl1 = sim.add_flux(fcen, 0, 1, fr1)
+    fl2 = sim.add_flux(fcen, 0, 1, fr2)
+    sim.run(until_after_sources=200)
+    P1 = np.asarray(sim.get_fluxes(fl1))
+    b1, al1 = sim.get_bloch_branch_coefficients(fl1, eig_parity="TE")
+    b2, al2 = sim.get_bloch_branch_coefficients(fl2, eig_parity="TE")
+    np.testing.assert_allclose(b1[0], b2[0], rtol=1e-12)
+    net1 = np.abs(al1[0][:, 0]) ** 2 - np.abs(al1[0][:, 1]) ** 2
+    net2 = np.abs(al2[0][:, 0]) ** 2 - np.abs(al2[0][:, 1]) ** 2
+    np.testing.assert_allclose(net2, net1, rtol=2e-2, atol=2e-3 * P1[0])
+    assert 0.85 * P1[0] < np.sum(net1) < 1.15 * P1[0]
