@@ -2726,9 +2726,15 @@ class Simulation:
                 idx = np.asarray(h.indices, np.int32)
                 ws = np.asarray(h.weights)
             else:
-                pts = self.gv.interp_weights(h.c, _vec_to_axes(self.gv, h.pt))
+                # dropped-half/quadrant points on a symmetry-folded cell
+                # map through the fold (component swap + parity factor)
+                hc, axc, fac = self._fold_point(h.c, _vec_to_axes(self.gv,
+                                                                  h.pt))
+                pts = self.gv.interp_weights(hc, axc)
                 idx = np.array([p for p, w in pts], np.int32)
-                ws = np.array([w for p, w in pts])
+                ws = np.array([fac * w for p, w in pts])
+                probes.append(S.ProbeSpec(f"hm{i}", hc, idx, ws))
+                continue
             probes.append(S.ProbeSpec(f"hm{i}", h.c, idx, ws))
         series = {p.name: [] for p in probes}
         collect_from_step = {}
@@ -2741,12 +2747,13 @@ class Simulation:
         stop_probe_name = None
         if (stop_cond is not None and hasattr(stop_cond, "check_window")
                 and getattr(stop_cond, "c", None) is not None):
-            pts = self.gv.interp_weights(
+            sc, s_axc, s_fac = self._fold_point(
                 stop_cond.c, _vec_to_axes(self.gv, stop_cond.pt))
+            pts = self.gv.interp_weights(sc, s_axc)
             idx = np.array([p for p, w in pts], np.int32)
-            ws = np.array([w for p, w in pts])
+            ws = np.array([s_fac * w for p, w in pts])
             stop_probe_name = "stopc"
-            probes.append(S.ProbeSpec(stop_probe_name, stop_cond.c, idx, ws))
+            probes.append(S.ProbeSpec(stop_probe_name, sc, idx, ws))
             series[stop_probe_name] = []
 
         # choose block size: smallest callback interval or the whole run
@@ -3445,15 +3452,58 @@ class Simulation:
                 if c[0] == "h" and component != "d_energy_density":
                     tot += (np.conj(g(c)) * g("b" + c[1:])).real
             return 0.5 * tot
-        pts = self.gv.interp_weights(component, _vec_to_axes(self.gv, pt))
+        component, axc, fac = self._fold_point(
+            component, _vec_to_axes(self.gv, pt))
+        pts = self.gv.interp_weights(component, axc)
         arr = self._state["f"][component]
         # index on-device, transfer scalars only: the axon TPU tunnel
         # supports scalar d2h reads but not full-array device_get
         if self._plan.real_pair and arr.ndim == self.gv.ndim + 1:
-            return sum(w * (complex(arr[(0,) + idx])
-                            + 1j * complex(arr[(1,) + idx]))
-                       for idx, w in pts)
-        return sum(w * complex(arr[idx]) for idx, w in pts)
+            return fac * sum(w * (complex(arr[(0,) + idx])
+                                  + 1j * complex(arr[(1,) + idx]))
+                             for idx, w in pts)
+        return fac * sum(w * complex(arr[idx]) for idx, w in pts)
+
+    def _fold_point(self, component, c):
+        """Map a query point into the retained fold of a symmetric cell
+        (symmetry.cpp transform semantics applied in reverse, as the
+        reference's symmetry-aware loop_in_chunks does for point
+        queries): mirrors reflect with phase * component parity, Rotate2
+        maps through the C2 image (double flip), Rotate4 applies quarter
+        turns with the swapped-component rotation-matrix signs
+        (step._rot4_ghost).  Returns (component', axes-coords', factor)
+        with F_component(pt) == factor * F_component'(pt')."""
+        c = list(c)
+        fac = 1.0
+        axes = self.gv.axes
+        for ax, d, phase in self._mirrors:
+            if c[ax] < -1e-12:
+                c[ax] = -c[ax]
+                fac *= phase * _mirror_parity(component, d)
+        if self._rot2 is not None:
+            fax, lax_, _w, phase = self._rot2
+            if c[fax] < -1e-12:
+                c[fax] = -c[fax]
+                c[lax_] = -c[lax_]
+                fac *= phase * _mirror_parity(component, axes[fax]) \
+                    * _mirror_parity(component, axes[lax_])
+        if self._rot4 is not None:
+            a1, a2, _w, phase = self._rot4
+            l1, l2 = axes[a1], axes[a2]
+            p = float(phase)
+            for _k in range(3):
+                if c[a1] >= -1e-12 and c[a2] >= -1e-12:
+                    break
+                c[a1], c[a2] = c[a2], -c[a1]   # R^-1: (x, y) -> (y, -x)
+                if component[1] == l1:
+                    fac *= -p
+                    component = component[0] + l2
+                elif component[1] == l2:
+                    fac *= p
+                    component = component[0] + l1
+                else:
+                    fac *= p
+        return component, c, fac
 
     @property
     def fields_state(self):

@@ -210,3 +210,17 @@ def test_rot2_rejects():
         symmetries=[mnt.Rotate2("z")])
     with pytest.raises(NotImplementedError):
         sim.init_sim()
+
+
+def test_rot2_point_queries_dropped_half():
+    """get_field_point at points in the DROPPED half of a C2-folded cell
+    maps through the rotation image (simulation._fold_point): double
+    coordinate flip with the product of both mirror parities."""
+    full = _run2d(False, 1)
+    half = _run2d(True, 1)
+    for comp in (mnt.Ez, mnt.Hx, mnt.Hy):
+        for pt in (mnt.Vector3(-1.3, 0.7), mnt.Vector3(-0.9, -1.7)):
+            va = full.get_field_point(comp, pt)
+            vb = half.get_field_point(comp, pt)
+            assert abs(va - vb) < 3e-6 * max(abs(va), 1e-3), \
+                (comp, pt, va, vb)

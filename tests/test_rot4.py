@@ -170,3 +170,12 @@ def test_rot4_inplane_get_array(phase):
             assert scale > 1e-6
             np.testing.assert_allclose(b, a, atol=3e-6 * scale,
                                        err_msg=f"{comp} snap={snap}")
+    # point queries in the DROPPED quadrants map through the quarter
+    # turns (simulation._fold_point): component swap + rotation signs
+    for comp in (mnt.Ex, mnt.Ey, mnt.Hz):
+        for pt in (mnt.Vector3(-1.3, 0.7), mnt.Vector3(-0.9, -1.7),
+                   mnt.Vector3(1.1, -0.4)):
+            va = full.get_field_point(comp, pt)
+            vb = quarter.get_field_point(comp, pt)
+            assert abs(va - vb) < 3e-6 * max(abs(va), 1e-3), \
+                (comp, pt, va, vb)

@@ -287,3 +287,18 @@ def test_mirror_eigenmode_source_and_coefficients(sy):
     (flf, af), (flh, ah) = em(False), em(True)
     assert np.abs(flf - flh).max() <= 1e-4 * np.abs(flf).max()
     assert np.abs(np.abs(af) - np.abs(ah)).max() <= 1e-3 * np.abs(af).max()
+
+
+@pytest.mark.parametrize("phase", [-1, +1])
+def test_mirror_point_queries_dropped_half(phase):
+    """get_field_point at points in the DROPPED half of a mirrored cell
+    reflects through the plane with phase * component parity
+    (simulation._fold_point)."""
+    full = _run(False, phase)
+    half = _run(True, phase)
+    for comp in (mp.Ez, mp.Hx, mp.Hy):
+        for pt in (mp.Vector3(-1.0, -0.8), mp.Vector3(1.6, -1.3)):
+            va = full.get_field_point(comp, pt)
+            vb = half.get_field_point(comp, pt)
+            assert abs(va - vb) < 3e-6 * max(abs(va), 1e-3), \
+                (comp, pt, va, vb)
