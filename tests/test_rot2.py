@@ -222,5 +222,5 @@ def test_rot2_point_queries_dropped_half():
         for pt in (mnt.Vector3(-1.3, 0.7), mnt.Vector3(-0.9, -1.7)):
             va = full.get_field_point(comp, pt)
             vb = half.get_field_point(comp, pt)
-            assert abs(va - vb) < 3e-6 * max(abs(va), 1e-3), \
+            assert abs(va - vb) < 5e-6 * max(abs(va), 1e-2), \
                 (comp, pt, va, vb)

@@ -177,5 +177,5 @@ def test_rot4_inplane_get_array(phase):
                    mnt.Vector3(1.1, -0.4)):
             va = full.get_field_point(comp, pt)
             vb = quarter.get_field_point(comp, pt)
-            assert abs(va - vb) < 3e-6 * max(abs(va), 1e-3), \
+            assert abs(va - vb) < 5e-6 * max(abs(va), 1e-2), \
                 (comp, pt, va, vb)

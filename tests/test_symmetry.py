@@ -300,5 +300,5 @@ def test_mirror_point_queries_dropped_half(phase):
         for pt in (mp.Vector3(-1.0, -0.8), mp.Vector3(1.6, -1.3)):
             va = full.get_field_point(comp, pt)
             vb = half.get_field_point(comp, pt)
-            assert abs(va - vb) < 3e-6 * max(abs(va), 1e-3), \
+            assert abs(va - vb) < 5e-6 * max(abs(va), 1e-2), \
                 (comp, pt, va, vb)
