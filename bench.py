@@ -141,11 +141,12 @@ def run_monitored():
         sim.run(until=sim._t * dt + steps * dt)
         dt_wall = min(dt_wall, time.perf_counter() - t0)
     ncell = int(np.prod(cells))
+    gcells = ncell * steps / dt_wall / 1e9
     print(json.dumps({
         "metric": "yee_cell_updates_3d_monitored_flux_fp32",
-        "value": round(ncell * steps / dt_wall / 1e9, 3),
+        "value": round(gcells, 3),
         "unit": "GCells/s",
-        "vs_baseline": 0.0,
+        "vs_baseline": round(gcells / 10.0, 3),
         "grid": list(cells),
         "steps": steps,
         "kernel": "hybrid",
@@ -372,113 +373,120 @@ def run_one():
 
 
 def _probe(grid, timeout, extra_env=None):
+    """Run one measurement subprocess.  Returns (record, error_string):
+    exactly one of the two is non-None."""
+    if timeout < 45:
+        return None, "skipped: budget exhausted"
     env = dict(os.environ, BENCH_ONE="1", BENCH_GRID=grid,
-               **(extra_env or {}))
+               BENCH_TIMEOUT=str(int(timeout)), **(extra_env or {}))
     try:
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              timeout=timeout)
     except subprocess.TimeoutExpired:
-        return None
+        return None, "timeout after %ds" % int(timeout)
     for line in out.stdout.splitlines():
         line = line.strip()
         if line.startswith("{") and "metric" in line:
-            return json.loads(line)
-    return None
+            return json.loads(line), None
+    lines = [ln for ln in (out.stderr or out.stdout or "").splitlines()
+             if ln.strip()]
+    # prefer the actual exception line over JAX's traceback-filtering note
+    msg = next((ln for ln in reversed(lines)
+                if "Error" in ln or "error" in ln), lines[-1] if lines
+               else "no output")
+    return None, "rc=%d %s" % (out.returncode, msg.strip()[:200])
 
 
 def main():
+    """Driver entry.  BENCH_TIMEOUT is the TOTAL wall-clock budget for the
+    whole suite (default 540s); individual probes get slices of the
+    remainder and are skipped when it runs out.  A merged JSON line is
+    re-printed after EVERY probe — the driver keeps the tail, so the last
+    complete line always carries everything measured so far even if the
+    process is killed mid-suite (the round-3 failure mode: one line at the
+    very end of ~16 sequential probes, rc=124, nothing recorded)."""
     if os.environ.get("BENCH_ONE"):
         run_one()
         return
+    total = float(os.environ.get("BENCH_TIMEOUT", "540"))
+    t0 = time.perf_counter()
+
+    def left():
+        return total - (time.perf_counter() - t0)
+
+    rec = {"metric": "yee_cell_updates_3d_pml_fp32", "value": 0.0,
+           "unit": "GCells/s", "vs_baseline": 0.0}
+
+    def emit():
+        print(json.dumps(rec), flush=True)
+
+    # ---- 1. vacuum ladder (the headline metric) ---------------------
     ladder = os.environ.get(
         "BENCH_LADDER",
         "256,256,256;192,192,192;128,128,128;96,96,96;64,64,64").split(";")
-    timeout = int(os.environ.get("BENCH_TIMEOUT", "540"))
-    rec = None
-    for grid in ladder:
-        rec = _probe(grid, timeout)
-        if rec is not None:
+    # first probe pays compile; give it the larger slice but never the
+    # whole budget
+    for i, grid in enumerate(ladder):
+        cap = min(left() - 30, 300 if i == 0 else 180)
+        r, err = _probe(grid, cap)
+        if r is not None:
+            rec.update(r)
             break
-    if rec is None:
-        print(json.dumps({"metric": "yee_cell_updates_3d_pml_fp32",
-                          "value": 0.0, "unit": "GCells/s",
-                          "vs_baseline": 0.0,
-                          "error": "all grid sizes failed"}))
-        return
-    # one flagship-material measurement (eps ball + Lorentz pole +
-    # chi2-Newton, the BASELINE configs 3-5 physics) folded into the
-    # SAME line as material_* fields, so the recorded bench reflects the
-    # simulations this fork exists for, not just vacuum
+        rec["error"] = "vacuum@%s: %s" % (grid, err)
+        if left() < 90:
+            break
+    emit()
+
+    def sub(key, grid, cap, extra_env):
+        """One merged sub-probe: record value_* or *_error, then emit."""
+        r, err = _probe(grid, min(left() - 20, cap), extra_env)
+        if r is not None:
+            rec[key + "_value"] = r["value"]
+            rec[key + "_grid"] = r["grid"]
+            if "kernel" in r:
+                rec[key + "_kernel"] = r["kernel"]
+            rec.pop(key + "_error", None)
+        else:
+            rec[key + "_error"] = err
+        emit()
+        return r is not None
+
+    # ---- 2. flagship material (eps ball + Lorentz + chi2-Newton: the
+    # physics this fork exists for, BASELINE configs 3-5) --------------
+    mgrid = os.environ.get("BENCH_MAT_GRID", "128,128,128")
     if not os.environ.get("BENCH_SKIP_MAT"):
-        mgrid = os.environ.get("BENCH_MAT_GRID", "128,128,128")
-        # full flagship (Lorentz + chi2-Newton; NL windows run the 2-step
-        # schedule)
-        # depth ladder: if the deepest schedule fails on this tunnel
-        # (dispatch FailedPrecondition class), fall back so the recorded
-        # line always carries a material number
-        mrec = None
+        # depth ladder: deepest schedule first; FailedPrecondition-class
+        # dispatch failures fail fast, so fallbacks are cheap
         for mdepth in (None, "2", "1"):
-            env = {"BENCH_MAT": "1", "BENCH_TIMEOUT": str(timeout)}
+            env = {"BENCH_MAT": "1"}
             if mdepth:
                 env["MNT_T2_DEPTH"] = mdepth
-            mrec = _probe(mgrid, timeout, env)
-            if mrec is not None:
+            if sub("material", mgrid, 240, env):
                 break
-        if mrec is not None:
-            rec["material_value"] = mrec["value"]
-            rec["material_grid"] = mrec["grid"]
-            rec["material_kernel"] = mrec["kernel"]
-        # pure-ADE Lorentz (BASELINE config-4 class), eligible for the
-        # 3-step schedule
-        prec = None
         for mdepth in (None, "2", "1"):
-            env = {"BENCH_MAT": "pol", "BENCH_TIMEOUT": str(timeout)}
+            env = {"BENCH_MAT": "pol"}
             if mdepth:
                 env["MNT_T2_DEPTH"] = mdepth
-            prec = _probe(mgrid, timeout, env)
-            if prec is not None:
+            if sub("lorentz", mgrid, 240, env):
                 break
-        if prec is not None:
-            rec["lorentz_value"] = prec["value"]
-            rec["lorentz_kernel"] = prec["kernel"]
-    # periodic grating class (round-3: periodic-x through the fused
-    # kernel; oblique Bloch through the real-pair channel pair)
+    # ---- 3. monitored production run (flux DFT, public Simulation API,
+    # in-kernel DFT rides the fused step) ------------------------------
+    if not os.environ.get("BENCH_SKIP_MONITORED"):
+        sub("monitored", os.environ.get("BENCH_MON_GRID", "128,128,128"),
+            240, {"BENCH_MONITORED": "1"})
+    # ---- 4. periodic grating class -----------------------------------
     if not os.environ.get("BENCH_SKIP_PER"):
         pgrid = os.environ.get("BENCH_PER_GRID", "128,128,128")
-        perr = _probe(pgrid, timeout,
-                      {"BENCH_PERIODIC": "1", "BENCH_TIMEOUT": str(timeout)})
-        if perr is not None:
-            rec["periodic_value"] = perr["value"]
-            rec["periodic_kernel"] = perr["kernel"]
-        krec = _probe(pgrid, timeout,
-                      {"BENCH_PERIODIC": "k", "BENCH_TIMEOUT": str(timeout)})
-        if krec is not None:
-            rec["bloch_pair_value"] = krec["value"]
-            rec["bloch_pair_kernel"] = krec["kernel"]
-    # monitored production run (flux DFT through the hybrid fused
-    # driver, public Simulation API) — the number a user's monitored
-    # run sees
-    if not os.environ.get("BENCH_SKIP_MONITORED"):
-        mgrid2 = os.environ.get("BENCH_MON_GRID", "128,128,128")
-        mon = _probe(mgrid2, timeout,
-                     {"BENCH_MONITORED": "1", "BENCH_TIMEOUT": str(timeout)})
-        if mon is not None:
-            rec["monitored_value"] = mon["value"]
-            rec["monitored_grid"] = mon["grid"]
-    # 2D whole-grid-in-VMEM resident kernel (the reference's 2D bench
-    # class; ring-resonator-type structure)
+        sub("periodic", pgrid, 180, {"BENCH_PERIODIC": "1"})
+        sub("bloch_pair", pgrid, 180, {"BENCH_PERIODIC": "k"})
+    # ---- 5. 2D VMEM-resident kernel ----------------------------------
     if not os.environ.get("BENCH_SKIP_RESIDENT"):
         for rgrid in os.environ.get("BENCH_RESIDENT_LADDER",
                                     "768,768;512,512").split(";"):
-            rrec = _probe(rgrid, timeout,
-                          {"BENCH_RESIDENT": "1",
-                           "BENCH_TIMEOUT": str(timeout)})
-            if rrec is not None:
-                rec["resident2d_value"] = rrec["value"]
-                rec["resident2d_grid"] = rrec["grid"]
+            if sub("resident2d", rgrid, 150, {"BENCH_RESIDENT": "1"}):
                 break
-    print(json.dumps(rec))
+    emit()
 
 
 if __name__ == "__main__":
