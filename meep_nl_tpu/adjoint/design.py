@@ -39,6 +39,15 @@ class DesignVariables:
     eps_max: float = 12.0
     beta: float = 0.0                # tanh projection steepness
     eta: float = 0.5
+    #: subpixel-smoothed projection (the differentiable analog of the
+    #: reference's do_averaging fallback quadrature, meepgeom.cpp:1083):
+    #: level-set smoothing of the projection keeps gradients nonzero
+    #: even at beta = inf
+    do_averaging: bool = False
+    #: artificial conductivity sigma = damping * u * (1 - u) at design
+    #: sites (epsilon_material_grid, meepgeom.cpp:623-626): damps
+    #: intermediate densities to stabilize interpolated susceptibilities
+    damping: float = 0.0
 
 
 @dataclasses.dataclass
@@ -105,13 +114,32 @@ class DesignRegion:
             if ok:
                 maps[c] = (tuple(slices), [np.asarray(f) for f in fracs])
         self._site_maps = maps
+        # design-grid resolution (pixels per unit length) for the
+        # smoothed-projection kernel radius
+        res = [self.variables.shape[ax] / max(float(self.size[ax]), 1e-300)
+               for ax in range(min(len(self.variables.shape), gv.ndim))
+               if self.size[ax] > 0]
+        self._design_res = float(np.mean(res)) if res else 1.0
         return self
 
-    def eps_at_sites(self, rho: jnp.ndarray, c: str) -> jnp.ndarray:
-        """Bilinear-interpolated epsilon at component c's in-region sites."""
+    def _project(self, rho: jnp.ndarray) -> jnp.ndarray:
+        """Projected density on the design grid: tanh projection, or the
+        subpixel-smoothed level-set projection when do_averaging is set
+        (the differentiable role of the reference's do_averaging
+        quadrature fallback, meepgeom.cpp:1083/2929)."""
+        v = self.variables
+        if getattr(v, "do_averaging", False) and v.beta != 0:
+            from .filters import smoothed_projection
+            return smoothed_projection(rho, beta=v.beta, eta=v.eta,
+                                       resolution=self._design_res)
+        return tanh_projection(rho, v.beta, v.eta)
+
+    def u_at_sites(self, rho: jnp.ndarray, c: str) -> jnp.ndarray:
+        """Projected density bilinearly interpolated onto component c's
+        in-region Yee sites (material_grid_val, meepgeom.cpp:489)."""
         slices, fracs = self._site_maps[c]
         v = self.variables
-        rho_p = tanh_projection(rho, v.beta, v.eta)
+        rho_p = self._project(rho)
         # pad trailing axes so a lower-dim design grid extrudes uniformly
         shape3 = tuple(v.shape) + (1,) * (len(fracs) - len(v.shape))
         out = rho_p.reshape(shape3)
@@ -126,22 +154,50 @@ class DesignRegion:
                                        for a in range(out.ndim)])) \
                 + hi * w.reshape([-1 if a == ax else 1
                                   for a in range(out.ndim)])
-        return v.eps_min + (v.eps_max - v.eps_min) * out
+        return out
+
+    def eps_at_sites(self, rho: jnp.ndarray, c: str) -> jnp.ndarray:
+        """Bilinear-interpolated epsilon at component c's in-region sites
+        (epsilon_material_grid, meepgeom.cpp:569-600)."""
+        v = self.variables
+        return v.eps_min + (v.eps_max - v.eps_min) * self.u_at_sites(rho, c)
 
     def apply(self, rho: jnp.ndarray, coefs: Dict, plan) -> Dict:
         """Return new coefs with the design epsilon written into the
         inverse-eps rows (the differentiable analog of update_weights,
-        meepgeom.hpp:286)."""
+        meepgeom.hpp:286).  A nonzero MaterialGrid damping additionally
+        writes the artificial conductivity sigma = damping * u * (1 - u)
+        into the D-conductivity coefficient rows (epsilon_material_grid,
+        meepgeom.cpp:623-626) — the plan must carry those rows (the
+        Simulation must be compiled with the design region's damping
+        known; OptimizationProblem arranges this)."""
         new = dict(coefs)
         shape = plan.storage_shape or plan.gv.shape
+        damp = float(getattr(self.variables, "damping", 0.0))
         for c, (slices, fracs) in self._site_maps.items():
-            eps = self.eps_at_sites(rho, c)
+            u = self.u_at_sites(rho, c)
+            v = self.variables
+            eps = v.eps_min + (v.eps_max - v.eps_min) * u
             key = f"{c}:u"
             base = new.get(key)
             if base is None:
                 base = jnp.ones(shape, dtype=plan.dtype)
             sl = tuple(slice(a, b) for a, b in slices)
             new[key] = base.at[sl].set(1.0 / eps)
+            if damp:
+                ck, ik = f"d{c[1]}:cnd", f"d{c[1]}:cndinv"
+                if ck not in new:
+                    raise ValueError(
+                        f"MaterialGrid damping needs conductivity rows "
+                        f"for d{c[1]} in the plan; construct the "
+                        "OptimizationProblem before init_sim (it "
+                        "forces the rows), or add a D_conductivity "
+                        "placeholder over the design region")
+                cnd = jnp.asarray(new[ck]) * jnp.ones(shape,
+                                                      dtype=plan.dtype)
+                cnd = cnd.at[sl].add(damp * u * (1.0 - u))
+                new[ck] = cnd
+                new[ik] = 1.0 / (1.0 + 0.5 * plan.dt * cnd)
         return new
 
 

@@ -141,11 +141,30 @@ class OptimizationProblem:
         if self.run_time is None:
             raise ValueError("OptimizationProblem needs run_time (or "
                              "objective_functions + maximum_run_time)")
+        damped = [dr for dr in self.design_regions
+                  if float(getattr(dr.variables, "damping", 0.0))]
+        if damped:
+            # MaterialGrid damping writes sigma = damping*u*(1-u) into
+            # the D-conductivity coefficient rows at apply() time
+            # (meepgeom.cpp:623-626); the plan must be compiled with
+            # those rows present (structural has_cond), so force them in
+            # before the plan exists
+            sim._force_cond_d = getattr(sim, "_force_cond_d", set()) \
+                | {"dx", "dy", "dz"}
         sim.init_sim()
         self.plan = sim.plan
         live_e = [s.ec for s in self.plan.eh_specs_e]
         for dr in self.design_regions:
             dr.bind(self.plan.gv, live_e)
+            if float(getattr(dr.variables, "damping", 0.0)):
+                missing = [c for c in dr._site_maps
+                           if f"d{c[1]}:cnd" not in self.plan.coefs]
+                if missing:
+                    raise ValueError(
+                        "MaterialGrid damping != 0 but the Simulation "
+                        "was initialized without conductivity rows for "
+                        f"{missing}; construct the OptimizationProblem "
+                        "before running/init_sim")
             for c in dr._site_maps:
                 if f"{c}:u" not in self.plan.coefs:
                     raise ValueError(

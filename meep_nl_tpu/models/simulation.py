@@ -1351,6 +1351,12 @@ class Simulation:
                                             bl, "pml_profile", None)))
         if absorbers:
             _apply_absorbers(self.gv, mat, absorbers, live_e, live_h)
+        for key in getattr(self, "_force_cond_d", ()):
+            # design regions with MaterialGrid damping need structural
+            # conductivity rows (adjoint/design.py apply writes
+            # sigma = damping*u*(1-u) into them per iteration)
+            if mat.cond.get(key) is None:
+                mat.cond[key] = np.zeros(self.gv.shape)
         srcs = self._build_sources(live_e, live_h)
         srcs += getattr(self, "_extra_srcs", [])
         bloch_k = None
@@ -3129,15 +3135,31 @@ class Simulation:
                                a2 if a2 > a1 else a2 + 1, 1)
 
         def idx(cw, V):
-            return np.clip(np.round((V - cw[0]) / dx).astype(int),
-                           0, len(cw) - 1)
+            i = np.clip(np.round((V - cw[0]) / dx).astype(int),
+                        0, len(cw) - 1)
+            return i, np.abs(V - (cw[0] + i * dx))
 
         take_c = take_of(arr)
         take_p = take_of(arr2)
-        out_c = take_c[idx(cw1, X), idx(cw2, Y)]
-        out_p = take_p[idx(coords2[a1], X), idx(coords2[a2], Y)]
+        ic1, ec1 = idx(cw1, X)
+        ic2, ec2 = idx(cw2, Y)
+        ip1, ep1 = idx(coords2[a1], X)
+        ip2, ep2 = idx(coords2[a2], Y)
+        out_c = take_c[ic1, ic2]
+        out_p = take_p[ip1, ip2]
+        sel2d = (par % 2) == 0
+        # every mapped site must land ON the selected lattice (component
+        # for even quarter turns, partner for odd): an off-lattice map
+        # (e.g. a phantom-row mismatch between the two Yee lattices at
+        # some cell size) must fail loudly, not snap to a neighbor row
+        rt_err = np.where(sel2d, np.maximum(ec1, ec2),
+                          np.maximum(ep1, ep2))
+        if rt_err.max() > dx / 4:
+            raise AssertionError(
+                "rot4 in-plane unfold: mapped site off-lattice by "
+                f"{rt_err.max():.3g} (> dx/4 = {dx / 4:.3g})")
         trail = (1,) * (take_c.ndim - 2)
-        sel = ((par % 2) == 0).reshape(par.shape + trail)
+        sel = sel2d.reshape(par.shape + trail)
         out = np.where(sel, out_c, out_p) * sgn.reshape(sgn.shape + trail)
         out = np.moveaxis(np.moveaxis(out, 1, a2 if a2 > a1
                                       else a2 + 1), 0, a1)
@@ -3455,6 +3477,11 @@ class Simulation:
         component, axc, fac = self._fold_point(
             component, _vec_to_axes(self.gv, pt))
         pts = self.gv.interp_weights(component, axc)
+        if component not in self._state["f"]:
+            # a Rotate4 fold can swap in-plane components; match
+            # _field_np's zeros-for-unallocated semantics instead of
+            # KeyError on a cell that carries only one pair member
+            return 0.0 * fac
         arr = self._state["f"][component]
         # index on-device, transfer scalars only: the axon TPU tunnel
         # supports scalar d2h reads but not full-array device_get
@@ -3501,8 +3528,15 @@ class Simulation:
                 elif component[1] == l2:
                     fac *= p
                     component = component[0] + l1
-                else:
+                elif component[1] == _w:
+                    # rotation-axis-directed raw field: invariant up to
+                    # the irrep phase
                     fac *= p
+                else:
+                    raise ValueError(
+                        f"_fold_point: component {component!r} has no "
+                        "Rotate4 transform rule (derived components "
+                        "must be folded per raw constituent)")
         return component, c, fac
 
     @property
