@@ -131,14 +131,17 @@ def run_monitored():
                                size=mp.Vector3(0, size[1] * 0.4,
                                                size[2] * 0.4)))
     dt = sim.dt
+    # `until` is a DURATION (reference run-until semantics): every call
+    # below advances exactly `steps` more steps, so the jitted hybrid
+    # cycle runner is reused across the re-measure loop
     sim.run(until=steps * dt)               # compile + warm
     t0 = time.perf_counter()
-    sim.run(until=sim._t * dt + steps * dt)
+    sim.run(until=steps * dt)
     dt_wall = time.perf_counter() - t0
     deadline = _T_PROC + float(os.environ.get("BENCH_TIMEOUT", "540")) - 60.0
     while time.perf_counter() + dt_wall * 1.3 < deadline:
         t0 = time.perf_counter()
-        sim.run(until=sim._t * dt + steps * dt)
+        sim.run(until=steps * dt)
         dt_wall = min(dt_wall, time.perf_counter() - t0)
     ncell = int(np.prod(cells))
     gcells = ncell * steps / dt_wall / 1e9

@@ -207,29 +207,47 @@ def correlation_run(sim_factory: Callable, comp: str, pt, T: float,
     return np.real(np.asarray(probe.data, np.complex128)), dt
 
 
-def _dct_sites(sim, comp: str, center, size, m: int):
-    """(indices, weights) of component `comp`'s sites on a line segment,
-    weighted by the m-th normalized cosine harmonic times the line measure
-    (casimir.cpp stress_chunkloop: cos(m pi (u-u0)/L) * loop weight * dV,
-    coefficient sqrt((m==0 ? 1 : 2)/L))."""
+def _m_per_axis(m, n_ext: int):
+    """Normalize the harmonic index argument: an int replicates over all
+    extended axes (the 2D segment case); a tuple gives one index per
+    extended axis in axis order (the 3D face case,
+    casimir_stress_dct_integral's independent mx/my/mz)."""
+    if np.isscalar(m):
+        return (int(m),) * n_ext
+    m = tuple(int(v) for v in m)
+    if len(m) != n_ext:
+        raise ValueError(f"{len(m)} harmonic indices for {n_ext} "
+                         "extended axes")
+    return m
+
+
+def _dct_sites(sim, comp: str, center, size, m):
+    """(indices, weights) of component `comp`'s sites on a surface
+    element (line segment in 2D, rectangle in 3D), weighted by the
+    normalized cosine-harmonic product times the surface measure
+    (casimir.cpp stress_chunkloop: cos(mx pi (u-u0)/Lx) * cos(my ...) *
+    loop weight * dV, coefficient sqrt((m==0 ? 1 : 2)/L) per axis).
+    `m` is an int (same index on every extended axis) or a tuple with
+    one index per extended axis."""
     from ..models.simulation import _volume_sites, _vec_to_axes
     gv = sim.gv
     c_ax = _vec_to_axes(gv, center)
     s_ax = _vec_to_axes(gv, size)
     slices, w = _volume_sites(gv, comp, c_ax, s_ax)
-    # extended (tangent) axis: the one with nonzero extent
+    # extended (tangent) axes: the ones with nonzero extent
     ext = [ax for ax in range(gv.ndim) if s_ax[ax] > gv.dx * 0.5]
+    ms = _m_per_axis(m, len(ext))
     wfull = np.asarray(w, np.float64).copy()
     norm = 1.0
-    for ax in ext:
+    for ax, mi in zip(ext, ms):
         L = s_ax[ax]
         u0 = c_ax[ax] - L / 2
         coords = gv.comp_coords(comp, ax)[slices[ax]]
-        cosw = np.cos(m * np.pi * (coords - u0) / L)
+        cosw = np.cos(mi * np.pi * (coords - u0) / L)
         shape = [1] * wfull.ndim
         shape[ax] = len(coords)
         wfull = wfull * cosw.reshape(shape)
-        norm *= np.sqrt((1.0 if m == 0 else 2.0) / L) * gv.dx
+        norm *= np.sqrt((1.0 if mi == 0 else 2.0) / L) * gv.dx
     idx = np.stack(np.meshgrid(*[np.arange(s.start, s.stop) for s in slices],
                                indexing="ij"), -1).reshape(-1, gv.ndim)
     return idx, (wfull * norm).ravel()
@@ -253,9 +271,13 @@ def casimir_force_contrib(sim_factory: Callable, force_dir: str, center,
 
     ft = source_comp[0]
     dsource = source_comp[1]
-    # normal direction: the zero-extent in-plane direction of the side
+    # normal direction: the zero-extent direction of the side (2D: the
+    # in-plane zero-extent one; 3D faces have two extended axes)
     sz = _v3c(size)
-    dn = "x" if sz[0] == 0 else "y"
+    ext_i = [i for i in range(3) if sz[i] > 0]
+    zero_i = [i for i in range(2 if len(ext_i) == 1 else 3)
+              if sz[i] == 0]
+    dn = "xyz"[zero_i[0]]
     if force_dir != dn and dsource != dn:
         return 0.0
     if force_dir != dn:                 # force-source off-diagonal term
@@ -265,6 +287,7 @@ def casimir_force_contrib(sim_factory: Callable, force_dir: str, center,
     else:                               # -source-source/2 diagonal
         dmeas, coef = dsource, -0.5
     meas_comp = ft + dmeas
+    ms = _m_per_axis(m, len(ext_i))
 
     def one_run(strip_geometry):
         if strip_geometry and ref_factory is not None:
@@ -281,15 +304,20 @@ def casimir_force_contrib(sim_factory: Callable, force_dir: str, center,
                 sim.geometry = []
         _set_global_sigma(sim, sigma, ft)
         dt = sim.dt
-        # m-th cosine source pattern over the side, delta pulse in time
-        L = max(sz[0], sz[1])
-        du = "x" if sz[0] > 0 else "y"
-        Nu = np.sqrt((1.0 if m == 0 else 2.0) / L)
-        ui = {"x": 0, "y": 1}[du]
+        # cosine-product source pattern over the side, delta pulse in
+        # time (one normalized cos per extended axis)
+        terms = []                      # (coord index, L, m_i)
+        Nu = 1.0
+        for i, mi in zip(ext_i, ms):
+            Nu *= np.sqrt((1.0 if mi == 0 else 2.0) / sz[i])
+            terms.append((i, sz[i], mi))
 
         def amp(p):                     # p is relative to the source center
-            u = (p[ui] if not hasattr(p, "x") else (p.x, p.y, p.z)[ui])
-            return Nu * np.cos(m * np.pi * (u + L / 2) / L)
+            pc = (p.x, p.y, p.z) if hasattr(p, "x") else tuple(p)
+            out = Nu
+            for (i, L, mi) in terms:
+                out *= np.cos(mi * np.pi * (pc[i] + L / 2) / L)
+            return out
 
         src_time = mp.CustomSource(
             func=lambda t, dt=dt: (1.0 / dt) if t < dt else 0.0,
@@ -351,6 +379,74 @@ def casimir_force_2d(sim_factory: Callable, force_dir: str,
                     sim_factory, force_dir, center, size, outward, sc, m,
                     T, sigma, kz_invariant, vacuum_ref, t_cut,
                     ref_factory=ref_factory)
+    return total
+
+
+def casimir_force_3d(sim_factory: Callable, force_dir: str,
+                     sides: Sequence[Tuple], T: float = 20.0,
+                     sigma: float = 0.0, n_max: int = 3,
+                     source_comps: Optional[Sequence[str]] = None,
+                     vacuum_ref: bool = True, t_cut: float = 0.0,
+                     ref_factory: Optional[Callable] = None) -> float:
+    """Casimir force along `force_dir` on a body enclosed by `sides` in
+    a full 3D simulation (the dimension-general machinery of
+    casimir.cpp:325 casimir_stress_dct_integral with independent mx/my/mz
+    harmonics and the 3D vacuum kernel make_casimir_g).
+
+    `sides` is a list of (center, size, outward_sign[, multiplicity])
+    rectangles (size zero along each side's normal; the optional fourth
+    entry multiplies the contribution — use it to fold symmetric faces
+    into one run set).  One FDTD pulse run per
+    (side, source component, (m1, m2) harmonic pair)."""
+    import itertools
+    if source_comps is None:
+        source_comps = ("ex", "ey", "ez", "hx", "hy", "hz")
+    total = 0.0
+    for side in sides:
+        center, size, outward = side[0], side[1], side[2]
+        mult = side[3] if len(side) > 3 else 1.0
+        for sc in source_comps:
+            for m2 in itertools.product(range(n_max), repeat=2):
+                total += mult * casimir_force_contrib(
+                    sim_factory, force_dir, center, size, outward, sc,
+                    m2, T, sigma, kz_invariant=False,
+                    vacuum_ref=vacuum_ref, t_cut=t_cut,
+                    ref_factory=ref_factory)
+    return total
+
+
+def casimir_plate_force_waveguide(a: float, wy: float, wz: float,
+                                  m_max: int = 40) -> float:
+    """Exact Casimir force between perfect-mirror plates spanning the
+    full cross-section of a PEC rectangular waveguide (wy x wz),
+    separated by `a` — the analytic gate for the 3D FDTD machinery
+    (metallic cell walls are the FDTD default, so plates wall-to-wall
+    realize exactly this geometry).
+
+    Per EM waveguide mode with transverse eigenvalue k_t, the perfect-
+    mirror Lifshitz force at T=0 is
+        F_mode(a) = -(1/pi) int_0^inf dxi  kappa / (e^{2 kappa a} - 1),
+        kappa = sqrt(xi^2 + k_t^2);
+    the spectrum is TE(m,n): m,n >= 0 not both zero, and TM(m,n):
+    m,n >= 1, with k_t^2 = (m pi/wy)^2 + (n pi/wz)^2.  The continuum
+    limit of this sum reproduces -pi^2 A/(240 a^4) exactly."""
+    from scipy.integrate import quad
+
+    def f_mode(kt: float) -> float:
+        val, _ = quad(
+            lambda xi: np.sqrt(xi * xi + kt * kt)
+            / np.expm1(2.0 * a * np.sqrt(xi * xi + kt * kt)),
+            0.0, 30.0 / a, limit=200)
+        return -val / np.pi
+
+    total = 0.0
+    for mm in range(m_max + 1):
+        for nn in range(m_max + 1):
+            kt = np.hypot(mm * np.pi / wy, nn * np.pi / wz)
+            if mm == 0 and nn == 0:
+                continue                      # no TEM in a hollow guide
+            ndeg = 2 if (mm >= 1 and nn >= 1) else 1   # TE + TM / TE only
+            total += ndeg * f_mode(kt)
     return total
 
 

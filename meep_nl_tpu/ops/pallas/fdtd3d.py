@@ -1509,17 +1509,23 @@ class Fdtd3dKernel:
         from ...stepper.step import build_xs
         xs_all = build_xs(self.plan, nsteps, t0)
         xs = {k: v for k, v in xs_all.items() if k in self.xs_keys}
-        step = self.make_step()
+        cache = getattr(self, "_run_cache", None)
+        if cache is None:
+            cache = self._run_cache = {}
+        runner_c = cache.get((nsteps, unroll))
+        if runner_c is None:
+            step = self.make_step()
 
-        def runner(state, xs, C):
-            def body(carry, x):
-                return step(carry, x, C), None
-            state, _ = jax.lax.scan(
-                body, state, xs, length=nsteps,
-                unroll=unroll if nsteps % unroll == 0 else 1)
-            return state
+            def runner(state, xs, C):
+                def body(carry, x):
+                    return step(carry, x, C), None
+                state, _ = jax.lax.scan(
+                    body, state, xs, length=nsteps,
+                    unroll=unroll if nsteps % unroll == 0 else 1)
+                return state
 
-        return jax.jit(runner)(state, xs, self.plan.coefs)
+            runner_c = cache[(nsteps, unroll)] = jax.jit(runner)
+        return runner_c(state, xs, self.plan.coefs)
 
     # ---- conversion to/from the standard state pytree ----------------------
 

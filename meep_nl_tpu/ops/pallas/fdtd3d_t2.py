@@ -92,17 +92,9 @@ def _pick_bx(plan, requested=None, depth: int = 2) -> int:
     while bx > 1 and (tiles * bx * plane > 90 * 2 ** 20 or S[0] % bx):
         bx //= 2
     if disp:
-        # depth-3 dispersive windows on the REAL Mosaic TPU backend
-        # require FULL sublane-tile blocks (bx == 8): sub-sublane block
-        # grids FailedPrecondition at dispatch (bisected at 64^3 and
-        # 128^3, bx in {2,4}, pure-ADE and NL alike —
-        # scripts/probe_depth3_nl.py), while bx=8 runs exact.  Interpret
-        # mode (CPU tests) has no such fault.
-        min_b3 = 8 if depth >= 3 and not _interpret_mode() else 1
         b = bx
         while b >= 2:
-            if b >= min_b3 and S[0] % b == 0 \
-                    and _disp_fits(plan, b, depth):
+            if S[0] % b == 0 and _disp_fits(plan, b, depth):
                 return b
             b //= 2
     return bx
@@ -154,15 +146,10 @@ def supported(plan, bx: int = None, depth: int = 2) -> bool:
     for s in plan.eh_specs_h:
         if s.has_u:
             return False
-    if disp and depth == 3 and bx < 8 and not _interpret_mode():
-        # known Mosaic TPU backend fault: the depth-3 dispersive window
-        # at sub-sublane block depth (bx < 8) dies at dispatch with
-        # FailedPrecondition — pure-ADE and NL alike, any grid size
-        # (bisected in scripts/probe_depth3_nl.py).  bx=8 runs exact
-        # (2.1e-7 vs jnp at 128^3 on-chip), so callers either get bx=8
-        # from _pick_bx (VMEM permitting) or fall back to depth 2.
-        # Interpret mode (CPU tests) has no such fault.
-        return False
+    # (round-4) the sub-sublane depth-3 dispersive dispatch fault was
+    # bisected to the per-stage coef2 block entries of the full-grid u
+    # operand; the middle stage now reads u from the cfa one-iteration
+    # scratch cache instead, and bx < 8 runs clean on the real backend.
     L = _Layout(plan, bx)
     if disp and depth == 3 and L.nl_specs and bx < 2:
         # the NL (chi2-Newton/chi3) next-plane rebuild consumes e_eff
@@ -495,14 +482,25 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
             in_entries.append(("coef1", k, pl.BlockSpec(
                 (bx, Y, Z), lambda i: (s1map(i), 0, 0),
                 memory_space=pltpu.VMEM)))
-            if depth == 3 or k in folded_chain:
+            # the middle stage's only full-grid coef need (u, for its
+            # E_eff assembly) rides the cfa one-iteration scratch cache
+            # relayed through the cross-call package — NOT a second
+            # block-indexed entry of the same operand: that pattern
+            # FailedPreconditions at dispatch on the Mosaic TPU backend
+            # at sub-sublane bx (the depth-3 dispersive-plan edge calls,
+            # bisected to the coef2 entries), and the cache also saves
+            # one HBM traversal of u per fused step.  folded-cond chain1
+            # coefs are consumed at EVERY stage's curl and keep their
+            # per-stage entries (their plans run bx=8 where the backend
+            # fault does not trigger).
+            if k in folded_chain:
                 in_entries.append(("coef2", k, pl.BlockSpec(
                     (bx, Y, Z), lambda i: (s2map(i), 0, 0),
                     memory_space=pltpu.VMEM)))
-            if depth == 3 and k in folded_chain:
-                in_entries.append(("coef3", k, pl.BlockSpec(
-                    (bx, Y, Z), lambda i: (s3map(i), 0, 0),
-                    memory_space=pltpu.VMEM)))
+                if depth == 3:
+                    in_entries.append(("coef3", k, pl.BlockSpec(
+                        (bx, Y, Z), lambda i: (s3map(i), 0, 0),
+                        memory_space=pltpu.VMEM)))
         elif arr.ndim == 3 and arr.shape[0] == S[0]:
             if depth == 3 and bool(int(os.environ.get(
                     "MNT_T2_XCOEF_DYN", "1"))):
@@ -704,6 +702,23 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
         pkg_names.append((f"c2:{g}", (1, Y, Z)))
         if depth == 3:
             pkg_names.append((f"c3:{g}", (1, Y, Z)))
+    # full-grid u one-iteration caches for the depth-3 MIDDLE stage:
+    # stage-2's block is stage-1's previous one, so stage-1's coef1 read
+    # doubles as stage-2's; across calls the cache rides the package
+    # (the previous call's last stage-1 block IS this call's b0-1
+    # overrun block).  Replaces the per-stage coef2 block entries of the
+    # same operand — the pattern behind the sub-sublane Mosaic dispatch
+    # fault — and saves an HBM traversal of u per fused step.
+    cfa_keys: List[str] = []
+    if depth == 3:
+        for s_ in ehs_e:
+            if s_.has_u:
+                uk = f"{s_.ec}:u"
+                arr_u = plan.coefs[uk]
+                if arr_u.ndim == 3 and arr_u.shape == tuple(S):
+                    cfa_keys.append(uk)
+        for k_ in cfa_keys:
+            pkg_names.append((f"cfa:{k_}", (bx, Y, Z)))
 
     if not first:
         for name, shp in pkg_names:
@@ -1462,6 +1477,8 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
             sc[f"b1:{s.c}"][...] = new_b1[s.c]
         for s in ehs_e:
             sc[f"e1:{s.ec}"][...] = e1_eff[s.ec]
+        for k in cfa_keys:
+            sc[f"cfa:{k}"][...] = coef1(k)
 
         zero_pl = jnp.zeros((1, Y, Z), dtype)
         if periodic is not None:
@@ -1525,8 +1542,12 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
 
             def u2(ec):
                 spec_ = L.eh_by_ec[ec]
-                return byname[("coef2", f"{ec}:u")][...] \
-                    if spec_.has_u else None
+                if not spec_.has_u:
+                    return None
+                uk = f"{ec}:u"
+                if uk in cfa_keys:
+                    return prev[f"cfa:{uk}"]
+                return coef2(uk)
 
             new_b2 = curl_half(curls_b, e1p_eff, e1_first, False, gx2m,
                                coef2, f_old2_b, aux_get2, aux_put2sc,
@@ -1810,6 +1831,19 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
     in_specs = [spec for (_, _, spec) in in_entries]
     out_specs = [spec for (_, _, spec) in out_entries]
     pkg_shapes = dict(pkg_names)
+    if os.environ.get("MNT_D3_DUMP"):
+        import sys as _sys
+        print(f"--- call b0={b0} b1={b1} side={edge_side!r} first={first} "
+              f"last={last} grid={grid} depth={depth} disp={disp}",
+              file=_sys.stderr)
+        for (tag, key, spec) in in_entries:
+            print(f"  in  {tag:9s} {key:24s} {spec.block_shape}",
+                  file=_sys.stderr)
+        for (tag, key, spec) in out_entries:
+            print(f"  out {tag:9s} {key:24s} {spec.block_shape}",
+                  file=_sys.stderr)
+        for (n, shp) in scratch_entries:
+            print(f"  scr {n:24s} {shp}", file=_sys.stderr)
 
     def run_call(state, halos, pkg_in, C, xscal):
         args = []
@@ -1954,21 +1988,27 @@ class Fdtd3dT2Kernel:
         depth = self.depth
         npair = nsteps // depth
         rem = nsteps - depth * npair
-        step2 = self.make_fused_step()
         if npair:
             xs_all = build_xs(self.plan, depth * npair, t0)
             xs = {k: np.asarray(v).reshape((npair, depth) + v.shape[1:])
                   for k, v in xs_all.items() if k in self.xs_keys}
+            cache = getattr(self, "_run_cache", None)
+            if cache is None:
+                cache = self._run_cache = {}
+            runner_c = cache.get((npair, unroll))
+            if runner_c is None:
+                step2 = self.make_fused_step()
 
-            def runner(state, xs, C):
-                def body(carry, x):
-                    return step2(carry, x, C), None
-                state, _ = jax.lax.scan(
-                    body, state, xs, length=npair,
-                    unroll=unroll if npair % unroll == 0 else 1)
-                return state
+                def runner(state, xs, C):
+                    def body(carry, x):
+                        return step2(carry, x, C), None
+                    state, _ = jax.lax.scan(
+                        body, state, xs, length=npair,
+                        unroll=unroll if npair % unroll == 0 else 1)
+                    return state
 
-            state = jax.jit(runner)(state, xs, self.plan.coefs)
+                runner_c = cache[(npair, unroll)] = jax.jit(runner)
+            state = runner_c(state, xs, self.plan.coefs)
         if rem:
             state = self._k1.run(state, rem, t0=t0 + depth * npair,
                                  unroll=1)

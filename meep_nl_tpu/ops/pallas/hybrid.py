@@ -387,11 +387,47 @@ def _hybrid_run_inner(plan, state: Dict[str, Any], nsteps: int, t0: int
 
     if not np.any(_sample_steps(plan, t0, nsteps)):
         # no sampling at all in this stretch: fully fused (the depth-3
-        # companion when available; its run() handles step remainders)
+        # companion when available).  from_full -> scan -> to_full runs
+        # as ONE cached jit: the eager conversions cost ~100 op
+        # dispatches each — latency-bound through the axon tunnel — and
+        # dominated repeated public-API runs (measured 2.4 vs 7+
+        # GCells/s at 127^3)
         deep = ker.k3 if getattr(ker, "k3", None) is not None else ker
-        comp = ker.from_full(state)
-        comp = deep.run(comp, nsteps, t0=t0)
-        full = ker.to_full(comp, C)
+        dd = getattr(deep, "depth", 2)
+        if nsteps % dd:
+            # step remainder: rare (callers advance in multiples); the
+            # unfused-tail path handles it
+            comp = ker.from_full(state)
+            comp = deep.run(comp, nsteps, t0=t0)
+            full = ker.to_full(comp, C)
+            keep = ["f", "f_u", "f_w"] + (["pol"] if full.get("pol")
+                                          else [])
+            return {**state, **{k: full[k] for k in keep},
+                    "t": full["t"]}
+        cache = getattr(plan, "_hybrid_cache", None)
+        if cache is None:
+            cache = plan._hybrid_cache = {}
+        npair = nsteps // dd
+        runner_c = cache.get(("nosample", nsteps))
+        if runner_c is None:
+            step_d = deep.make_fused_step()
+
+            def runner(full_state, xs, C):
+                comp = ker.from_full(full_state)
+
+                def body(carry, x):
+                    return step_d(carry, x, C), None
+
+                comp, _ = jax.lax.scan(body, comp, xs, length=npair,
+                                       unroll=2 if npair % 2 == 0 else 1)
+                return ker.to_full(comp, C)
+
+            runner_c = cache[("nosample", nsteps)] = jax.jit(runner)
+        from ...stepper.step import build_xs
+        xs_all = build_xs(plan, nsteps, t0)
+        xs = {k: np.asarray(v).reshape((npair, dd) + v.shape[1:])
+              for k, v in xs_all.items() if k in deep.xs_keys}
+        full = runner_c(state, xs, C)
         keep = ["f", "f_u", "f_w"] + (["pol"] if full.get("pol") else [])
         return {**state, **{k: full[k] for k in keep}, "t": full["t"]}
 

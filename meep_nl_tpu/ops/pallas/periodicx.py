@@ -386,17 +386,23 @@ class PairPeriodicXKernel:
         from ...stepper.step import build_xs
         xs_all = build_xs(self.plan, nsteps, t0)
         xs = {kk: v for kk, v in xs_all.items() if kk in self.xs_keys}
-        step = self.make_step()
+        cache = getattr(self, "_run_cache", None)
+        if cache is None:
+            cache = self._run_cache = {}
+        runner_c = cache.get((nsteps, unroll))
+        if runner_c is None:
+            step = self.make_step()
 
-        def runner(state, xs, C):
-            def body(carry, x):
-                return step(carry, x, C), None
-            state, _ = jax.lax.scan(
-                body, state, xs, length=nsteps,
-                unroll=unroll if nsteps % unroll == 0 else 1)
-            return state
+            def runner(state, xs, C):
+                def body(carry, x):
+                    return step(carry, x, C), None
+                state, _ = jax.lax.scan(
+                    body, state, xs, length=nsteps,
+                    unroll=unroll if nsteps % unroll == 0 else 1)
+                return state
 
-        return jax.jit(runner)(state, xs, self.plan.coefs)
+            runner_c = cache[(nsteps, unroll)] = jax.jit(runner)
+        return runner_c(state, xs, self.plan.coefs)
 
 
 # ---------------------------------------------------------------------------
@@ -602,21 +608,27 @@ class PeriodicXT2Kernel:
         from ...stepper.step import build_xs
         npair = nsteps // 2
         rem = nsteps - 2 * npair
-        step2 = self.make_fused_step()
         if npair:
             xs_all = build_xs(self.plan, 2 * npair, t0)
             xs = {k: np.asarray(v).reshape((npair, 2) + v.shape[1:])
                   for k, v in xs_all.items() if k in self.xs_keys}
+            cache = getattr(self, "_run_cache", None)
+            if cache is None:
+                cache = self._run_cache = {}
+            runner_c = cache.get((npair, unroll))
+            if runner_c is None:
+                step2 = self.make_fused_step()
 
-            def runner(state, xs, C):
-                def body(carry, x):
-                    return step2(carry, x, C), None
-                state, _ = jax.lax.scan(
-                    body, state, xs, length=npair,
-                    unroll=unroll if npair % unroll == 0 else 1)
-                return state
+                def runner(state, xs, C):
+                    def body(carry, x):
+                        return step2(carry, x, C), None
+                    state, _ = jax.lax.scan(
+                        body, state, xs, length=npair,
+                        unroll=unroll if npair % unroll == 0 else 1)
+                    return state
 
-            state = jax.jit(runner)(state, xs, self.plan.coefs)
+                runner_c = cache[(npair, unroll)] = jax.jit(runner)
+            state = runner_c(state, xs, self.plan.coefs)
         if rem:
             state = self._k1.run(state, rem, t0=t0 + 2 * npair, unroll=1)
         return state

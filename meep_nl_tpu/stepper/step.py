@@ -23,6 +23,7 @@ from __future__ import annotations
 import dataclasses
 import hashlib
 import math
+import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -100,9 +101,16 @@ def _apply_mask(plan: Plan, C: Dict[str, Any], c: str, arr):
         arr = arr * alive.reshape(shape).astype(arr.dtype)
     return arr
 
-NR_ITERS = 8  # quadratic convergence: 8 Newton steps reach fp32 roundoff
-              # for perturbative chi2 (reference iterates to 1e-8, tol at
-              # newton_raphson.cpp:30)
+NR_ITERS = int(os.environ.get("MNT_NR_ITERS", "4"))
+# Newton from the linear seed contracts quadratically with ratio
+# r = chi2 E / eps (the relative NL correction): after k steps the
+# error is ~ r^(2^k).  Even at r = 0.3 — far beyond the perturbative
+# regime where chi2 FDTD is meaningful — 4 steps give r^16 ~ 4e-9,
+# below fp32 roundoff (the reference iterates adaptively to 1e-8,
+# newton_raphson.cpp:30; a fixed count keeps the TPU kernel
+# branchless).  Gated by test_nonlinear.py::test_nr_iteration_margin
+# (4 vs 16 iterations agree to fp32 roundoff on the SHG config);
+# MNT_NR_ITERS overrides for stronger-than-physical chi2.
 
 
 # ---------------------------------------------------------------------------
@@ -679,15 +687,16 @@ def _nr_solve(A_own, A_1, A_2, eps, chi2, seed_own, seed_1, seed_2):
         # M = [[a, b, c], [b, a, d], [c, d, a]]
         det = a * (a * a - d_ * d_) - b_ * (b_ * a - d_ * c_) + c_ * (b_ * d_ - a * c_)
         det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+        rdet = 1.0 / det               # one reciprocal, three multiplies
         i00 = a * a - d_ * d_
         i01 = c_ * d_ - b_ * a
         i02 = b_ * d_ - c_ * a
         i11 = a * a - c_ * c_
         i12 = c_ * b_ - a * d_
         i22 = a * a - b_ * b_
-        dx = (i00 * F1 + i01 * F2 + i02 * F3) / det
-        dy = (i01 * F1 + i11 * F2 + i12 * F3) / det
-        dz = (i02 * F1 + i12 * F2 + i22 * F3) / det
+        dx = (i00 * F1 + i01 * F2 + i02 * F3) * rdet
+        dy = (i01 * F1 + i11 * F2 + i12 * F3) * rdet
+        dz = (i02 * F1 + i12 * F2 + i22 * F3) * rdet
         # delta solves M delta = -F ; J = -M  =>  x -= J^-1 F  == x += M^-1 F
         return (x + dx, y + dy, z + dz)
 
@@ -1539,7 +1548,12 @@ def build_xs(plan: Plan, nsteps: int, t0: int = 0) -> Dict[str, Any]:
         ph = ph * live[:, None]
         xs[f"dft{mi}:ph_re"] = ph.real.astype(rdtype)
         xs[f"dft{mi}:ph_im"] = ph.imag.astype(rdtype)
-    return {k: jnp.asarray(v) for k, v in xs.items()}
+    # host (numpy) arrays: callers pass these into jit, which uploads
+    # them once at dispatch.  Materializing jnp arrays here instead costs
+    # one d2h/h2d ROUNDTRIP PER TABLE for every caller that reshapes with
+    # np.asarray — through the axon tunnel that was ~0.3s per monitored
+    # 600-step run, dwarfing the fused kernel itself
+    return xs
 
 
 def run(plan: Plan, state: Dict[str, Any], nsteps: int,

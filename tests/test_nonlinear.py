@@ -117,3 +117,42 @@ def test_nr_chi2_zero_matches_linear():
     xs = build_xs(plan, 1)
     st = make_step(plan)(st, {k: v[0] for k, v in xs.items()})
     assert abs(float(st["f"]["ez"][4, 4, 4]) - 0.25) < 1e-6
+
+
+def test_nr_iteration_margin():
+    """The fixed 4-step Newton default reaches fp32 roundoff up to an
+    NL correction chi2 E / eps ~ 0.2 — far beyond physical chi2 FDTD
+    operating points: 4 vs 24 iterations agree to fp32 eps and satisfy
+    the quadratic system (the reference's adaptive 1e-8 tolerance,
+    newton_raphson.cpp:30).  Beyond ~0.3 Newton fails to converge at
+    ANY iteration count (the coupled quadratic loses its perturbative
+    root), so extra fixed iterations buy nothing there either."""
+    import meep_nl_tpu.stepper.step as S
+
+    eps = jnp.full((8, 8), 1.0)
+    chi2 = jnp.full((8, 8), 1.0)
+    A1 = jnp.full((8, 8), 0.20)
+    A2 = jnp.full((8, 8), -0.17)
+    A3 = jnp.full((8, 8), 0.23)
+    seeds = (A1 / eps, A2 / eps, A3 / eps)
+
+    def solve(iters):
+        old = S.NR_ITERS
+        S.NR_ITERS = iters
+        try:
+            return S._nr_solve(A1, A2, A3, eps, chi2, *seeds)
+        finally:
+            S.NR_ITERS = old
+
+    x4, y4, z4 = [np.asarray(v) for v in solve(4)]
+    x24, y24, z24 = [np.asarray(v) for v in solve(24)]
+    # ratio check: this configuration is genuinely strong
+    ratio = float(chi2[0, 0] * abs(x24[0, 0]) / eps[0, 0])
+    assert ratio > 0.15, ratio
+    for a, b in ((x4, x24), (y4, y24), (z4, z24)):
+        np.testing.assert_allclose(a, b, rtol=3e-7, atol=3e-7)
+    # residual of the quadratic system at the 4-iter solution
+    r1 = np.abs(eps * x4 + chi2 * y4 * z4 - A1).max()
+    r2 = np.abs(eps * y4 + chi2 * x4 * z4 - A2).max()
+    r3 = np.abs(eps * z4 + chi2 * x4 * y4 - A3).max()
+    assert max(r1, r2, r3) < 5e-7, (r1, r2, r3)
