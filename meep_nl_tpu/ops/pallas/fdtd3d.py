@@ -118,8 +118,9 @@ def supported(plan, bx: int = None, allow_disp: bool = True,
         return False
     if getattr(plan, "rot2", None) is not None or getattr(plan, "rot4", None) is not None:
         return False        # C2 fold ghost not taught to the fused kernels
-    if getattr(plan, "mirror_node", ()):
-        return False        # node-plane mirror ghost not taught either
+    if any(mn[0] == 0 for mn in getattr(plan, "mirror_node", ())):
+        return False        # x mirrors change the x-block topology; y/z
+        # node mirrors apply their ghost in-register (mirror_yz_info)
     bx = _pick_bx(plan, bx)
     if plan.pol_specs_h:
         return False
@@ -200,6 +201,30 @@ def _full_slice(ax, sl):
     out = [slice(None)] * 3
     out[ax] = sl
     return tuple(out)
+
+
+def mirror_yz_info(plan):
+    """{(gname, axis): (k0, sign)} for node-aligned mirror folds on the
+    y/z axes (step._mirror_node_ghost statics, vec.hpp:1189
+    mirror_symmetry): the backward-difference ghost at plane 0 is
+    sign * g[k0] — a block-LOCAL row read, so the fused kernels apply it
+    in-register with no topology change (x mirrors would re-plumb the
+    sequential block flow and stay on the jnp path)."""
+    from ...core import grid as G
+    out = {}
+    for (ax, d_letter, phase) in getattr(plan, "mirror_node", ()):
+        if ax == 0:
+            continue
+        for ft in ("e", "h", "d", "b"):
+            for dl in ("x", "y", "z"):
+                gname = ft + dl
+                ys = G.yee_shift(gname, plan.gv.dim)
+                if gname[0] in ("e", "d"):
+                    s = phase * (-1.0 if dl == d_letter else 1.0)
+                else:
+                    s = phase * (1.0 if dl == d_letter else -1.0)
+                out[(gname, ax)] = (1 - ys[d_letter], float(s))
+    return out
 
 
 def _bc_slice(arr, ax, sl):
@@ -543,6 +568,7 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str,
     dtype = plan.dtype
     dtdx = plan.courant
     dt = plan.dt
+    mirr_yz = mirror_yz_info(plan)
     curls_b = list(plan.curl_specs_b)
     curls_d = list(plan.curl_specs_d)
     ehs_h = list(plan.eh_specs_h)
@@ -942,6 +968,17 @@ def _build_call(L: "_Layout", b0: int, b1: int, edge_side: str,
                             [garr[1:], x_neighbor[gname]], axis=0)
                         return shifted - garr
                     if is_d:
+                        mi = mirr_yz.get((gname, axis))
+                        if mi is not None:
+                            # node-mirror fold ghost at plane 0: an
+                            # in-register row of the same block
+                            k0, ms = mi
+                            ghost = ms * garr[_full_slice(
+                                axis, slice(k0, k0 + 1))]
+                            shifted = jnp.concatenate(
+                                [ghost, garr[_full_slice(
+                                    axis, slice(None, -1))]], axis=axis)
+                            return garr - shifted
                         return garr - shift_yz(garr, axis, -1)
                     return shift_yz(garr, axis, +1) - garr
 

@@ -224,6 +224,7 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
     ehs_e = list(plan.eh_specs_e)
     nblk = L.nblk
 
+    mirr_yz = F1.mirror_yz_info(plan)
     # ---- dispersive-call statics (mirrors fdtd3d._build_call) ------------
     de_set = set(L.de_comps) if disp else set()
     wy0, wy1 = L.win_y if disp else (0, S[1])
@@ -1019,6 +1020,17 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                             [garr[1:], x_nb[gname]], axis=0)
                         return shifted - garr
                     if is_d:
+                        mi = mirr_yz.get((gname, axis))
+                        if mi is not None:
+                            # node-mirror fold ghost at plane 0 (see
+                            # fdtd3d.mirror_yz_info): in-register row
+                            k0, ms = mi
+                            ghost = ms * garr[_full_slice(
+                                axis, slice(k0, k0 + 1))]
+                            shifted = jnp.concatenate(
+                                [ghost, garr[_full_slice(
+                                    axis, slice(None, -1))]], axis=axis)
+                            return garr - shifted
                         return garr - shift_yz(garr, axis, -1)
                     return shift_yz(garr, axis, +1) - garr
 

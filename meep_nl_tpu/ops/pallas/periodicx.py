@@ -73,8 +73,16 @@ def _nl_clear_of_wrap(plan) -> bool:
     return True
 
 
+def _no_mirror(plan) -> bool:
+    # the wrap strip recompute primitives (ops/pallas/strip.py) have no
+    # node-mirror ghost support; mirrored periodic plans stay on jnp
+    return not getattr(plan, "mirror_node", ())
+
+
 def periodic_supported(plan, bx: int = None) -> bool:
     """Envelope check for the periodic-x fused driver."""
+    if not _no_mirror(plan):
+        return False
     if plan.gv.dim != "3d" or not plan.periodic[0]:
         return False
     if not F1.supported(plan, bx, allow_periodic_x=True):
@@ -232,6 +240,8 @@ def _real_view(plan):
 
 
 def pair_periodic_supported(plan, bx: int = None) -> bool:
+    if not _no_mirror(plan):
+        return False
     """Envelope: real-pair plan whose ONLY complex coupling is the x
     Bloch phase (arbitrary k_x — oblique-incidence gratings)."""
     if not (getattr(plan, "real_pair", False) and plan.complex_fields):

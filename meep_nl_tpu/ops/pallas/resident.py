@@ -269,6 +269,12 @@ class ResidentKernel:
                 in_specs=in_specs,
                 out_shape=out_shape,
                 input_output_aliases={i: i for i in range(n_state)},
+                compiler_params=pltpu.CompilerParams(
+                    # whole-grid state lives on the kernel "stack": the
+                    # backend's default scoped-vmem limit (16 MB) rejects
+                    # any grid past ~300^2 ("Ran out of memory in memory
+                    # space vmem while allocating on stack")
+                    vmem_limit_bytes=120 * 1024 * 1024),
                 interpret=_interpret(),
             )
             return fn(*state_leaves, *C_list, *xs_list)
@@ -355,6 +361,8 @@ class ResidentKernel:
                 out_specs=out_specs,
                 out_shape=out_shape,
                 input_output_aliases={i: i for i in range(n_state)},
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=120 * 1024 * 1024),
                 interpret=_interpret(),
             )
             res = fn(*state_leaves, *C_list, *xs_list)

@@ -98,6 +98,11 @@ def sharded_supported(plan, n_shards: int, bx: Optional[int] = None,
             return False
     if not F1.supported(plan, bx, allow_periodic_x=allow_periodic_x):
         return False
+    if getattr(plan, "mirror_node", ()):
+        # the boundary-strip recompute primitives (ops/pallas/strip.py)
+        # have no node-mirror ghost support yet; mirrored plans shard on
+        # the jnp SPMD path
+        return False
     S = tuple(plan.storage_shape or plan.gv.shape)
     span = S[0] // n_shards
     if S[0] % n_shards or span % bx or span < 2 * bx:

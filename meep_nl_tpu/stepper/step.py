@@ -98,7 +98,11 @@ def _apply_mask(plan: Plan, C: Dict[str, Any], c: str, arr):
             alive = alive & (io != i)
         shape = [1] * arr.ndim
         shape[ax + off] = n
-        arr = arr * alive.reshape(shape).astype(arr.dtype)
+        # cast BEFORE reshape: inserting a minor dim on a sub-32-bit
+        # (bool) vector fails Mosaic lowering inside the resident kernel
+        # ("Insertion of minor dim that is not a no-op only supported
+        # for 32-bit types")
+        arr = arr * alive.astype(arr.dtype).reshape(shape)
     return arr
 
 NR_ITERS = int(os.environ.get("MNT_NR_ITERS", "4"))

@@ -250,3 +250,36 @@ def test_disp3_chi3_ball():
 def test_disp3_flagship_lorentz_nr():
     """The flagship Lorentz + chi2-Newton combination at depth 3."""
     _compare_disp3(_dplan(with_pol=True, with_nr=True))
+
+
+def _mirror_plan(sx=3):
+    """3D uPML cell folded by a node-aligned y-mirror (phase +1, even
+    cell count) through the public Simulation, so the plan carries the
+    genuine mirror_node fold the production path produces."""
+    import meep_nl_tpu as mp
+    sim = mp.Simulation(
+        cell_size=mp.Vector3(sx, 2, 2), resolution=8,
+        sources=[mp.Source(mp.GaussianSource(frequency=1.0, fwidth=0.5),
+                           component=mp.Ez,
+                           center=mp.Vector3(0.3, 0, 0.2))],
+        boundary_layers=[mp.PML(0.5)],
+        symmetries=[mp.Mirror(mp.Y, phase=+1)])
+    sim.init_sim()
+    plan = sim.plan
+    assert plan.mirror_node, "fold must be node-aligned"
+    plan.slab_opt = True
+    return plan
+
+
+def test_mirror_fold_depth2():
+    """y node-mirror ghost through the fused kernel (VERDICT r3 task 5):
+    the fold's backward-difference ghost at the mirror plane is an
+    in-register row read (fdtd3d.mirror_yz_info), bitwise vs the jnp
+    stepper on the folded cell (which test_symmetry gates against the
+    unfolded full cell)."""
+    _compare(_mirror_plan())
+
+
+def test_mirror_fold_depth3():
+    # wider x so the depth-3 lo/mid/hi call split has room at bx=8
+    _compare_depth3(_mirror_plan(sx=6), nsteps=21)
