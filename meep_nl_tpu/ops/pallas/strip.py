@@ -211,13 +211,41 @@ def d_half_plane(plan, L, x, h_at, h_prev, st, bp):
 def e_assemble_plane(plan, L, x, d_new, d_old, st, bp, new):
     """E_eff at plane x after the D-half: lin = u * D_new plus the
     stored-E W-chain rows (updated into `new`).  `d_old` forms lin_old
-    (the virtual stored lin of the previous step)."""
+    (the virtual stored lin of the previous step).
+
+    Dispersive (pure-ADE) window rows: when the caller ships the plane's
+    polarization state ('p:{pi}:{ec}' entries in `st`), the window rows
+    carry E = u * (D_new - sum P) — the update_eh subtract_P step
+    (update_eh.cpp:122).  No ADE arithmetic crosses the boundary: the
+    pol update itself is pointwise and owned by each shard's kernel, so
+    exchanging P planes is all a straddling Lorentz window needs (the
+    reference's PE/PH internal-data halos, boundaries.cpp:530-573).
+    NL (chi3/chi2-NR) windows still require boundary clearance (their
+    stencils reach across planes)."""
     e_eff: Dict[str, Any] = {}
+    wy = L.win_y if L.disp is not None else None
     for s in plan.eh_specs_e:
         ec = s.ec
         u = bp(f"{ec}:u", x) if s.has_u else None
         lin_new = d_new[s.dc] * u if u is not None else d_new[s.dc]
         lin_old = d_old[s.dc] * u if u is not None else d_old[s.dc]
+        if wy is not None and ec in L.de_comps:
+            wy0, wy1 = wy
+            gs = d_new[s.dc][:, wy0:wy1, :]
+            have_p = False
+            for (pi, _p, comps) in L.pol_entries:
+                if ec in comps and f"p:{pi}:{ec}" in st:
+                    gs = gs - st[f"p:{pi}:{ec}"]
+                    have_p = True
+            if have_p:
+                if u is not None:
+                    u_w = u[:, wy0:wy1, :] \
+                        if getattr(u, "ndim", 0) == 3 and u.shape[1] > 1 \
+                        else u
+                    lin_sub = gs * u_w
+                else:
+                    lin_sub = gs
+                lin_new = lin_new.at[:, wy0:wy1, :].set(lin_sub)
         e_eff[ec] = _w_chain(plan, L, ec, x, lin_new, lin_old, st, bp,
                              new)
     return e_eff

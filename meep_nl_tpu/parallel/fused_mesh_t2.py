@@ -79,7 +79,11 @@ def _strip_keys(plan, L) -> Tuple[List[str], List[Tuple], List[Tuple]]:
 
 def _strip_state_local(plan, L, state, x, fu_pieces, w_pieces):
     """Strip-primitive state dict for LOCAL plane x of the x-uniform
-    compact state (cf. periodicx._strip_state)."""
+    compact state (cf. periodicx._strip_state).  Dispersive plans ship
+    the plane's polarization rows too (x_uniform windows span full x),
+    so the strip E-assembly can subtract P across a shard boundary —
+    the role of the reference's PE/PH internal-data halos
+    (boundaries.cpp:530-573)."""
     st = {}
     for s in plan.curl_specs_b:
         st[f"b:{s.c}"] = state[s.c][x:x + 1]
@@ -93,22 +97,25 @@ def _strip_state_local(plan, L, state, x, fu_pieces, w_pieces):
         arr = state[L.key("eh", ec, side)]
         st[f"w:{ec}:{side}"] = arr[x - (a if ax == 0 else 0):][:1] \
             if ax == 0 else arr[x:x + 1]
+    if L.disp is not None:
+        for (pi, _p, comps) in L.pol_entries:
+            for ec in comps:
+                st[f"p:{pi}:{ec}"] = state[f"p{pi}:{ec}"][x:x + 1]
     return st
 
 
 def _disp_clear_of_boundaries(plan, n_shards: int) -> bool:
-    """Dispersive/NL support (pol sigma, chi2/chi3/nrchi2 boxes) must
-    clear every shard boundary by >= 4 x-planes on both sides: the
-    two-plane boundary strips plus the halo-in-time recompute's one-
-    plane reach are then exactly linear, and the stored-E/P identity
-    rows make the x_uniform widened window exact at the strips."""
+    """NL (chi2/chi3/nrchi2) support must clear every shard boundary by
+    >= 4 x-planes on both sides: the NL stencils consume neighbor-plane
+    dmp data that the boundary strips do not recompute.  Pure-ADE
+    (Lorentz/Drude) windows straddle boundaries freely: their P state
+    rides the strip packages and the strip E-assembly subtracts it
+    (strip.e_assemble_plane; the reference's PE/PH halos,
+    boundaries.cpp:530-573)."""
     boxes = getattr(plan, "support_boxes", None) or {}
     S = tuple(plan.storage_shape or plan.gv.shape)
     span = S[0] // n_shards
     keys = []
-    for pi, p in enumerate(plan.pol_specs_e + plan.pol_specs_h):
-        for (c, d) in p.sigma:
-            keys.append(f"pol{pi}:{c}:{d}")
     for s in plan.eh_specs_e:
         if s.has_chi3:
             keys += [f"{s.ec}:chi3", f"{s.ec}:chi2"]

@@ -143,27 +143,52 @@ def test_sharded_t2_dispersive_nr_chi2():
     _compare(_plan_disp(with_nr=True, src_x=-2.5), 12)
 
 
-def test_sharded_t2_rejects_window_on_boundary():
-    # a pol window straddling the shard-1/2 boundary (x=36) must fall off
+def _plan_disp_straddle(with_nr=False):
+    """Lorentz window [33, 39) straddling the shard-1/2 boundary (x=36
+    of 4 shards x span 18)."""
     from meep_nl_tpu.stepper.plan import PolSpec
-    plan = _plan_disp()
     res, cells = 8.0, (64, 16, 16)
     size = [n / res for n in cells]
     gv = G.GridVolume.create("3d", size, res)
     win = np.zeros(gv.shape)
     win[33:39, 4:12, 4:12] = 1.0
     pols = [PolSpec(field_type="e", omega0=2.0, gamma=0.05,
-                    sigma={("ez", "z"): 0.2 * win})]
+                    sigma={("ex", "x"): 0.2 * win,
+                           ("ey", "y"): 0.2 * win,
+                           ("ez", "z"): 0.2 * win})]
+    nr = {}
+    if with_nr:
+        chi2 = np.zeros(gv.shape)
+        chi2[33:39, 6:10, 6:10] = 0.05
+        nr = {c: chi2 for c in ("ex", "ey", "ez")}
     src_t = mnt.GaussianSource(frequency=1.0, fwidth=0.5)
-    pts = gv.interp_weights("ez", [-1.0, 0.0, 0.0])
+    pts = gv.interp_weights("ez", [-2.5, 0.0, 0.0])
     idx = np.array([p for p, w in pts], np.int32)
     amps = np.array([w for p, w in pts], np.complex128)
-    plan2 = compile_plan(gv, MaterialSpec(chi1inv={}, pols=pols),
-                         pmls=[PMLSpec(d, 0.5) for d in "xyz"],
-                         sources=[SrcVolSpec("ez", idx, amps, src_t)],
-                         pad_to_multiple=(8, 1, 1))
+    plan = compile_plan(gv, MaterialSpec(chi1inv={}, pols=pols,
+                                         nr_chi2=nr),
+                        pmls=[PMLSpec(d, 0.5) for d in "xyz"],
+                        sources=[SrcVolSpec("ez", idx, amps, src_t)],
+                        pad_to_multiple=(8, 1, 1))
+    plan.slab_opt = True
+    return plan
+
+
+def test_sharded_t2_lorentz_straddles_boundary():
+    """Pure-ADE (Lorentz) window STRADDLING a shard boundary runs
+    through the fused t2 driver: the strip packages carry the P planes
+    and the strip E-assembly subtracts them (the reference's PE/PH
+    internal-data halos, boundaries.cpp:530-573; VERDICT r3 task 4)."""
+    plan = _plan_disp_straddle()
     assert sharded_t2_supported(plan, 4)
-    assert not sharded_t2_supported(plan2, 4)
+    _compare(plan, 12)
+
+
+def test_sharded_t2_rejects_nl_window_on_boundary():
+    # the NL (chi2-NR) stencil consumes neighbor-plane dmp data the
+    # strips do not recompute: NL straddling still falls back
+    assert sharded_t2_supported(_plan_disp(with_nr=True, src_x=-2.5), 4)
+    assert not sharded_t2_supported(_plan_disp_straddle(with_nr=True), 4)
 
 
 def test_sharded_t2_conductivity_fold_route():
