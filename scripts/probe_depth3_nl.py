@@ -1,12 +1,18 @@
 """Bisect the depth-3 on-chip FailedPrecondition (round-3 end).
 
-Findings so far (64^3, bx=2, flagship geometry): depth-3 fails for
-pure-ADE, NR-only, and both; depth-2 NL compiled >420s (tunnel-slow).
-The batch's CASE_DISP3 (test_fdtd3d_disp._plan geometry at 128^3,
-default bx) PASSED depth-3 on-chip — so the trigger is a config knob,
-not NL itself.  This probe walks one knob at a time from the passing
-config.  Each case runs in its own subprocess (FailedPrecondition
-poisons the device for the process)."""
+RESOLVED (round 4): prefix-running the call chain isolated the fault to
+the hi-edge call, and entry-ablation inside it to the per-stage `coef2`
+block-indexed BlockSpec entries of the full-grid u operand — two
+block-indexed entries of the SAME operand at sub-sublane bx kill the
+Mosaic dispatch.  Fixed by the cfa one-iteration scratch cache
+(fdtd3d_t2.py): stage 2 reads u from what stage 1 loaded the previous
+iteration, relayed across calls through the package.  bx<8 depth-3
+dispersive now runs clean; the bx>=8 guard is gone.
+
+Round-3 findings (historical): 64^3, bx=2, flagship geometry failed for
+pure-ADE, NR-only, and both; CASE_DISP3 at bx=8 passed — the knob walk
+below found bx to be the trigger.  Each case runs in its own subprocess
+(FailedPrecondition poisons the device for the process)."""
 import os
 import subprocess
 import sys
