@@ -54,8 +54,11 @@ def cycle_structure(plan, t0: int, nsteps: int):
     if len(gaps) and len(set(gaps.tolist())) != 1:
         return None
     d = int(gaps[0]) if len(gaps) else nsteps - int(idx[0])
-    if d < 2:
-        return None                      # no room for a fused stretch
+    if d < 1:
+        return None
+    # d == 1 (every step sampled — the reference disables decimation for
+    # nonlinear media, dft.cpp:195) still runs fused: each cycle is one
+    # 1-step kernel call + the plane-sampled DFT read, ~2x the jnp path
     a0 = int(idx[0])
     prefix = a0 + 1 - d if a0 + 1 >= d else a0 + 1
     ncyc = (nsteps - prefix) // d

@@ -202,3 +202,34 @@ def test_hybrid_plane_dft_engages():
     for (c, x0, x1e, avg, _) in meta:
         # a plane monitor: <= 2 component planes + 1 x-averaging plane
         assert x1e - x0 <= 3
+
+
+def test_hybrid_d1_nonlinear_monitored():
+    """Nonlinear media disable decimation (dft.cpp:195) so every step
+    samples (d=1); the hybrid still runs fused — one 1-step kernel call
+    + plane-DFT read per cycle — instead of falling back to jnp
+    (measured 0.87 -> 3.79 GCells/s on chip at 127^3)."""
+    import meep_nl_tpu as mp
+
+    def build(fused):
+        med = mp.Medium(epsilon=4.0, chi2=0.3)
+        sim = mp.Simulation(
+            cell_size=mp.Vector3(3, 1, 1), resolution=8,
+            geometry=[mp.Block(size=mp.Vector3(0.5, 0.4, 0.4),
+                               center=mp.Vector3(0.3, 0, 0),
+                               material=med)],
+            sources=[mp.Source(mp.GaussianSource(frequency=1.0,
+                                                 fwidth=0.5),
+                               component=mp.Ez,
+                               center=mp.Vector3(-1.0, 0, 0))],
+            boundary_layers=[mp.PML(0.25, direction="x")],
+            use_fused=fused, eps_averaging=False)
+        fl = sim.add_flux(1.0, 0.2, 2,
+                          mp.FluxRegion(center=mp.Vector3(1.0, 0, 0),
+                                        size=mp.Vector3(0, 0.5, 0.5)))
+        sim.run(until=6.0)
+        return np.asarray(sim.get_fluxes(fl)), sim
+
+    (a, sa), (b, _sb) = build(True), build(False)
+    assert all(m.decimation == 1 for m in sa.plan.dfts)
+    np.testing.assert_allclose(a, b, rtol=3e-4)
