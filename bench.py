@@ -19,6 +19,10 @@ import sys
 import time
 
 _T_PROC = time.perf_counter()   # process start, for the re-measure budget
+# max extra re-measure iterations per probe (min-of-k): keeps any single
+# probe from filling the whole suite budget (round-4 failure mode:
+# periodic/pair/resident probes recorded "skipped: budget exhausted")
+_REMEASURE = int(os.environ.get("BENCH_REMEASURE", "3"))
 
 
 def run_resident():
@@ -78,19 +82,22 @@ def run_resident():
     out = ker.run(state, steps, 0)
     _ = fence(out)
     dt_wall = time.perf_counter() - t0
-    deadline = _T_PROC + float(os.environ.get("BENCH_TIMEOUT", "540")) - 60.0
-    while time.perf_counter() + dt_wall * 1.3 < deadline:
+    deadline = _T_PROC + float(os.environ.get("BENCH_TIMEOUT", "540")) - 30.0
+    it = 0
+    while it < _REMEASURE and time.perf_counter() + dt_wall * 1.3 < deadline:
         t0 = time.perf_counter()
         out = ker.run(state, steps, 0)
         _ = fence(out)
         dt_wall = min(dt_wall, time.perf_counter() - t0)
+        it += 1
     cells = cx * cy
     gcells = cells * steps / dt_wall / 1e9
     print(json.dumps({
         "metric": "yee_cell_updates_2d_resident_fp32",
         "value": round(gcells, 3),
         "unit": "GCells/s",
-        "vs_baseline": 0.0,
+        # same >=10 GCells/s per-chip north star (BASELINE.json)
+        "vs_baseline": round(gcells / 10.0, 3),
         "grid": [cx, cy],
         "steps": steps,
         "kernel": "resident",
@@ -138,11 +145,13 @@ def run_monitored():
     t0 = time.perf_counter()
     sim.run(until=steps * dt)
     dt_wall = time.perf_counter() - t0
-    deadline = _T_PROC + float(os.environ.get("BENCH_TIMEOUT", "540")) - 60.0
-    while time.perf_counter() + dt_wall * 1.3 < deadline:
+    deadline = _T_PROC + float(os.environ.get("BENCH_TIMEOUT", "540")) - 30.0
+    it = 0
+    while it < _REMEASURE and time.perf_counter() + dt_wall * 1.3 < deadline:
         t0 = time.perf_counter()
         sim.run(until=steps * dt)
         dt_wall = min(dt_wall, time.perf_counter() - t0)
+        it += 1
     ncell = int(np.prod(cells))
     gcells = ncell * steps / dt_wall / 1e9
     print(json.dumps({
@@ -343,16 +352,18 @@ def run_one():
     _ = fence(state)
     dt_wall = time.perf_counter() - t0
 
-    # tunnel latency is wildly variable: re-measure while the subprocess
-    # timeout budget allows (compile time already consumed counts), and
-    # keep the best (min time)
+    # tunnel latency is wildly variable: re-measure (bounded — min-of-k
+    # rather than budget-filling, so the suite's other probes keep their
+    # slices) and keep the best (min time)
     deadline = _T_PROC + float(os.environ.get(
-        "BENCH_TIMEOUT", "540")) - 60.0
-    while time.perf_counter() + dt_wall * 1.3 < deadline:
+        "BENCH_TIMEOUT", "540")) - 30.0
+    it = 0
+    while it < _REMEASURE and time.perf_counter() + dt_wall * 1.3 < deadline:
         t0 = time.perf_counter()
         state = run_c(state, xs, C)
         _ = fence(state)
         dt_wall = min(dt_wall, time.perf_counter() - t0)
+        it += 1
 
     cells = cx * cy * cz
     gcells = cells * steps / dt_wall / 1e9
@@ -424,26 +435,44 @@ def main():
     def emit():
         print(json.dumps(rec), flush=True)
 
+    # Budget plan: after the vacuum headline, the remaining budget is
+    # split EVENLY across the remaining probes (re-measure loops inside
+    # each probe are bounded, so a probe leaves unused slice time to the
+    # others).  Round-4 failure mode was serial caps summing past the
+    # budget: the last three probes recorded "skipped: budget exhausted".
+    n_after = (2 * (not os.environ.get("BENCH_SKIP_MAT"))
+               + (not os.environ.get("BENCH_SKIP_MONITORED"))
+               + 2 * (not os.environ.get("BENCH_SKIP_PER"))
+               + (not os.environ.get("BENCH_SKIP_RESIDENT")))
+
+    def slice_for(n_left):
+        if n_left <= 0:
+            return left() - 20
+        return max(60.0, (left() - 20) / n_left)
+
     # ---- 1. vacuum ladder (the headline metric) ---------------------
     ladder = os.environ.get(
         "BENCH_LADDER",
         "256,256,256;192,192,192;128,128,128;96,96,96;64,64,64").split(";")
-    # first probe pays compile; give it the larger slice but never the
-    # whole budget
+    # first probe pays compile; give it a larger slice but never starve
+    # the rest of the suite
     for i, grid in enumerate(ladder):
-        cap = min(left() - 30, 300 if i == 0 else 180)
+        cap = min(left() - 30.0 * n_after,
+                  max(120.0, 2.0 * slice_for(n_after + 1)))
         r, err = _probe(grid, cap)
         if r is not None:
             rec.update(r)
             break
         rec["error"] = "vacuum@%s: %s" % (grid, err)
-        if left() < 90:
+        if left() < 60 * n_after:
             break
     emit()
 
+    remaining = [n_after]   # mutable count of probes still to run
+
     def sub(key, grid, cap, extra_env):
         """One merged sub-probe: record value_* or *_error, then emit."""
-        r, err = _probe(grid, min(left() - 20, cap), extra_env)
+        r, err = _probe(grid, min(left() - 10, cap), extra_env)
         if r is not None:
             rec[key + "_value"] = r["value"]
             rec[key + "_grid"] = r["grid"]
@@ -455,39 +484,49 @@ def main():
         emit()
         return r is not None
 
+    def take_slice():
+        s = slice_for(remaining[0])
+        remaining[0] = max(0, remaining[0] - 1)
+        return s
+
     # ---- 2. flagship material (eps ball + Lorentz + chi2-Newton: the
     # physics this fork exists for, BASELINE configs 3-5) --------------
     mgrid = os.environ.get("BENCH_MAT_GRID", "128,128,128")
     if not os.environ.get("BENCH_SKIP_MAT"):
         # depth ladder: deepest schedule first; FailedPrecondition-class
-        # dispatch failures fail fast, so fallbacks are cheap
+        # dispatch failures fail fast, so fallbacks are cheap.  The
+        # whole ladder shares ONE budget slice.
+        t_end = time.perf_counter() + take_slice()
         for mdepth in (None, "2", "1"):
             env = {"BENCH_MAT": "1"}
             if mdepth:
                 env["MNT_T2_DEPTH"] = mdepth
-            if sub("material", mgrid, 240, env):
+            if sub("material", mgrid, t_end - time.perf_counter(), env):
                 break
+        t_end = time.perf_counter() + take_slice()
         for mdepth in (None, "2", "1"):
             env = {"BENCH_MAT": "pol"}
             if mdepth:
                 env["MNT_T2_DEPTH"] = mdepth
-            if sub("lorentz", mgrid, 240, env):
+            if sub("lorentz", mgrid, t_end - time.perf_counter(), env):
                 break
     # ---- 3. monitored production run (flux DFT, public Simulation API,
     # in-kernel DFT rides the fused step) ------------------------------
     if not os.environ.get("BENCH_SKIP_MONITORED"):
         sub("monitored", os.environ.get("BENCH_MON_GRID", "128,128,128"),
-            240, {"BENCH_MONITORED": "1"})
+            take_slice(), {"BENCH_MONITORED": "1"})
     # ---- 4. periodic grating class -----------------------------------
     if not os.environ.get("BENCH_SKIP_PER"):
         pgrid = os.environ.get("BENCH_PER_GRID", "128,128,128")
-        sub("periodic", pgrid, 180, {"BENCH_PERIODIC": "1"})
-        sub("bloch_pair", pgrid, 180, {"BENCH_PERIODIC": "k"})
+        sub("periodic", pgrid, take_slice(), {"BENCH_PERIODIC": "1"})
+        sub("bloch_pair", pgrid, take_slice(), {"BENCH_PERIODIC": "k"})
     # ---- 5. 2D VMEM-resident kernel ----------------------------------
     if not os.environ.get("BENCH_SKIP_RESIDENT"):
+        t_end = time.perf_counter() + take_slice()
         for rgrid in os.environ.get("BENCH_RESIDENT_LADDER",
-                                    "768,768;512,512").split(";"):
-            if sub("resident2d", rgrid, 150, {"BENCH_RESIDENT": "1"}):
+                                    "1024,1024;768,768;512,512").split(";"):
+            if sub("resident2d", rgrid, t_end - time.perf_counter(),
+                   {"BENCH_RESIDENT": "1"}):
                 break
     emit()
 

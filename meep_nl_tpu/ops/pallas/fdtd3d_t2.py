@@ -150,6 +150,12 @@ def supported(plan, bx: int = None, depth: int = 2) -> bool:
     # bisected to the per-stage coef2 block entries of the full-grid u
     # operand; the middle stage now reads u from the cfa one-iteration
     # scratch cache instead, and bx < 8 runs clean on the real backend.
+    # Folded-cond chain1 coefs (kap/sig/siginv) still keep per-stage
+    # block-indexed entries of the same operand, so a depth-3 dispersive
+    # plan with a folded chain must run at bx >= 8 (fall back to depth 2
+    # otherwise) — the fault class is sub-sublane-bx specific.
+    if folded and disp and depth == 3 and bx < 8:
+        return False
     L = _Layout(plan, bx)
     if disp and depth == 3 and L.nl_specs and bx < 2:
         # the NL (chi2-Newton/chi3) next-plane rebuild consumes e_eff

@@ -240,10 +240,10 @@ def _real_view(plan):
 
 
 def pair_periodic_supported(plan, bx: int = None) -> bool:
-    if not _no_mirror(plan):
-        return False
     """Envelope: real-pair plan whose ONLY complex coupling is the x
     Bloch phase (arbitrary k_x — oblique-incidence gratings)."""
+    if not _no_mirror(plan):
+        return False
     if not (getattr(plan, "real_pair", False) and plan.complex_fields):
         return False
     if plan.gv.dim != "3d" or not plan.periodic[0]:

@@ -221,7 +221,15 @@ def e_assemble_plane(plan, L, x, d_new, d_old, st, bp, new):
     exchanging P planes is all a straddling Lorentz window needs (the
     reference's PE/PH internal-data halos, boundaries.cpp:530-573).
     NL (chi3/chi2-NR) windows still require boundary clearance (their
-    stencils reach across planes)."""
+    stencils reach across planes).
+
+    `lin_old` window rows subtract the PREVIOUS step's polarization
+    ('pp:{pi}:{ec}' entries, = the reference's pp array): the previous
+    E-assembly used the then-current P (now pp), so a stored-E
+    (sigma_w) row inside the window reconstructs its virtual old lin as
+    u * (D_old - sum pp) — without this, a straddling window that
+    overlaps an eh_store row at a boundary plane would feed the W chain
+    an un-subtracted old lin."""
     e_eff: Dict[str, Any] = {}
     wy = L.win_y if L.disp is not None else None
     for s in plan.eh_specs_e:
@@ -231,21 +239,26 @@ def e_assemble_plane(plan, L, x, d_new, d_old, st, bp, new):
         lin_old = d_old[s.dc] * u if u is not None else d_old[s.dc]
         if wy is not None and ec in L.de_comps:
             wy0, wy1 = wy
+            if u is not None:
+                u_w = u[:, wy0:wy1, :] \
+                    if getattr(u, "ndim", 0) == 3 and u.shape[1] > 1 \
+                    else u
             gs = d_new[s.dc][:, wy0:wy1, :]
-            have_p = False
+            gs_old = d_old[s.dc][:, wy0:wy1, :]
+            have_p = have_pp = False
             for (pi, _p, comps) in L.pol_entries:
                 if ec in comps and f"p:{pi}:{ec}" in st:
                     gs = gs - st[f"p:{pi}:{ec}"]
                     have_p = True
+                if ec in comps and f"pp:{pi}:{ec}" in st:
+                    gs_old = gs_old - st[f"pp:{pi}:{ec}"]
+                    have_pp = True
             if have_p:
-                if u is not None:
-                    u_w = u[:, wy0:wy1, :] \
-                        if getattr(u, "ndim", 0) == 3 and u.shape[1] > 1 \
-                        else u
-                    lin_sub = gs * u_w
-                else:
-                    lin_sub = gs
+                lin_sub = gs * u_w if u is not None else gs
                 lin_new = lin_new.at[:, wy0:wy1, :].set(lin_sub)
+            if have_pp:
+                lin_sub_old = gs_old * u_w if u is not None else gs_old
+                lin_old = lin_old.at[:, wy0:wy1, :].set(lin_sub_old)
         e_eff[ec] = _w_chain(plan, L, ec, x, lin_new, lin_old, st, bp,
                              new)
     return e_eff

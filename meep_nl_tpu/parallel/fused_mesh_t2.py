@@ -101,6 +101,7 @@ def _strip_state_local(plan, L, state, x, fu_pieces, w_pieces):
         for (pi, _p, comps) in L.pol_entries:
             for ec in comps:
                 st[f"p:{pi}:{ec}"] = state[f"p{pi}:{ec}"][x:x + 1]
+                st[f"pp:{pi}:{ec}"] = state[f"pp{pi}:{ec}"][x:x + 1]
     return st
 
 

@@ -105,16 +105,21 @@ def _apply_mask(plan: Plan, C: Dict[str, Any], c: str, arr):
         arr = arr * alive.astype(arr.dtype).reshape(shape)
     return arr
 
-NR_ITERS = int(os.environ.get("MNT_NR_ITERS", "4"))
-# Newton from the linear seed contracts quadratically with ratio
-# r = chi2 E / eps (the relative NL correction): after k steps the
-# error is ~ r^(2^k).  Even at r = 0.3 — far beyond the perturbative
-# regime where chi2 FDTD is meaningful — 4 steps give r^16 ~ 4e-9,
-# below fp32 roundoff (the reference iterates adaptively to 1e-8,
-# newton_raphson.cpp:30; a fixed count keeps the TPU kernel
-# branchless).  Gated by test_nonlinear.py::test_nr_iteration_margin
-# (4 vs 16 iterations agree to fp32 roundoff on the SHG config);
-# MNT_NR_ITERS overrides for stronger-than-physical chi2.
+def _nr_iters() -> int:
+    """Newton iteration count, read lazily so MNT_NR_ITERS set after
+    import is honored at the next trace (already-jitted runners keep
+    their baked count — clear jit caches to re-trace).
+
+    Newton from the linear seed contracts quadratically with ratio
+    r = chi2 E / eps (the relative NL correction): after k steps the
+    error is ~ r^(2^k).  Even at r = 0.3 — far beyond the perturbative
+    regime where chi2 FDTD is meaningful — 4 steps give r^16 ~ 4e-9,
+    below fp32 roundoff (the reference iterates adaptively to 1e-8,
+    newton_raphson.cpp:30; a fixed count keeps the TPU kernel
+    branchless).  Gated by test_nonlinear.py::test_nr_iteration_margin
+    (4 vs 16 iterations agree to fp32 roundoff on the SHG config);
+    MNT_NR_ITERS overrides for stronger-than-physical chi2."""
+    return int(os.environ.get("MNT_NR_ITERS", "4"))
 
 
 # ---------------------------------------------------------------------------
@@ -674,7 +679,7 @@ def _nr_solve(A_own, A_1, A_2, eps, chi2, seed_own, seed_1, seed_2):
         A_1   = eps*y + chi2*x*z
         A_2   = eps*z + chi2*x*y
 
-    Fixed NR_ITERS Newton iterations with an analytic 3x3 solve; replaces the
+    Fixed _nr_iters() Newton iterations with an analytic 3x3 solve; replaces the
     reference's data-dependent loop (<=500 iters, tol 1e-8) with a
     TPU-friendly branchless form.  Where chi2 == 0, returns the linear seed.
     """
@@ -704,7 +709,7 @@ def _nr_solve(A_own, A_1, A_2, eps, chi2, seed_own, seed_1, seed_2):
         # delta solves M delta = -F ; J = -M  =>  x -= J^-1 F  == x += M^-1 F
         return (x + dx, y + dy, z + dz)
 
-    x, y, z = jax.lax.fori_loop(0, NR_ITERS, body, (x, y, z))
+    x, y, z = jax.lax.fori_loop(0, _nr_iters(), body, (x, y, z))
     live = chi2 != 0
     return (jnp.where(live, x, seed_own),
             jnp.where(live, y, seed_1),

@@ -184,6 +184,36 @@ def test_sharded_t2_lorentz_straddles_boundary():
     _compare(plan, 12)
 
 
+def test_sharded_t2_straddle_window_overlaps_pml_store():
+    """Straddling Lorentz window whose y-rows reach INTO the y-PML
+    sigma_w slab: the strip E-assembly's lin_old must subtract the
+    previous-step P (the pp rows ride the strip packages) on the
+    stored-E rows, or the W chain at the boundary planes uses an
+    un-subtracted virtual old lin (ADVICE r4)."""
+    from meep_nl_tpu.stepper.plan import PolSpec
+    res, cells = 8.0, (64, 16, 16)
+    size = [n / res for n in cells]
+    gv = G.GridVolume.create("3d", size, res)
+    win = np.zeros(gv.shape)
+    win[33:39, 1:12, 4:12] = 1.0     # y in [1,12): inside the y-PML slab
+    pols = [PolSpec(field_type="e", omega0=2.0, gamma=0.05,
+                    sigma={("ex", "x"): 0.2 * win,
+                           ("ey", "y"): 0.2 * win,
+                           ("ez", "z"): 0.2 * win})]
+    src_t = mnt.GaussianSource(frequency=1.0, fwidth=0.5)
+    pts = gv.interp_weights("ez", [-2.5, 0.0, 0.0])
+    idx = np.array([p for p, w in pts], np.int32)
+    amps = np.array([w for p, w in pts], np.complex128)
+    plan = compile_plan(gv, MaterialSpec(chi1inv={}, pols=pols),
+                        pmls=[PMLSpec(d, 0.5) for d in "xyz"],
+                        sources=[SrcVolSpec("ez", idx, amps, src_t)],
+                        pad_to_multiple=(8, 1, 1))
+    plan.slab_opt = True
+    if not sharded_t2_supported(plan, 4):
+        pytest.skip("window-in-PML outside the t2 envelope")
+    _compare(plan, 12)
+
+
 def test_sharded_t2_rejects_nl_window_on_boundary():
     # the NL (chi2-NR) stencil consumes neighbor-plane dmp data the
     # strips do not recompute: NL straddling still falls back

@@ -4,6 +4,8 @@ full-tensor chi2 Newton-Raphson E-from-D inversion.
 Analogs: tests/harmonics.cpp, python/tests/test_3rd_harm_1d.py, and
 newton_raphson.cpp's coupled quadratic system."""
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -137,12 +139,15 @@ def test_nr_iteration_margin():
     seeds = (A1 / eps, A2 / eps, A3 / eps)
 
     def solve(iters):
-        old = S.NR_ITERS
-        S.NR_ITERS = iters
+        old = os.environ.get("MNT_NR_ITERS")
+        os.environ["MNT_NR_ITERS"] = str(iters)
         try:
             return S._nr_solve(A1, A2, A3, eps, chi2, *seeds)
         finally:
-            S.NR_ITERS = old
+            if old is None:
+                os.environ.pop("MNT_NR_ITERS", None)
+            else:
+                os.environ["MNT_NR_ITERS"] = old
 
     x4, y4, z4 = [np.asarray(v) for v in solve(4)]
     x24, y24, z24 = [np.asarray(v) for v in solve(24)]
