@@ -110,16 +110,16 @@ def _nr_iters() -> int:
     import is honored at the next trace (already-jitted runners keep
     their baked count — clear jit caches to re-trace).
 
-    Newton from the linear seed contracts quadratically with ratio
-    r = chi2 E / eps (the relative NL correction): after k steps the
-    error is ~ r^(2^k).  Even at r = 0.3 — far beyond the perturbative
-    regime where chi2 FDTD is meaningful — 4 steps give r^16 ~ 4e-9,
-    below fp32 roundoff (the reference iterates adaptively to 1e-8,
-    newton_raphson.cpp:30; a fixed count keeps the TPU kernel
+    Newton from the PERTURBATIVE seed (error O(r^2) in r = chi2 E/eps,
+    the relative NL correction) contracts quadratically: after k steps
+    the error is ~ r^(2^(k+1)).  Even at r = 0.3 — far beyond the
+    perturbative regime where chi2 FDTD is meaningful — 3 steps give
+    r^16 ~ 4e-9, below fp32 roundoff (the reference iterates adaptively
+    to 1e-8, newton_raphson.cpp:30; a fixed count keeps the TPU kernel
     branchless).  Gated by test_nonlinear.py::test_nr_iteration_margin
-    (4 vs 16 iterations agree to fp32 roundoff on the SHG config);
+    (3 vs 24 iterations agree to fp32 roundoff on the SHG config);
     MNT_NR_ITERS overrides for stronger-than-physical chi2."""
-    return int(os.environ.get("MNT_NR_ITERS", "4"))
+    return int(os.environ.get("MNT_NR_ITERS", "3"))
 
 
 # ---------------------------------------------------------------------------
@@ -679,11 +679,27 @@ def _nr_solve(A_own, A_1, A_2, eps, chi2, seed_own, seed_1, seed_2):
         A_1   = eps*y + chi2*x*z
         A_2   = eps*z + chi2*x*y
 
-    Fixed _nr_iters() Newton iterations with an analytic 3x3 solve; replaces the
-    reference's data-dependent loop (<=500 iters, tol 1e-8) with a
-    TPU-friendly branchless form.  Where chi2 == 0, returns the linear seed.
+    Fixed _nr_iters() Newton iterations with an analytic 3x3 solve from a
+    FIRST-ORDER PERTURBATIVE seed; replaces the reference's
+    data-dependent loop (<=500 iters, tol 1e-8) with a TPU-friendly
+    branchless form.  The seed x0 = (A - chi2 y0 z0)/eps (y0/z0 the
+    linear values) has error O(r^2) in r = chi2 E/eps, so with the
+    quadratic Newton contraction e_{k+1} ~ e_k^2 the default THREE
+    iterations reach r^16 — the same guarantee the previous linear-seed
+    4-iteration default had, one 3x3 solve cheaper (the solve is >half
+    the flagship material's step cost on TPU).  Where chi2 == 0,
+    returns the linear seed.
     """
-    x, y, z = seed_own, seed_1, seed_2
+    # perturbative seed (one multiply-chain per component)
+    ueff = 1.0 / jnp.where(eps == 0, 1.0, eps)
+    sx = A_own * ueff
+    sy = A_1 * ueff
+    sz = A_2 * ueff
+    cu = chi2 * ueff
+    x = sx - cu * sy * sz
+    y = sy - cu * sx * sz
+    z = sz - cu * sx * sy
+    aa = eps * eps                    # loop-invariant
 
     def body(i, xyz):
         x, y, z = xyz
@@ -694,15 +710,16 @@ def _nr_solve(A_own, A_1, A_2, eps, chi2, seed_own, seed_1, seed_2):
         a, b_, c_, d_ = eps, chi2 * z, chi2 * y, chi2 * x
         # solve J * delta = F with J = -M, M symmetric:
         # M = [[a, b, c], [b, a, d], [c, d, a]]
-        det = a * (a * a - d_ * d_) - b_ * (b_ * a - d_ * c_) + c_ * (b_ * d_ - a * c_)
+        b2, c2, d2 = b_ * b_, c_ * c_, d_ * d_
+        det = a * (aa - b2 - c2 - d2) + 2.0 * (b_ * c_ * d_)
         det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
         rdet = 1.0 / det               # one reciprocal, three multiplies
-        i00 = a * a - d_ * d_
+        i00 = aa - d2
         i01 = c_ * d_ - b_ * a
         i02 = b_ * d_ - c_ * a
-        i11 = a * a - c_ * c_
+        i11 = aa - c2
         i12 = c_ * b_ - a * d_
-        i22 = a * a - b_ * b_
+        i22 = aa - b2
         dx = (i00 * F1 + i01 * F2 + i02 * F3) * rdet
         dy = (i01 * F1 + i11 * F2 + i12 * F3) * rdet
         dz = (i02 * F1 + i12 * F2 + i22 * F3) * rdet

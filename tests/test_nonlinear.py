@@ -122,10 +122,11 @@ def test_nr_chi2_zero_matches_linear():
 
 
 def test_nr_iteration_margin():
-    """The fixed 4-step Newton default reaches fp32 roundoff up to an
-    NL correction chi2 E / eps ~ 0.2 — far beyond physical chi2 FDTD
-    operating points: 4 vs 24 iterations agree to fp32 eps and satisfy
-    the quadratic system (the reference's adaptive 1e-8 tolerance,
+    """The fixed 3-step Newton default (from the perturbative seed,
+    error O(r^2)) reaches fp32 roundoff up to an NL correction
+    chi2 E / eps ~ 0.2 — far beyond physical chi2 FDTD operating
+    points: 3 vs 24 iterations agree to fp32 eps and satisfy the
+    quadratic system (the reference's adaptive 1e-8 tolerance,
     newton_raphson.cpp:30).  Beyond ~0.3 Newton fails to converge at
     ANY iteration count (the coupled quadratic loses its perturbative
     root), so extra fixed iterations buy nothing there either."""
@@ -149,15 +150,15 @@ def test_nr_iteration_margin():
             else:
                 os.environ["MNT_NR_ITERS"] = old
 
-    x4, y4, z4 = [np.asarray(v) for v in solve(4)]
+    x3, y3, z3 = [np.asarray(v) for v in solve(3)]
     x24, y24, z24 = [np.asarray(v) for v in solve(24)]
     # ratio check: this configuration is genuinely strong
     ratio = float(chi2[0, 0] * abs(x24[0, 0]) / eps[0, 0])
     assert ratio > 0.15, ratio
-    for a, b in ((x4, x24), (y4, y24), (z4, z24)):
+    for a, b in ((x3, x24), (y3, y24), (z3, z24)):
         np.testing.assert_allclose(a, b, rtol=3e-7, atol=3e-7)
-    # residual of the quadratic system at the 4-iter solution
-    r1 = np.abs(eps * x4 + chi2 * y4 * z4 - A1).max()
-    r2 = np.abs(eps * y4 + chi2 * x4 * z4 - A2).max()
-    r3 = np.abs(eps * z4 + chi2 * x4 * y4 - A3).max()
+    # residual of the quadratic system at the 3-iter solution
+    r1 = np.abs(eps * x3 + chi2 * y3 * z3 - A1).max()
+    r2 = np.abs(eps * y3 + chi2 * x3 * z3 - A2).max()
+    r3 = np.abs(eps * z3 + chi2 * x3 * y3 - A3).max()
     assert max(r1, r2, r3) < 5e-7, (r1, r2, r3)
