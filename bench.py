@@ -440,7 +440,7 @@ def main():
     # each probe are bounded, so a probe leaves unused slice time to the
     # others).  Round-4 failure mode was serial caps summing past the
     # budget: the last three probes recorded "skipped: budget exhausted".
-    n_after = (2 * (not os.environ.get("BENCH_SKIP_MAT"))
+    n_after = (3 * (not os.environ.get("BENCH_SKIP_MAT"))
                + (not os.environ.get("BENCH_SKIP_MONITORED"))
                + 2 * (not os.environ.get("BENCH_SKIP_PER"))
                + (not os.environ.get("BENCH_SKIP_RESIDENT")))
@@ -509,6 +509,15 @@ def main():
             if mdepth:
                 env["MNT_T2_DEPTH"] = mdepth
             if sub("lorentz", mgrid, t_end - time.perf_counter(), env):
+                break
+        # big-grid flagship (scaling probe; 224^3 pads z to 256 lanes =
+        # 14% dead compute vs 33% at 192^3, and its depth-3 bx=2
+        # schedule fits VMEM after the round-5 scratch diet)
+        t_end = time.perf_counter() + take_slice()
+        for bgrid in os.environ.get("BENCH_MAT_BIG",
+                                    "224,224,224;192,192,192").split(";"):
+            if sub("material_big", bgrid, t_end - time.perf_counter(),
+                   {"BENCH_MAT": "1"}):
                 break
     # ---- 3. monitored production run (flux DFT, public Simulation API,
     # in-kernel DFT rides the fused step) ------------------------------

@@ -478,8 +478,24 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
             folded_chain |= {f"{s.c}:kap", f"{s.c}:sig", f"{s.c}:siginv"}
 
     xblocked: Dict[str, bool] = {}
+    coefw_slices: Dict[str, Tuple[Any, ...]] = {}
     for k in coef_keys:
         arr = C0[k]
+        if (disp and k in disp_coef_keys and arr.ndim == 3
+                and arr.shape == tuple(S)):
+            # dispersive material coefs (pol sigma / nreps / nrchi2 /
+            # chi3 / chi2) are consumed on WINDOW rows only (cwin*):
+            # ship them window-compact — x-range [db0*bx, db1*bx) with
+            # clipped block indexing (like the P/de state), y-range
+            # [wy0, wy1) — instead of (bx, Y, Z) full-plane windows
+            xblocked[k] = "win"
+            coefw_slices[k] = (slice(b0 * bx, (b0 + nd) * bx),
+                               slice(wy0, wy1), slice(None))
+            in_entries.append(("coefw", k, pl.BlockSpec(
+                (bx, Yw, Z),
+                lambda i: (jnp.clip(s1map(i) - b0, 0, nd - 1), 0, 0),
+                memory_space=pltpu.VMEM)))
+            continue
         if arr.ndim == 3 and arr.shape == tuple(S):
             # full-grid (u / folded chain1): non-final stages need the
             # full block at their own block (they assemble E_eff for the
@@ -818,6 +834,26 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
          if n.split(":")[0] in ("p1", "pp1", "de1", "cfw", "cfu",
                                 "dmp1", "dmp2", "dmpM", "p2", "pp2",
                                 "de2", "cfw2", "cfu2")]
+    # cross-iteration (ping-pong, 2-slot) package scratch: everything
+    # except the in-order read-then-write carries and the long-lived
+    # periodic wrap plane (see the kernel-body comment).  In interpret
+    # mode (CPU tests) the dynamic slot indexing is ~7x slower per op,
+    # so the semantically-equivalent whole-package snapshot path is used
+    # instead — MNT_T2_PP_FORCE=1 forces ping-pong for the interpret
+    # exactness gate that validates the slot indexing itself
+    # (test_fdtd3d_t2.py::test_pingpong_slots_interpret).
+    pp_mode = (not _interpret_mode()
+               or bool(int(os.environ.get("MNT_T2_PP_FORCE", "0"))))
+    # Coefficient caches (cfw/cfu/cfa and their second-level relays) are
+    # pure functions of the iteration's coef windows, so their writes
+    # are DEFERRED to the end of the body (after every read): in-order
+    # single-slot scratch with no extra liveness — they need neither
+    # slots nor snapshots.
+    pp_set = {n for (n, _shp) in scratch_entries
+              if n.split(":")[0] not in ("c1", "wrape1", "dmp1", "dmp2",
+                                         "dmpM", "cfw", "cfu", "cfa",
+                                         "cfw2", "cfu2")} if pp_mode \
+        else set()
 
     n_in = len(in_entries)
     mask_info = {c: _plane_lists(plan, c)
@@ -868,6 +904,48 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
             else:
                 xsel3 = (i >= s2_x0 + 1)
 
+        # ---- ping-pong package scratch --------------------------------
+        # Each cross-iteration package array carries a leading slot dim
+        # of 2: iteration i WRITES slot i%2 and READS slot 1-i%2 (the
+        # previous iteration's values).  The old design snapshotted every
+        # package into SSA values at the top of the body, which kept
+        # ~35 block-sized vectors live across the whole kernel — Mosaic's
+        # register allocator spilled them all to VMEM (61.7 MB of spill
+        # slots at 192^3, plus a full copy of every package per
+        # iteration).  Slot-indexed lazy reads at the use sites remove
+        # both the spill liveness and the copies.  In-order read-then-
+        # write carries (c1, dmp*) and the long-lived wrape1 plane stay
+        # single-slot.
+        if pp_mode:
+            par = jax.lax.rem(i, 2)
+
+            def ppr(name):
+                """Previous iteration's package value (single-slot names
+                are written at body end, so a direct read is in-order)."""
+                if name not in pp_set:
+                    return sc[name][...]
+                return sc[name][pl.ds(1 - par, 1)][0]
+
+            def ppw(name, val):
+                """Write this iteration's package value."""
+                if name not in pp_set:
+                    sc[name][...] = val
+                    return
+                sc[name][pl.ds(par, 1)] = val[None]
+
+            def ppc(name):
+                """This iteration's (just-written) package value."""
+                if name not in pp_set:
+                    return sc[name][...]
+                return sc[name][pl.ds(par, 1)][0]
+
+        def init_pp(name, val, shp):
+            """i==0 init of a package entry so i==0 readers see `val`."""
+            if name in pp_set:
+                sc[name][1:2] = val.reshape((1,) + shp)
+            else:
+                sc[name][...] = val
+
         if first:
             @pl.when(i == 0)
             def _():
@@ -880,28 +958,43 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                             byname[("pkg", f"wrapc1:{g}")][...]
                     else:
                         sc[f"c1:{g}"][...] = jnp.zeros((1, Y, Z), dtype)
-                    sc[f"c2:{g}"][...] = jnp.zeros((1, Y, Z), dtype)
+                    init_pp(f"c2:{g}", jnp.zeros((1, Y, Z), dtype),
+                            (1, Y, Z))
                     if depth == 3:
-                        sc[f"c3:{g}"][...] = jnp.zeros((1, Y, Z), dtype)
+                        init_pp(f"c3:{g}", jnp.zeros((1, Y, Z), dtype),
+                                (1, Y, Z))
                 for name, shp in disp_zero:
-                    sc[name][...] = jnp.zeros(shp, dtype)
+                    init_pp(name, jnp.zeros(shp, dtype), shp)
         else:
             @pl.when(i == 0)
             def _():
-                for name, _shp in pkg_names:
-                    sc[name][...] = byname[("pkg", name)][...]
+                # i == 0 readers consume slot 1 (1 - 0%2)
+                for name, shp in pkg_names:
+                    init_pp(name, byname[("pkg", name)][...], shp)
                 for name, shp in disp_zero:
-                    sc[name][...] = jnp.zeros(shp, dtype)
+                    init_pp(name, jnp.zeros(shp, dtype), shp)
 
-        # snapshot ALL trailing-block packages BEFORE any stage overwrites
-        prev = {name: sc[name][...] for name, _shp in pkg_names}
-        for _fk, key in x_here.items():
-            prev[f"xaux1:{key}"] = sc[f"xaux1:{key}"][...]
-            if depth == 3:
-                prev[f"xaux2:{key}"] = sc[f"xaux2:{key}"][...]
-        for name, _shp in disp_zero:
-            if not name.startswith("dmp"):       # dmp carries: in-order rw
-                prev[name] = sc[name][...]
+        if not pp_mode:
+            # interpret-mode fallback: snapshot ALL trailing-block
+            # packages into SSA values BEFORE any stage overwrites
+            # (the pre-round-5 design; exact but register-hungry)
+            _snap = {name: sc[name][...] for name, _shp in pkg_names}
+            for _fk, key in x_here.items():
+                _snap[f"xaux1:{key}"] = sc[f"xaux1:{key}"][...]
+                if depth == 3:
+                    _snap[f"xaux2:{key}"] = sc[f"xaux2:{key}"][...]
+            for name, _shp in disp_zero:
+                if not name.startswith("dmp"):
+                    _snap[name] = sc[name][...]
+
+            def ppr(name):
+                return _snap[name]
+
+            def ppw(name, val):
+                sc[name][...] = val
+
+            def ppc(name):
+                return sc[name][...]
 
         xoff0 = byname[("xs", "xoff")][0, 0] if dyn_xoff else 0
 
@@ -911,6 +1004,8 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
         def coef1(k):
             if xblocked[k] == "dyn":
                 return _dynblk(k, s1map(i))
+            if xblocked[k] == "win":
+                return byname[("coefw", k)][...]
             return byname[("coef1" if xblocked[k] else "coef", k)][...]
 
         def coef2(k):
@@ -1392,7 +1487,7 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
             return byname[("state", key)][...]
 
         def aux_put1(key, is_x, val, pred):
-            sc[("xaux1:" if is_x else "aux1:") + key][...] = val
+            ppw(("xaux1:" if is_x else "aux1:") + key, val)
 
         def f_old1(c):
             return byname[("state", c)][...]
@@ -1471,17 +1566,11 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
         if disp:
             for (pi2, p2, comps) in pol_entries:
                 for c in comps:
-                    sc[f"p1:{pi2}:{c}"][...] = pnew1[(pi2, c)]
-                    sc[f"pp1:{pi2}:{c}"][...] = \
-                        byname[("state", f"p{pi2}:{c}")][...]
+                    ppw(f"p1:{pi2}:{c}", pnew1[(pi2, c)])
+                    ppw(f"pp1:{pi2}:{c}",
+                        byname[("state", f"p{pi2}:{c}")][...])
             for ec in L.de_comps:
-                sc[f"de1:{ec}"][...] = lin_sub1[ec]
-            for k in cfw_keys:
-                a_ = coef1(k)
-                sc[f"cfw:{k}"][...] = \
-                    a_[:, wy0:wy1, :] if a_.shape[1] == Y else a_
-            for k in cfu_keys:
-                sc[f"cfu:{k}"][...] = coef1(k)
+                ppw(f"de1:{ec}", lin_sub1[ec])
             for dc2, lst in pol_by_dc.items():
                 tot = None
                 for (pi2, c2c) in lst:
@@ -1490,13 +1579,11 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                 ps1_q[dc2] = sel(dsel1, tot,
                                  jnp.zeros((1, Yw, Z), dtype))
         for s in curls_d:
-            sc[f"d1:{s.c}"][...] = new_d1[s.c]
+            ppw(f"d1:{s.c}", new_d1[s.c])
         for s in curls_b:
-            sc[f"b1:{s.c}"][...] = new_b1[s.c]
+            ppw(f"b1:{s.c}", new_b1[s.c])
         for s in ehs_e:
-            sc[f"e1:{s.ec}"][...] = e1_eff[s.ec]
-        for k in cfa_keys:
-            sc[f"cfa:{k}"][...] = coef1(k)
+            ppw(f"e1:{s.ec}", e1_eff[s.ec])
 
         zero_pl = jnp.zeros((1, Y, Z), dtype)
         if periodic is not None:
@@ -1512,10 +1599,16 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
             def _():
                 # stage-2's in-register forward diff at plane num-1
                 # reads the dead plane num of the e1 scratch: overwrite
-                # its row with the wrapped ghost ph * E1(0)
+                # its row (in THIS iteration's slot, which stage-2 reads
+                # next iteration) with the wrapped ghost ph * E1(0)
                 for s in ehs_e:
-                    sc[f"e1:{s.ec}"][row_wrap:row_wrap + 1] = \
-                        ph_w * sc[f"wrape1:{s.ec}"][...]
+                    if pp_mode:
+                        sc[f"e1:{s.ec}"][pl.ds(par, 1),
+                                         row_wrap:row_wrap + 1] = \
+                            (ph_w * sc[f"wrape1:{s.ec}"][...])[None]
+                    else:
+                        sc[f"e1:{s.ec}"][row_wrap:row_wrap + 1] = \
+                            ph_w * sc[f"wrape1:{s.ec}"][...]
 
         # stage-1 produced e1_eff for block s1map(i); its first plane is the
         # forward halo of the NEXT stage (zero past the last real block;
@@ -1539,15 +1632,15 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                         for ec in e1_eff}
 
         def aux_get2(key, is_x):
-            return prev[("xaux1:" if is_x else "aux1:") + key]
+            return ppr(("xaux1:" if is_x else "aux1:") + key)
 
         def f_old2_d(c):
-            return prev[f"d1:{c}"]
+            return ppr(f"d1:{c}")
 
         def f_old2_b(c):
-            return prev[f"b1:{c}"]
+            return ppr(f"b1:{c}")
 
-        e1p_eff = {s.ec: prev[f"e1:{s.ec}"] for s in ehs_e}
+        e1p_eff = {s.ec: ppr(f"e1:{s.ec}") for s in ehs_e}
 
         if depth == 3:
             # ========== MIDDLE STAGE (step 2) on block s2map(i) ==========
@@ -1556,7 +1649,7 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
             gx2m = s2map(i) * bx + xoff0
 
             def aux_put2sc(key, is_x, val, pred):
-                sc[("xaux2:" if is_x else "aux2:") + key][...] = val
+                ppw(("xaux2:" if is_x else "aux2:") + key, val)
 
             def u2(ec):
                 spec_ = L.eh_by_ec[ec]
@@ -1564,7 +1657,7 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                     return None
                 uk = f"{ec}:u"
                 if uk in cfa_keys:
-                    return prev[f"cfa:{uk}"]
+                    return ppr(f"cfa:{uk}")
                 return coef2(uk)
 
             new_b2 = curl_half(curls_b, e1p_eff, e1_first, False, gx2m,
@@ -1572,12 +1665,12 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                                xsel2m, src_jobs2, 1)
             h2_eff = eh_full(ehs_h, new_b2, f_old2_b, aux_get2, aux_put2sc,
                              coef2, lambda ec: None, xsel2m)
-            c2_prev = {g: prev[f"c2:{g}"] for g in carry_keys}
+            c2_prev = {g: ppr(f"c2:{g}") for g in carry_keys}
             for g in carry_keys:
                 v = h2_eff[g][bx - 1:bx]
                 if first:
                     v = sel(i == 0, zero_pl, v)
-                sc[f"c2:{g}"][...] = v
+                ppw(f"c2:{g}", v)
             new_d2 = curl_half(curls_d, h2_eff, c2_prev, True, gx2m, coef2,
                                f_old2_d, aux_get2, aux_put2sc, xsel2m,
                                src_jobs2, 1)
@@ -1590,7 +1683,7 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                 # ago; window coefs ride the cfw/cfu one-iteration caches
                 def cwin2m(k):
                     if k in cfw_keys:
-                        return prev[f"cfw:{k}"]
+                        return ppr(f"cfw:{k}")
                     a = coef2(k)     # handles full/x-blocked/dyn coefs
                     return a[:, wy0:wy1, :] if a.shape[1] == Y else a
 
@@ -1600,11 +1693,11 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                         return None
                     uk = f"{ec}:u"
                     if uk in cfu_keys:
-                        return win(prev[f"cfu:{uk}"])
+                        return win(ppr(f"cfu:{uk}"))
                     a = coef2(uk)
                     return a[:, wy0:wy1, :] if a.shape[1] == Y else a
 
-                de_old2m = {ec: prev[f"de1:{ec}"] for ec in de_set}
+                de_old2m = {ec: ppr(f"de1:{ec}") for ec in de_set}
                 # NL next-plane rebuild from stage-1's THIS-iteration
                 # in-register results (stage-1's block IS the middle
                 # stage's next block) — the same relation nl_next2
@@ -1613,8 +1706,8 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                                       ps1_q) if nl_fwd else {}
                 lin_sub2m, pnew2m = disp_dhalf(
                     new_d2,
-                    lambda pi2, c: prev[f"p1:{pi2}:{c}"],
-                    lambda pi2, c: prev[f"pp1:{pi2}:{c}"],
+                    lambda pi2, c: ppr(f"p1:{pi2}:{c}"),
+                    lambda pi2, c: ppr(f"pp1:{pi2}:{c}"),
                     de_old2m, cwin2m, uwin2m, "dmpM", dmp_next2m)
             e2_eff = eh_full(ehs_e, new_d2, f_old2_d, aux_get2, aux_put2sc,
                              coef2, u2, xsel2m, ov_new=lin_sub2m,
@@ -1623,14 +1716,10 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
             if disp:
                 for (pi2, p2, comps) in pol_entries:
                     for c in comps:
-                        sc[f"p2:{pi2}:{c}"][...] = pnew2m[(pi2, c)]
-                        sc[f"pp2:{pi2}:{c}"][...] = prev[f"p1:{pi2}:{c}"]
+                        ppw(f"p2:{pi2}:{c}", pnew2m[(pi2, c)])
+                        ppw(f"pp2:{pi2}:{c}", ppr(f"p1:{pi2}:{c}"))
                 for ec in L.de_comps:
-                    sc[f"de2:{ec}"][...] = lin_sub2m[ec]
-                for k in cfw_keys:
-                    sc[f"cfw2:{k}"][...] = prev[f"cfw:{k}"]
-                for k in cfu_keys:
-                    sc[f"cfu2:{k}"][...] = prev[f"cfu:{k}"]
+                    ppw(f"de2:{ec}", lin_sub2m[ec])
                 for dc2, lst in pol_by_dc.items():
                     tot = None
                     for (pi2, c2c) in lst:
@@ -1639,11 +1728,11 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                     ps2_q[dc2] = sel(dsel2, tot,
                                      jnp.zeros((1, Yw, Z), dtype))
             for s_ in curls_d:
-                sc[f"d2:{s_.c}"][...] = new_d2[s_.c]
+                ppw(f"d2:{s_.c}", new_d2[s_.c])
             for s_ in curls_b:
-                sc[f"b2:{s_.c}"][...] = new_b2[s_.c]
+                ppw(f"b2:{s_.c}", new_b2[s_.c])
             for s_ in ehs_e:
-                sc[f"e2:{s_.ec}"][...] = e2_eff[s_.ec]
+                ppw(f"e2:{s_.ec}", e2_eff[s_.ec])
 
         # ================= FINAL STAGE =================================
         if depth == 3:
@@ -1671,7 +1760,7 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
             czero = (i == 0)
 
         def aux_getF(key, is_x):
-            return prev[(FX if is_x else FA) + key]
+            return ppr((FX if is_x else FA) + key)
 
         def aux_put2(key, is_x, val, pred):
             if pred is False:
@@ -1690,17 +1779,17 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                     outname[("state", key)][...] = val
 
         def f_oldF_d(c):
-            return prev[f"d{FP}:{c}"]
+            return ppr(f"d{FP}:{c}")
 
         def f_oldF_b(c):
-            return prev[f"b{FP}:{c}"]
+            return ppr(f"b{FP}:{c}")
 
-        eFp_eff = {s.ec: prev[f"e{FP}:{s.ec}"] for s in ehs_e}
+        eFp_eff = {s.ec: ppr(f"e{FP}:{s.ec}") for s in ehs_e}
         new_bF = curl_half(curls_b, eFp_eff, eF_first, False, gx2, coefF,
                            f_oldF_b, aux_getF, aux_put2, xselF, jobsF, rowF)
         hF_eff = eh_full(ehs_h, new_bF, f_oldF_b, aux_getF, aux_put2, coefF,
                          lambda ec: None, xselF)
-        cF_prev = {g: prev[f"{FC}:{g}"] for g in carry_keys}
+        cF_prev = {g: ppr(f"{FC}:{g}") for g in carry_keys}
         for g in carry_keys:
             v = hF_eff[g][bx - 1:bx]
             if first:
@@ -1710,7 +1799,7 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                 v0 = byname[("pkg", f"wrapc2:{g}")][...] \
                     if (periodic is not None or edge_pkg) else zero_pl
                 v = sel(czero, v0, v)
-            sc[f"{FC}:{g}"][...] = v
+            ppw(f"{FC}:{g}", v)
         new_dF = curl_half(curls_d, hF_eff, cF_prev, True, gx2, coefF,
                            f_oldF_d, aux_getF, aux_put2, xselF, jobsF, rowF)
 
@@ -1724,7 +1813,7 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
 
             def cwin2(k):
                 if k in cfw_keys:
-                    return prev[f"{CW}:{k}"]
+                    return ppr(f"{CW}:{k}")
                 a = coefX(k)         # handles full/x-blocked/dyn coefs
                 return a[:, wy0:wy1, :] if a.shape[1] == Y else a
 
@@ -1734,17 +1823,17 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                     return None
                 uk = f"{ec}:u"
                 if uk in cfu_keys:
-                    return win(prev[f"{CU}:{uk}"])
+                    return win(ppr(f"{CU}:{uk}"))
                 a = coefX(uk)
                 return a[:, wy0:wy1, :] if a.shape[1] == Y else a
 
             def p_get2(pi2, c):
-                return prev[f"p{PD}:{pi2}:{c}"]
+                return ppr(f"p{PD}:{pi2}:{c}")
 
             def pp_get2(pi2, c):
-                return prev[f"pp{PD}:{pi2}:{c}"]
+                return ppr(f"pp{PD}:{pi2}:{c}")
 
-            de_old2 = {ec: prev[f"de{PD}:{ec}"] for ec in de_set}
+            de_old2 = {ec: ppr(f"de{PD}:{ec}") for ec in de_set}
             # NL next-plane rebuild from the immediately-upstream stage's
             # THIS-iteration results (its block is this stage's next
             # block): stage-1's at depth 2, the MIDDLE stage's at depth 3
@@ -1764,7 +1853,7 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                         outname[("state", f"p{pi2}:{c}")][...] = \
                             pnew2[(pi2, c)]
                         outname[("state", f"pp{pi2}:{c}")][...] = \
-                            prev[f"p{PD}:{pi2}:{c}"]
+                            ppr(f"p{PD}:{pi2}:{c}")
                 for ec in L.de_comps:
                     outname[("state", f"de:{ec}")][...] = lin_sub2[ec]
 
@@ -1778,12 +1867,12 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                 continue
             ax, lor, hir = L.eh_store[s.ec]
             d2 = new_dF[s.dc]
-            d1 = prev[f"d{FP}:{s.dc}"]
+            d1 = ppr(f"d{FP}:{s.dc}")
             dispc = disp and s.ec in de_set
             if dispc:
                 uk = f"{s.ec}:u"
                 if uk in cfu_keys:
-                    u_f = prev[f"{CU}:{uk}"]
+                    u_f = ppr(f"{CU}:{uk}")
                 elif s.has_u:
                     u_f = coefX(uk)
                 else:
@@ -1791,7 +1880,7 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                 l2f = d2 * u_f if u_f is not None else d2
                 l1f = d1 * u_f if u_f is not None else d1
                 lin2f = overlay_win(l2f, lin_sub2[s.ec])
-                lin1f = overlay_win(l1f, prev[f"de{PD}:{s.ec}"])
+                lin1f = overlay_win(l1f, ppr(f"de{PD}:{s.ec}"))
             if ax == 0:
                 key = x_here.get(f"eh:{s.ec}")
                 if key is None:
@@ -1802,13 +1891,13 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                 lin1 = d1 * useg if useg is not None else d1
                 kw = coefF(f"{s.ec}:kapw")
                 sw = coefF(f"{s.ec}:sigw")
-                e_new = prev[f"{FX}{key}"] + (kw + sw) * lin2 \
+                e_new = ppr(f"{FX}{key}") + (kw + sw) * lin2 \
                     - (kw - sw) * lin1
                 if dispc:
                     # x_uniform x-stores span the window rows: the chain
                     # must see the overlaid (true-E) lin there (mirrors
                     # the y/z slab branch below)
-                    e_disp = prev[f"{FX}{key}"] + (kw + sw) * lin2f \
+                    e_disp = ppr(f"{FX}{key}") + (kw + sw) * lin2f \
                         - (kw - sw) * lin1f
                     e_new = sel(dselF, e_disp, e_new)
                 aux_put2(key, True, e_new, xselF)
@@ -1824,9 +1913,9 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                 l1 = d1[slq] * useg if useg is not None else d1[slq]
                 kw = byname[("coefslab", f"{s.ec}:kapw@{side}")][...]
                 sw = byname[("coefslab", f"{s.ec}:sigw@{side}")][...]
-                e_new = prev[f"{FA}{key}"] + (kw + sw) * l2 - (kw - sw) * l1
+                e_new = ppr(f"{FA}{key}") + (kw + sw) * l2 - (kw - sw) * l1
                 if dispc:
-                    e_disp = prev[f"{FA}{key}"] \
+                    e_disp = ppr(f"{FA}{key}") \
                         + (kw + sw) * lin2f[slq] - (kw - sw) * lin1f[slq]
                     e_new = sel(dselF, e_disp, e_new)
                 aux_put2(key, False, e_new, True)
@@ -1839,11 +1928,32 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                 def _(c=c, v=v):
                     outname[("state", c)][...] = v
 
+        # ---- deferred coefficient-cache writes (single-slot, in-order:
+        # every read of these happened above, so writing the NEW values
+        # last makes the plain scratch carry previous-iteration data
+        # without slots or snapshots).  Order matters: the second-level
+        # relays read the first level's OLD value.
+        if disp and depth == 3:
+            for k in cfw_keys:
+                ppw(f"cfw2:{k}", ppr(f"cfw:{k}"))
+            for k in cfu_keys:
+                ppw(f"cfu2:{k}", ppr(f"cfu:{k}"))
+        if disp:
+            for k in cfw_keys:
+                a_ = coef1(k)
+                ppw(f"cfw:{k}",
+                    a_[:, wy0:wy1, :] if a_.shape[1] == Y else a_)
+            for k in cfu_keys:
+                ppw(f"cfu:{k}", coef1(k))
+        for k in cfa_keys:
+            ppw(f"cfa:{k}", coef1(k))
+
         if not last:
             @pl.when(i == grid - 1)
             def _():
                 for name, _shp in pkg_names:
-                    outname[("pkgo", name)][...] = sc[name][...]
+                    outname[("pkgo", name)][...] = \
+                        ppc(name) if name in pp_set else sc[name][...]
 
     # ---------------- wrapper ----------------------------------------------
     in_specs = [spec for (_, _, spec) in in_entries]
@@ -1872,6 +1982,8 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                 args.append(halos[key])
             elif tag in ("coef", "coef1", "coef2", "coef3"):
                 args.append(C[key])
+            elif tag == "coefw":
+                args.append(C[key][coefw_slices[key]])
             elif tag == "coefslab":
                 ckey, sl = coefslab_slices[key]
                 args.append(C[ckey][sl])
@@ -1897,11 +2009,13 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
             out_specs=out_specs,
             out_shape=out_shapes,
             input_output_aliases=aliases,
-            scratch_shapes=[pltpu.VMEM(shp, dtype)
+            scratch_shapes=[pltpu.VMEM(((2,) + shp) if _n in pp_set
+                                       else shp, dtype)
                             for (_n, shp) in scratch_entries],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
-                vmem_limit_bytes=120 * 1024 * 1024),
+                vmem_limit_bytes=int(os.environ.get(
+                    "MNT_T2_VMEM_MB", "127")) * 1024 * 1024),
             interpret=bool(int(os.environ.get("MNT_PALLAS_INTERPRET", "0"))),
         )(*args)
         new_state = dict(state)

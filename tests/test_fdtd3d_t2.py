@@ -252,6 +252,20 @@ def test_disp3_flagship_lorentz_nr():
     _compare_disp3(_dplan(with_pol=True, with_nr=True))
 
 
+def test_pingpong_slots_interpret():
+    """The hardware path's ping-pong (2-slot) package scratch indexing,
+    forced in interpret mode (MNT_T2_PP_FORCE=1), is exact vs the jnp
+    stepper on the flagship depth-3 dispersive plan — the gate for the
+    slot arithmetic itself (interpret tests otherwise run the
+    semantically-equivalent snapshot fallback for speed)."""
+    os.environ["MNT_T2_PP_FORCE"] = "1"
+    try:
+        _compare_disp3(_dplan(with_pol=True, with_nr=True))
+        _compare(_plan("xyz"), nsteps=8)
+    finally:
+        del os.environ["MNT_T2_PP_FORCE"]
+
+
 def _mirror_plan(sx=3):
     """3D uPML cell folded by a node-aligned y-mirror (phase +1, even
     cell count) through the public Simulation, so the plan carries the
