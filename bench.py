@@ -126,15 +126,30 @@ def run_monitored():
     cells = (nx - 1, ny - 1, nz - 1)
     size = [n / res for n in cells]
     fcen = 1.0
+    # "nl" variant: the flagship material ball (eps=4 + Lorentz pole +
+    # chi2-NR) under a flux monitor — NL media disable DFT decimation
+    # (dft.cpp:195), so every step samples (d=1) and the run exercises
+    # the capture kernel's in-kernel DFT plane emission
+    mat_nl = os.environ.get("BENCH_MONITORED") == "nl"
+    geometry = []
+    if mat_nl:
+        med = mp.Medium(epsilon=4.0, chi2=0.05, E_susceptibilities=[
+            mp.LorentzianSusceptibility(frequency=2.0, gamma=0.05,
+                                        sigma=0.2)])
+        geometry = [mp.Sphere(radius=min(size) / 4.0, material=med)]
     sim = mp.Simulation(
         cell_size=mp.Vector3(*size), resolution=res,
+        geometry=geometry, eps_averaging=False,
         sources=[mp.Source(mp.GaussianSource(frequency=fcen, fwidth=0.4),
                            component=mp.Ez,
-                           center=mp.Vector3(-size[0] * 0.25, 0, 0))],
+                           center=mp.Vector3(-size[0] * 0.35 if mat_nl
+                                             else -size[0] * 0.25, 0,
+                                             0))],
         boundary_layers=[mp.PML(0.5)],
         use_fused=True)
     sim.add_flux(fcen, 0.2, 3,
-                 mp.FluxRegion(center=mp.Vector3(size[0] * 0.25, 0, 0),
+                 mp.FluxRegion(center=mp.Vector3(
+                     size[0] * (0.35 if mat_nl else 0.25), 0, 0),
                                size=mp.Vector3(0, size[1] * 0.4,
                                                size[2] * 0.4)))
     dt = sim.dt
@@ -155,13 +170,14 @@ def run_monitored():
     ncell = int(np.prod(cells))
     gcells = ncell * steps / dt_wall / 1e9
     print(json.dumps({
-        "metric": "yee_cell_updates_3d_monitored_flux_fp32",
+        "metric": ("yee_cell_updates_3d_monitored_nl_fp32" if mat_nl
+                   else "yee_cell_updates_3d_monitored_flux_fp32"),
         "value": round(gcells, 3),
         "unit": "GCells/s",
         "vs_baseline": round(gcells / 10.0, 3),
         "grid": list(cells),
         "steps": steps,
-        "kernel": "hybrid",
+        "kernel": "hybrid-capture" if mat_nl else "hybrid",
     }))
 
 
@@ -441,7 +457,7 @@ def main():
     # others).  Round-4 failure mode was serial caps summing past the
     # budget: the last three probes recorded "skipped: budget exhausted".
     n_after = (3 * (not os.environ.get("BENCH_SKIP_MAT"))
-               + (not os.environ.get("BENCH_SKIP_MONITORED"))
+               + 2 * (not os.environ.get("BENCH_SKIP_MONITORED"))
                + 2 * (not os.environ.get("BENCH_SKIP_PER"))
                + (not os.environ.get("BENCH_SKIP_RESIDENT")))
 
@@ -524,6 +540,10 @@ def main():
     if not os.environ.get("BENCH_SKIP_MONITORED"):
         sub("monitored", os.environ.get("BENCH_MON_GRID", "128,128,128"),
             take_slice(), {"BENCH_MONITORED": "1"})
+        # monitored flagship material (d=1 capture-kernel cycles)
+        sub("monitored_nl", os.environ.get("BENCH_MON_GRID",
+                                           "128,128,128"),
+            take_slice(), {"BENCH_MONITORED": "nl"})
     # ---- 4. periodic grating class -----------------------------------
     if not os.environ.get("BENCH_SKIP_PER"):
         pgrid = os.environ.get("BENCH_PER_GRID", "128,128,128")

@@ -182,7 +182,8 @@ def _plane_lists(plan, c):
 def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                  first: bool, last: bool, s1_xn: Any, s2_x0: Any,
                  depth: int = 2, disp: bool = False, periodic=None,
-                 dyn_xoff: bool = False, edge_pkg: bool = False):
+                 dyn_xoff: bool = False, edge_pkg: bool = False,
+                 cap=None):
     """One fused-2-step pallas call: step-1 on blocks [b0, b1), step-2 on
     blocks [b0-1, b1-1) (+ block b1-1 itself when `last`, via one extra
     iteration).
@@ -855,6 +856,28 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                                          "cfw2", "cfu2")} if pp_mode \
         else set()
 
+    # ---- DFT capture jobs: emit stage-s effective-field planes -------
+    # For d=1 monitored runs (NL media disable DFT decimation,
+    # dft.cpp:195-216), the hybrid needs E/H at EVERY intermediate step
+    # of the fused sweep.  Each capture (stage s, comp, global plane x)
+    # is owned by exactly one call: stage s's live pass over block
+    # bm = x // bx happens at iteration bm - b0 + (s-1) of that call
+    # (coverage [b0 - (s-1), b1 - (s-1)) interior, clamped at the
+    # first/last call).  The plane is written to a dedicated (1, Y, Z)
+    # output, predicated on the iteration (in-kernel dft.cpp:265
+    # sampling without materializing intermediate full states).
+    cap_jobs: List[Tuple[int, str, int, int, str]] = []
+    for (s_, comp_, x_) in (cap or []):
+        bm = x_ // bx
+        lo_ok = bm >= b0 if (first or s_ == 1) else bm >= b0 - (s_ - 1)
+        hi_ok = bm < b1 if (last or s_ == 1) else bm < b1 - (s_ - 1)
+        ic = bm - b0 + (s_ - 1)
+        if lo_ok and hi_ok and 0 <= ic < grid:
+            name = f"cap:{s_}:{comp_}:{x_}"
+            out_entries.append(("cap", name, pl.BlockSpec(
+                (1, Y, Z), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)))
+            cap_jobs.append((s_, comp_, x_ - bm * bx, ic, name))
+
     n_in = len(in_entries)
     mask_info = {c: _plane_lists(plan, c)
                  for c in [s.c for s in curls_b + curls_d]}
@@ -1060,6 +1083,20 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                 dsel2 = False
         else:
             dsel1 = dsel2 = dselF = False
+
+        def cap_write(stage, e_eff_d, h_eff_d):
+            """Emit this stage's captured DFT planes (cap_jobs owned by
+            this call and stage), predicated on the owning iteration."""
+            for (s_, comp_, xr, ic, name) in cap_jobs:
+                if s_ != stage:
+                    continue
+                src_d = e_eff_d if comp_[0] == "e" else h_eff_d
+                if src_d is None or comp_ not in src_d:
+                    continue
+
+                @pl.when(i == ic)
+                def _(v=src_d[comp_][xr:xr + 1], name=name):
+                    outname[("cap", name)][...] = v
 
         def apply_mask(c, val, gx0):
             xpl, ypl, zpl = mask_info[c]
@@ -1584,6 +1621,7 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
             ppw(f"b1:{s.c}", new_b1[s.c])
         for s in ehs_e:
             ppw(f"e1:{s.ec}", e1_eff[s.ec])
+        cap_write(1, e1_eff, h1_eff)
 
         zero_pl = jnp.zeros((1, Y, Z), dtype)
         if periodic is not None:
@@ -1733,6 +1771,7 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                 ppw(f"b2:{s_.c}", new_b2[s_.c])
             for s_ in ehs_e:
                 ppw(f"e2:{s_.ec}", e2_eff[s_.ec])
+            cap_write(2, e2_eff, h2_eff)
 
         # ================= FINAL STAGE =================================
         if depth == 3:
@@ -1800,6 +1839,7 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
                     if (periodic is not None or edge_pkg) else zero_pl
                 v = sel(czero, v0, v)
             ppw(f"{FC}:{g}", v)
+        cap_write(depth, None, hF_eff)
         new_dF = curl_half(curls_d, hF_eff, cF_prev, True, gx2, coefF,
                            f_oldF_d, aux_getF, aux_put2, xselF, jobsF, rowF)
 
@@ -1999,6 +2039,8 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
             if tag == "pkgo":
                 out_shapes.append(jax.ShapeDtypeStruct(pkg_shapes[key],
                                                        dtype))
+            elif tag == "cap":
+                out_shapes.append(jax.ShapeDtypeStruct((1, Y, Z), dtype))
             else:
                 out_shapes.append(jax.ShapeDtypeStruct(
                     tuple(state[key].shape), state[key].dtype))
@@ -2021,7 +2063,7 @@ def _build_call2(L: "_Layout", b0: int, b1: int, edge_side: str,
         new_state = dict(state)
         pkg_out = {}
         for (tag, key, _), v in zip(out_entries, outs):
-            if tag == "pkgo":
+            if tag in ("pkgo", "cap"):
                 pkg_out[key] = v
             else:
                 new_state[key] = v
@@ -2044,7 +2086,7 @@ class Fdtd3dT2Kernel:
     Fdtd3dKernel (fdtd3d.py), so conversion helpers are shared."""
 
     def __init__(self, plan, bx: int = None, z_full: bool = None,
-                 depth: int = None):
+                 depth: int = None, cap_planes=None):
         if depth is None:
             depth = int(os.environ.get("MNT_T2_DEPTH", "2"))
         bx = _pick_bx(plan, bx, depth)
@@ -2080,11 +2122,22 @@ class Fdtd3dT2Kernel:
             segs.append((mid0, hi0, "", 0, None, False))
         if hi0 < nblk:
             segs.append((hi0, nblk, "hi", nblk - hi0, 1, False))
+        # DFT capture planes: E comps at stages 1..depth-1 (the final
+        # step's E is read from the post-call state), H comps at every
+        # stage (h_eff is materialized in all of them)
+        self.cap_planes = sorted(set(cap_planes or []))
+        cap_exp = []
+        for (comp, x) in self.cap_planes:
+            stages = range(1, depth) if comp[0] == "e" \
+                else range(1, depth + 1)
+            for s_ in stages:
+                cap_exp.append((s_, comp, int(x)))
         calls = []
         for k, (b0, b1, side, s1_xn, s2_x0, dsp) in enumerate(segs):
             calls.append(_build_call2(L, b0, b1, side, k == 0,
                                       k == len(segs) - 1, s1_xn, s2_x0,
-                                      depth=depth, disp=dsp))
+                                      depth=depth, disp=dsp,
+                                      cap=cap_exp))
         self.calls = calls
         self.halo_keys = sorted({g for c in calls for g in c.halo_keys})
         self.nlh_keys = sorted({k for c in calls for k in c.nlh_keys})
@@ -2114,6 +2167,31 @@ class Fdtd3dT2Kernel:
             return {**state, "t": state["t"] + depth}
 
         return step2
+
+    def make_capture_step(self):
+        """(state, x_rows, C) -> (state advanced `depth` steps,
+        {cap:{s}:{comp}:{x}: (1, Y, Z) stage-s effective-field plane}).
+        Requires cap_planes at construction."""
+        depth = self.depth
+
+        def step2c(state, x_pair, C):
+            halos = compute_halos(self.L, self.bx, self.halo_keys, state,
+                                  C)
+            if self.nlh_keys:
+                halos = {**halos, **compute_nl_halos(
+                    self.L, self.bx, self.nlh_keys, state, C)}
+            xscal = {k: jnp.asarray(x_pair[k],
+                                    self.plan.dtype).reshape(depth, 1)
+                     for k in self.xs_keys}
+            pkg: Dict[str, Any] = {}
+            caps: Dict[str, Any] = {}
+            for call in self.calls:
+                state, pkg = call(state, halos, pkg, C, xscal)
+                caps.update({k: v for k, v in pkg.items()
+                             if k.startswith("cap:")})
+            return {**state, "t": state["t"] + depth}, caps
+
+        return step2c
 
     def run(self, state, nsteps: int, t0: int = 0, unroll: int = 2):
         from ...stepper.step import build_xs

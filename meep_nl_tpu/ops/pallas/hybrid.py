@@ -317,16 +317,11 @@ def _dft_plane_meta(plan, L):
     return meta
 
 
-def _fv_planes(plan, L, C, comp_state, meta_mi):
-    """Region-sliced, centered-averaged monitor values assembled from
-    the kernel's COMPACT state: E_eff/H_eff on the monitor's x-planes
-    only (fused_mesh.e_eff_plane — overlays included, identical to
-    to_full's view), so the DFT cycle never reconstructs the grid."""
-    from ...parallel.fused_mesh import e_eff_plane
+def _fv_from_planes(plan, planes, meta_mi):
+    """Region-sliced, centered-averaged monitor values from a list of
+    already-assembled effective-field x-planes."""
     from ...stepper.step import _sh
     c, x0, x1e, avg, sl_yz = meta_mi
-    planes = [e_eff_plane(plan, L, comp_state, C, c, x)
-              for x in range(x0, x1e)]
     sub = planes[0] if len(planes) == 1 else jnp.concatenate(planes, 0)
     if 0 in avg:                    # dft.cpp:277 avg along x: gathered
         sub = 0.5 * (sub[:-1] + sub[1:])   # one extra plane above
@@ -334,6 +329,108 @@ def _fv_planes(plan, L, C, comp_state, meta_mi):
         if ax != 0:                 # in-plane axes: full extent, exact
             sub = 0.5 * (sub + _sh(plan, sub, ax, +1))
     return sub[(slice(None),) + sl_yz]
+
+
+def _fv_planes(plan, L, C, comp_state, meta_mi):
+    """Region-sliced, centered-averaged monitor values assembled from
+    the kernel's COMPACT state: E_eff/H_eff on the monitor's x-planes
+    only (fused_mesh.e_eff_plane — overlays included, identical to
+    to_full's view), so the DFT cycle never reconstructs the grid."""
+    from ...parallel.fused_mesh import e_eff_plane
+    c, x0, x1e, avg, sl_yz = meta_mi
+    planes = [e_eff_plane(plan, L, comp_state, C, c, x)
+              for x in range(x0, x1e)]
+    return _fv_from_planes(plan, planes, meta_mi)
+
+
+def _capture_run(plan, ker, deep, k1, plane_meta, state, xs_cyc, ncyc,
+                 cache, C):
+    """d == 1 monitored stretch through the CAPTURE kernel: supercycles
+    of `deep.depth` steps per fused sweep, with every intermediate
+    step's monitor planes emitted by the kernel itself (in-kernel
+    dft.cpp:265 sampling) and the final step's E planes assembled from
+    the post-sweep compact state.  Returns the runner's full-state
+    output (caller merges + handles the suffix)."""
+    from . import fdtd3d_t2 as _T2
+    from ...parallel.fused_mesh import e_eff_plane
+    from ...stepper.step import _dft_update
+
+    dd = deep.depth
+    nsuper = ncyc // dd
+    tail = ncyc - nsuper * dd
+    cap_planes = sorted({(m[0], x) for m in plane_meta
+                         for x in range(m[1], m[2])})
+    capker = getattr(plan, "_cap_kernel", None)
+    if capker is None or capker.depth != dd \
+            or capker.cap_planes != sorted(cap_planes):
+        capker = plan._cap_kernel = _T2.Fdtd3dT2Kernel(
+            plan, ker.bx, depth=dd, cap_planes=cap_planes)
+    runner_c = cache.get(("cap", dd, ncyc))
+    if runner_c is None:
+        stepC = capker.make_capture_step()
+        step1 = ker._k1.make_step()
+
+        def runner(full_state, xs_sup, xs_tail, C):
+            comp0 = ker.from_full(full_state)
+            aux = {k: v for k, v in full_state.items()
+                   if k not in ("f", "f_u", "f_w", "f_cond", "t")}
+
+            def body(carry, xc):
+                comp, dft = carry
+                comp, caps = stepC(comp, xc, C)
+                for u in range(1, dd + 1):
+                    x_u = {k: xc[k][u - 1] for k in xc}
+
+                    def fv_of(mi, m, u=u, comp=comp, caps=caps):
+                        c, x0, x1e, avg, sl_yz = plane_meta[mi]
+                        if c[0] == "h" or u < dd:
+                            planes = [caps[f"cap:{u}:{c}:{x}"]
+                                      for x in range(x0, x1e)]
+                        else:
+                            # final step's E: read from the advanced
+                            # compact state (same view to_full builds)
+                            planes = [e_eff_plane(plan, k1.L, comp, C,
+                                                  c, x)
+                                      for x in range(x0, x1e)]
+                        return _fv_from_planes(plan, planes,
+                                               plane_meta[mi])
+
+                    dft = _dft_update(plan, C, {"dft": dft}, x_u,
+                                      fv_of=fv_of)["dft"]
+                return (comp, dft), None
+
+            def tbody(carry, x1):
+                comp, dft = carry
+                comp = step1(comp, {k: v for k, v in x1.items()
+                                    if k in ker._k1.xs_keys}, C)
+                dft = _dft_update(
+                    plan, C, {"dft": dft}, x1,
+                    fv_of=lambda mi, m, comp=comp: _fv_planes(
+                        plan, k1.L, C, comp, plane_meta[mi]))["dft"]
+                return (comp, dft), None
+
+            carry = (comp0, full_state["dft"])
+            if nsuper:
+                carry, _ = jax.lax.scan(body, carry, xs_sup,
+                                        length=nsuper)
+            if tail:
+                carry, _ = jax.lax.scan(tbody, carry, xs_tail,
+                                        length=tail)
+            comp, dft = carry
+            full = ker.to_full(comp, C)
+            full["dft"] = dft
+            for k, v in aux.items():
+                if k not in full:
+                    full[k] = v
+            return full
+
+        runner_c = cache[("cap", dd, ncyc)] = jax.jit(runner)
+    rows = {k: np.asarray(v).reshape((ncyc,) + np.asarray(v).shape[2:])
+            for k, v in xs_cyc.items()}
+    xs_sup = {k: v[:nsuper * dd].reshape((nsuper, dd) + v.shape[1:])
+              for k, v in rows.items()}
+    xs_tail = {k: v[nsuper * dd:] for k, v in rows.items()}
+    return runner_c(state, xs_sup, xs_tail, C)
 
 
 def hybrid_run(plan, state: Dict[str, Any], nsteps: int, t0: int
@@ -473,6 +570,32 @@ def _hybrid_run_inner(plan, state: Dict[str, Any], nsteps: int, t0: int
                   if k1 is not None and hasattr(k1, "L")
                   and os.environ.get("MNT_HYBRID_PLANE_DFT", "1") == "1"
                   else None)
+
+    # ---- d == 1 supercycles: in-kernel DFT plane capture -------------
+    # NL media disable decimation (dft.cpp:195-216) so EVERY step
+    # samples; without capture each cycle degenerates to one 1-step
+    # kernel call.  The capture kernel advances `depth` steps per fused
+    # sweep and emits every intermediate stage's monitor planes as
+    # dedicated outputs (dft.cpp:265 inside step.cpp:127), keeping the
+    # deep temporal fusion for monitored nonlinear runs.
+    from . import fdtd3d_t2 as _T2
+    deep = ker.k3 if getattr(ker, "k3", None) is not None else ker
+    use_cap = (d == 1 and plane_meta is not None
+               and isinstance(ker, _T2.Fdtd3dT2Kernel)
+               and os.environ.get("MNT_HYBRID_CAPTURE", "1") == "1"
+               and getattr(deep, "depth", 1) >= 2
+               and ncyc >= getattr(deep, "depth", 1))
+    if use_cap:
+        out = _capture_run(plan, ker, deep, k1, plane_meta, state,
+                           xs_cyc, ncyc, cache, C)
+        keep = ["f", "f_u", "f_w", "dft"] + (["pol"] if out.get("pol")
+                                             else [])
+        state = {**state, **{k: out[k] for k in keep}, "t": out["t"]}
+        t += ncyc * d
+        if suffix:
+            state = jnp_run(plan, state, suffix, t0=t)
+        return state
+
     runner_c = cache.get((d, ncyc))
     if runner_c is None:
         step2 = ker.make_fused_step()

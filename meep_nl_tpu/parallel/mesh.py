@@ -222,6 +222,28 @@ def sharded_run(plan: Plan, mesh: Mesh, state: Dict[str, Any], nsteps: int,
                         from ..ops.pallas.condfold import resync_cond_state
                         out = resync_cond_state(plan, out)
                     return out
+            elif run_plan is not None and not plan.dfts and nsteps >= 2:
+                # outside the strip-recompute envelope (NL window or
+                # source ON a shard boundary, boundary-straddling
+                # dispersive support): the ghost-zone driver runs the
+                # plain kernel over overlap halos — the reference's
+                # unconditional chunk ghost zones (boundaries.cpp)
+                from .fused_mesh_t2 import (ShardedFdtd3dT2Ghost,
+                                            sharded_t2_ghost_supported)
+                if sharded_t2_ghost_supported(run_plan, n):
+                    sk = ShardedFdtd3dT2Ghost(run_plan, mesh)
+                    _log_path_once(plan, type(sk).__name__)
+                    comp = sk.from_full(state)
+                    comp = sk.run(comp, nsteps, t0=t0)
+                    full = jax.jit(sk.to_full)(comp)
+                    keep = ["f", "f_u", "f_w"] \
+                        + (["pol"] if full.get("pol") else [])
+                    out = {**state, **{k: full[k] for k in keep},
+                           "t": full["t"]}
+                    if has_cond:
+                        from ..ops.pallas.condfold import resync_cond_state
+                        out = resync_cond_state(plan, out)
+                    return out
         except Exception as e:                 # noqa: BLE001
             _log_path_once(plan, "jnp GSPMD fallback",
                            f"{type(e).__name__}: {str(e)[:120]}")

@@ -233,3 +233,7 @@ def test_hybrid_d1_nonlinear_monitored():
     (a, sa), (b, _sb) = build(True), build(False)
     assert all(m.decimation == 1 for m in sa.plan.dfts)
     np.testing.assert_allclose(a, b, rtol=3e-4)
+    # the d=1 stretch must run the CAPTURE kernel (in-kernel DFT plane
+    # emission keeps the deep temporal fusion; round-5), not one-step
+    # cycles
+    assert getattr(sa.plan, "_cap_kernel", None) is not None
