@@ -153,18 +153,27 @@ def run_monitored():
                                size=mp.Vector3(0, size[1] * 0.4,
                                                size[2] * 0.4)))
     dt = sim.dt
+
+    def fence():
+        # a scalar d2h read is the only true completion fence through
+        # the tunnel (sim.run dispatch is async)
+        return complex(sim.get_field_point(mp.Ez, mp.Vector3()))
+
     # `until` is a DURATION (reference run-until semantics): every call
     # below advances exactly `steps` more steps, so the jitted hybrid
     # cycle runner is reused across the re-measure loop
     sim.run(until=steps * dt)               # compile + warm
+    fence()
     t0 = time.perf_counter()
     sim.run(until=steps * dt)
+    fence()
     dt_wall = time.perf_counter() - t0
     deadline = _T_PROC + float(os.environ.get("BENCH_TIMEOUT", "540")) - 30.0
     it = 0
     while it < _REMEASURE and time.perf_counter() + dt_wall * 1.3 < deadline:
         t0 = time.perf_counter()
         sim.run(until=steps * dt)
+        fence()
         dt_wall = min(dt_wall, time.perf_counter() - t0)
         it += 1
     ncell = int(np.prod(cells))

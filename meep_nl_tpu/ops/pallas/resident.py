@@ -47,7 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 #: VMEM budget for (2x state + coefs + xs): the loop carry and its source
 #: copy are both live across the fori_loop, plus revolving I/O buffers.
-VMEM_BUDGET = int(os.environ.get("MNT_RESIDENT_BUDGET", 78 * 2 ** 20))
+VMEM_BUDGET = int(os.environ.get("MNT_RESIDENT_BUDGET", 112 * 2 ** 20))
 
 #: max steps per pallas_call (bounds the xs tables and compile variants)
 MAX_CHUNK = int(os.environ.get("MNT_RESIDENT_CHUNK", 8192))
@@ -170,7 +170,11 @@ def resident_supported(plan) -> bool:
     if plan.complex_fields and not getattr(plan, "real_pair", False):
         return False
     for p in plan.pol_specs_e + plan.pol_specs_h:
-        if p.kind in ("noisy", "multilevel"):
+        # noisy media draw jax.random inside the step (no Mosaic
+        # lowering for threefry); multilevel's population einsum +
+        # transition stack trace to dense ops and ride the kernel
+        # (gate: test_resident.test_multilevel_gain)
+        if p.kind == "noisy":
             return False
     rp = resident_plan(plan)
     if 2 * _state_bytes(rp) > VMEM_BUDGET:
@@ -274,7 +278,7 @@ class ResidentKernel:
                     # backend's default scoped-vmem limit (16 MB) rejects
                     # any grid past ~300^2 ("Ran out of memory in memory
                     # space vmem while allocating on stack")
-                    vmem_limit_bytes=120 * 1024 * 1024),
+                    vmem_limit_bytes=127 * 1024 * 1024),
                 interpret=_interpret(),
             )
             return fn(*state_leaves, *C_list, *xs_list)
@@ -362,7 +366,7 @@ class ResidentKernel:
                 out_shape=out_shape,
                 input_output_aliases={i: i for i in range(n_state)},
                 compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=120 * 1024 * 1024),
+                    vmem_limit_bytes=127 * 1024 * 1024),
                 interpret=_interpret(),
             )
             res = fn(*state_leaves, *C_list, *xs_list)

@@ -482,7 +482,10 @@ def _ghost_fit_bx(plan, n_shards: int, bx: Optional[int] = None
     plan is outside the envelope."""
     if plan.gv.dim != "3d" or any(plan.periodic):
         return None
-    if getattr(plan, "mirror_node", ()):
+    if any(mn[0] == 0 for mn in getattr(plan, "mirror_node", ())):
+        # x mirrors change the x-block topology; y/z node mirrors apply
+        # their ghost in-register (fdtd3d.mirror_yz_info) on every
+        # shard — orthogonal to the x decomposition, so they ride
         return None
     if getattr(plan, "complex_fields", False) \
             or getattr(plan, "real_pair", False):

@@ -908,8 +908,13 @@ def _pol_update_multilevel(plan: Plan, C, pi: int, p: PolSpec, state):
         return state.get("f_w_prev", {}).get(c, W(c))
 
     # --- population update on the centered lattice -----------------------
+    # (L x L) matrices applied as SCALAR-weighted sums, not einsums with
+    # array operands: L is tiny (2-4 levels) and the Pallas resident
+    # kernel forbids captured array constants — float scalars fold into
+    # the ops
     N = state["pol"][pi]["N"]                      # (L,) + shape
-    Ntmp = jnp.einsum("lm,m...->l...", jnp.asarray(IG, plan.dtype), N)
+    Ntmp = [sum(float(IG[l, m]) * N[m] for m in range(L) if IG[l, m])
+            for l in range(L)]
     # E (current+previous) averaged to centered sites: "E8"/8
     Ec = {c: _yee_to_cent(plan, c, W(c)) + _yee_to_cent(plan, c, W_prev(c))
           for c in comps}                          # 2*E_avg
@@ -928,11 +933,11 @@ def _pol_update_multilevel(plan: Plan, C, pi: int, p: PolSpec, state):
         # dP=dP_avg: EdP_ref = (2E)(dP)/4 matches 0.5 factor above /2:
         EdP = EdP * 0.5
         EPave = EPave * 0.5
-        a_t = jnp.asarray(alpha[:, t], plan.dtype).reshape(
-            (L,) + (1,) * (N.ndim - 1))
-        Ntmp = Ntmp + a_t * (EdP + gperpdt * EPave)
-    N_new = jnp.einsum("lm,m...->l...", jnp.asarray(GammaInv, plan.dtype),
-                       Ntmp)
+        drive_t = EdP + gperpdt * EPave
+        Ntmp = [Ntmp[l] + float(alpha[l, t]) * drive_t for l in range(L)]
+    N_new = jnp.stack([sum(float(GammaInv[l, m]) * Ntmp[m]
+                           for m in range(L) if GammaInv[l, m])
+                       for l in range(L)])
 
     # --- per-transition polarization oscillators --------------------------
     new_p = {c: pol_st["p"][c] for c in comps}

