@@ -320,9 +320,17 @@ def run_one():
         from meep_nl_tpu.ops.pallas import periodicx
         if per_mode == "k":
             ker = periodicx.PairPeriodicXKernel(plan, bx=bxv)
+            step0 = ker.make_step()
         else:
-            ker = periodicx.PeriodicXKernel(plan, bx=bxv)
-        step0 = ker.make_step()
+            # ghost-ring driver: plain fused kernel on the Bloch-wrapped
+            # extended grid (round 5) — no wrap-strip recompute
+            try:
+                ker = periodicx.PeriodicGhostT2Kernel(plan, bx=bxv)
+                step0 = ker.make_fused_step()
+                pair = ker.depth
+            except ValueError:
+                ker = periodicx.PeriodicXKernel(plan, bx=bxv)
+                step0 = ker.make_step()
         use_t2 = use_fdtd3d = False
         unroll = 2
     elif use_t2:
@@ -358,7 +366,10 @@ def run_one():
               for k, v in xs.items()}
         xs2 = {k: np.asarray(v).reshape((steps // pair, pair) + v.shape[1:])
                for k, v in xs2.items()}
-    C = plan.coefs
+    # the ghost-ring periodic kernel steps against its EXTENDED plan's
+    # coefficients (wrapped ghost planes baked in)
+    C = getattr(ker, "ext_plan", plan).coefs if ker is not None \
+        else plan.coefs
 
     def fence(state):
         if "re" in state:                      # pair-channel kernel state
@@ -561,8 +572,11 @@ def main():
     # ---- 5. 2D VMEM-resident kernel ----------------------------------
     if not os.environ.get("BENCH_SKIP_RESIDENT"):
         t_end = time.perf_counter() + take_slice()
+        # 1024^2 fp32 whole-grid-resident needs ~207 MB scoped VMEM
+        # (measured round 5) > the 128 MB chip limit — 768^2 is the
+        # physical design point of the resident layout at fp32
         for rgrid in os.environ.get("BENCH_RESIDENT_LADDER",
-                                    "1024,1024;768,768;512,512").split(";"):
+                                    "768,768;512,512").split(";"):
             if sub("resident2d", rgrid, t_end - time.perf_counter(),
                    {"BENCH_RESIDENT": "1"}):
                 break

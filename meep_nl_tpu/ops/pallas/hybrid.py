@@ -84,15 +84,29 @@ def _get_kernel(plan):
             # Complex Bloch phases ride the real-pair channel pair.
             from .periodicx import (PeriodicXKernel, PairPeriodicXKernel,
                                     PeriodicXT2Kernel,
+                                    PeriodicGhostT2Kernel,
                                     pair_periodic_supported,
-                                    periodic_t2_supported)
+                                    periodic_t2_supported,
+                                    periodic_ghost_supported)
             if plan.complex_fields and pair_periodic_supported(plan):
                 ker = _K1Adapter(PairPeriodicXKernel(plan))
+                ker.k3 = None
+            elif periodic_ghost_supported(plan):
+                # ghost-ring driver (round 5): plain fused kernel on
+                # the Bloch-wrapped extended grid, depth-3 companion
+                # sharing the extended layout
+                ker = PeriodicGhostT2Kernel(plan, depth=2)
+                try:
+                    ker.k3 = PeriodicGhostT2Kernel(plan, bx=ker.bx,
+                                                   depth=3)
+                except ValueError:
+                    ker.k3 = None
             elif periodic_t2_supported(plan):
                 ker = PeriodicXT2Kernel(plan)
+                ker.k3 = None
             else:
                 ker = _K1Adapter(PeriodicXKernel(plan))
-            ker.k3 = None
+                ker.k3 = None
         elif fdtd3d_t2.supported(plan, depth=2):
             # depth-3 companion: both kernels must SHARE one bx so they
             # drive the same compact state layout (the layout depends on
@@ -483,7 +497,11 @@ def _hybrid_run_inner(plan, state: Dict[str, Any], nsteps: int, t0: int
     # those ranges (equivalence: test_slab_opt)
     plan.slab_opt = True
     ker = _get_kernel(plan)
-    C = plan.coefs
+    # the ghost-ring periodic kernel steps/converts against its EXTENDED
+    # plan's coefficients (it never reaches the DFT cycle paths — its
+    # envelope requires plan.dfts empty, so C is only consumed by the
+    # kernel itself here)
+    C = getattr(ker, "ext_plan", plan).coefs
 
     if not np.any(_sample_steps(plan, t0, nsteps)):
         # no sampling at all in this stretch: fully fused (the depth-3

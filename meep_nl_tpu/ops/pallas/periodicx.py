@@ -648,3 +648,272 @@ class PeriodicXT2Kernel:
 
     def from_full(self, full):
         return self._k1.from_full(full)
+
+
+# ---------------------------------------------------------------------------
+# Ghost-ring periodic driver: Bloch-wrapped overlap zones, plain kernel
+# ---------------------------------------------------------------------------
+
+def _ghost_ring_ext(plan, bx=None, margin: int = 12):
+    """(ext_plan, Gl, Gr, N, ph, bx) for the ghost-ring layout, or None.
+
+    The x-period [0, N) is embedded in an APERIODIC extended grid with
+    `margin` ghost planes per side (right side padded up to block
+    alignment): left ghosts are the period's last planes x ph^-1, right
+    ghosts its first planes x ph, with coefficients wrapped the same
+    way and boundary-adjacent sources given phase-scaled images in the
+    opposite ghost zone.  The PLAIN temporally-fused kernel then runs
+    at full speed — no wrap-strip recompute — and the per-sweep
+    corruption front from the extended edges (<= 2 planes per
+    half-step + the NL stencil reach ~= 8 at depth 3) dies inside the
+    ghost margin, which is re-seeded from the interior every fused
+    step.  Dispersive/NL windows are admitted wherever the interior
+    call split admits them (ref: boundaries.cpp:88 + susceptibility
+    halos — here the halo IS the physics, by construction)."""
+    from . import fdtd3d_t2 as T2
+    if plan.gv.dim != "3d" or not plan.periodic[0]:
+        return None
+    if plan.periodic[1] or plan.periodic[2]:
+        return None
+    if not _no_mirror(plan):
+        return None
+    if getattr(plan, "complex_fields", False) \
+            or getattr(plan, "real_pair", False):
+        return None
+    if plan.dfts:
+        return None
+    ph_c = complex(plan.bloch_phase[0])
+    if abs(ph_c.imag) > 1e-12 or abs(abs(ph_c.real) - 1.0) > 1e-12:
+        return None                     # real wrap phase only (+1 / -1)
+    ph = float(ph_c.real)
+    N = plan.gv.num[0]
+    # x mask planes at i >= N kill the storage-padding dead region,
+    # which the extended layout replaces with live ghosts — drop them.
+    # True interior x masks (PEC planes) don't exist on a periodic axis;
+    # reject defensively if one appears.
+    ext_masks: Dict[str, Any] = {}
+    for c, planes in (plan.mask_planes or {}).items():
+        kept = []
+        for (ax, i) in planes or []:
+            if ax == 0:
+                if i < N:
+                    return None
+                continue
+            kept.append((ax, i))
+        ext_masks[c] = kept
+    S = tuple(plan.storage_shape or plan.gv.shape)
+    if margin >= N:
+        return None
+    bxx = bx or T2._pick_bx(plan, None, 2)
+    Gl = margin
+    ext = Gl + N + margin
+    ext += (-ext) % bxx
+    Gr = ext - N - Gl
+
+    def wrapx(arr):
+        a = np.asarray(arr)
+        if a.ndim == 3 and a.shape[0] == S[0]:
+            live = a[:N]
+            return np.concatenate([ph * live[N - Gl:], live,
+                                   ph * live[:Gr]], axis=0)
+        return a
+
+    ext_coefs = {k: wrapx(v) for k, v in plan.coefs.items()}
+    # sources: shift into ext coords; boundary-adjacent points get a
+    # phase-scaled image in the opposite ghost zone so the ghost-region
+    # evolution matches the wrapped physics
+    ext_sources = []
+    for s in plan.sources:
+        idx = np.asarray(s.indices).copy()
+        amps = np.asarray(s.amps).copy()
+        rows = [np.concatenate([idx[:, :1] + Gl, idx[:, 1:]], axis=1)]
+        arows = [amps]
+        left = idx[:, 0] >= N - Gl          # images into the left ghost
+        if np.any(left):
+            im = idx[left].copy()
+            im[:, 0] = im[:, 0] - N + Gl
+            rows.append(im)
+            arows.append(amps[left] * ph)
+        right = idx[:, 0] < Gr              # images into the right ghost
+        if np.any(right):
+            im = idx[right].copy()
+            im[:, 0] = im[:, 0] + N + Gl
+            rows.append(im)
+            arows.append(amps[right] * ph)
+        ext_sources.append(dataclasses.replace(
+            s, indices=np.concatenate(rows, axis=0),
+            amps=np.concatenate(arows, axis=0)))
+    boxes = getattr(plan, "support_boxes", None)
+    ext_boxes = None
+    if boxes is not None:
+        ext_boxes = {}
+        for k, b in boxes.items():
+            if b is None:
+                ext_boxes[k] = None
+            else:
+                ext_boxes[k] = (((b[0][0] + Gl), (b[0][1] + Gl)),
+                                b[1], b[2])
+    ext_plan = dataclasses.replace(
+        plan, storage_shape=(ext,) + tuple(S[1:]), coefs=ext_coefs,
+        sources=ext_sources, periodic=(False,) + tuple(plan.periodic[1:]),
+        bloch_phase=(1.0,) + tuple(plan.bloch_phase[1:]),
+        support_boxes=ext_boxes, mask_planes=ext_masks)
+    return ext_plan, Gl, Gr, N, ph, bxx
+
+
+def periodic_ghost_supported(plan, bx: int = None) -> bool:
+    """Envelope for the ghost-ring periodic driver (real wrap phase,
+    unmonitored; dispersive/NL windows wherever the plain kernel's
+    interior call split admits them)."""
+    from . import fdtd3d_t2 as T2
+    p = _ghost_ring_ext(plan, bx)
+    if p is None:
+        return False
+    ext_plan, _Gl, _Gr, _N, _ph, bxx = p
+    try:
+        return T2.supported(ext_plan, bxx, depth=2)
+    except Exception:                    # noqa: BLE001
+        return False
+
+
+class PeriodicGhostT2Kernel:
+    """Bloch ghost-ring driver: the plain depth-2/3 fused kernel on the
+    extended aperiodic grid, ghosts re-seeded (x ph) from the interior
+    every fused sweep.  State lives permanently in the EXTENDED compact
+    layout; from_full/to_full wrap/slice the x planes."""
+
+    def __init__(self, plan, bx: int = None, depth: int = None):
+        from . import fdtd3d_t2 as T2
+        p = _ghost_ring_ext(plan, bx)
+        if p is None:
+            raise ValueError("plan outside the ghost-ring envelope")
+        self.plan = plan
+        self.ext_plan, self.Gl, self.Gr, self.N, self.ph, bxx = p
+        if not T2.supported(self.ext_plan, bxx, depth=2):
+            raise ValueError("extended plan outside the t2 envelope")
+        if depth is None:
+            depth = 3 if T2.supported(self.ext_plan, bxx, depth=3) else 2
+        self.ker = T2.Fdtd3dT2Kernel(self.ext_plan, bxx, depth=depth)
+        self.bx = bxx
+        self.depth = self.ker.depth
+        self.xs_keys = self.ker.xs_keys
+        # NOTE: no `_k1` attribute on purpose — the hybrid's probed/
+        # cycle paths would step the raw 1-step companion WITHOUT the
+        # ghost refresh; they must fall back (plan.dfts excludes the
+        # ghost driver from cycle paths anyway)
+        self.k3 = None
+        ext = self.ext_plan.storage_shape[0]
+        self._ext = ext
+        # x-leading ext-state arrays that carry the ghost refresh
+        self._ring_keys = [k for k, v in self.ker.init_state().items()
+                           if getattr(v, "ndim", 0) == 3
+                           and v.shape[0] == ext]
+
+    # -- state ---------------------------------------------------------
+    def init_state(self):
+        return self.ker.init_state()
+
+    def from_full(self, full):
+        """Wrap-extend the x planes of every grid-shaped array, then
+        convert through the extended kernel's layout."""
+        Gl, Gr, N, ph = self.Gl, self.Gr, self.N, self.ph
+        S0 = (self.plan.storage_shape or self.plan.gv.shape)[0]
+
+        def ext(a):
+            if getattr(a, "ndim", 0) >= 3 and a.shape[-3] == S0:
+                live = a[..., :N, :, :]
+                return jnp.concatenate(
+                    [ph * live[..., N - Gl:, :, :], live,
+                     ph * live[..., :Gr, :, :]], axis=-3)
+            return a
+
+        full_e = jax.tree.map(ext, {k: full[k] for k in ("f", "f_u",
+                                                         "f_w")
+                                    if k in full})
+        full_e = {**full, **full_e}
+        if full.get("pol"):
+            full_e["pol"] = jax.tree.map(ext, full["pol"])
+        return self.ker.from_full(full_e)
+
+    def to_full(self, state, C=None):
+        Gl, N = self.Gl, self.N
+        S0 = (self.plan.storage_shape or self.plan.gv.shape)[0]
+        full_e = self.ker.to_full(state, C)
+
+        def cut(a):
+            if getattr(a, "ndim", 0) >= 3 and a.shape[-3] == self._ext:
+                live = a[..., Gl:Gl + N, :, :]
+                pad = S0 - N
+                if pad:
+                    zshape = live.shape[:-3] + (pad,) + live.shape[-2:]
+                    live = jnp.concatenate(
+                        [live, jnp.zeros(zshape, live.dtype)], axis=-3)
+                return live
+            return a
+
+        out = {k: (jax.tree.map(cut, v) if k in ("f", "f_u", "f_w",
+                                                 "pol") else v)
+               for k, v in full_e.items()}
+        return out
+
+    # -- stepping ------------------------------------------------------
+    def _refresh(self, state):
+        Gl, Gr, N, ph = self.Gl, self.Gr, self.N, self.ph
+        out = dict(state)
+        for k in self._ring_keys:
+            v = state[k]
+            v = v.at[:Gl].set(ph * v[N:N + Gl])
+            v = v.at[Gl + N:].set(ph * v[Gl:Gl + Gr])
+            out[k] = v
+        return out
+
+    def make_fused_step(self):
+        stepk = self.ker.make_fused_step()
+
+        def step(state, x_rows, C):
+            return stepk(self._refresh(state), x_rows, C)
+
+        return step
+
+    def make_step(self):
+        step1 = self.ker._k1.make_step()
+
+        def step(state, xt, C):
+            return step1(self._refresh(state), xt, C)
+
+        return step
+
+    def run(self, state, nsteps: int, t0: int = 0, unroll: int = 2):
+        from ...stepper.step import build_xs
+        depth = self.depth
+        npair = nsteps // depth
+        rem = nsteps - depth * npair
+        C = self.ext_plan.coefs
+        if npair:
+            xs_all = build_xs(self.ext_plan, depth * npair, t0)
+            xs = {k: np.asarray(v).reshape((npair, depth) + v.shape[1:])
+                  for k, v in xs_all.items() if k in self.xs_keys}
+            cache = getattr(self, "_run_cache", None)
+            if cache is None:
+                cache = self._run_cache = {}
+            runner_c = cache.get((npair, unroll))
+            if runner_c is None:
+                stepd = self.make_fused_step()
+
+                def runner(state, xs, C):
+                    def body(carry, x):
+                        return stepd(carry, x, C), None
+                    state, _ = jax.lax.scan(
+                        body, state, xs, length=npair,
+                        unroll=unroll if npair % unroll == 0 else 1)
+                    return state
+
+                runner_c = cache[(npair, unroll)] = jax.jit(runner)
+            state = runner_c(state, xs, C)
+        if rem:
+            step1 = self.make_step()
+            xs_all = build_xs(self.ext_plan, rem, t0 + depth * npair)
+            for j in range(rem):
+                state = step1(state,
+                              {k: v[j] for k, v in xs_all.items()}, C)
+        return state
