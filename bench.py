@@ -455,7 +455,13 @@ def main():
     re-printed after EVERY probe — the driver keeps the tail, so the last
     complete line always carries everything measured so far even if the
     process is killed mid-suite (the round-3 failure mode: one line at the
-    very end of ~16 sequential probes, rc=124, nothing recorded)."""
+    very end of ~16 sequential probes, rc=124, nothing recorded).
+
+    Probe order = importance x cheapness: the vacuum headline first,
+    then the kernel-direct probes (one compile each, ~2-4 min through
+    the tunnel), and the monitored public-API probes LAST — they
+    compile 3-4 kernel variants (~6-8 min each) and must not starve
+    everything behind them when the budget is small."""
     if os.environ.get("BENCH_ONE"):
         run_one()
         return
@@ -471,41 +477,6 @@ def main():
     def emit():
         print(json.dumps(rec), flush=True)
 
-    # Budget plan: after the vacuum headline, the remaining budget is
-    # split EVENLY across the remaining probes (re-measure loops inside
-    # each probe are bounded, so a probe leaves unused slice time to the
-    # others).  Round-4 failure mode was serial caps summing past the
-    # budget: the last three probes recorded "skipped: budget exhausted".
-    n_after = (3 * (not os.environ.get("BENCH_SKIP_MAT"))
-               + 2 * (not os.environ.get("BENCH_SKIP_MONITORED"))
-               + 2 * (not os.environ.get("BENCH_SKIP_PER"))
-               + (not os.environ.get("BENCH_SKIP_RESIDENT")))
-
-    def slice_for(n_left):
-        if n_left <= 0:
-            return left() - 20
-        return max(60.0, (left() - 20) / n_left)
-
-    # ---- 1. vacuum ladder (the headline metric) ---------------------
-    ladder = os.environ.get(
-        "BENCH_LADDER",
-        "256,256,256;192,192,192;128,128,128;96,96,96;64,64,64").split(";")
-    # first probe pays compile; give it a larger slice but never starve
-    # the rest of the suite
-    for i, grid in enumerate(ladder):
-        cap = min(left() - 30.0 * n_after,
-                  max(120.0, 2.0 * slice_for(n_after + 1)))
-        r, err = _probe(grid, cap)
-        if r is not None:
-            rec.update(r)
-            break
-        rec["error"] = "vacuum@%s: %s" % (grid, err)
-        if left() < 60 * n_after:
-            break
-    emit()
-
-    remaining = [n_after]   # mutable count of probes still to run
-
     def sub(key, grid, cap, extra_env):
         """One merged sub-probe: record value_* or *_error, then emit."""
         r, err = _probe(grid, min(left() - 10, cap), extra_env)
@@ -520,66 +491,74 @@ def main():
         emit()
         return r is not None
 
-    def take_slice():
-        s = slice_for(remaining[0])
-        remaining[0] = max(0, remaining[0] - 1)
-        return s
-
-    # ---- 2. flagship material (eps ball + Lorentz + chi2-Newton: the
-    # physics this fork exists for, BASELINE configs 3-5) --------------
+    # probe queue: (key, grid, per-probe cap seconds, env, depth-ladder)
     mgrid = os.environ.get("BENCH_MAT_GRID", "128,128,128")
+    pgrid = os.environ.get("BENCH_PER_GRID", "128,128,128")
+    mon = os.environ.get("BENCH_MON_GRID", "128,128,128")
+    queue = []
     if not os.environ.get("BENCH_SKIP_MAT"):
-        # depth ladder: deepest schedule first; FailedPrecondition-class
-        # dispatch failures fail fast, so fallbacks are cheap.  The
-        # whole ladder shares ONE budget slice.
-        t_end = time.perf_counter() + take_slice()
-        for mdepth in (None, "2", "1"):
-            env = {"BENCH_MAT": "1"}
-            if mdepth:
-                env["MNT_T2_DEPTH"] = mdepth
-            if sub("material", mgrid, t_end - time.perf_counter(), env):
-                break
-        t_end = time.perf_counter() + take_slice()
-        for mdepth in (None, "2", "1"):
-            env = {"BENCH_MAT": "pol"}
-            if mdepth:
-                env["MNT_T2_DEPTH"] = mdepth
-            if sub("lorentz", mgrid, t_end - time.perf_counter(), env):
-                break
-        # big-grid flagship (scaling probe; 224^3 pads z to 256 lanes =
-        # 14% dead compute vs 33% at 192^3, and its depth-3 bx=2
-        # schedule fits VMEM after the round-5 scratch diet)
-        t_end = time.perf_counter() + take_slice()
-        for bgrid in os.environ.get("BENCH_MAT_BIG",
-                                    "224,224,224;192,192,192").split(";"):
-            if sub("material_big", bgrid, t_end - time.perf_counter(),
-                   {"BENCH_MAT": "1"}):
-                break
-    # ---- 3. monitored production run (flux DFT, public Simulation API,
-    # in-kernel DFT rides the fused step) ------------------------------
-    if not os.environ.get("BENCH_SKIP_MONITORED"):
-        sub("monitored", os.environ.get("BENCH_MON_GRID", "128,128,128"),
-            take_slice(), {"BENCH_MONITORED": "1"})
-        # monitored flagship material (d=1 capture-kernel cycles)
-        sub("monitored_nl", os.environ.get("BENCH_MON_GRID",
-                                           "128,128,128"),
-            take_slice(), {"BENCH_MONITORED": "nl"})
-    # ---- 4. periodic grating class -----------------------------------
+        queue.append(("material", mgrid, 300, {"BENCH_MAT": "1"}, True))
+        queue.append(("lorentz", mgrid, 240, {"BENCH_MAT": "pol"}, True))
+        big = os.environ.get("BENCH_MAT_BIG",
+                             "224,224,224;192,192,192").split(";")
+        queue.append(("material_big", big, 320, {"BENCH_MAT": "1"},
+                      False))
     if not os.environ.get("BENCH_SKIP_PER"):
-        pgrid = os.environ.get("BENCH_PER_GRID", "128,128,128")
-        sub("periodic", pgrid, take_slice(), {"BENCH_PERIODIC": "1"})
-        sub("bloch_pair", pgrid, take_slice(), {"BENCH_PERIODIC": "k"})
-    # ---- 5. 2D VMEM-resident kernel ----------------------------------
+        queue.append(("periodic", pgrid, 320, {"BENCH_PERIODIC": "1"},
+                      False))
+        queue.append(("bloch_pair", pgrid, 240, {"BENCH_PERIODIC": "k"},
+                      False))
     if not os.environ.get("BENCH_SKIP_RESIDENT"):
-        t_end = time.perf_counter() + take_slice()
-        # 1024^2 fp32 whole-grid-resident needs ~207 MB scoped VMEM
-        # (measured round 5) > the 128 MB chip limit — 768^2 is the
-        # physical design point of the resident layout at fp32
-        for rgrid in os.environ.get("BENCH_RESIDENT_LADDER",
-                                    "768,768;512,512").split(";"):
-            if sub("resident2d", rgrid, t_end - time.perf_counter(),
-                   {"BENCH_RESIDENT": "1"}):
-                break
+        rl = os.environ.get("BENCH_RESIDENT_LADDER",
+                            "768,768;512,512").split(";")
+        queue.append(("resident2d", rl, 240, {"BENCH_RESIDENT": "1"},
+                      False))
+    if not os.environ.get("BENCH_SKIP_MONITORED"):
+        queue.append(("monitored", mon, 460, {"BENCH_MONITORED": "1"},
+                      False))
+        queue.append(("monitored_nl", mon, 600,
+                      {"BENCH_MONITORED": "nl"}, False))
+
+    # ---- 1. vacuum ladder (the headline metric) ---------------------
+    ladder = os.environ.get(
+        "BENCH_LADDER",
+        "256,256,256;192,192,192;128,128,128;96,96,96;64,64,64").split(";")
+    for i, grid in enumerate(ladder):
+        # proportional reserve: the headline gets up to a quarter of
+        # whatever budget exists (never starved by the queue reserve,
+        # never starving the queue)
+        cap = min(300 if i == 0 else 160, max(90.0, left() * 0.25))
+        r, err = _probe(grid, cap)
+        if r is not None:
+            rec.update(r)
+            break
+        rec["error"] = "vacuum@%s: %s" % (grid, err)
+        if left() < 120 * len(queue):
+            break
+    emit()
+
+    # ---- 2..n: the probe queue with weighted slices ------------------
+    for qi, (key, grids, cap, env, depth_ladder) in enumerate(queue):
+        n_left = len(queue) - qi
+        slc = min(cap, max(140.0, (left() - 20) / n_left))
+        t_end = time.perf_counter() + slc
+        glist = grids if isinstance(grids, list) else [grids]
+        done = False
+        if depth_ladder:
+            # deepest schedule first; dispatch-class failures fail fast
+            for mdepth in (None, "2", "1"):
+                e = dict(env)
+                if mdepth:
+                    e["MNT_T2_DEPTH"] = mdepth
+                if sub(key, glist[0], t_end - time.perf_counter(), e):
+                    done = True
+                    break
+        else:
+            for g in glist:
+                if sub(key, g, t_end - time.perf_counter(), env):
+                    done = True
+                    break
+        del done
     emit()
 
 
