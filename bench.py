@@ -524,10 +524,12 @@ def main():
         "BENCH_LADDER",
         "256,256,256;192,192,192;128,128,128;96,96,96;64,64,64").split(";")
     for i, grid in enumerate(ladder):
-        # proportional reserve: the headline gets up to a quarter of
+        # proportional reserve: the headline gets up to ~a third of
         # whatever budget exists (never starved by the queue reserve,
-        # never starving the queue)
-        cap = min(300 if i == 0 else 160, max(90.0, left() * 0.25))
+        # never starving the queue).  First-compile latency through the
+        # tunnel is wildly variable (~2-6 min at 255^3) — the first
+        # attempt needs the fat cap.
+        cap = min(420 if i == 0 else 200, max(90.0, left() * 0.3))
         r, err = _probe(grid, cap)
         if r is not None:
             rec.update(r)
