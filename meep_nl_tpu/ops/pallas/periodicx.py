@@ -711,11 +711,14 @@ def _ghost_ring_ext(plan, bx=None, margin: int = 12):
     Gr = ext - N - Gl
 
     def wrapx(arr):
+        # material coefficients are PERIODIC — they wrap WITHOUT the
+        # Bloch phase (the phase lives on the fields and sources only:
+        # F(x+L) = ph F(x), c(x+L) = c(x))
         a = np.asarray(arr)
         if a.ndim == 3 and a.shape[0] == S[0]:
             live = a[:N]
-            return np.concatenate([ph * live[N - Gl:], live,
-                                   ph * live[:Gr]], axis=0)
+            return np.concatenate([live[N - Gl:], live, live[:Gr]],
+                                  axis=0)
         return a
 
     ext_coefs = {k: wrapx(v) for k, v in plan.coefs.items()}

@@ -255,6 +255,15 @@ def test_periodic_ghost_eps():
     _ghost_compare(_plan_periodic(with_eps=True))
 
 
+def test_periodic_ghost_eps_phase_minus1():
+    """eps structure + wrap phase -1: coefficients must wrap WITHOUT
+    the Bloch phase (only fields/sources carry it) — the case that
+    catches a phase-on-coefs mixup."""
+    res, cells = 8.0, (24, 16, 16)
+    kx = 0.5 / (cells[0] / res)
+    _ghost_compare(_plan_periodic(kx=kx, with_eps=True))
+
+
 def test_periodic_ghost_source_near_wrap():
     """A source within the ghost margin of the wrap gets phase-scaled
     images in the opposite ghost zone; the run stays exact."""
