@@ -321,8 +321,13 @@ def run_one():
     if per_mode and plain:
         from meep_nl_tpu.ops.pallas import periodicx
         if per_mode == "k":
-            ker = periodicx.PairPeriodicXKernel(plan, bx=bxv)
-            step0 = ker.make_step()
+            try:
+                ker = periodicx.PairPeriodicGhostT2Kernel(plan, bx=bxv)
+                step0 = ker.make_fused_step()
+                pair = ker.depth
+            except ValueError:
+                ker = periodicx.PairPeriodicXKernel(plan, bx=bxv)
+                step0 = ker.make_step()
         else:
             # ghost-ring driver: plain fused kernel on the Bloch-wrapped
             # extended grid (round 5) — no wrap-strip recompute

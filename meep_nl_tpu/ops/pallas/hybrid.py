@@ -85,10 +85,19 @@ def _get_kernel(plan):
             from .periodicx import (PeriodicXKernel, PairPeriodicXKernel,
                                     PeriodicXT2Kernel,
                                     PeriodicGhostT2Kernel,
+                                    PairPeriodicGhostT2Kernel,
                                     pair_periodic_supported,
                                     periodic_t2_supported,
-                                    periodic_ghost_supported)
-            if plan.complex_fields and pair_periodic_supported(plan):
+                                    periodic_ghost_supported,
+                                    pair_periodic_ghost_supported)
+            if plan.complex_fields and pair_periodic_ghost_supported(plan):
+                ker = PairPeriodicGhostT2Kernel(plan, depth=2)
+                try:
+                    ker.k3 = PairPeriodicGhostT2Kernel(plan, bx=ker.bx,
+                                                       depth=3)
+                except ValueError:
+                    ker.k3 = None
+            elif plan.complex_fields and pair_periodic_supported(plan):
                 ker = _K1Adapter(PairPeriodicXKernel(plan))
                 ker.k3 = None
             elif periodic_ghost_supported(plan):

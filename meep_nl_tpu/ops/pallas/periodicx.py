@@ -654,7 +654,7 @@ class PeriodicXT2Kernel:
 # Ghost-ring periodic driver: Bloch-wrapped overlap zones, plain kernel
 # ---------------------------------------------------------------------------
 
-def _ghost_ring_ext(plan, bx=None, margin: int = 12):
+def _ghost_ring_ext(plan, bx=None, margin: int = 12, img_ph=None):
     """(ext_plan, Gl, Gr, N, ph, bx) for the ghost-ring layout, or None.
 
     The x-period [0, N) is embedded in an APERIODIC extended grid with
@@ -686,6 +686,10 @@ def _ghost_ring_ext(plan, bx=None, margin: int = 12):
     if abs(ph_c.imag) > 1e-12 or abs(abs(ph_c.real) - 1.0) > 1e-12:
         return None                     # real wrap phase only (+1 / -1)
     ph = float(ph_c.real)
+    # complex wrap phase for SOURCE IMAGES only (the pair driver embeds
+    # a phase-free real view and applies the complex rotation itself);
+    # left-ghost images carry ph^-1 = conj(ph) for |ph| = 1
+    pha = complex(img_ph) if img_ph is not None else complex(ph)
     N = plan.gv.num[0]
     # x mask planes at i >= N kill the storage-padding dead region,
     # which the extended layout replaces with live ghosts — drop them.
@@ -736,13 +740,13 @@ def _ghost_ring_ext(plan, bx=None, margin: int = 12):
             im = idx[left].copy()
             im[:, 0] = im[:, 0] - N + Gl
             rows.append(im)
-            arows.append(amps[left] * ph)
+            arows.append(amps[left] * np.conj(pha))
         right = idx[:, 0] < Gr              # images into the right ghost
         if np.any(right):
             im = idx[right].copy()
             im[:, 0] = im[:, 0] + N + Gl
             rows.append(im)
-            arows.append(amps[right] * ph)
+            arows.append(amps[right] * pha)
         ext_sources.append(dataclasses.replace(
             s, indices=np.concatenate(rows, axis=0),
             amps=np.concatenate(arows, axis=0)))
@@ -919,4 +923,205 @@ class PeriodicGhostT2Kernel:
             for j in range(rem):
                 state = step1(state,
                               {k: v[j] for k, v in xs_all.items()}, C)
+        return state
+
+
+def pair_periodic_ghost_supported(plan, bx: int = None) -> bool:
+    """Envelope for the PAIR ghost-ring driver: real-pair plan whose
+    only complex coupling is an arbitrary-unit-modulus x Bloch phase
+    (oblique-incidence gratings), unmonitored."""
+    if not (getattr(plan, "real_pair", False) and plan.complex_fields):
+        return False
+    if plan.gv.dim != "3d" or not plan.periodic[0]:
+        return False
+    ph = complex(plan.bloch_phase[0])
+    if abs(abs(ph) - 1.0) > 1e-9:
+        return False
+    return periodic_ghost_supported(_real_view(plan))
+
+
+class PairPeriodicGhostT2Kernel:
+    """Arbitrary-k_x Bloch ghost-ring stepping: two single-channel
+    real compact states advanced by the SAME plain fused kernel on the
+    Bloch-wrapped extended grid; the complex wrap phase enters ONLY
+    through (a) the per-sweep ghost refresh (2x2 channel rotation) and
+    (b) the baked complex source-image amplitudes, with the im channel
+    consuming the waveform rows swapped ((w_re, w_im) -> (w_im, -w_re)
+    = Im[w a] pointwise) — the ghost-ring analog of
+    PairPeriodicXKernel (DOCMP unroll of boundaries.cpp:347)."""
+
+    def __init__(self, plan, bx: int = None, depth: int = None):
+        from . import fdtd3d_t2 as T2
+        if not pair_periodic_ghost_supported(plan, bx):
+            raise ValueError("plan outside the pair ghost-ring envelope")
+        self.plan = plan
+        rv = _real_view(plan)
+        ph = complex(plan.bloch_phase[0])
+        p = _ghost_ring_ext(rv, bx, img_ph=ph)
+        if p is None:
+            raise ValueError("plan outside the ghost-ring envelope")
+        self.ext_plan, self.Gl, self.Gr, self.N, _one, bxx = p
+        if not T2.supported(self.ext_plan, bxx, depth=2):
+            raise ValueError("extended plan outside the t2 envelope")
+        if depth is None:
+            depth = 3 if T2.supported(self.ext_plan, bxx, depth=3) else 2
+        self.ker = T2.Fdtd3dT2Kernel(self.ext_plan, bxx, depth=depth)
+        self.bx = bxx
+        self.depth = self.ker.depth
+        self.xs_keys = self.ker.xs_keys
+        self._a, self._b = float(ph.real), float(ph.imag)
+        ext = self.ext_plan.storage_shape[0]
+        self._ext = ext
+        self._ring_keys = [k for k, v in self.ker.init_state().items()
+                           if getattr(v, "ndim", 0) == 3
+                           and v.shape[0] == ext]
+        self._src_pairs = [(kk, kk.replace(":cur_re", ":cur_im"))
+                           for kk in self.xs_keys
+                           if kk.endswith(":cur_re")]
+
+    # -- state ---------------------------------------------------------
+    def init_state(self):
+        return {"re": self.ker.init_state(), "im": self.ker.init_state()}
+
+    def _ext_pair_full(self, ar, ai):
+        """Wrap-extend a (…, S0, Y, Z) channel pair with the 2x2 phase
+        rotation: left ghost = conj(ph) F, right ghost = ph F."""
+        Gl, Gr, N = self.Gl, self.Gr, self.N
+        a, b = self._a, self._b
+        lr_r = ar[..., N - Gl:N, :, :]
+        lr_i = ai[..., N - Gl:N, :, :]
+        rr_r = ar[..., :Gr, :, :]
+        rr_i = ai[..., :Gr, :, :]
+        er = jnp.concatenate([a * lr_r + b * lr_i, ar[..., :N, :, :],
+                              a * rr_r - b * rr_i], axis=-3)
+        ei = jnp.concatenate([-b * lr_r + a * lr_i, ai[..., :N, :, :],
+                              b * rr_r + a * rr_i], axis=-3)
+        return er, ei
+
+    @staticmethod
+    def _split(full, i):
+        def leaf(v):
+            if hasattr(v, "ndim") and v.ndim == 4 and v.shape[0] == 2:
+                return v[i]
+            return v
+        return jax.tree.map(leaf, {k: v for k, v in full.items()
+                                   if k != "dft"})
+
+    def from_full(self, full):
+        S0 = (self.plan.storage_shape or self.plan.gv.shape)[0]
+        fr = self._split(full, 0)
+        fi = self._split(full, 1)
+
+        def ext_tree(tr, ti):
+            out_r, out_i = {}, {}
+            for k in tr:
+                vr, vi = tr[k], ti[k]
+                if isinstance(vr, dict):
+                    out_r[k], out_i[k] = ext_tree(vr, vi)
+                elif getattr(vr, "ndim", 0) >= 3 and vr.shape[-3] == S0:
+                    out_r[k], out_i[k] = self._ext_pair_full(vr, vi)
+                else:
+                    out_r[k], out_i[k] = vr, vi
+            return out_r, out_i
+
+        keys = [k for k in ("f", "f_u", "f_w", "pol") if fr.get(k)]
+        er, ei = ext_tree({k: fr[k] for k in keys},
+                          {k: fi[k] for k in keys})
+        fr = {**fr, **er}
+        fi = {**fi, **ei}
+        return {"re": self.ker.from_full(fr),
+                "im": self.ker.from_full(fi)}
+
+    def to_full(self, state, C=None):
+        Gl, N = self.Gl, self.N
+        S0 = (self.plan.storage_shape or self.plan.gv.shape)[0]
+        fr = self.ker.to_full(state["re"], C)
+        fi = self.ker.to_full(state["im"], C)
+
+        def cut(a):
+            if getattr(a, "ndim", 0) >= 3 and a.shape[-3] == self._ext:
+                live = a[..., Gl:Gl + N, :, :]
+                pad = S0 - N
+                if pad:
+                    z = jnp.zeros(live.shape[:-3] + (pad,)
+                                  + live.shape[-2:], live.dtype)
+                    live = jnp.concatenate([live, z], axis=-3)
+                return live
+            return a
+
+        def leaf(a, b):
+            if hasattr(a, "ndim") and a.ndim >= 3:
+                return jnp.stack([cut(a), cut(b)])
+            return a
+        return jax.tree.map(leaf, fr, fi)
+
+    # -- stepping ------------------------------------------------------
+    def _refresh(self, state2):
+        Gl, Gr, N = self.Gl, self.Gr, self.N
+        a, b = self._a, self._b
+        sre = dict(state2["re"])
+        sim_ = dict(state2["im"])
+        for k in self._ring_keys:
+            vr, vi = sre[k], sim_[k]
+            lr_r, lr_i = vr[N:N + Gl], vi[N:N + Gl]
+            rr_r, rr_i = vr[Gl:Gl + Gr], vi[Gl:Gl + Gr]
+            sre[k] = vr.at[:Gl].set(a * lr_r + b * lr_i) \
+                .at[Gl + N:].set(a * rr_r - b * rr_i)
+            sim_[k] = vi.at[:Gl].set(-b * lr_r + a * lr_i) \
+                .at[Gl + N:].set(b * rr_r + a * rr_i)
+        return sre, sim_
+
+    def _xs_im(self, x_rows):
+        out = dict(x_rows)
+        for (kre, kim) in self._src_pairs:
+            out[kre] = x_rows[kim]
+            out[kim] = -x_rows[kre]
+        return out
+
+    def make_fused_step(self):
+        stepk = self.ker.make_fused_step()
+
+        def step(state2, x_rows, C):
+            sre, sim_ = self._refresh(state2)
+            sre = stepk(sre, x_rows, C)
+            sim_ = stepk(sim_, self._xs_im(x_rows), C)
+            return {"re": sre, "im": sim_}
+
+        return step
+
+    def run(self, state, nsteps: int, t0: int = 0, unroll: int = 2):
+        from ...stepper.step import build_xs
+        depth = self.depth
+        npair = nsteps // depth
+        rem = nsteps - depth * npair
+        C = self.ext_plan.coefs
+        if npair:
+            xs_all = build_xs(self.ext_plan, depth * npair, t0)
+            xs = {k: np.asarray(v).reshape((npair, depth) + v.shape[1:])
+                  for k, v in xs_all.items() if k in self.xs_keys}
+            cache = getattr(self, "_run_cache", None)
+            if cache is None:
+                cache = self._run_cache = {}
+            runner_c = cache.get((npair, unroll))
+            if runner_c is None:
+                stepd = self.make_fused_step()
+
+                def runner(state, xs, C):
+                    def body(carry, x):
+                        return stepd(carry, x, C), None
+                    state, _ = jax.lax.scan(
+                        body, state, xs, length=npair,
+                        unroll=unroll if npair % unroll == 0 else 1)
+                    return state
+
+                runner_c = cache[(npair, unroll)] = jax.jit(runner)
+            state = runner_c(state, xs, C)
+        if rem:
+            step1k = self.ker._k1.make_step()
+            xs_all = build_xs(self.ext_plan, rem, t0 + depth * npair)
+            for j in range(rem):
+                xt = {k: v[j] for k, v in xs_all.items()}
+                sre, sim_ = self._refresh(state)
+                state = {"re": step1k(sre, xt, C),
+                         "im": step1k(sim_, self._xs_im(xt), C)}
         return state

@@ -21,7 +21,7 @@ from meep_nl_tpu.ops.pallas import periodicx
 
 
 def _plan_periodic(kx=0.0, with_eps=False, res=8.0, cells=(24, 16, 16),
-                   pml_axes="yz", src_comp="ez"):
+                   pml_axes="yz", src_comp="ez", src_x=0.3):
     size = [n / res for n in cells]
     gv = G.GridVolume.create("3d", size, res)
     chi1inv = {}
@@ -34,7 +34,7 @@ def _plan_periodic(kx=0.0, with_eps=False, res=8.0, cells=(24, 16, 16),
             e[np.abs(xx - cx) < size[0] / 6, :, :] = 4.0
             chi1inv[c] = {c[1]: 1.0 / e}
     src_t = mnt.GaussianSource(frequency=1.0, fwidth=0.5)
-    pts = gv.interp_weights(src_comp, [0.3, 0.0, 0.0])
+    pts = gv.interp_weights(src_comp, [src_x, 0.0, 0.0])
     idx = np.array([p for p, w in pts], np.int32)
     amps = np.array([w for p, w in pts], np.complex128)
     src = SrcVolSpec(src_comp, idx, amps, src_t)
@@ -186,8 +186,11 @@ def test_pair_periodic_hybrid_sim():
         os.environ.pop("MNT_REAL_PAIR", None)
     assert not getattr(sim_h._plan, "_hybrid_broken", False)
     ker = getattr(sim_h._plan, "_t2_kernel", None)
-    assert ker is not None \
-        and type(ker._k1).__name__ == "PairPeriodicXKernel"
+    assert ker is not None and type(ker).__name__ in (
+        "PairPeriodicGhostT2Kernel",) or (
+        ker is not None
+        and type(getattr(ker, "_k1", None)).__name__
+        == "PairPeriodicXKernel")
     ez_j = sim_j.get_array(mnt.Ez)
     ez_h = sim_h.get_array(mnt.Ez)
     scale = np.abs(ez_j).max()
@@ -314,3 +317,49 @@ def test_periodic_ghost_dispersive():
                         sources=[src], pad_to_multiple=(8, 1, 1))
     plan.slab_opt = True
     _ghost_compare(plan, nsteps=24)
+
+
+def test_pair_periodic_ghost_complex_phase():
+    """Arbitrary-k_x Bloch through the PAIR ghost-ring driver: two real
+    channels on the Bloch-wrapped extended grid, channel-rotated ghost
+    refresh + complex source images, vs the jnp real-pair stepper."""
+    from meep_nl_tpu.ops.pallas import periodicx
+    plan = _plan_periodic(kx=0.23)
+    plan.real_pair = True
+    plan.slab_opt = True
+    assert periodicx.pair_periodic_ghost_supported(plan)
+    ker = periodicx.PairPeriodicGhostT2Kernel(plan)
+    st_j = run(plan, init_state(plan), 42)
+    full_k = ker.to_full(ker.run(ker.init_state(), 42))
+    scale = max(float(np.max(np.abs(np.asarray(v))))
+                for v in st_j["f"].values())
+    assert scale > 0
+    num0 = plan.gv.num[0]
+    for c in st_j["f"]:
+        np.testing.assert_allclose(
+            np.asarray(full_k["f"][c])[:, :num0],
+            np.asarray(st_j["f"][c])[:, :num0],
+            atol=3e-6 * scale, err_msg=f"f[{c}]")
+    assert np.abs(np.asarray(st_j["f"]["ez"])[1]).max() > 1e-4 * scale
+
+
+def test_pair_periodic_ghost_eps_and_source_near_wrap():
+    """Complex-phase ghost-ring with an eps structure and a source
+    INSIDE the ghost margin of the wrap (phase-rotated images in both
+    channels)."""
+    from meep_nl_tpu.ops.pallas import periodicx
+    plan = _plan_periodic(kx=0.37, with_eps=True, src_x=-1.2)
+    plan.real_pair = True
+    plan.slab_opt = True
+    assert periodicx.pair_periodic_ghost_supported(plan)
+    ker = periodicx.PairPeriodicGhostT2Kernel(plan)
+    st_j = run(plan, init_state(plan), 40)
+    full_k = ker.to_full(ker.run(ker.init_state(), 40))
+    scale = max(float(np.max(np.abs(np.asarray(v))))
+                for v in st_j["f"].values())
+    num0 = plan.gv.num[0]
+    for c in st_j["f"]:
+        np.testing.assert_allclose(
+            np.asarray(full_k["f"][c])[:, :num0],
+            np.asarray(st_j["f"][c])[:, :num0],
+            atol=3e-6 * scale, err_msg=f"f[{c}]")
